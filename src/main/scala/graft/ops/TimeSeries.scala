@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Date-keyed time-series operators — the analytical heart of the
+  * reference (growth-of-10k, TVL, monthly / trailing returns; see
+  * SURVEY.md §2.5, reference `defimap_pipeline/aave_transform.py`).
+  *
+  * Re-expressed over the driver test tables: the "TVL" series is the
+  * daily order-revenue aggregate, the "benchmark" series the daily
+  * lineitem-revenue aggregate.
+  *
+  * Scale notes (100 TB posture):
+  *  - The only full-data operator here is the `groupBy(date)` daily
+  *    rollup — a standard partial-agg + shuffle on a low-cardinality
+  *    key; AQE coalesces the post-shuffle partitions.
+  *  - Every window below runs on the *daily* rollup, whose row count is
+  *    O(#calendar days), independent of input scale, so the
+  *    unpartitioned `Window.orderBy("date")` is a deliberate,
+  *    bounded-size single partition. Multi-series variants (many
+  *    strategies) must add `partitionBy("name")` — see
+  *    `aave_transform.py:138` for the reference's analogous partition.
+  *
+  * Oracle-parity notes: monetary sums are aggregated as DECIMAL(18,2)
+  * (exact, order-independent) and only then cast to double, so Spark
+  * and DuckDB see bit-identical series; window cumsums run in date
+  * order in both engines; libm-dependent outputs (exp/ln/pow) are
+  * rounded to 6 dp.
+  */
+object TimeSeries {
+
+  /** Exact daily revenue rollup: decimal sum → double. */
+  private def dailySeries(df: DataFrame, dateCol: String, amtCol: String,
+                          outCol: String): DataFrame =
+    df.groupBy(to_date(col(dateCol)).as("date"))
+      .agg(sum(col(amtCol).cast("decimal(18,2)")).cast("double").as(outCol))
+
+  /** Daily order revenue — the engine's "TVL" series. */
+  def dailyOrderRevenue(spark: SparkSession, dir: String): DataFrame =
+    dailySeries(Tables.orders(spark, dir), "o_orderdate", "o_totalprice", "tvl")
+
+  /** Daily lineitem revenue — the "benchmark" series (reference's
+    * wbtc buy-and-hold analogue, `aave_transform.py:41-90`). */
+  def dailyBenchmark(spark: SparkSession, dir: String): DataFrame =
+    dailySeries(Tables.lineitem(spark, dir), "l_shipdate", "l_extendedprice", "bench")
+
+  private val wDate    = Window.orderBy("date")
+  private val wCum     = wDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Day-over-day fractional change of `c`, null on first row. */
+  private def pctChange(c: Column): Column = (c - lag(c, 1).over(wDate)) / lag(c, 1).over(wDate)
+
+  /** TVL pipeline (slice 0) — reference `aave_transform.py:249-268`.
+    * Quirk preserved: percent_change divides by the *current* value,
+    * guarded with NULLIF (SURVEY.md §8.1).
+    * Output: date, tvl, change_tvl, percent_change.
+    */
+  def tvl(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir)
+    daily
+      .withColumn("change_tvl", col("tvl") - coalesce(lag(col("tvl"), 1).over(wDate), col("tvl")))
+      .withColumn("percent_change", round(col("change_tvl") / nullif(col("tvl"), lit(0.0)), 6))
+      .orderBy("date")
+  }
+
+  /** Growth-of-$10k index — reference `aave_transform.py:93-130` (W1–W3).
+    * The reference's `LAG(end_day_investment)` recursion is the closed
+    * form `10000 * EXP(SUM(LN(1+pct)))`, which both engines evaluate as
+    * the same sequential cumulative sum over the date order.
+    * Output: date, start_day_investment, end_day_investment, percent_change.
+    */
+  def gotk(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir)
+    val pct = daily.withColumn("pct", pctChange(col("tvl")))
+    val endRaw = exp(sum(log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).over(wCum)) * lit(10000.0)
+    pct
+      .withColumn("end_raw", endRaw)
+      .withColumn("start_raw", coalesce(lag(col("end_raw"), 1).over(wDate), lit(10000.0)))
+      .select(
+        col("date"),
+        round(col("start_raw"), 6).as("start_day_investment"),
+        round(col("end_raw"), 6).as("end_day_investment"),
+        round(col("pct"), 6).as("percent_change"))
+      .orderBy("date")
+  }
+
+  /** Month-to-date total return, reset each calendar month — reference
+    * `aave_transform.py:133-167` (W4: PARTITION BY yyyy-MM month bucket).
+    * Output: date, month, percent_change.
+    */
+  def totalReturn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir)
+    val wMonth = Window.partitionBy("month").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("pct", pctChange(col("tvl")))
+      .withColumn("month", date_format(col("date"), "yyyy-MM"))
+      .select(
+        col("date"), col("month"),
+        round(exp(sum(log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).over(wMonth)) - lit(1.0), 6)
+          .as("percent_change"))
+      .orderBy("date")
+  }
+
+  /** Trailing-period compounded returns as of the latest date in the
+    * series — reference `aave_transform.py:170-216` (W5 log-compounded
+    * return, W7 full-window gate, U1 union of period branches).
+    *
+    * For each period the return compounds `pct` over `(start, ds]` and
+    * is NULL unless an observation exists exactly at `start` (the
+    * reference's FIRST_VALUE gate, SURVEY.md §8.7). The as-of date is
+    * carried via a broadcast cross-join of the 1-row max-date aggregate
+    * — no driver-side collect, so the plan is cluster-shaped.
+    * Output: period, start_date, percent_change.
+    */
+  def trailingReturn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir)
+    val pct = daily.withColumn("pct", pctChange(col("tvl")))
+    val asOf = daily.agg(max(col("date")).as("ds"))
+    val withDs = pct.crossJoin(broadcast(asOf))
+
+    def branch(period: String, start: Column): DataFrame =
+      withDs
+        .withColumn("start_date", start)
+        .where(col("date").between(col("start_date"), col("ds")))
+        .groupBy(col("start_date"))
+        .agg(
+          round(
+            when(min(col("date")) === col("start_date"),
+              exp(sum(when(col("date") > col("start_date"),
+                log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).otherwise(lit(0.0)))) - lit(1.0)),
+            6).as("percent_change"))
+        .select(lit(period).as("period"), col("start_date"), col("percent_change"))
+
+    Seq(
+      branch("1d", date_sub(col("ds"), 1)),
+      branch("1m", add_months(col("ds"), -1)),
+      branch("3m", add_months(col("ds"), -3)),
+      branch("6m", add_months(col("ds"), -6)),
+      branch("1y", add_months(col("ds"), -12)),
+      branch("ytd", trunc(col("ds"), "year"))
+    ).reduce(_.unionByName(_)).orderBy("period")
+  }
+
+  /** Linear interpolation of interior nulls, forward-limited — the one
+    * genuinely custom window composition (reference pandas
+    * `interpolate(method="linear", limit_direction="forward")`,
+    * `aave_extract.py:685-694`; W9).
+    *
+    * Semantics matched to pandas: leading nulls stay null; interior
+    * nulls are linearly interpolated between the surrounding non-null
+    * observations; trailing nulls hold the last non-null value.
+    *
+    * The demo series is the daily lineitem quantity rollup with values
+    * deterministically knocked out on days-of-month divisible by 5.
+    * Output: date, v, v_interp.
+    */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySeries(Tables.lineitem(spark, dir), "l_shipdate", "l_quantity", "qty")
+    val gapped = daily.withColumn(
+      "v", when(dayofmonth(col("date")) % 5 === 0, lit(null)).otherwise(col("qty")))
+
+    val before = wDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after  = wDate.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rn     = row_number().over(wDate)
+
+    gapped
+      .withColumn("rn", rn)
+      .withColumn("prev_v",  last(col("v"), ignoreNulls = true).over(before))
+      .withColumn("prev_rn", last(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(before))
+      .withColumn("next_v",  first(col("v"), ignoreNulls = true).over(after))
+      .withColumn("next_rn", first(when(col("v").isNotNull, col("rn")), ignoreNulls = true).over(after))
+      .withColumn("v_interp", round(
+        when(col("v").isNotNull, col("v"))
+          .when(col("prev_v").isNull, lit(null))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") +
+            (col("next_v") - col("prev_v")) *
+              (col("rn") - col("prev_rn")).cast("double") /
+              (col("next_rn") - col("prev_rn")).cast("double")), 6))
+      .select(col("date"), round(col("v"), 6).as("v"), col("v_interp"))
+      .orderBy("date")
+  }
+}
