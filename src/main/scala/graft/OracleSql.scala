@@ -116,4 +116,201 @@ object OracleSql {
       |                                        / CAST(next_rn - prev_rn AS DOUBLE) END, 6)
       |    AS v_interp
       |FROM f ORDER BY date""".stripMargin
+
+  // ---------------------------------------------------------------- risk
+
+  val risk: String =
+    """WITH sd0 AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |sp AS (SELECT date, (tvl - LAG(tvl) OVER (ORDER BY date)) / LAG(tvl) OVER (ORDER BY date) AS s_pct FROM sd0),
+      |bd AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS date,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bench
+      |  FROM lineitem GROUP BY 1
+      |),
+      |bp AS (SELECT date, (bench - LAG(bench) OVER (ORDER BY date)) / LAG(bench) OVER (ORDER BY date) AS b_pct FROM bd),
+      |a AS (SELECT MAX(date) AS ds, CAST(MAX(date) - INTERVAL 12 MONTH AS DATE) AS start FROM sd0),
+      |j AS (
+      |  SELECT sp.date, sp.s_pct, bp.b_pct, a.ds
+      |  FROM sp JOIN bp ON sp.date = bp.date CROSS JOIN a
+      |  WHERE sp.date > a.start AND sp.date <= a.ds
+      |    AND sp.s_pct IS NOT NULL AND bp.b_pct IS NOT NULL
+      |),
+      |stats AS (
+      |  SELECT ds,
+      |    ROUND(stddev_samp(s_pct) * sqrt(365.0), 6) AS sd,
+      |    ROUND(pow(1.0 + avg(s_pct), 365.0) - 1.0, 6) AS return_1y,
+      |    ROUND((pow(1.0 + avg(s_pct), 365.0) - 1.0) / (stddev_samp(s_pct) * sqrt(365.0)), 6) AS sharpe,
+      |    ROUND(regr_intercept(s_pct, b_pct), 6) AS alpha,
+      |    ROUND(regr_slope(s_pct, b_pct), 6) AS beta,
+      |    ROUND(regr_r2(s_pct, b_pct), 6) AS r_square
+      |  FROM j GROUP BY ds
+      |),
+      |w1 AS (
+      |  SELECT date, SUM(s_pct) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM j
+      |),
+      |w2 AS (
+      |  SELECT date, cum,
+      |         MAX(cum) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+      |  FROM w1
+      |),
+      |dd AS (SELECT date, cum, cummax, cum - cummax AS ddv FROM w2),
+      |m AS (SELECT MIN(ddv) AS min_dd FROM dd),
+      |v AS (SELECT MIN(date) AS valley_date, MIN(cummax) AS peak_cum FROM dd, m WHERE ddv = m.min_dd),
+      |pk AS (SELECT MIN(date) AS peak_date FROM dd, v WHERE date <= v.valley_date AND cum = v.peak_cum)
+      |SELECT stats.ds AS date, sd, return_1y, sharpe, alpha, beta, r_square,
+      |       ROUND(m.min_dd, 6) AS max_drawdown, pk.peak_date, v.valley_date,
+      |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
+      |FROM stats, m, v, pk""".stripMargin
+
+  // ---------------------------------------------------------- relational
+
+  val relScanFilter: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date, o_totalprice AS price
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+      |ORDER BY o_orderkey""".stripMargin
+
+  val relScalarAgg: String =
+    """SELECT MIN(CAST(o_orderdate AS DATE)) AS start_date,
+      |       MAX(CAST(o_orderdate AS DATE)) AS end_date,
+      |       COUNT(*) AS n
+      |FROM orders""".stripMargin
+
+  val relPricingSummary: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val relTopCustomers: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  val relRegionRevenue: String =
+    """SELECT r_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, o_year
+      |ORDER BY r_name, o_year""".stripMargin
+
+  val relSemiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  val relAntiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  val relLeftJoinFill: String =
+    """SELECT c_custkey,
+      |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue,
+      |       COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  val relWindowRank: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  val relMinMaxBy: String =
+    """SELECT s_nationkey,
+      |       max_by(s_name, s_acctbal) AS richest,
+      |       min_by(s_name, s_acctbal) AS poorest,
+      |       ROUND(MAX(s_acctbal), 6) AS max_bal
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  val relTopLatest: String =
+    """SELECT CAST(o_orderdate AS DATE) AS date, o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY date DESC, o_orderkey DESC
+      |LIMIT 1""".stripMargin
+
+  // -------------------------------------------------------------- events
+
+  val evHourly: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       COUNT(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val evJson: String =
+    """SELECT event_type,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       COUNT(*) AS n,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val evSessionize: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us,
+      |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT user_id, ts, us,
+      |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM x
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       COUNT(*) AS n_events,
+      |       MAX(us) - MIN(us) AS duration_us
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val evAsof: String =
+    """WITH l AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT date, qty FROM (
+      |    SELECT CAST(l_shipdate AS DATE) AS date,
+      |           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |    FROM lineitem GROUP BY 1) t
+      |  WHERE day(date) % 3 = 0
+      |)
+      |SELECT l.date, l.tvl, r.qty AS qty_asof
+      |FROM l ASOF LEFT JOIN r ON l.date >= r.date
+      |ORDER BY l.date""".stripMargin
 }

@@ -22,7 +22,23 @@ object SparkEntry {
     "ts_gotk"            -> (TimeSeries.gotk _),
     "ts_total_return"    -> (TimeSeries.totalReturn _),
     "ts_trailing_return" -> (TimeSeries.trailingReturn _),
-    "ts_interpolate"     -> (TimeSeries.interpolate _)
+    "ts_interpolate"     -> (TimeSeries.interpolate _),
+    "risk"               -> (Risk.risk _),
+    "rel_scan_filter"    -> (Relational.scanFilter _),
+    "rel_scalar_agg"     -> (Relational.scalarAgg _),
+    "rel_pricing_summary" -> (Relational.pricingSummary _),
+    "rel_top_customers"  -> (Relational.topCustomers _),
+    "rel_region_revenue" -> (Relational.regionRevenue _),
+    "rel_semi_join"      -> (Relational.semiJoin _),
+    "rel_anti_join"      -> (Relational.antiJoin _),
+    "rel_left_join_fill" -> (Relational.leftJoinFill _),
+    "rel_window_rank"    -> (Relational.windowRank _),
+    "rel_minmax_by"      -> (Relational.minMaxBy _),
+    "rel_top_latest"     -> (Relational.topLatest _),
+    "ev_hourly"          -> (Events.hourlyRollup _),
+    "ev_json"            -> (Events.jsonExtract _),
+    "ev_sessionize"      -> (Events.sessionize _),
+    "ev_asof"            -> (Events.asofJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +48,22 @@ object SparkEntry {
     "ts_gotk"            -> OracleSql.tsGotk,
     "ts_total_return"    -> OracleSql.tsTotalReturn,
     "ts_trailing_return" -> OracleSql.tsTrailingReturn,
-    "ts_interpolate"     -> OracleSql.tsInterpolate
+    "ts_interpolate"     -> OracleSql.tsInterpolate,
+    "risk"               -> OracleSql.risk,
+    "rel_scan_filter"    -> OracleSql.relScanFilter,
+    "rel_scalar_agg"     -> OracleSql.relScalarAgg,
+    "rel_pricing_summary" -> OracleSql.relPricingSummary,
+    "rel_top_customers"  -> OracleSql.relTopCustomers,
+    "rel_region_revenue" -> OracleSql.relRegionRevenue,
+    "rel_semi_join"      -> OracleSql.relSemiJoin,
+    "rel_anti_join"      -> OracleSql.relAntiJoin,
+    "rel_left_join_fill" -> OracleSql.relLeftJoinFill,
+    "rel_window_rank"    -> OracleSql.relWindowRank,
+    "rel_minmax_by"      -> OracleSql.relMinMaxBy,
+    "rel_top_latest"     -> OracleSql.relTopLatest,
+    "ev_hourly"          -> OracleSql.evHourly,
+    "ev_json"            -> OracleSql.evJson,
+    "ev_sessionize"      -> OracleSql.evSessionize,
+    "ev_asof"            -> OracleSql.evAsof
   )
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream-shaped operators over the `events` table: event-time
+  * tumbling-window aggregation, JSON prop extraction, gap-based
+  * sessionization, and an as-of (backward-looking) join — the batch
+  * twins of the Structured Streaming pipelines in
+  * `graft.streaming` (SURVEY.md §2.9/§7.5).
+  *
+  * Scale notes: hourly rollup and sessionization both shuffle once on
+  * their natural keys (hour/event_type, user_id); sessionization's
+  * window is per-user (bounded), never global. The as-of join here is
+  * the single-series union+last-value composition; at many-key scale
+  * the same composition runs per key under `partitionBy`.
+  */
+object Events {
+
+  /** Event-time tumbling window (1h) aggregation — batch twin of
+    * `groupBy(window($"ts","1 hour"))`. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        count_distinct(col("user_id")).as("users"))
+      .orderBy("hour", "event_type")
+
+  /** JSON prop extraction (`events.props` is a JSON string). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Gap-based sessionization: a >30 min silence starts a new session.
+    * Per-user window (never global) → session_id via running sum of
+    * session-start flags — the batch shape of
+    * `flatMapGroupsWithState` session tracking. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("ts")
+    val wCum  = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(wUser)))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of (backward) join: for each day of the order-revenue series,
+    * the most recent available observation of a sparser series (daily
+    * lineitem quantity, deterministically thinned to every 3rd
+    * day-of-month). Spark has no ASOF JOIN operator; this is the
+    * union + ordered last-value composition — the sort-merge shape an
+    * AsOfJoinExec would produce. Oracle uses DuckDB's native ASOF. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val left = TimeSeries.dailyOrderRevenue(spark, dir)
+    val right = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("date"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .where(dayofmonth(col("date")) % 3 === 0)
+
+    val tagged = left.select(col("date"), col("tvl"), lit(null).cast("double").as("qty"), lit(1).as("src"))
+      .unionByName(right.select(col("date"), lit(null).cast("double").as("tvl"), col("qty"), lit(0).as("src")))
+    val w = Window.orderBy("date", "src").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("qty_asof", last(col("qty"), ignoreNulls = true).over(w))
+      .where(col("src") === 1)
+      .select(col("date"), col("tvl"), col("qty_asof"))
+      .orderBy("date")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator family — scans/projections/filters (S1-S2,
+  * P1-P4), joins incl. semi/anti and broadcast dims (J1/J2), hash
+  * aggregation with exact decimal sums, partitioned window ranking,
+  * top-k and top-1-latest (O1-O4, A8/A9) — SURVEY.md §2.1-2.4/2.6.
+  *
+  * Scale notes:
+  *  - dimension joins (`customer`, `nation`, `region`) are explicit
+  *    `broadcast()`s — at 100 TB the fact side never shuffles for them;
+  *  - aggregations rely on partial (map-side) aggregation before the
+  *    key shuffle; AQE handles skewed keys;
+  *  - filters/projections are plain Catalyst expressions, so parquet
+  *    scans show PushedFilters + pruned ReadSchema;
+  *  - top-k uses `orderBy().limit(k)` = TakeOrderedAndProject, a
+  *    per-partition heap + driver merge, not a global sort.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** S1/P1/P2: projection + rename + date-range filter, pushed to the
+    * parquet scan. */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("date", to_date(col("o_orderdate")))
+      .where(col("date").between(lit("1997-01-01"), lit("1997-12-31")))
+      .select(col("o_orderkey"), col("date"), col("o_totalprice").as("price"))
+      .orderBy("o_orderkey")
+
+  /** S2/A1/A2: scalar min/max/count aggregate scan. */
+  def scalarAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      min(to_date(col("o_orderdate"))).as("start_date"),
+      max(to_date(col("o_orderdate"))).as("end_date"),
+      count(lit(1)).as("n"))
+
+  /** TPC-H Q1-shaped pricing summary: multi-measure hash agg with
+    * exact decimal arithmetic (A-family + F7). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    Tables.lineitem(spark, dir)
+      .where(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+          * (one + col("l_tax").cast("decimal(4,2)"))).cast("double").as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** J1/J2 + A + O: revenue top-10 customers; dim side broadcast. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** 4-way dim chain join: yearly revenue per region. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "o_year")
+
+  /** Left-semi join (EXISTS): customers with at least one pending order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pending = Tables.orders(spark, dir).where(col("o_orderstatus") === "P")
+    Tables.customer(spark, dir)
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left outer join + null fill (P7/W10/F1): revenue per customer,
+    * zero for order-less customers. */
+  def leftJoinFill(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("revenue"),
+        count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Partitioned window ranking: each customer's largest order
+    * (row_number with deterministic tiebreak). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** A8 min_by/max_by: per-nation supplier with extreme account balance. */
+  def minMaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        max_by(col("s_name"), col("s_acctbal")).as("richest"),
+        min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+        round(max(col("s_acctbal")), 6).as("max_bal"))
+      .orderBy("s_nationkey")
+
+  /** O3/A9: single latest row by date (top-1 sort with tiebreak). */
+  def topLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("date"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("date").desc, col("o_orderkey").desc)
+      .limit(1)
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Risk-metric pipeline — reference `aave_transform.py:348-521`
+  * (`transform_pre_risk`): one output row per as-of date carrying
+  * volatility, annualized return, Sharpe, OLS alpha/beta/R² against a
+  * benchmark series, and max drawdown with peak/valley dates.
+  *
+  * Re-expressed set-oriented: the reference pulls two frames into
+  * pandas and loops; here the strategy series (daily order revenue)
+  * and benchmark series (daily lineitem revenue) are joined on date
+  * (J3 — rationalized from the reference's positional alignment,
+  * SURVEY.md §8.6) and every statistic is a native Spark aggregate:
+  * `stddev_samp` (A4, sample semantics matching `statistics.stdev`),
+  * `regr_slope`/`regr_intercept`/`regr_r2` (A5/A6), windowed
+  * cumsum/cummax for drawdown (W8), min-date argmin retrieval (A8).
+  *
+  * Scale notes: the trailing-window series is O(365) rows after the
+  * daily rollup, so the scalar-aggregate cross-joins below are all
+  * broadcast 1-row joins; nothing here shuffles more than the initial
+  * rollup. Drawdown's running max is a sequential window over the
+  * bounded daily series — deterministic, hence the exact double
+  * equality used to locate peak/valley is engine-portable.
+  */
+object Risk {
+
+  /** One-row risk table as of the latest date, over a trailing 1y
+    * window. Output: date, sd, return_1y, sharpe, alpha, beta,
+    * r_square, max_drawdown, peak_date, valley_date, duration. */
+  def risk(spark: SparkSession, dir: String): DataFrame = {
+    val wDate = Window.orderBy("date")
+    val strat = TimeSeries.dailyOrderRevenue(spark, dir)
+      .withColumn("s_pct", (col("tvl") - lag(col("tvl"), 1).over(wDate)) / lag(col("tvl"), 1).over(wDate))
+      .select("date", "s_pct")
+    val bench = TimeSeries.dailyBenchmark(spark, dir)
+      .withColumn("b_pct", (col("bench") - lag(col("bench"), 1).over(wDate)) / lag(col("bench"), 1).over(wDate))
+      .select("date", "b_pct")
+
+    val asOf = strat.agg(max(col("date")).as("ds"), add_months(max(col("date")), -12).as("start"))
+    val joined = strat.join(bench, Seq("date"))
+      .crossJoin(broadcast(asOf))
+      .where(col("date") > col("start") && col("date") <= col("ds"))
+      .where(col("s_pct").isNotNull && col("b_pct").isNotNull)
+
+    val stats = joined.groupBy(col("ds")).agg(
+      round(stddev_samp(col("s_pct")) * sqrt(lit(365.0)), 6).as("sd"),
+      round(pow(lit(1.0) + avg(col("s_pct")), 365.0) - lit(1.0), 6).as("return_1y"),
+      round((pow(lit(1.0) + avg(col("s_pct")), 365.0) - lit(1.0)) /
+        (stddev_samp(col("s_pct")) * sqrt(lit(365.0))), 6).as("sharpe"),
+      round(regr_intercept(col("s_pct"), col("b_pct")), 6).as("alpha"),
+      round(regr_slope(col("s_pct"), col("b_pct")), 6).as("beta"),
+      round(regr_r2(col("s_pct"), col("b_pct")), 6).as("r_square"))
+
+    // Drawdown over the same window: cumulative sum of daily P&L with a
+    // running max (reference uses cumsum, not compounding — SURVEY.md §8.5).
+    val wCum = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = joined
+      .withColumn("cum", sum(col("s_pct")).over(wCum))
+      .withColumn("cummax", max(col("cum")).over(wCum))
+      .withColumn("dd", col("cum") - col("cummax"))
+
+    val minDd = dd.agg(min(col("dd")).as("max_drawdown"))
+    val valley = dd.crossJoin(broadcast(minDd))
+      .where(col("dd") === col("max_drawdown"))
+      .agg(min(col("date")).as("valley_date"), min(col("cummax")).as("peak_cum"))
+    val peak = dd.crossJoin(broadcast(valley))
+      .where(col("date") <= col("valley_date") && col("cum") === col("peak_cum"))
+      .agg(min(col("date")).as("peak_date"))
+
+    stats
+      .crossJoin(broadcast(minDd.select(round(col("max_drawdown"), 6).as("max_drawdown"))))
+      .crossJoin(broadcast(valley.select(col("valley_date"))))
+      .crossJoin(broadcast(peak))
+      .select(
+        col("ds").as("date"), col("sd"), col("return_1y"), col("sharpe"),
+        col("alpha"), col("beta"), col("r_square"), col("max_drawdown"),
+        col("peak_date"), col("valley_date"),
+        datediff(col("valley_date"), col("peak_date")).cast("bigint").as("duration"))
+  }
+}
