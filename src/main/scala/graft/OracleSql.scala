@@ -313,4 +313,215 @@ object OracleSql {
       |SELECT l.date, l.tvl, r.qty AS qty_asof
       |FROM l ASOF LEFT JOIN r ON l.date >= r.date
       |ORDER BY l.date""".stripMargin
+
+  // ---------------------------------------------------------------- text
+
+  private val enList = "['the','a','and','of','to']"
+
+  private def markerLen(list: String): String =
+    s"len(list_filter(string_split(lower(text), ' '), w -> list_contains($list, w)))"
+
+  val textLangId: String = {
+    val m = Map(
+      "s_en" -> enList,
+      "s_de" -> "['der','die','das','und','ist']",
+      "s_es" -> "['el','los','las','y','es']",
+      "s_fr" -> "['le','la','les','et','est']",
+      "s_zh" -> "['de0','shi4','zai4','le0','wo3']")
+    val cols = m.map { case (n, l) => s"${markerLen(l)} AS $n" }.mkString(",\n    ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $cols
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang,
+       |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val textQuality: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(${markerLen(enList)} AS BIGINT) AS n_stop,
+       |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS avg_token_len
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(avg_token_len, 6) AS avg_token_len,
+       |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |  ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+       |        + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
+       |        + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+
+  val textTokens: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textFingerprint: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, length(text) - 7 + 1),
+      |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp,
+      |  CAST(len(list_distinct(list_transform(range(1, length(text) - 7 + 1),
+      |    i -> substr(text, CAST(i AS INT), 8)))) AS BIGINT) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- dedup
+
+  val dedupExact: String =
+    """SELECT doc_id, md5(text) AS h,
+      |       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val dedupPrefix: String =
+    """SELECT md5(substr(text, 1, 40)) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
+
+  /** Shared CTEs: distinct 12-char shingles → 8 salted-md5 minhashes →
+    * 4 LSH bands → candidate pairs. */
+  private val minhashCtes: String = {
+    val mins = (0 until 8).map(j => s"MIN(md5('$j|' || sh)) AS mh$j").mkString(",\n    ")
+    val bandRows = (0 until 4).map(b =>
+      if (b == 0) s"SELECT doc_id, 0 AS b, md5(mh0 || mh1) AS key FROM sigs"
+      else s"UNION ALL SELECT doc_id, $b, md5(mh${2 * b} || mh${2 * b + 1}) FROM sigs").mkString("\n  ")
+    s"""sh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, length(text) - 11 + 1),
+       |    i -> substr(text, CAST(i AS INT), 12)))) AS sh
+       |  FROM documents
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+       |)""".stripMargin
+  }
+
+  val dedupMinhash: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupJaccard: String =
+    s"""WITH $minhashCtes,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |j AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         ROUND(CAST(n_int AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_int AS DOUBLE), 6) AS jac
+       |  FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.doc_a
+       |  JOIN cnt cb ON cb.doc_id = i.doc_b
+       |)
+       |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhash: String = {
+    val sums = (1 to 16).map(k =>
+      s"SUM(CASE WHEN substr(h, $k, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$k").mkString(",\n    ")
+    val bits = (1 to 16).map(k => s"CASE WHEN s$k > 0 THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(u.tok) AS h
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM t GROUP BY doc_id
+       |)
+       |SELECT doc_id, concat($bits) AS simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  /** cos(x, y) over two DuckDB list expressions, double accumulation. */
+  private def cosSql(x: String, y: String): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))"
+    s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+  }
+
+  val simTopK: String =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS vec_id, v.vec_id AS nbr_id,
+       |         ROUND(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings v ON q.vec_id <> v.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  val simLsh: String = {
+    val sig = (1 to 8).map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, concat($sig) AS bucket FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id, a.bucket, b.vec_id AS nbr_id,
+       |         ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, bucket, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+       |  FROM pairs
+       |)
+       |SELECT vec_id, bucket, nbr_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val simNearDup: String =
+    s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |       ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val simCentroids: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         UNNEST(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |),
+      |c AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY label, pos),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |         SUM(e.x * c.cx) AS dot, SUM(e.x * e.x) AS nv, SUM(c.cx * c.cx) AS nc
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY e.vec_id, e.label
+      |),
+      |cv AS (SELECT vec_id, label, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cos FROM d),
+      |r AS (
+      |  SELECT vec_id, label, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn
+      |  FROM cv
+      |),
+      |cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+      |SELECT r.label, cnt.n, r.vec_id AS medoid_id, r.cos AS medoid_cos
+      |FROM r JOIN cnt ON cnt.label = r.label
+      |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 }

@@ -38,7 +38,20 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourlyRollup _),
     "ev_json"            -> (Events.jsonExtract _),
     "ev_sessionize"      -> (Events.sessionize _),
-    "ev_asof"            -> (Events.asofJoin _)
+    "ev_asof"            -> (Events.asofJoin _),
+    "text_langid"        -> (Text.langId _),
+    "text_quality"       -> (Text.quality _),
+    "text_tokens"        -> (Text.tokenCount _),
+    "text_fingerprint"   -> (Text.fingerprint _),
+    "dedup_exact"        -> (Dedup.exact _),
+    "dedup_prefix"       -> (Dedup.prefix _),
+    "dedup_minhash"      -> (Dedup.minhashCandidates _),
+    "dedup_jaccard"      -> (Dedup.jaccard _),
+    "dedup_simhash"      -> (Dedup.simhash _),
+    "sim_topk"           -> (Similarity.bruteForceTopK _),
+    "sim_lsh"            -> (Similarity.lshTopK _),
+    "sim_neardup"        -> (Similarity.cosineNearDup _),
+    "sim_centroids"      -> (Similarity.labelCentroids _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,6 +77,19 @@ object SparkEntry {
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,
     "ev_sessionize"      -> OracleSql.evSessionize,
-    "ev_asof"            -> OracleSql.evAsof
+    "ev_asof"            -> OracleSql.evAsof,
+    "text_langid"        -> OracleSql.textLangId,
+    "text_quality"       -> OracleSql.textQuality,
+    "text_tokens"        -> OracleSql.textTokens,
+    "text_fingerprint"   -> OracleSql.textFingerprint,
+    "dedup_exact"        -> OracleSql.dedupExact,
+    "dedup_prefix"       -> OracleSql.dedupPrefix,
+    "dedup_minhash"      -> OracleSql.dedupMinhash,
+    "dedup_jaccard"      -> OracleSql.dedupJaccard,
+    "dedup_simhash"      -> OracleSql.dedupSimhash,
+    "sim_topk"           -> OracleSql.simTopK,
+    "sim_lsh"            -> OracleSql.simLsh,
+    "sim_neardup"        -> OracleSql.simNearDup,
+    "sim_centroids"      -> OracleSql.simCentroids
   )
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: language ID (stopword-marker heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting (min-hash over character shingles).
+  *
+  * All functions are pure per-row Catalyst expressions (no UDFs), so
+  * they stay inside whole-stage codegen and scale embarrassingly
+  * parallel — at 100 TB these are map-only stages with zero shuffle
+  * (the final orderBy exists only for the deterministic oracle gate;
+  * a production sink would drop it).
+  */
+object Text {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de0", "shi4", "zai4", "le0", "wo3"))
+
+  private def markerCount(lang: String): String = {
+    val arr = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(lower(text), ' '), w -> array_contains(array($arr), w)))"
+  }
+
+  /** Language identification: count per-language marker stopwords,
+    * pick the max (ties resolved in fixed en,de,es,fr,zh order).
+    * Output: doc_id, lang, pred_lang, score. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("s_en", expr(markerCount("en")))
+      .withColumn("s_de", expr(markerCount("de")))
+      .withColumn("s_es", expr(markerCount("es")))
+      .withColumn("s_fr", expr(markerCount("fr")))
+      .withColumn("s_zh", expr(markerCount("zh")))
+    val top = greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+    scored
+      .withColumn("pred_lang",
+        when(col("s_en") === top, "en")
+          .when(col("s_de") === top, "de")
+          .when(col("s_es") === top, "es")
+          .when(col("s_fr") === top, "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), top.cast("bigint").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, average token length, stopword
+    * ratio, and a composite [0,1] score. Output: doc_id, n_tokens,
+    * avg_token_len, stop_ratio, quality. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("n_stop", expr(markerCount("en")).cast("bigint"))
+      .withColumn("avg_token_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("avg_token_len"), 6).as("avg_token_len"), col("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+            col("n_stop").cast("double") / col("n_tokens") * 0.3 +
+            when(col("avg_token_len").between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation).
+    * Output: doc_id, ws_tokens, bpe_tokens. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("bigint").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: minimum md5 over all 8-char rolling
+    * shingles (winnowing-style content fingerprint, robust to
+    * reordering of large blocks) + distinct-shingle cardinality.
+    * Output: doc_id, fp, n_shingles. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))").as("fp"),
+        expr("size(array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))))")
+          .cast("bigint").as("n_shingles"))
+      .orderBy("doc_id")
+}
