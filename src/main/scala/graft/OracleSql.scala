@@ -389,10 +389,11 @@ object OracleSql {
   /** Shared CTEs: distinct 12-char shingles → 8 salted-md5 minhashes →
     * 4 LSH bands → candidate pairs. */
   private val minhashCtes: String = {
-    val mins = (0 until 8).map(j => s"MIN(md5('$j|' || sh)) AS mh$j").mkString(",\n    ")
+    val mins = (0 until 8).map(j =>
+      s"MIN(CAST('0x' || substr(md5('${j / 4}|' || sh), ${(j % 4) * 8 + 1}, 8) AS BIGINT)) AS mh$j").mkString(",\n    ")
     val bandRows = (0 until 4).map(b =>
-      if (b == 0) s"SELECT doc_id, 0 AS b, md5(mh0 || mh1) AS key FROM sigs"
-      else s"UNION ALL SELECT doc_id, $b, md5(mh${2 * b} || mh${2 * b + 1}) FROM sigs").mkString("\n  ")
+      if (b == 0) "SELECT doc_id, 0 AS b, md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)) AS key FROM sigs"
+      else s"UNION ALL SELECT doc_id, $b, md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) FROM sigs").mkString("\n  ")
     s"""sh AS (
        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, length(text) - 11 + 1),
        |    i -> substr(text, CAST(i AS INT), 12)))) AS sh

@@ -48,50 +48,82 @@ object Dedup {
       .where(col("n_dups") > 1)
       .orderBy("h")
 
-  /** MinHash signatures (H=8 salted-md5 min-hashes over distinct
-    * 12-char shingles) → 4 LSH bands of 2 → candidate pairs sharing
-    * at least one band bucket. Output: doc_a, doc_b. */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+  /** (doc_id, shingle) — distinct 12-char rolling shingles per doc.
+    *
+    * The input table is a single small parquet file (one scan
+    * partition), but the derivation fans out ~300 hashed rows per doc —
+    * without an explicit repartition the whole explode+hash stage runs
+    * on ONE task. "Small input, heavy derivation" always needs this
+    * spread; at production scale the many-file input supplies the
+    * parallelism and Catalyst elides the extra shuffle. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))")).as("sh"))
+
+  /** (doc_id, band index, band key) — the LSH bucket table: H=8
+    * salted-md5 min-hashes per doc, 4 bands of 2, single-pass
+    * posexplode (NOT a 4-way union — a union would recompute the
+    * whole shingle+signature subtree per branch).
+    *
+    * The 8 hash functions come from TWO salted md5 digests per shingle
+    * (not eight): each digest's four non-overlapping 8-hex-char
+    * windows are independent 32-bit values, so h(4s+w) = window w of
+    * md5(s + shingle). md5 dominates the signature stage cost, so this
+    * is a ~4× cut. The windows are parsed to BIGINT — numeric, so the
+    * aggregation runs as a HashAggregate; `min` over the hex *string*
+    * would demote it to Sort + SortAggregate over every exploded
+    * shingle row, which at scale is the difference between one hash
+    * shuffle and a full sort of the shingle table. */
+  private def bandsFrom(sh: DataFrame): DataFrame = {
+    val mh = (0 until 8).map(j =>
+      min(conv(substring(md5(concat(lit(s"${j / 4}|"), col("sh"))), (j % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"mh$j"))
+    val sigs = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+    val bandKeys = array((0 until 4).map(b =>
+      md5(concat(col(s"mh${2 * b}").cast("string"), lit("_"), col(s"mh${2 * b + 1}").cast("string")))): _*)
+    sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("b", "key")))
+  }
+
+  /** Candidate pairs sharing at least one band bucket. The band table
+    * is persisted: it is tiny (4 rows/doc) and feeds both sides of the
+    * self-join. */
+  private def candidatesFrom(sh: DataFrame): DataFrame = {
+    val bands = bandsFrom(sh).persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
     a.join(b, Seq("b", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** (doc_id, band index, band key) — the LSH bucket table. */
-  private[ops] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val shingles = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))")).as("sh"))
-    val mh = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
-    val sigs = shingles.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-    (0 until 4).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("b"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
-    }.reduce(_.unionByName(_))
-  }
+  /** MinHash + LSH band candidate generation. Output: doc_a, doc_b. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatesFrom(shingleTable(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** Exact n-gram Jaccard over MinHash candidates: |A∩B| / |A∪B| on
     * distinct 12-char shingle sets, thresholded at 0.3.
-    * Output: doc_a, doc_b, jac. */
+    *
+    * The intersection is computed per candidate pair with
+    * `array_intersect` over compact per-doc shingle arrays — NOT by
+    * re-joining the exploded shingle table onto the pairs (that join
+    * ships every shingle row of every candidate doc through a second
+    * shuffle; the array form ships each doc's set once, and the
+    * candidate table is orders of magnitude smaller than the shingle
+    * table by construction). Output: doc_a, doc_b, jac. */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cands = minhashCandidates(spark, dir)
-    val sh = Tables.documents(spark, dir)
+    val docArrays = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))")).as("sh"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .where(col("sh") === col("sh_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_int"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
+      .withColumn("n_sh", size(col("arr")).cast("bigint"))
+      .persist()
+    val cands = candidatesFrom(docArrays.select(col("doc_id"), explode(col("arr")).as("sh")))
+    cands
+      .join(docArrays.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(docArrays.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_int", size(array_intersect(col("arr_a"), col("arr_b"))).cast("bigint"))
       .withColumn("jac", round(col("n_int").cast("double") /
         (col("n_a") + col("n_b") - col("n_int")).cast("double"), 6))
       .where(col("jac") >= 0.3)

@@ -56,24 +56,26 @@ object Risk {
 
     // Drawdown over the same window: cumulative sum of daily P&L with a
     // running max (reference uses cumsum, not compounding — SURVEY.md §8.5).
+    // Valley/peak located with unpartitioned analytic windows in ONE
+    // pass over the (bounded, O(365)-row) series instead of a chain of
+    // scalar-aggregate cross-joins that would each rescan the input.
     val wCum = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val dd = joined
       .withColumn("cum", sum(col("s_pct")).over(wCum))
       .withColumn("cummax", max(col("cum")).over(wCum))
       .withColumn("dd", col("cum") - col("cummax"))
+      .withColumn("min_dd", min(col("dd")).over(wAll))
+      .withColumn("valley_date", min(when(col("dd") === col("min_dd"), col("date"))).over(wAll))
+      .withColumn("peak_cum", min(when(col("dd") === col("min_dd"), col("cummax"))).over(wAll))
+      .withColumn("peak_date",
+        min(when(col("date") <= col("valley_date") && col("cum") === col("peak_cum"), col("date"))).over(wAll))
 
-    val minDd = dd.agg(min(col("dd")).as("max_drawdown"))
-    val valley = dd.crossJoin(broadcast(minDd))
-      .where(col("dd") === col("max_drawdown"))
-      .agg(min(col("date")).as("valley_date"), min(col("cummax")).as("peak_cum"))
-    val peak = dd.crossJoin(broadcast(valley))
-      .where(col("date") <= col("valley_date") && col("cum") === col("peak_cum"))
-      .agg(min(col("date")).as("peak_date"))
+    val drawdown = dd.groupBy(col("valley_date"), col("peak_date")).agg(
+      round(min(col("min_dd")), 6).as("max_drawdown"))
 
     stats
-      .crossJoin(broadcast(minDd.select(round(col("max_drawdown"), 6).as("max_drawdown"))))
-      .crossJoin(broadcast(valley.select(col("valley_date"))))
-      .crossJoin(broadcast(peak))
+      .crossJoin(broadcast(drawdown))
       .select(
         col("ds").as("date"), col("sd"), col("return_1y"), col("sharpe"),
         col("alpha"), col("beta"), col("r_square"), col("max_drawdown"),
