@@ -525,4 +525,12 @@ object OracleSql {
       |SELECT r.label, cnt.n, r.vec_id AS medoid_id, r.cos AS medoid_cos
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
+
+  // ---------------------------------------------------------- multimodal
+
+  val mmMeta: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
+      |       substr(md5(text), 1, 2) AS fmt
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -51,7 +51,9 @@ object SparkEntry {
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_neardup"        -> (Similarity.cosineNearDup _),
-    "sim_centroids"      -> (Similarity.labelCentroids _)
+    "sim_centroids"      -> (Similarity.labelCentroids _),
+    "mm_meta"            -> (Multimodal.mediaMeta _),
+    "mm_decode"          -> (Multimodal.decodeSummary _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,6 +92,9 @@ object SparkEntry {
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_neardup"        -> OracleSql.simNearDup,
-    "sim_centroids"      -> OracleSql.simCentroids
+    "sim_centroids"      -> OracleSql.simCentroids,
+    // mm_decode intentionally omitted: mapPartitions decode is not
+    // SQL-expressible — driver records the weaker rows-only check.
+    "mm_meta"            -> OracleSql.mmMeta
   )
 }

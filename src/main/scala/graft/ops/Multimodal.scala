@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads ride as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs as a partition-batched typed map.
+  *
+  * The container has no image/audio codecs, so `decodeBytes` is a
+  * clearly-marked deterministic STUB (it "parses" header bytes); the
+  * Spark-side plumbing — binary column handling, case-class schema,
+  * `mapPartitions` batching, post-decode relational ops — is real and
+  * is exactly what a production decoder (JNI codec, ONNX feature
+  * extractor) would plug into.
+  *
+  * Scale notes: decode is a map-only stage; partition size is governed
+  * by `maxPartitionBytes` against payload size, not row count. Keeping
+  * payloads in a separate column lets Parquet column pruning skip the
+  * bytes entirely for metadata-only queries (see `mediaMeta`, which
+  * never materializes the payload).
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int, mean_byte: Double)
+
+  /** documents + synthesized payload column (md5-derived bytes — the
+    * testdata ships no real media; deterministic by construction). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+
+  /** STUB decoder: a real implementation would hand `r.payload` to an
+    * image/audio library here. This one derives dimensions from the
+    * first two bytes and averages the rest — deterministic, so tests
+    * can golden it. */
+  private def decodeBytes(r: MediaRecord): DecodedMedia = {
+    val b = r.payload
+    val width = 1 + (b(0) & 0x0f)
+    val height = 1 + (b(1) & 0x0f)
+    val mean = b.drop(2).map(x => (x & 0xff).toDouble).sum / (b.length - 2)
+    DecodedMedia(r.doc_id, width, height, mean)
+  }
+
+  /** Partition-batched decode: one `decodeBytes` per record, amortized
+    * per-partition setup (a real codec would init once per partition
+    * here, before the iterator map). */
+  def decode(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map(decodeBytes)
+      }
+  }
+
+  /** Rows-only query (mapPartitions is not oracle-expressible):
+    * decode + aggregate by synthetic dimensions. */
+  def decodeSummary(spark: SparkSession, dir: String): DataFrame =
+    decode(spark, dir)
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n"), round(avg(col("mean_byte")), 6).as("avg_mean_byte"))
+      .orderBy("width")
+
+  /** Metadata-only query — never touches payload bytes in the output
+    * (oracle-checked): byte length + 2-hex-char format tag. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"),
+        substring(md5(col("text")), 1, 2).as("fmt"))
+      .orderBy("doc_id")
+}

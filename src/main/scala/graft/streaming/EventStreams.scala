@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines — the streaming twins of
+  * `graft.ops.Events` (SURVEY.md §2.9: the reference is batch-daily;
+  * these show the same semantics under `readStream`, which is how the
+  * engine would ingest a live event feed at scale).
+  *
+  * Design: watermarked event-time tumbling windows for the rollup;
+  * `flatMapGroupsWithState` for gap-based sessionization (per-user
+  * keyed state, processing-time timeout closes idle sessions). State
+  * stores shard by the groupBy key, so both scale horizontally with
+  * the key space.
+  */
+object EventStreams {
+
+  /** Streaming file source over a directory of event parquet files
+    * (the file source tails a directory; point it at the drop zone).
+    * The driver data carries TIMESTAMP(NANOS) (rejected by Spark's
+    * reader), so the stream reads nanos as longs and truncates to
+    * micros — same convention as `Tables.events`. */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked 1h tumbling-window rollup (streaming twin of
+    * `Events.hourlyRollup`). Append mode emits a window once the
+    * watermark passes its end. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicit keyed state — the
+    * streaming twin of `Events.sessionize` (>30 min silence starts a
+    * new session). Emits a row per event with its session id.
+    *
+    * NoTimeout keeps the demo's micro-batch loop finite (a timeout
+    * re-arm schedules batches forever under `processAllAvailable`);
+    * a production deployment bounding state growth would switch to
+    * EventTimeTimeout keyed off the watermark to evict idle users. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    def update(user: Long, batch: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+      val out = batch.toSeq.sortBy(_.ts.getTime).map { e =>
+        val us = e.ts.getTime * 1000
+        st = if (st.lastTs == Long.MinValue || us - st.lastTs > gapUs)
+          SessionState(st.sessionId + 1, us, 1L)
+        else st.copy(lastTs = us, count = st.count + 1)
+        SessionOut(user, st.sessionId, st.count)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("risk emits exactly one coherent row") {
+    val r = Risk.risk(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Double]("max_drawdown") <= 0.0)
+    assert(!row.isNullAt(row.fieldIndex("sharpe")))
+    val duration = row.getAs[Long]("duration")
+    assert(duration >= 0)
+    assert(!row.getAs[java.sql.Date]("peak_date").after(row.getAs[java.sql.Date]("valley_date")))
+  }
+
+  test("semi and anti joins partition the customer table") {
+    val all = Tables.customer(spark, sf).count()
+    val withOrders = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.antiJoin(spark, sf).count()
+    assert(withOrders + anti === all)
+  }
+
+  test("window rank picks each customer's max order") {
+    val ranked = Relational.windowRank(spark, sf)
+    val check = ranked.alias("r")
+      .join(Tables.orders(spark, sf).alias("o"),
+        col("r.o_custkey") === col("o.o_custkey") &&
+          col("o.o_totalprice") > col("r.o_totalprice"), "left_semi")
+    assert(check.count() === 0)
+  }
+
+  test("asof join carries the latest available observation") {
+    val df = Events.asofJoin(spark, sf)
+    // qty_asof must be non-null once any right-side date has passed
+    val firstRight = Tables.lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("date")).count()
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .agg(min(col("date"))).first().getDate(0)
+    val nullsAfter = df.where(col("date") >= lit(firstRight) && col("qty_asof").isNull).count()
+    assert(nullsAfter === 0)
+  }
+
+  test("sessionize: session durations are bounded by gaps") {
+    val s = Events.sessionize(spark, sf)
+    assert(s.count() > 0)
+    assert(s.where(col("duration_us") < 0).count() === 0)
+  }
+
+  test("dedup exact keeps exactly one doc per hash group") {
+    val d = Dedup.exact(spark, sf)
+    val keepers = d.where(col("keep")).count()
+    val hashes = d.select("h").distinct().count()
+    assert(keepers === hashes)
+  }
+
+  test("jaccard values are valid and pairs come from candidates") {
+    val j = Dedup.jaccard(spark, sf).collect()
+    j.foreach { r =>
+      val v = r.getAs[Double]("jac")
+      assert(v >= 0.3 && v <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("simhash signatures are 16-bit strings") {
+    val s = Dedup.simhash(spark, sf).collect()
+    assert(s.nonEmpty)
+    s.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{16}")))
+  }
+
+  test("brute-force topk: rank 1 neighbor has the highest cosine") {
+    val t = Similarity.bruteForceTopK(spark, sf)
+    val byVec = t.collect().groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Double]("cos")).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
+
+  test("text quality scores are within [0, 1]") {
+    val q = Text.quality(spark, sf)
+    assert(q.where(col("quality") < 0 || col("quality") > 1.0001).count() === 0)
+  }
+
+  test("bpe tokens never fewer than whitespace tokens on this corpus") {
+    val t = Text.tokenCount(spark, sf)
+    assert(t.where(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+  }
+
+  test("multimodal decode: plumbing yields one decoded row per doc") {
+    val docs = Tables.documents(spark, sf).count()
+    val decoded = Multimodal.decode(spark, sf)
+    assert(decoded.count() === docs)
+    val bad = decoded.where(col("width") < 1 || col("width") > 16 ||
+      col("mean_byte") < 0 || col("mean_byte") > 255).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Writers
+import graft.ops.Finance
+import graft.sources.FixtureChainSource
+
+/** Extract pipeline + idempotent writer semantics (reference S5-S9). */
+class PipelineSpec extends SparkSpec {
+
+  private def prices(start: String, days: Int, base: Double) = {
+    import spark.implicits._
+    spark.sql(
+      s"SELECT date_add(to_date('$start'), i) AS date, $base + 0.01 * i AS price " +
+        s"FROM (SELECT explode(sequence(0, ${days - 1})) AS i)")
+  }
+
+  test("extract produces the full raw_supply schema with APY quirks intact") {
+    val chain = new FixtureChainSource("2024-01-01", 10)
+    val raw = Finance.extractRawSupply(spark, "fixture_usdc", chain,
+      prices("2024-01-01", 10, 1.0), prices("2024-01-01", 10, 80.0),
+      "2024-01-01", "2024-01-10", "2024-01-03", "2024-01-08")
+    val rows = raw.collect()
+    assert(rows.length === 10)
+    assert(raw.columns.toSeq === Seq("date", "name", "stake_apy", "aave_apy",
+      "total_apy", "liquidity_index", "atoken_supply", "asset_price", "aave_price"))
+    // incentive gate: aave_apy zero outside (2024-01-03, 2024-01-08)
+    val gated = raw.where(
+      (col("date") <= "2024-01-03" || col("date") >= "2024-01-08") && col("aave_apy") =!= 0.0)
+    assert(gated.count() === 0)
+    val inWindow = raw.where(col("date") > "2024-01-03" && col("date") < "2024-01-08")
+      .where(col("aave_apy") > 0.0)
+    assert(inWindow.count() === 4)
+    // total = round(stake + aave, 3) on rounded addends
+    rows.foreach { r =>
+      val expected = BigDecimal(r.getAs[Double]("stake_apy") + r.getAs[Double]("aave_apy"))
+        .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(math.abs(r.getAs[Double]("total_apy") - expected) < 1e-9)
+    }
+  }
+
+  test("stake APY matches the closed-form per-second compounding") {
+    import spark.implicits._
+    val df = Seq(0.05e27).toDF("rate").select(Finance.stakeApy(col("rate")).as("apy"))
+    val apy = df.first().getDouble(0)
+    val expected = BigDecimal(math.pow(1 + 0.05 / Finance.RaySeconds, Finance.RaySeconds) - 1)
+      .setScale(5, BigDecimal.RoundingMode.HALF_EVEN).toDouble * 100
+    assert(math.abs(apy - expected) < 1e-9)
+  }
+
+  test("fillAndInterpolate: zero-fill columns and interior gap repair") {
+    import spark.implicits._
+    val raw = Seq(
+      ("2024-01-01", "s", Some(1.0), None: Option[Double], Some(10.0)),
+      ("2024-01-02", "s", None, None, None),
+      ("2024-01-03", "s", Some(3.0), Some(0.5), Some(30.0))
+    ).toDF("d", "name", "stake_apy", "aave_apy", "atoken_supply")
+      .withColumn("date", to_date(col("d"))).drop("d")
+      .withColumn("total_apy", lit(null).cast("double"))
+      .withColumn("liquidity_index", lit(null).cast("double"))
+      .withColumn("asset_price", lit(1.0))
+      .withColumn("aave_price", lit(1.0))
+    val out = Finance.fillAndInterpolate(raw).orderBy("date").collect()
+    assert(out(0).getAs[Double]("aave_apy") === 0.0)        // fill-zero column
+    assert(out(1).getAs[Double]("stake_apy") === 2.0)       // linear midpoint
+    assert(out(1).getAs[Double]("atoken_supply") === 20.0)
+  }
+
+  test("rangedOverwrite replaces only the partitions present in the batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_writers").toString
+    val day1 = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("date", "v")
+    Writers.rangedOverwrite(day1, dir, "date")
+    // re-run day 2 with corrected value + new day 3
+    val fix = Seq(("2024-01-02", 22.0), ("2024-01-03", 3.0)).toDF("date", "v")
+    Writers.rangedOverwrite(fix, dir, "date")
+    val state = spark.read.parquet(dir).orderBy("date")
+      .withColumn("date", col("date").cast("string"))
+      .collect().map(r => r.getAs[String]("date") -> r.getAs[Double]("v"))
+    assert(state.toSeq === Seq("2024-01-01" -> 1.0, "2024-01-02" -> 22.0, "2024-01-03" -> 3.0))
+    // idempotency: same batch again -> same state
+    Writers.rangedOverwrite(fix, dir, "date")
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("csv interchange round-trips with declared schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Writers.writeCsv(df, dir)
+    val back = Writers.readCsv(spark, dir, "id BIGINT, s STRING, v DOUBLE")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
+  }
+}

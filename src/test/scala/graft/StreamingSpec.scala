@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming twins: drive the streams over the static
+  * events parquet and reconcile against the batch operators. */
+class StreamingSpec extends SparkSpec {
+
+  /** The file stream source tails a directory — stage the single
+    * events.parquet into one. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly rollup reconciles with the batch rollup") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.hourlyRollup(events)
+      .writeStream.format("memory").queryName("hr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; compare the emitted
+      // subset row-for-row with the batch twin
+      val streamed = spark.table("hr")
+        .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      val batch = graft.ops.Events.hourlyRollup(spark, sf)
+        .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      val diff = streamed.exceptAll(batch).count()
+      assert(diff === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization assigns monotone session ids per user") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.sessionize(spark, events)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess")
+      assert(out.count() > 0)
+      val bad = out.groupBy("user_id")
+        .agg(min("session_id").as("lo"), max("session_id").as("hi"))
+        .where(col("lo") < 1).count()
+      assert(bad === 0)
+      // session count per user should match the batch sessionizer
+      val batchSessions = graft.ops.Events.sessionize(spark, sf)
+        .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+      val streamSessions = out.groupBy("user_id").agg(max("session_id").as("n_sessions"))
+      assert(streamSessions.exceptAll(batchSessions).count() === 0)
+    } finally q.stop()
+  }
+}
