@@ -526,6 +526,37 @@ object OracleSql {
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 
+  val tsBenchmark: String =
+    """WITH bd AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS date,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bench
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT date,
+      |       ROUND(10000.0 * bench / FIRST_VALUE(bench) OVER
+      |         (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS benchmark
+      |FROM bd ORDER BY date""".stripMargin
+
+  val datamartSummary: String =
+    """WITH l AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |),
+      |a AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN rn = 1 THEN CAST(o_orderdate AS DATE) END) AS latest_date,
+      |    MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS latest_value,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n
+      |  FROM l GROUP BY o_custkey
+      |)
+      |SELECT c_custkey AS strategy_id, c_name AS slug,
+      |       latest_date, latest_value, revenue, n
+      |FROM customer LEFT JOIN a ON o_custkey = c_custkey
+      |ORDER BY strategy_id""".stripMargin
+
   // ---------------------------------------------------------- multimodal
 
   val mmMeta: String =

@@ -53,7 +53,9 @@ object SparkEntry {
     "sim_neardup"        -> (Similarity.cosineNearDup _),
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
-    "mm_decode"          -> (Multimodal.decodeSummary _)
+    "mm_decode"          -> (Multimodal.decodeSummary _),
+    "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
+    "datamart_summary"   -> (graft.pipelines.Datamart.dimSummary _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,6 +97,8 @@ object SparkEntry {
     "sim_centroids"      -> OracleSql.simCentroids,
     // mm_decode intentionally omitted: mapPartitions decode is not
     // SQL-expressible — driver records the weaker rows-only check.
-    "mm_meta"            -> OracleSql.mmMeta
+    "mm_meta"            -> OracleSql.mmMeta,
+    "ts_benchmark"       -> OracleSql.tsBenchmark,
+    "datamart_summary"   -> OracleSql.datamartSummary
   )
 }

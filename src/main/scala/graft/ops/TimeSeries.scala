@@ -146,6 +146,26 @@ object TimeSeries {
     ).reduce(_.unionByName(_)).orderBy("period")
   }
 
+  /** Benchmark series builder — reference `get_benchmark_query`
+    * (`aave_transform.py:41-90`). The branch is plan-time (P9), exactly
+    * like the reference's Python `if`: a "stablecoin" strategy
+    * benchmarks against the deposit index itself (gotk), anything else
+    * against buy-and-hold of the benchmark asset, normalized to the
+    * $10k principal via FIRST_VALUE (W2).
+    * Output: date, benchmark. */
+  def benchmark(spark: SparkSession, dir: String, stablecoin: Boolean): DataFrame =
+    if (stablecoin)
+      gotk(spark, dir).select(col("date"), col("end_day_investment").as("benchmark"))
+    else
+      dailyBenchmark(spark, dir)
+        .select(col("date"),
+          round(lit(10000.0) * col("bench") / first(col("bench")).over(wCum), 6).as("benchmark"))
+        .orderBy("date")
+
+  /** The non-stablecoin branch as a driver query (exercises W2). */
+  def benchmarkBuyHold(spark: SparkSession, dir: String): DataFrame =
+    benchmark(spark, dir, stablecoin = false)
+
   /** Linear interpolation of interior nulls, forward-limited — the one
     * genuinely custom window composition (reference pandas
     * `interpolate(method="linear", limit_direction="forward")`,

@@ -1,0 +1,57 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Writers
+
+/** Datamart load — the reference's `aave_load.py` re-expressed
+  * set-oriented: instead of one (lookup id → DELETE → append → UPDATE
+  * summary) round-trip per strategy (`aave_load.py:41-168`), the dim
+  * join stamps ids for ALL strategies in one broadcast join (J2) and
+  * the "latest value" summary columns (S11, O3/A9) come from one
+  * partitioned window pass. Idempotency comes from
+  * `Writers.rangedOverwrite` instead of delete-then-insert.
+  *
+  * On the driver testdata the dimension is `customer` (id + slug) and
+  * the facts are `orders`.
+  */
+object Datamart {
+
+  /** Dim summary with latest-value columns: for every dim row, the
+    * most recent fact value (the reference's `UPDATE strategy SET
+    * tvl/apr = latest`), total revenue, and fact count.
+    * Output: strategy_id, slug, latest_date, latest_value, revenue, n. */
+  def dimSummary(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("strategy_id"), col("c_name").as("slug"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("rn") === 1, to_date(col("o_orderdate")))).as("latest_date"),
+        max(when(col("rn") === 1, col("o_totalprice"))).as("latest_value"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+    dim.join(latest, col("strategy_id") === col("o_custkey"), "left")
+      .select(col("strategy_id"), col("slug"), col("latest_date"),
+        col("latest_value"), col("revenue"), col("n"))
+      .orderBy("strategy_id")
+  }
+
+  /** Fact load with stamped dim id (reference `load_strategy_growth`):
+    * per-strategy idempotent rewrite via partition overwrite. */
+  def loadFacts(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("strategy_id"), col("c_name").as("slug"))
+    val facts = Tables.orders(spark, dir)
+      .join(broadcast(dim), col("o_custkey") === col("strategy_id"))
+      .select(col("strategy_id"), to_date(col("o_orderdate")).as("date"),
+        col("o_totalprice").as("value"))
+    Writers.rangedOverwrite(facts, outPath, "strategy_id")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Finance
+
+/** Property-based invariants (SURVEY.md §5.2.4), generated with
+  * scalacheck `Gen` under fixed seeds (the scalatest-scalacheck bridge
+  * isn't in the offline dependency set, so sampling is explicit).
+  * Spark jobs per case are expensive → a bounded number of fixtures. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val pctSeries: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-0.5, 0.5)).map(_.take(30))
+
+  /** Draw n deterministic samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  test("gotk telescopes: product of (1+pct) equals end/principal ratio") {
+    forAll(pctSeries) { pcts =>
+      import spark.implicits._
+      val df = pcts.zipWithIndex.map { case (p, i) => (i, p) }.toDF("i", "pct")
+      val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val end = df.withColumn("end", exp(sum(log(lit(1.0) + col("pct"))).over(w)) * 10000.0)
+        .orderBy(col("i").desc).limit(1).select("end").first().getDouble(0)
+      val expected = pcts.foldLeft(10000.0)((acc, p) => acc * (1 + p))
+      assert(math.abs(end - expected) / expected < 1e-9)
+    }
+  }
+
+  test("interpolation is the identity on gap-free series") {
+    forAll(pctSeries) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val w = Window.orderBy("i")
+      val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val out = df
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(before))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(after))
+        .withColumn("interp", when(col("v").isNotNull, col("v")).otherwise(col("pv")))
+        .where(col("interp") =!= col("v")).count()
+      assert(out === 0)
+    }
+  }
+
+  test("drawdown is never positive and telescoping cumsum is consistent") {
+    forAll(pctSeries) { pcts =>
+      import spark.implicits._
+      val df = pcts.zipWithIndex.map { case (p, i) => (i, p) }.toDF("i", "pct")
+      val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = df
+        .withColumn("cum", sum(col("pct")).over(w))
+        .withColumn("cummax", max(col("cum")).over(w))
+        .withColumn("dd", col("cum") - col("cummax"))
+      assert(dd.where(col("dd") > 1e-12).count() === 0)
+      assert(dd.agg(min(col("dd"))).first().getDouble(0) <= 0.0)
+    }
+  }
+
+  test("total_apy is invariant to null components (nulls read as zero)") {
+    forAll(Gen.zip(Gen.option(Gen.choose(0.0, 50.0)), Gen.option(Gen.choose(0.0, 50.0)))) { case (s, a) =>
+      import spark.implicits._
+      val df = Seq((s, a)).toDF("stake", "aave")
+        .select(Finance.totalApy(col("stake"), col("aave")).as("t"))
+      val t = df.first().getDouble(0)
+      val expected = BigDecimal(s.getOrElse(0.0) + a.getOrElse(0.0))
+        .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(math.abs(t - expected) < 1e-9)
+    }
+  }
+}
