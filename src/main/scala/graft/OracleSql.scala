@@ -258,6 +258,34 @@ object OracleSql {
       |ORDER BY date DESC, o_orderkey DESC
       |LIMIT 1""".stripMargin
 
+  val relRollup: String =
+    """SELECT o_orderstatus,
+      |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_year) AS BIGINT) AS g
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_year)
+      |ORDER BY g, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin
+
+  val relSetOps: String =
+    """WITH y97 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+      |y98 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998),
+      |retained AS (SELECT 'retained' AS cohort, o_custkey FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98) t),
+      |churned AS (SELECT 'churned' AS cohort, o_custkey FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98) t)
+      |SELECT cohort, o_custkey FROM retained
+      |UNION ALL SELECT cohort, o_custkey FROM churned
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  val relQuantiles: String =
+    """SELECT o_orderstatus,
+      |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+      |       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------------------- events
 
   val evHourly: String =

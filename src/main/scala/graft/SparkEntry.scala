@@ -35,6 +35,9 @@ object SparkEntry {
     "rel_window_rank"    -> (Relational.windowRank _),
     "rel_minmax_by"      -> (Relational.minMaxBy _),
     "rel_top_latest"     -> (Relational.topLatest _),
+    "rel_rollup"         -> (Relational.rollupRevenue _),
+    "rel_setops"         -> (Relational.setOps _),
+    "rel_quantiles"      -> (Relational.quantiles _),
     "ev_hourly"          -> (Events.hourlyRollup _),
     "ev_json"            -> (Events.jsonExtract _),
     "ev_sessionize"      -> (Events.sessionize _),
@@ -78,6 +81,9 @@ object SparkEntry {
     "rel_window_rank"    -> OracleSql.relWindowRank,
     "rel_minmax_by"      -> OracleSql.relMinMaxBy,
     "rel_top_latest"     -> OracleSql.relTopLatest,
+    "rel_rollup"         -> OracleSql.relRollup,
+    "rel_setops"         -> OracleSql.relSetOps,
+    "rel_quantiles"      -> OracleSql.relQuantiles,
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,
     "ev_sessionize"      -> OracleSql.evSessionize,

@@ -129,6 +129,45 @@ object Relational {
         round(max(col("s_acctbal")), 6).as("max_bal"))
       .orderBy("s_nationkey")
 
+  /** ROLLUP aggregation with subtotals + grand total; explicit
+    * grouping-bit column so the oracle compare can line up subtotal
+    * rows. (Reference has no grouping sets — Spark built-in, included
+    * for engine completeness.) */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(to_date(col("o_orderdate"))).cast("bigint"))
+      .rollup(col("o_orderstatus"), col("o_year"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_year"))).cast("bigint").as("g"))
+      .orderBy(col("g"), col("o_orderstatus"), col("o_year"))
+
+  /** INTERSECT / EXCEPT set operations: customers retained vs churned
+    * between 1997 and 1998. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def activeIn(yr: Int) = Tables.orders(spark, dir)
+      .where(year(to_date(col("o_orderdate"))) === yr)
+      .select(col("o_custkey"))
+    val retained = activeIn(1997).intersect(activeIn(1998))
+      .select(lit("retained").as("cohort"), col("o_custkey"))
+    val churned = activeIn(1997).except(activeIn(1998))
+      .select(lit("churned").as("cohort"), col("o_custkey"))
+    retained.unionByName(churned).orderBy("cohort", "o_custkey")
+  }
+
+  /** Exact interpolated quantiles per group (Spark `percentile` ↔
+    * DuckDB `quantile_cont`, both linear interpolation over the exact
+    * sorted values). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** O3/A9: single latest row by date (top-1 sort with tiebreak). */
   def topLatest(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -95,6 +95,19 @@ class OperatorsSpec extends SparkSpec {
     assert(t.where(col("bpe_tokens") < col("ws_tokens")).count() === 0)
   }
 
+  test("salted join is semantically identical to the plain join") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+    val plain = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = Skew.saltedJoin(
+      orders.withColumnRenamed("o_custkey", "c_custkey"), dim, "c_custkey", 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("multimodal decode: plumbing yields one decoded row per doc") {
     val docs = Tables.documents(spark, sf).count()
     val decoded = Multimodal.decode(spark, sf)
