@@ -554,6 +554,27 @@ object OracleSql {
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 
+  val tsGotkBySegment: String =
+    """WITH daily AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |p AS (
+      |  SELECT name, date,
+      |         (tvl - LAG(tvl) OVER (PARTITION BY name ORDER BY date))
+      |           / LAG(tvl) OVER (PARTITION BY name ORDER BY date) AS pct
+      |  FROM daily
+      |)
+      |SELECT name, date,
+      |       ROUND(EXP(SUM(LN(1.0 + COALESCE(pct, 0.0))) OVER
+      |         (PARTITION BY name ORDER BY date
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0, 6)
+      |         AS end_day_investment,
+      |       ROUND(pct, 6) AS percent_change
+      |FROM p ORDER BY name, date""".stripMargin
+
   val tsBenchmark: String =
     """WITH bd AS (
       |  SELECT CAST(l_shipdate AS DATE) AS date,

@@ -58,6 +58,7 @@ object SparkEntry {
     "mm_meta"            -> (Multimodal.mediaMeta _),
     "mm_decode"          -> (Multimodal.decodeSummary _),
     "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
+    "ts_gotk_by_segment" -> (TimeSeries.gotkBySegment _),
     "datamart_summary"   -> (graft.pipelines.Datamart.dimSummary _)
   )
 
@@ -105,6 +106,7 @@ object SparkEntry {
     // SQL-expressible — driver records the weaker rows-only check.
     "mm_meta"            -> OracleSql.mmMeta,
     "ts_benchmark"       -> OracleSql.tsBenchmark,
+    "ts_gotk_by_segment" -> OracleSql.tsGotkBySegment,
     "datamart_summary"   -> OracleSql.datamartSummary
   )
 }

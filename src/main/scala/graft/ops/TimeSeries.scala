@@ -146,6 +146,31 @@ object TimeSeries {
     ).reduce(_.unionByName(_)).orderBy("period")
   }
 
+  /** Multi-series gotk: one growth index per customer market segment,
+    * every window `partitionBy("name")` — the shape the reference's
+    * multi-strategy tables take and the one that scales: N series run
+    * as N independent window partitions after a single shuffle, so
+    * 1000× more series costs no extra sort depth (SURVEY.md §7.4's
+    * "always partitionBy(name) in multi-strategy tables").
+    * Output: name, date, end_day_investment, percent_change. */
+  def gotkBySegment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"))
+    val wName = Window.partitionBy("name").orderBy("date")
+    val wNameCum = wName.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("pct", (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))
+      .select(
+        col("name"), col("date"),
+        round(exp(sum(log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).over(wNameCum)) * lit(10000.0), 6)
+          .as("end_day_investment"),
+        round(col("pct"), 6).as("percent_change"))
+      .orderBy("name", "date")
+  }
+
   /** Benchmark series builder — reference `get_benchmark_query`
     * (`aave_transform.py:41-90`). The branch is plan-time (P9), exactly
     * like the reference's Python `if`: a "stablecoin" strategy
