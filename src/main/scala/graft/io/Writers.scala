@@ -44,6 +44,16 @@ object Writers {
       df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
     }
 
+  /** Bucketed save: pre-shuffles and sorts by the join key at write
+    * time so later equi-joins between co-bucketed tables need NO
+    * exchange (the 100 TB answer to repeated fact-fact joins on the
+    * same key). Requires a catalog table; `tableName` lands in the
+    * session's warehouse dir. */
+  def bucketedSave(df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(tableName)
+
   /** CSV interchange sink/source (reference S3/S4). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

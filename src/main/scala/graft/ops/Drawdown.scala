@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Distributed single-pass maximum drawdown.
+  *
+  * The windowed formulation in `Risk` (cumsum → running max → min) is
+  * exact but funnels the series through one sort partition — fine for
+  * a daily rollup, wrong for a billion-point series. This version is
+  * the parallel-prefix form: range-partition by date, scan each
+  * partition once, and merge per-partition summaries in partition
+  * order with a segment algebra:
+  *
+  *   for adjacent segments L ⧺ R (cum shifted by L.sum in R):
+  *     sum     = L.sum + R.sum
+  *     maxPre  = max(L.maxPre, L.sum + R.maxPre)
+  *     minCum  = min(L.minCum, L.sum + R.minCum)
+  *     minDd   = min(L.minDd, R.minDd, (L.sum + R.minCum) - L.maxPre)
+  *
+  * The cross term is exact because every R point's running max is
+  * max(L.maxPre, L.sum + runmaxR), so its drawdown splits into the two
+  * mins the algebra tracks. O(n/p) per task + O(p) driver merge.
+  */
+object Drawdown {
+
+  case class Pt(value: Double, date: Date)
+  case class Seg(sum: Double, maxPre: Pt, minCum: Pt, minDd: Double, peak: Date, valley: Date)
+
+  case class Result(maxDrawdown: Double, peakDate: Date, valleyDate: Date)
+
+  private def better(a: Pt, b: Pt, takeMax: Boolean): Pt =
+    if (a.value == b.value) { if (a.date.before(b.date)) a else b }
+    else if (takeMax == (a.value > b.value)) a else b
+
+  private[ops] def merge(l: Seg, r: Seg): Seg = {
+    val shiftedMaxPre = Pt(l.sum + r.maxPre.value, r.maxPre.date)
+    val shiftedMinCum = Pt(l.sum + r.minCum.value, r.minCum.date)
+    val cross = shiftedMinCum.value - l.maxPre.value
+    var (minDd, peak, valley) = (l.minDd, l.peak, l.valley)
+    if (r.minDd < minDd) { minDd = r.minDd; peak = r.peak; valley = r.valley }
+    if (cross < minDd) { minDd = cross; peak = l.maxPre.date; valley = shiftedMinCum.date }
+    Seg(l.sum + r.sum,
+      better(l.maxPre, shiftedMaxPre, takeMax = true),
+      better(l.minCum, shiftedMinCum, takeMax = false),
+      minDd, peak, valley)
+  }
+
+  private[ops] def scan(points: Iterator[(Date, Double)]): Option[Seg] = {
+    var seg: Seg = null
+    points.foreach { case (date, p) =>
+      if (seg == null) {
+        // first point: cum = p, runmax = p -> dd = 0
+        seg = Seg(p, Pt(p, date), Pt(p, date), 0.0, date, date)
+      } else {
+        val cum = seg.sum + p
+        val maxPre = better(seg.maxPre, Pt(cum, date), takeMax = true)
+        val minCum = better(seg.minCum, Pt(cum, date), takeMax = false)
+        val dd = cum - seg.maxPre.value
+        val (minDd, peak, valley) =
+          if (dd < seg.minDd) (math.min(dd, 0.0), seg.maxPre.date, date)
+          else (seg.minDd, seg.peak, seg.valley)
+        seg = Seg(cum, maxPre, minCum, minDd, peak, valley)
+      }
+    }
+    Option(seg)
+  }
+
+  /** Compute max drawdown of a (date, pct) series distributed over
+    * `partitions` range partitions. */
+  def maxDrawdown(series: DataFrame, partitions: Int = 8): Option[Result] = {
+    val parts = series
+      .select(col("date"), col("pct"))
+      .repartitionByRange(partitions, col("date"))
+      .sortWithinPartitions("date")
+      .rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        scan(it.map(r => (r.getDate(0), r.getDouble(1)))).map(s => (idx, s)).iterator
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    parts.reduceOption(merge).map(s => Result(s.minDd, s.peak, s.valley))
+  }
+}

@@ -86,6 +86,56 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse dirs survive — clear both before saving
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Writers.bucketedSave(Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", 4)
+    Writers.bucketedSave(Tables.customer(spark, sf).select("c_custkey", "c_name"),
+      "b_customer", "c_custkey", 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === Tables.orders(spark, sf).count())
+  }
+
+  test("end-to-end: extract -> interpolate -> ranged overwrite -> transform") {
+    val chain = new FixtureChainSource("2024-01-01", 31)
+    val raw = Finance.extractRawSupply(spark, "fixture_usdc", chain,
+      prices("2024-01-01", 31, 1.0), prices("2024-01-01", 31, 80.0),
+      "2024-01-01", "2024-01-31", "2024-01-05", "2024-01-25")
+    val loaded = Finance.fillAndInterpolate(raw)
+    val dir = Files.createTempDirectory("graft_e2e").toString
+    Writers.rangedOverwrite(loaded.withColumn("date", col("date").cast("string")), dir, "date")
+    // re-run the last 10 days (idempotent incremental)
+    Writers.rangedOverwrite(
+      loaded.where(col("date") >= "2024-01-22").withColumn("date", col("date").cast("string")),
+      dir, "date")
+    val table = spark.read.parquet(dir).withColumn("date", to_date(col("date")))
+    assert(table.count() === 31)
+    // transform the loaded table with the tvl-shape pipeline
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name").orderBy("date")
+    val tvl = table
+      .withColumn("tvl", col("atoken_supply") * col("asset_price"))
+      .withColumn("change_tvl", col("tvl") - coalesce(lag(col("tvl"), 1).over(w), col("tvl")))
+    assert(tvl.where(col("tvl").isNull).count() === 0)
+    assert(tvl.count() === 31)
+  }
+
   test("csv interchange round-trips with declared schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString
