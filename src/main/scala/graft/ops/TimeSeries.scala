@@ -120,30 +120,32 @@ object TimeSeries {
   def trailingReturn(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyOrderRevenue(spark, dir)
     val pct = daily.withColumn("pct", pctChange(col("tvl")))
-    val asOf = daily.agg(max(col("date")).as("ds"))
-    val withDs = pct.crossJoin(broadcast(asOf))
+    // One 6-row periods dimension from the as-of row, broadcast against
+    // the pct series, ONE grouped aggregate — not six branch subplans
+    // each rescanning the fact table (plan-identical semantics, 1/6th
+    // the jobs; this is the union U1 folded into a dimension join).
+    val periods = daily.agg(max(col("date")).as("ds")).select(
+      col("ds"),
+      explode(array(
+        struct(lit("1d").as("period"), date_sub(col("ds"), 1).as("start_date")),
+        struct(lit("1m").as("period"), add_months(col("ds"), -1).as("start_date")),
+        struct(lit("3m").as("period"), add_months(col("ds"), -3).as("start_date")),
+        struct(lit("6m").as("period"), add_months(col("ds"), -6).as("start_date")),
+        struct(lit("1y").as("period"), add_months(col("ds"), -12).as("start_date")),
+        struct(lit("ytd").as("period"), trunc(col("ds"), "year").as("start_date"))
+      )).as("p"))
+      .select(col("p.period"), col("p.start_date"), col("ds"))
 
-    def branch(period: String, start: Column): DataFrame =
-      withDs
-        .withColumn("start_date", start)
-        .where(col("date").between(col("start_date"), col("ds")))
-        .groupBy(col("start_date"))
-        .agg(
-          round(
-            when(min(col("date")) === col("start_date"),
-              exp(sum(when(col("date") > col("start_date"),
-                log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).otherwise(lit(0.0)))) - lit(1.0)),
-            6).as("percent_change"))
-        .select(lit(period).as("period"), col("start_date"), col("percent_change"))
-
-    Seq(
-      branch("1d", date_sub(col("ds"), 1)),
-      branch("1m", add_months(col("ds"), -1)),
-      branch("3m", add_months(col("ds"), -3)),
-      branch("6m", add_months(col("ds"), -6)),
-      branch("1y", add_months(col("ds"), -12)),
-      branch("ytd", trunc(col("ds"), "year"))
-    ).reduce(_.unionByName(_)).orderBy("period")
+    pct.join(broadcast(periods), col("date").between(col("start_date"), col("ds")))
+      .groupBy(col("period"), col("start_date"))
+      .agg(
+        round(
+          when(min(col("date")) === col("start_date"),
+            exp(sum(when(col("date") > col("start_date"),
+              log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).otherwise(lit(0.0)))) - lit(1.0)),
+          6).as("percent_change"))
+      .select(col("period"), col("start_date"), col("percent_change"))
+      .orderBy("period")
   }
 
   /** Multi-series gotk: one growth index per customer market segment,
