@@ -52,8 +52,8 @@ object OracleSql {
        |  FROM p
        |)
        |SELECT date,
-       |       ROUND(COALESCE(LAG(end_raw) OVER (ORDER BY date), 10000.0), 6) AS start_day_investment,
-       |       ROUND(end_raw, 6) AS end_day_investment,
+       |       ROUND(COALESCE(LAG(end_raw) OVER (ORDER BY date), 10000.0), 2) AS start_day_investment,
+       |       ROUND(end_raw, 2) AS end_day_investment,
        |       ROUND(pct, 6) AS percent_change
        |FROM e ORDER BY date""".stripMargin
 
@@ -570,7 +570,7 @@ object OracleSql {
       |SELECT name, date,
       |       ROUND(EXP(SUM(LN(1.0 + COALESCE(pct, 0.0))) OVER
       |         (PARTITION BY name ORDER BY date
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0, 6)
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0, 2)
       |         AS end_day_investment,
       |       ROUND(pct, 6) AS percent_change
       |FROM p ORDER BY name, date""".stripMargin
@@ -583,7 +583,7 @@ object OracleSql {
       |)
       |SELECT date,
       |       ROUND(10000.0 * bench / FIRST_VALUE(bench) OVER
-      |         (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS benchmark
+      |         (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS benchmark
       |FROM bd ORDER BY date""".stripMargin
 
   val datamartSummary: String =

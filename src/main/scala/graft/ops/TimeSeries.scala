@@ -82,8 +82,8 @@ object TimeSeries {
       .withColumn("start_raw", coalesce(lag(col("end_raw"), 1).over(wDate), lit(10000.0)))
       .select(
         col("date"),
-        round(col("start_raw"), 6).as("start_day_investment"),
-        round(col("end_raw"), 6).as("end_day_investment"),
+        round(col("start_raw"), 2).as("start_day_investment"),
+        round(col("end_raw"), 2).as("end_day_investment"),
         round(col("pct"), 6).as("percent_change"))
       .orderBy("date")
   }
@@ -167,7 +167,7 @@ object TimeSeries {
       .withColumn("pct", (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))
       .select(
         col("name"), col("date"),
-        round(exp(sum(log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).over(wNameCum)) * lit(10000.0), 6)
+        round(exp(sum(log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).over(wNameCum)) * lit(10000.0), 2)
           .as("end_day_investment"),
         round(col("pct"), 6).as("percent_change"))
       .orderBy("name", "date")
@@ -186,7 +186,7 @@ object TimeSeries {
     else
       dailyBenchmark(spark, dir)
         .select(col("date"),
-          round(lit(10000.0) * col("bench") / first(col("bench")).over(wCum), 6).as("benchmark"))
+          round(lit(10000.0) * col("bench") / first(col("bench")).over(wCum), 2).as("benchmark"))
         .orderBy("date")
 
   /** The non-stablecoin branch as a driver query (exercises W2). */

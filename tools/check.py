@@ -24,18 +24,22 @@ def canon(df):
     df = df[cols]
     rows = df.values.tolist()
     def key(row):
-        return [(v is None or (isinstance(v, float) and math.isnan(v)),
-                 str(type(v)), str(v)) for v in row]
+        return [(isnull(v), str(type(v)), str(v)) for v in row]
     return cols, sorted(rows, key=key)
 
 
-def eq(a, b):
-    if a is None and b is None:
+def isnull(v):
+    if v is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
+    try:
+        return v != v  # NaN and NaT are not equal to themselves
+    except Exception:
+        return False
+
+
+def eq(a, b):
+    if isnull(a) or isnull(b):
+        return isnull(a) and isnull(b)
     return a == b
 
 
