@@ -575,6 +575,13 @@ object OracleSql {
       |       ROUND(pct, 6) AS percent_change
       |FROM p ORDER BY name, date""".stripMargin
 
+  val tsMovingAvg: String =
+    s"""WITH $dailyOrders
+       |SELECT date, tvl,
+       |       ROUND(AVG(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+       |       MAX(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS max7
+       |FROM daily ORDER BY date""".stripMargin
+
   val tsBenchmark: String =
     """WITH bd AS (
       |  SELECT CAST(l_shipdate AS DATE) AS date,

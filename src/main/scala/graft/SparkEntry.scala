@@ -41,7 +41,10 @@ object SparkEntry {
     "ev_hourly"          -> (Events.hourlyRollup _),
     "ev_json"            -> (Events.jsonExtract _),
     "ev_sessionize"      -> (Events.sessionize _),
+    "ev_session_window"  -> (Events.sessionWindows _),
+    "ev_approx"          -> (Events.approxSketches _),
     "ev_asof"            -> (Events.asofJoin _),
+    "ts_moving_avg"      -> (TimeSeries.movingAverage _),
     "text_langid"        -> (Text.langId _),
     "text_quality"       -> (Text.quality _),
     "text_tokens"        -> (Text.tokenCount _),
@@ -88,7 +91,12 @@ object SparkEntry {
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,
     "ev_sessionize"      -> OracleSql.evSessionize,
+    // ev_session_window / ev_approx intentionally omitted: native
+    // session_window and sketch internals have no DuckDB analogue —
+    // driver records the weaker rows-only check; tests reconcile
+    // session counts against ev_sessionize.
     "ev_asof"            -> OracleSql.evAsof,
+    "ts_moving_avg"      -> OracleSql.tsMovingAvg,
     "text_langid"        -> OracleSql.textLangId,
     "text_quality"       -> OracleSql.textQuality,
     "text_tokens"        -> OracleSql.textTokens,

@@ -59,6 +59,30 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Built-in session windows (`session_window`, gap-merged event-time
+    * sessions) — same 30-min-gap semantics as `sessionize` but via the
+    * native operator; per-user session counts reconcile in tests.
+    * Rows-only (DuckDB has no session_window analogue).
+    * Output: user_id, session_start, session_end, n_events. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Approximate sketches (rows-only: HLL/quantile sketch internals are
+    * engine-specific, so no oracle): distinct users and value quantiles
+    * per event type. Output: event_type, approx_users, p50_value. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
+      .orderBy("event_type")
+
   /** As-of (backward) join: for each day of the order-revenue series,
     * the most recent available observation of a sparser series (daily
     * lineitem quantity, deterministically thinned to every 3rd

@@ -148,6 +148,21 @@ object TimeSeries {
       .orderBy("period")
   }
 
+  /** Sliding-frame window: 7-day moving average and moving max of the
+    * daily revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW — the one
+    * frame shape the reference never uses; included for engine
+    * completeness). Output: date, tvl, ma7, max7. */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val w7 = wDate.rowsBetween(-6, Window.currentRow)
+    dailyOrderRevenue(spark, dir)
+      // 2dp: sliding sums associate differently across engines (Spark
+      // recomputes frames, DuckDB uses a segment tree), so 6dp on a
+      // 1e6-magnitude average would sit too close to ulp divergence
+      .withColumn("ma7", round(avg(col("tvl")).over(w7), 2))
+      .withColumn("max7", max(col("tvl")).over(w7))
+      .orderBy("date")
+  }
+
   /** Multi-series gotk: one growth index per customer market segment,
     * every window `partitionBy("name")` — the shape the reference's
     * multi-strategy tables take and the one that scales: N series run

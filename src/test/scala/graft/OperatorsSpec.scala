@@ -51,6 +51,32 @@ class OperatorsSpec extends SparkSpec {
     assert(s.where(col("duration_us") < 0).count() === 0)
   }
 
+  test("session_window reconciles with the explicit gap sessionizer") {
+    val builtin = Events.sessionWindows(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val explicit = Events.sessionize(spark, sf)
+      .groupBy("user_id").agg(max(col("session_id")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    assert(builtin.exceptAll(explicit).count() === 0)
+    assert(explicit.exceptAll(builtin).count() === 0)
+  }
+
+  test("approx sketches stay within tolerance of exact answers") {
+    val approx = Events.approxSketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (u, m)) =>
+      val (au, am) = approx(k)
+      assert(math.abs(au - u).toDouble / u < 0.15, s"$k users: approx=$au exact=$u")
+      assert(math.abs(am - m) / math.max(m, 1.0) < 0.25, s"$k median: approx=$am exact=$m")
+    }
+  }
+
   test("dedup exact keeps exactly one doc per hash group") {
     val d = Dedup.exact(spark, sf)
     val keepers = d.where(col("keep")).count()
