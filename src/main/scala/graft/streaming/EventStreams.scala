@@ -40,6 +40,34 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Incremental raw-zone ingest — the Spark mapping of the
+    * reference's daily catch-up batch (SURVEY.md §2.9): a
+    * `Trigger.AvailableNow` file-source query over the landing
+    * directory. Each invocation processes exactly the files that
+    * arrived since the last run (checkpoint-tracked), appends the
+    * transformed rows, and terminates — at-least-once becomes
+    * exactly-once per file without any DELETE-range bookkeeping.
+    * Returns after the run completes. */
+  def ingestAvailableNow(spark: SparkSession, landingDir: String, schemaSource: String,
+                         outDir: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(schemaSource).schema
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .withColumn("day", to_date(col("o_orderdate")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("ingest")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

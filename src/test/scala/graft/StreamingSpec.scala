@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("availableNow ingest processes only newly arrived files per run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_ingest")
+    val landing = base.resolve("landing"); Files.createDirectory(landing)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val src = s"$sf/orders.parquet"
+
+    // day 1: one file arrives
+    Files.copy(Paths.get(src), landing.resolve("batch1.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    EventStreams.ingestAvailableNow(spark, landing.toString, src, out, ckpt)
+    val rows1 = spark.read.parquet(out)
+    val n1 = rows1.agg(sum(col("n"))).first().getLong(0)
+    assert(n1 === Tables.orders(spark, sf).count())
+
+    // day 2: the same file lands again under a new name (new data) —
+    // the checkpointed source picks up ONLY the new file; the complete-
+    // mode aggregate now counts both
+    Files.copy(Paths.get(src), landing.resolve("batch2.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    EventStreams.ingestAvailableNow(spark, landing.toString, src, out, ckpt)
+    val n2 = spark.read.parquet(out).agg(sum(col("n"))).first().getLong(0)
+    assert(n2 === 2 * n1)
+
+    // no new files: run is a no-op, output unchanged
+    EventStreams.ingestAvailableNow(spark, landing.toString, src, out, ckpt)
+    val n3 = spark.read.parquet(out).agg(sum(col("n"))).first().getLong(0)
+    assert(n3 === n2)
+  }
+
   test("streaming sessionization assigns monotone session ids per user") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.sessionize(spark, events)
