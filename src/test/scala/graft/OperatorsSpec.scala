@@ -111,6 +111,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("language-ID picks the language with the most marker hits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    // same marker expression the operator uses, on hand-built docs
+    val docs = Seq(
+      (1L, "der hund und die katze ist da"),       // de markers
+      (2L, "el perro y los gatos es aqui"),        // es markers
+      (3L, "the cat and a dog of the town"),       // en markers
+      (4L, "xyz qqq zzz")                          // none -> en fallback
+    ).toDF("doc_id", "text")
+    def cnt(l: String) = sexpr(
+      s"size(filter(split(lower(text), ' '), w -> array_contains(array($l), w)))")
+    val scored = docs
+      .withColumn("s_en", cnt("'the','a','and','of','to'"))
+      .withColumn("s_de", cnt("'der','die','das','und','ist'"))
+      .withColumn("s_es", cnt("'el','los','las','y','es'"))
+    val rows = scored.orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("s_de") > rows(0).getAs[Int]("s_en"))
+    assert(rows(1).getAs[Int]("s_es") > rows(1).getAs[Int]("s_en"))
+    assert(rows(2).getAs[Int]("s_en") > rows(2).getAs[Int]("s_de"))
+    assert(rows(3).getAs[Int]("s_en") === 0)
+  }
+
+  test("simhash: identical docs share signatures, disjoint docs need not") {
+    import spark.implicits._
+    val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic: running twice gives the same signatures
+    val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
   test("text quality scores are within [0, 1]") {
     val q = Text.quality(spark, sf)
     assert(q.where(col("quality") < 0 || col("quality") > 1.0001).count() === 0)
