@@ -78,8 +78,12 @@ object Finance {
             col("atoken_supply"), col("asset_price")))
           .otherwise(lit(0.0)))
       .withColumn("total_apy", totalApy(col("stake_apy"), col("aave_apy")))
-      .select("date", "name", "stake_apy", "aave_apy", "total_apy",
-        "liquidity_index", "atoken_supply", "asset_price", "aave_price")
+      // declared-schema boundary: the raw_supply table is all FLOAT64
+      // (Schemas.rawSupply) — adapters may hand over decimals
+      .select(Seq(col("date"), col("name")) ++
+        Seq("stake_apy", "aave_apy", "total_apy", "liquidity_index",
+          "atoken_supply", "asset_price", "aave_price")
+          .map(c => col(c).cast("double").as(c)): _*)
       .orderBy("date")
   }
 

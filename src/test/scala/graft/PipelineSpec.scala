@@ -42,6 +42,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pipeline outputs conform to the declared schemas") {
+    val chain = new FixtureChainSource("2024-01-01", 5)
+    val raw = Finance.extractRawSupply(spark, "s", chain,
+      prices("2024-01-01", 5, 1.0), prices("2024-01-01", 5, 80.0),
+      "2024-01-01", "2024-01-05", "2024-01-02", "2024-01-04")
+    Schemas.enforce(raw, Schemas.rawSupply)
+    Schemas.enforce(
+      graft.ops.TimeSeries.tvl(spark, sf), Schemas.tvl)
+    Schemas.enforce(
+      graft.ops.TimeSeries.gotk(spark, sf), Schemas.gotk)
+    Schemas.enforce(
+      graft.ops.TimeSeries.trailingReturn(spark, sf), Schemas.trailingReturn)
+    Schemas.enforce(
+      graft.ops.Risk.risk(spark, sf), Schemas.risk)
+    // drift detection: a renamed column must throw
+    val drifted = raw.withColumnRenamed("stake_apy", "apy")
+    intercept[IllegalArgumentException] {
+      Schemas.enforce(drifted, Schemas.rawSupply)
+    }
+  }
+
   test("stake APY matches the closed-form per-second compounding") {
     import spark.implicits._
     val df = Seq(0.05e27).toDF("rate").select(Finance.stakeApy(col("rate")).as("apy"))
