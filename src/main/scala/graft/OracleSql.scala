@@ -133,6 +133,11 @@ object OracleSql {
       |),
       |bp AS (SELECT date, (bench - LAG(bench) OVER (ORDER BY date)) / LAG(bench) OVER (ORDER BY date) AS b_pct FROM bd),
       |a AS (SELECT MAX(date) AS ds, CAST(MAX(date) - INTERVAL 12 MONTH AS DATE) AS start FROM sd0),
+      |y AS (
+      |  SELECT ROUND(EXP(SUM(LN(1.0 + COALESCE(sp.s_pct, 0.0)))) - 1.0, 6) AS ytd
+      |  FROM sp, a
+      |  WHERE sp.date > CAST(date_trunc('year', a.ds) AS DATE) AND sp.date <= a.ds
+      |),
       |j AS (
       |  SELECT sp.date, sp.s_pct, bp.b_pct, a.ds
       |  FROM sp JOIN bp ON sp.date = bp.date CROSS JOIN a
@@ -162,10 +167,12 @@ object OracleSql {
       |m AS (SELECT MIN(ddv) AS min_dd FROM dd),
       |v AS (SELECT MIN(date) AS valley_date, MIN(cummax) AS peak_cum FROM dd, m WHERE ddv = m.min_dd),
       |pk AS (SELECT MIN(date) AS peak_date FROM dd, v WHERE date <= v.valley_date AND cum = v.peak_cum)
-      |SELECT stats.ds AS date, sd, return_1y, sharpe, alpha, beta, r_square,
+      |SELECT stats.ds AS date, sd,
+      |       CASE WHEN return_1y = 0.0 THEN y.ytd ELSE return_1y END AS return_1y,
+      |       sharpe, alpha, beta, r_square,
       |       ROUND(m.min_dd, 6) AS max_drawdown, pk.peak_date, v.valley_date,
       |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
-      |FROM stats, m, v, pk""".stripMargin
+      |FROM stats, m, v, pk, y""".stripMargin
 
   // ---------------------------------------------------------- relational
 
@@ -296,9 +303,11 @@ object OracleSql {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** DuckDB types SUM(BIGINT) as HUGEINT (int128) — the outer CAST
+    * brings it back to BIGINT to match Spark's LongType sum. */
   val evJson: String =
     """SELECT event_type,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(*) AS n,
       |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
@@ -324,6 +333,34 @@ object OracleSql {
       |FROM s
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Native-session_window semantics: each event spans [ts, ts+30min);
+    * sessions merge only while the next event starts STRICTLY before
+    * the current window end, so a gap of exactly 30 min starts a NEW
+    * session (`>=` below) — unlike `evSessionize`'s `>`. Bounds are
+    * rebuilt from epoch micros (`make_timestamp`) so DuckDB's
+    * nanosecond parquet timestamps compare equal to Spark's
+    * microsecond-truncated ones. */
+  val evSessionWindow: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us,
+      |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x
+      |)
+      |SELECT user_id,
+      |       make_timestamp(MIN(us)) AS session_start,
+      |       make_timestamp(MAX(us) + 1800000000) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   val evAsof: String =
     """WITH l AS (
@@ -523,12 +560,34 @@ object OracleSql {
        |SELECT vec_id, bucket, nbr_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
-  val simNearDup: String =
-    s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       |       ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9
+  /** Banded sign-LSH candidate generation (4 bands × 8 hyperplane
+    * signs), cosine verified on candidates only — the same equi-join
+    * construction as the Spark side, so results are bit-identical at
+    * any SF (the operator's semantics ARE the LSH-approximate ones;
+    * no all-pairs cartesian on either engine). */
+  val simNearDup: String = {
+    def sig(b: Int) =
+      "concat(" + (1 to 8).map(i =>
+        s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+    val bandRows = (0 until 4).map(b =>
+      (if (b == 0) "" else "UNION ALL ") +
+        s"SELECT vec_id, $b AS b, ${sig(b)} AS key FROM embeddings").mkString("\n  ")
+    s"""WITH bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) AS cos
+       |FROM cand c
+       |JOIN embeddings a  ON a.vec_id = c.doc_a
+       |JOIN embeddings b2 ON b2.vec_id = c.doc_b
+       |WHERE ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val simCentroids: String =
     """WITH e AS (
@@ -620,4 +679,22 @@ object OracleSql {
       |       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
       |       substr(md5(text), 1, 2) AS fmt
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The stub decoder is a pure function of md5(text): byte i of the
+    * payload is hex pair (2i+1, 2i+2); width = 1 + low nibble of byte
+    * 0; the byte sum over bytes 2..15 is an exact integer in both
+    * engines, so the group average divides once at the end (no
+    * order-dependent double accumulation). */
+  val mmDecode: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    1 + CAST('0x' || substr(h, 2, 1) AS INT) AS width,
+      |    list_sum(list_transform(range(3, 17),
+      |      i -> CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS BIGINT))) AS sum_bytes
+      |  FROM d
+      |)
+      |SELECT width, COUNT(*) AS n,
+      |       ROUND(CAST(SUM(sum_bytes) AS DOUBLE) / (14.0 * COUNT(*)), 6) AS avg_mean_byte
+      |FROM b GROUP BY width ORDER BY width""".stripMargin
 }

@@ -91,10 +91,10 @@ object SparkEntry {
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,
     "ev_sessionize"      -> OracleSql.evSessionize,
-    // ev_session_window / ev_approx intentionally omitted: native
-    // session_window and sketch internals have no DuckDB analogue —
-    // driver records the weaker rows-only check; tests reconcile
-    // session counts against ev_sessionize.
+    "ev_session_window"  -> OracleSql.evSessionWindow,
+    // ev_approx intentionally omitted: sketch internals (HLL,
+    // approx-quantile) are engine-specific — driver records the weaker
+    // rows-only check; tolerance tests compare against exact values.
     "ev_asof"            -> OracleSql.evAsof,
     "ts_moving_avg"      -> OracleSql.tsMovingAvg,
     "text_langid"        -> OracleSql.textLangId,
@@ -110,8 +110,10 @@ object SparkEntry {
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_neardup"        -> OracleSql.simNearDup,
     "sim_centroids"      -> OracleSql.simCentroids,
-    // mm_decode intentionally omitted: mapPartitions decode is not
-    // SQL-expressible — driver records the weaker rows-only check.
+    // mm_decode IS oracle-checked despite running through
+    // mapPartitions: the stub decode is a pure function of md5(text)
+    // bytes, which DuckDB reproduces from hex substrings.
+    "mm_decode"          -> OracleSql.mmDecode,
     "mm_meta"            -> OracleSql.mmMeta,
     "ts_benchmark"       -> OracleSql.tsBenchmark,
     "ts_gotk_by_segment" -> OracleSql.tsGotkBySegment,

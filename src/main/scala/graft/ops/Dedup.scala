@@ -87,10 +87,15 @@ object Dedup {
   }
 
   /** Candidate pairs sharing at least one band bucket. The band table
-    * is persisted: it is tiny (4 rows/doc) and feeds both sides of the
-    * self-join. */
+    * is persisted AND materialized (count) before the self-join:
+    * `persist()` alone is lazy, so the two join sides would otherwise
+    * race to compute the whole shingle→signature subtree concurrently
+    * — Spark's cache does not block a second stage on a partition a
+    * first stage is still computing, it recomputes it. The extra
+    * count() job is O(4 rows/doc) against the already-cached data. */
   private def candidatesFrom(sh: DataFrame): DataFrame = {
     val bands = bandsFrom(sh).persist()
+    bands.count()
     val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
     a.join(b, Seq("b", "key"))
@@ -119,6 +124,11 @@ object Dedup {
         expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
       .withColumn("n_sh", size(col("arr")).cast("bigint"))
       .persist()
+    // Materialize the shingle-array cache before anything fans out:
+    // three consumers read it (band derivation + both join sides), and
+    // an unmaterialized persist lets them all recompute the expensive
+    // text→shingle transform concurrently instead of hitting the cache.
+    docArrays.count()
     val cands = candidatesFrom(docArrays.select(col("doc_id"), explode(col("arr")).as("sh")))
     cands
       .join(docArrays.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "doc_a")

@@ -60,9 +60,13 @@ object Events {
   }
 
   /** Built-in session windows (`session_window`, gap-merged event-time
-    * sessions) — same 30-min-gap semantics as `sessionize` but via the
-    * native operator; per-user session counts reconcile in tests.
-    * Rows-only (DuckDB has no session_window analogue).
+    * sessions) via the native operator. Boundary semantics differ from
+    * `sessionize` at EXACTLY the gap: each event spans [ts, ts+30min)
+    * and sessions merge only while the next event starts strictly
+    * inside the current window, so a gap of exactly 30 min starts a
+    * new session here (`>=`) where `sessionize` keeps it (`>`).
+    * Oracle-checked: DuckDB rebuilds the same bounds from the gap
+    * logic (`OracleSql.evSessionWindow`), pinning that boundary.
     * Output: user_id, session_start, session_end, n_events. */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

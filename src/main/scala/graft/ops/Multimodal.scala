@@ -25,7 +25,8 @@ import graft.Tables
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  case class DecodedMedia(doc_id: Long, width: Int, height: Int, mean_byte: Double)
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+                          sum_bytes: Long, mean_byte: Double)
 
   /** documents + synthesized payload column (md5-derived bytes — the
     * testdata ships no real media; deterministic by construction). */
@@ -41,8 +42,11 @@ object Multimodal {
     val b = r.payload
     val width = 1 + (b(0) & 0x0f)
     val height = 1 + (b(1) & 0x0f)
-    val mean = b.drop(2).map(x => (x & 0xff).toDouble).sum / (b.length - 2)
-    DecodedMedia(r.doc_id, width, height, mean)
+    // sum_bytes kept as an exact integer alongside the double mean so
+    // downstream group averages can divide once (order-free, hence
+    // bit-identical to the SQL oracle's integer-sum formulation).
+    val sum = b.drop(2).map(x => (x & 0xff).toLong).sum
+    DecodedMedia(r.doc_id, width, height, sum, sum.toDouble / (b.length - 2))
   }
 
   /** Partition-batched decode: one `decodeBytes` per record, amortized
@@ -57,12 +61,17 @@ object Multimodal {
       }
   }
 
-  /** Rows-only query (mapPartitions is not oracle-expressible):
-    * decode + aggregate by synthetic dimensions. */
+  /** Decode + aggregate by synthetic dimensions. Oracle-checked: the
+    * stub decode is a pure function of md5(text) bytes, so DuckDB can
+    * reproduce it from hex substrings; the average is computed from the
+    * exact integer byte sums (one division at the end) so the group
+    * aggregate is order-free and bit-identical across engines. */
   def decodeSummary(spark: SparkSession, dir: String): DataFrame =
     decode(spark, dir)
       .groupBy(col("width"))
-      .agg(count(lit(1)).as("n"), round(avg(col("mean_byte")), 6).as("avg_mean_byte"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sum_bytes")).cast("double") / (lit(14.0) * count(lit(1))), 6)
+          .as("avg_mean_byte"))
       .orderBy("width")
 
   /** Metadata-only query — never touches payload bytes in the output

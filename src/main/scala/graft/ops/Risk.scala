@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * `regr_slope`/`regr_intercept`/`regr_r2` (A5/A6), windowed
   * cumsum/cummax for drawdown (W8), min-date argmin retrieval (A8).
   *
+  * The stored `return_1y` carries the reference's ytd fallback quirk
+  * (`aave_transform.py:428-443`, SURVEY.md §8 quirk 8): when the 1y
+  * value reads exactly 0.0, the ytd compounded return is substituted.
+  * Only the stored column falls back — Sharpe keeps the separately
+  * computed annual return, as in the reference (`:454-456`).
+  *
   * Scale notes: the trailing-window series is O(365) rows after the
   * daily rollup, so the scalar-aggregate cross-joins below are all
   * broadcast 1-row joins; nothing here shuffles more than the initial
@@ -30,12 +36,21 @@ object Risk {
   /** One-row risk table as of the latest date, over a trailing 1y
     * window. Output: date, sd, return_1y, sharpe, alpha, beta,
     * r_square, max_drawdown, peak_date, valley_date, duration. */
-  def risk(spark: SparkSession, dir: String): DataFrame = {
+  def risk(spark: SparkSession, dir: String): DataFrame =
+    riskFromSeries(
+      TimeSeries.dailyOrderRevenue(spark, dir),
+      TimeSeries.dailyBenchmark(spark, dir))
+
+  /** Core risk computation over explicit series: `strat` = (date, tvl),
+    * `bench` = (date, bench). Split out so tests can drive constructed
+    * series (e.g. a 1y return of exactly 0.0 exercising the ytd
+    * fallback) without parquet fixtures. */
+  def riskFromSeries(stratDaily: DataFrame, benchDaily: DataFrame): DataFrame = {
     val wDate = Window.orderBy("date")
-    val strat = TimeSeries.dailyOrderRevenue(spark, dir)
+    val strat = stratDaily
       .withColumn("s_pct", (col("tvl") - lag(col("tvl"), 1).over(wDate)) / lag(col("tvl"), 1).over(wDate))
       .select("date", "s_pct")
-    val bench = TimeSeries.dailyBenchmark(spark, dir)
+    val bench = benchDaily
       .withColumn("b_pct", (col("bench") - lag(col("bench"), 1).over(wDate)) / lag(col("bench"), 1).over(wDate))
       .select("date", "b_pct")
 
@@ -45,9 +60,17 @@ object Risk {
       .where(col("date") > col("start") && col("date") <= col("ds"))
       .where(col("s_pct").isNotNull && col("b_pct").isNotNull)
 
+    // Ytd compounded return (fallback substitute for a 0.0 1y value):
+    // over the strategy pct series alone, calendar-year-to-date window,
+    // NULL pct compounding as 0 — mirrors the reference's
+    // trailing-return 'ytd' row. 1-row broadcast scalar.
+    val ytd = strat.crossJoin(broadcast(asOf))
+      .where(col("date") > date_trunc("year", col("ds")).cast("date") && col("date") <= col("ds"))
+      .agg(round(exp(sum(log(lit(1.0) + coalesce(col("s_pct"), lit(0.0))))) - lit(1.0), 6).as("ytd"))
+
     val stats = joined.groupBy(col("ds")).agg(
       round(stddev_samp(col("s_pct")) * sqrt(lit(365.0)), 6).as("sd"),
-      round(pow(lit(1.0) + avg(col("s_pct")), 365.0) - lit(1.0), 6).as("return_1y"),
+      round(pow(lit(1.0) + avg(col("s_pct")), 365.0) - lit(1.0), 6).as("return_1y_raw"),
       round((pow(lit(1.0) + avg(col("s_pct")), 365.0) - lit(1.0)) /
         (stddev_samp(col("s_pct")) * sqrt(lit(365.0))), 6).as("sharpe"),
       round(regr_intercept(col("s_pct"), col("b_pct")), 6).as("alpha"),
@@ -76,8 +99,11 @@ object Risk {
 
     stats
       .crossJoin(broadcast(drawdown))
+      .crossJoin(broadcast(ytd))
       .select(
-        col("ds").as("date"), col("sd"), col("return_1y"), col("sharpe"),
+        col("ds").as("date"), col("sd"),
+        when(col("return_1y_raw") === 0.0, col("ytd")).otherwise(col("return_1y_raw")).as("return_1y"),
+        col("sharpe"),
         col("alpha"), col("beta"), col("r_square"), col("max_drawdown"),
         col("peak_date"), col("valley_date"),
         datediff(col("valley_date"), col("peak_date")).cast("bigint").as("duration"))

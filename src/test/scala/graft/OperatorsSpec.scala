@@ -165,6 +165,51 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("risk: 1y return of exactly 0.0 falls back to the ytd return") {
+    import spark.implicits._
+    // pct series +0.5 then -0.5 → avg 0 → pow(1,365)-1 = 0.0 exactly;
+    // ytd compounded = 1.5 * 0.5 - 1 = -0.25 (reference quirk §8.8)
+    val strat = Seq(
+      ("2024-03-01", 100.0), ("2024-03-02", 150.0), ("2024-03-03", 75.0)
+    ).toDF("d", "tvl").select(to_date(col("d")).as("date"), col("tvl"))
+    val bench = Seq(
+      ("2024-03-01", 100.0), ("2024-03-02", 110.0), ("2024-03-03", 121.0)
+    ).toDF("d", "bench").select(to_date(col("d")).as("date"), col("bench"))
+    val row = Risk.riskFromSeries(strat, bench).collect().head
+    assert(row.getAs[Double]("return_1y") === -0.25)
+    // sharpe keeps the NON-fallen-back annual return (reference :454-456)
+    assert(row.getAs[Double]("sharpe") === 0.0)
+  }
+
+  test("risk: nonzero 1y return is NOT replaced by ytd") {
+    import spark.implicits._
+    val strat = Seq(
+      ("2024-03-01", 100.0), ("2024-03-02", 150.0), ("2024-03-03", 90.0)
+    ).toDF("d", "tvl").select(to_date(col("d")).as("date"), col("tvl"))
+    val bench = Seq(
+      ("2024-03-01", 100.0), ("2024-03-02", 110.0), ("2024-03-03", 121.0)
+    ).toDF("d", "bench").select(to_date(col("d")).as("date"), col("bench"))
+    val row = Risk.riskFromSeries(strat, bench).collect().head
+    // avg pct = (0.5 - 0.4) / 2 = 0.05 → (1.05)^365 - 1, definitely not ytd (= 0.35)
+    val expected = math.pow(1.05, 365.0) - 1.0
+    assert(math.abs(row.getAs[Double]("return_1y") - expected) < 1e-4)
+  }
+
+  test("banded near-dup finds constructed near-duplicates via candidates only") {
+    import spark.implicits._
+    val dims = 64
+    val base = (0 until dims).map(i => if (i % 3 == 0) -1.0 else 1.0).toArray
+    val nearDup = base.clone(); nearDup(40) = base(40) * 0.5 // same signs everywhere
+    val ortho = (0 until dims).map(i => if (i % 2 == 0) 1.0 else -1.0).toArray
+    val v = Seq((1L, base), (2L, nearDup), (3L, ortho))
+      .toDF("vec_id", "v")
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dot(spark, col("v"), col("v"))))
+    val pairs = Similarity.cosineNearDupFrom(spark, v).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 1L && pairs.head.getAs[Long]("doc_b") === 2L)
+    assert(pairs.head.getAs[Double]("cos") >= 0.99)
+  }
+
   test("multimodal decode: plumbing yields one decoded row per doc") {
     val docs = Tables.documents(spark, sf).count()
     val decoded = Multimodal.decode(spark, sf)
