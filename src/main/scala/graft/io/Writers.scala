@@ -37,12 +37,70 @@ object Writers {
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Idempotent ranged overwrite (reference S7/S8): replaces exactly
-    * the `partitionCol` partitions present in `df`, keeps all others.
-    * Safe to re-run: same input → same resulting table state. */
-  def rangedOverwrite(df: DataFrame, path: String, partitionCol: String): Unit =
+    * the partition-column combinations present in `df`, keeps all
+    * others. Safe to re-run: same input → same resulting table state.
+    * Multi-column layouts (`"name", "date"` — the reference's
+    * per-(strategy, date-range) DELETE, `aave_extract.py:702-727`)
+    * give hierarchical directories that prune on BOTH keys at read
+    * time — the 100 TB physical layout for many-strategy tables. */
+  def rangedOverwrite(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.sparkSession.conf.withSqlConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
-      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
     }
+
+  /** JDBC delete-then-append sink (reference S10 — the datamart loads
+    * at `aave_load.py:72-84,108-119,147-158` all do `DELETE FROM t
+    * WHERE strategy_id = X` then append): deletes exactly the key
+    * values present in the incoming batch, then appends the batch over
+    * JDBC. The key set is the set of entities being reloaded — O(#
+    * entities), never O(rows) — so the driver-side DELETE batch is
+    * bounded; the row append streams from executors through Spark's
+    * JDBC writer. Idempotent: re-running a batch reproduces the same
+    * table state. Identifiers are double-quoted to match the quoting
+    * Spark's JDBC writer uses when it creates the table. */
+  def jdbcDeleteAppend(df: DataFrame, url: String, table: String, keyCol: String): Unit = {
+    val keys = df.select(keyCol).distinct().collect().map(_.get(0))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData
+      def exists(n: String) = {
+        val rs = meta.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      if (exists(table) || exists(table.toUpperCase) || exists(table.toLowerCase)) {
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")
+        try {
+          keys.foreach { k => st.setObject(1, k); st.addBatch() }
+          st.executeBatch()
+        } finally st.close()
+      }
+    } finally conn.close()
+    df.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties())
+  }
+
+  /** Batched JDBC UPDATE of summary columns (reference S11 —
+    * `UPDATE strategy SET "tvl" = {latest} WHERE "id" = {id}`,
+    * `aave_load.py:121-128,160-167`): one UPDATE per row of `summary`
+    * (id + new column values), executed as a single JDBC batch.
+    * `summary` is O(#entities) by construction — it is the per-entity
+    * latest-value table, not fact rows. */
+  def jdbcUpdateSummary(summary: DataFrame, url: String, table: String,
+                        idCol: String, valueCols: Seq[String]): Unit = {
+    val rows = summary.select((idCol +: valueCols).map(col): _*).collect()
+    val sets = valueCols.map(c => s""""$c" = ?""").mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(s"""UPDATE $table SET $sets WHERE "$idCol" = ?""")
+      try {
+        rows.foreach { r =>
+          valueCols.indices.foreach(i => st.setObject(i + 1, r.get(i + 1)))
+          st.setObject(valueCols.length + 1, r.get(0))
+          st.addBatch()
+        }
+        st.executeBatch()
+      } finally st.close()
+    } finally conn.close()
+  }
 
   /** Bucketed save: pre-shuffles and sorts by the join key at write
     * time so later equi-joins between co-bucketed tables need NO

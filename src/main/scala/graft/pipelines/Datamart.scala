@@ -46,12 +46,30 @@ object Datamart {
   /** Fact load with stamped dim id (reference `load_strategy_growth`):
     * per-strategy idempotent rewrite via partition overwrite. */
   def loadFacts(spark: SparkSession, dir: String, outPath: String): Unit = {
+    Writers.rangedOverwrite(stampedFacts(spark, dir), outPath, "strategy_id")
+  }
+
+  /** (strategy_id, date, value) facts with the dim id stamped via
+    * broadcast join (J2 — the reference's per-strategy id lookup). */
+  private def stampedFacts(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey").as("strategy_id"), col("c_name").as("slug"))
-    val facts = Tables.orders(spark, dir)
+    Tables.orders(spark, dir)
       .join(broadcast(dim), col("o_custkey") === col("strategy_id"))
       .select(col("strategy_id"), to_date(col("o_orderdate")).as("date"),
         col("o_totalprice").as("value"))
-    Writers.rangedOverwrite(facts, outPath, "strategy_id")
+  }
+
+  /** The reference's ACTUAL datamart contract over a real JDBC sink
+    * (S10 + S11, `aave_load.py:72-168`): per-strategy delete+append
+    * of the fact rows, then a batched UPDATE stamping each strategy
+    * summary row with its latest value. Bounded driver work: the
+    * DELETE key set and the summary table are both O(#strategies). */
+  def loadToJdbc(spark: SparkSession, dir: String, url: String): Unit = {
+    Writers.jdbcDeleteAppend(stampedFacts(spark, dir), url, "strategy_growth", "strategy_id")
+    val summary = dimSummary(spark, dir)
+      .where(col("latest_value").isNotNull)
+      .select(col("strategy_id").as("id"), col("latest_value").as("tvl"))
+    Writers.jdbcUpdateSummary(summary, url, "strategy", "id", Seq("tvl"))
   }
 }

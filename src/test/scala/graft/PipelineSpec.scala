@@ -107,6 +107,78 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("multi-column ranged overwrite rewrites one (name, date) cell and prunes on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_multipart").toString
+    val df = Seq(("s1", "2024-01-01", 1.0), ("s1", "2024-01-02", 2.0),
+      ("s2", "2024-01-01", 3.0), ("s2", "2024-01-02", 4.0)).toDF("name", "date", "v")
+    Writers.rangedOverwrite(df, dir, "name", "date")
+    // idempotent rewrite of exactly one (strategy, day) cell
+    val fix = Seq(("s1", "2024-01-02", 22.0)).toDF("name", "date", "v")
+    Writers.rangedOverwrite(fix, dir, "name", "date")
+    val table = spark.read.parquet(dir)
+    assert(table.count() === 4)
+    val q = table.where(col("name") === "s1" && col("date") >= "2024-01-02")
+    assert(q.collect().map(_.getAs[Double]("v")).toSeq === Seq(22.0))
+    // partition pruning: only files under name=s1/date=2024-01-02 are read
+    val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("name=s1") && f.contains("date=2024-01-02")), files.mkString(", "))
+    // and the scan carries both keys as partition filters
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
+  test("jdbc delete+append is idempotent per key and UPDATE stamps the summary") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties()
+    def state(t: String) = spark.read.jdbc(url, t, props)
+
+    val d1 = Seq((1L, "2024-01-01", 10.0), (1L, "2024-01-02", 11.0), (2L, "2024-01-01", 20.0))
+      .toDF("strategy_id", "date", "value")
+    Writers.jdbcDeleteAppend(d1, url, "strategy_growth", "strategy_id")
+    assert(state("strategy_growth").count() === 3)
+    // re-running the SAME batch leaves the same table state
+    Writers.jdbcDeleteAppend(d1, url, "strategy_growth", "strategy_id")
+    assert(state("strategy_growth").count() === 3)
+    // corrected reload of strategy 1 replaces only its rows
+    val fix = Seq((1L, "2024-01-03", 12.0)).toDF("strategy_id", "date", "value")
+    Writers.jdbcDeleteAppend(fix, url, "strategy_growth", "strategy_id")
+    val rows = state("strategy_growth").orderBy("strategy_id").collect()
+    assert(rows.map(_.getAs[Long]("strategy_id")).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getAs[Double]("value")).toSeq === Seq(12.0, 20.0))
+
+    // S11: UPDATE of the strategy summary row over JDBC
+    val dim = Seq((1L, "alpha", 0.0), (2L, "beta", 0.0)).toDF("id", "slug", "tvl")
+    Writers.jdbcDeleteAppend(dim, url, "strategy", "id")
+    val latest = Seq((1L, 12.0), (2L, 20.0)).toDF("id", "tvl")
+    Writers.jdbcUpdateSummary(latest, url, "strategy", "id", Seq("tvl"))
+    val tvls = state("strategy").orderBy("id").collect().map(_.getAs[Double]("tvl"))
+    assert(tvls.toSeq === Seq(12.0, 20.0))
+  }
+
+  test("datamart loads end-to-end over JDBC: facts replaced, summary stamped") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdm;create=true"
+    val props = new java.util.Properties()
+    // seed the strategy dim table (the reference assumes it exists)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_name").as("slug"))
+      .withColumn("tvl", lit(0.0))
+    Writers.jdbcDeleteAppend(dim, url, "strategy", "id")
+    graft.pipelines.Datamart.loadToJdbc(spark, sf, url)
+    // re-run: idempotent (delete+append per strategy)
+    graft.pipelines.Datamart.loadToJdbc(spark, sf, url)
+    val facts = spark.read.jdbc(url, "strategy_growth", props)
+    assert(facts.count() === Tables.orders(spark, sf).count())
+    // every strategy with orders has its summary tvl stamped to the latest value
+    val stamped = spark.read.jdbc(url, "strategy", props).where(col("tvl") =!= 0.0).count()
+    val expected = graft.pipelines.Datamart.dimSummary(spark, sf)
+      .where(col("latest_value").isNotNull && col("latest_value") =!= 0.0).count()
+    assert(stamped === expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     // the in-memory catalog forgets tables between JVMs but their
