@@ -379,6 +379,23 @@ object OracleSql {
       |FROM l ASOF LEFT JOIN r ON l.date >= r.date
       |ORDER BY l.date""".stripMargin
 
+  /** Multi-key ASOF: DuckDB's native ASOF LEFT JOIN with an extra
+    * equality key — one aggregate CTE feeds both series, matching the
+    * Spark composition's reused exchange. */
+  val evAsofByKey: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl,
+      |         COUNT(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |l AS (SELECT name, date, tvl FROM g),
+      |r AS (SELECT name, date, n FROM g WHERE day(date) % 3 = 0)
+      |SELECT l.name, l.date, l.tvl, r.n AS n_asof
+      |FROM l ASOF LEFT JOIN r ON l.name = r.name AND l.date >= r.date
+      |ORDER BY l.name, l.date""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   private val enList = "['the','a','and','of','to']"
@@ -431,6 +448,22 @@ object OracleSql {
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textRepetition: String =
+    """WITH t AS (
+      |  SELECT doc_id, u.tok AS tok
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      |),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, tok, c,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn,
+      |         SUM(c) OVER (PARTITION BY doc_id) AS n_tokens
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok AS top_tok, c AS top_n,
+      |       ROUND(CAST(c AS DOUBLE) / n_tokens, 6) AS rep_ratio
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   val textFingerprint: String =
     """SELECT doc_id,
@@ -500,6 +533,18 @@ object OracleSql {
        |  JOIN cnt cb ON cb.doc_id = i.doc_b
        |)
        |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Estimated Jaccard from signature agreement alone (no re-read of
+    * shingles) — (# equal minhash components) / 8 over LSH candidates. */
+  val dedupMinhashEst: String = {
+    val eq = (0 until 8).map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCtes
+       |SELECT c.doc_a, c.doc_b, ROUND(($eq) / 8.0, 6) AS est_jac
+       |FROM cand c
+       |JOIN sigs a ON a.doc_id = c.doc_a
+       |JOIN sigs b ON b.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val dedupSimhash: String = {
     val sums = (1 to 16).map(k =>

@@ -44,14 +44,17 @@ object SparkEntry {
     "ev_session_window"  -> (Events.sessionWindows _),
     "ev_approx"          -> (Events.approxSketches _),
     "ev_asof"            -> (Events.asofJoin _),
+    "ev_asof_by_key"     -> (Events.asofJoinByKey _),
     "ts_moving_avg"      -> (TimeSeries.movingAverage _),
     "text_langid"        -> (Text.langId _),
     "text_quality"       -> (Text.quality _),
     "text_tokens"        -> (Text.tokenCount _),
     "text_fingerprint"   -> (Text.fingerprint _),
+    "text_repetition"    -> (Text.repetition _),
     "dedup_exact"        -> (Dedup.exact _),
     "dedup_prefix"       -> (Dedup.prefix _),
     "dedup_minhash"      -> (Dedup.minhashCandidates _),
+    "dedup_minhash_est"  -> (Dedup.minhashEstJaccard _),
     "dedup_jaccard"      -> (Dedup.jaccard _),
     "dedup_simhash"      -> (Dedup.simhash _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
@@ -96,14 +99,17 @@ object SparkEntry {
     // approx-quantile) are engine-specific — driver records the weaker
     // rows-only check; tolerance tests compare against exact values.
     "ev_asof"            -> OracleSql.evAsof,
+    "ev_asof_by_key"     -> OracleSql.evAsofByKey,
     "ts_moving_avg"      -> OracleSql.tsMovingAvg,
     "text_langid"        -> OracleSql.textLangId,
     "text_quality"       -> OracleSql.textQuality,
     "text_tokens"        -> OracleSql.textTokens,
     "text_fingerprint"   -> OracleSql.textFingerprint,
+    "text_repetition"    -> OracleSql.textRepetition,
     "dedup_exact"        -> OracleSql.dedupExact,
     "dedup_prefix"       -> OracleSql.dedupPrefix,
     "dedup_minhash"      -> OracleSql.dedupMinhash,
+    "dedup_minhash_est"  -> OracleSql.dedupMinhashEst,
     "dedup_jaccard"      -> OracleSql.dedupJaccard,
     "dedup_simhash"      -> OracleSql.dedupSimhash,
     "sim_topk"           -> OracleSql.simTopK,

@@ -76,15 +76,20 @@ object Dedup {
     * would demote it to Sort + SortAggregate over every exploded
     * shingle row, which at scale is the difference between one hash
     * shuffle and a full sort of the shingle table. */
-  private def bandsFrom(sh: DataFrame): DataFrame = {
+  private def sigsFrom(sh: DataFrame): DataFrame = {
     val mh = (0 until 8).map(j =>
       min(conv(substring(md5(concat(lit(s"${j / 4}|"), col("sh"))), (j % 4) * 8 + 1, 8), 16, 10)
         .cast("long")).as(s"mh$j"))
-    val sigs = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+    sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+  }
+
+  private def bandsOf(sigs: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map(b =>
       md5(concat(col(s"mh${2 * b}").cast("string"), lit("_"), col(s"mh${2 * b + 1}").cast("string")))): _*)
     sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("b", "key")))
   }
+
+  private def bandsFrom(sh: DataFrame): DataFrame = bandsOf(sigsFrom(sh))
 
   /** Candidate pairs sharing at least one band bucket. The band table
     * is persisted AND materialized (count) before the self-join:
@@ -138,6 +143,35 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_int")).cast("double"), 6))
       .where(col("jac") >= 0.3)
       .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Signature-estimated Jaccard over LSH candidates: est = (# equal
+    * minhash components) / H, the standard unbiased MinHash estimator
+    * (sd ≈ sqrt(j(1−j)/H)). This is the 100 TB verification path:
+    * unlike exact `jaccard`, it never re-touches text or shingle sets
+    * after signature time — candidates and estimates both come from
+    * the H-integer signature table alone, so the whole pipeline past
+    * the one signature aggregation is O(candidates) over tiny rows.
+    * Output: doc_a, doc_b, est_jac. */
+  def minhashEstJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sigsFrom(shingleTable(spark, dir)).persist()
+    sigs.count() // materialize before the band derivation + two join sides fan out
+    val bands = bandsOf(sigs)
+    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
+    val cand = a.join(b, Seq("b", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val eq = (0 until 8).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"a_mh$j")): _*), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"b_mh$j")): _*), "doc_b")
+      .withColumn("est_jac", round(eq.cast("double") / 8.0, 6))
+      .select("doc_a", "doc_b", "est_jac")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -109,4 +109,33 @@ object Events {
       .select(col("date"), col("tvl"), col("qty_asof"))
       .orderBy("date")
   }
+
+  /** Multi-key as-of join — the scale form of `asofJoin`: one series
+    * per customer market segment, the carried-forward window running
+    * under `partitionBy(name)` so N series are N independent bounded
+    * partitions after a single shuffle. ONE grouped aggregate computes
+    * both the dense left series (daily revenue) and the sparse right
+    * series (order counts on every 3rd day-of-month) — identical
+    * subtrees, so the exchange is reused rather than recomputed.
+    * Oracle: DuckDB native ASOF LEFT JOIN with an extra equality key.
+    * Output: name, date, tvl, n_asof. */
+  def asofJoinByKey(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"),
+        count(lit(1)).as("n"))
+    val left = g.select(col("name"), col("date"), col("tvl"),
+      lit(null).cast("bigint").as("n"), lit(1).as("src"))
+    val right = g.where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("name"), col("date"), lit(null).cast("double").as("tvl"),
+        col("n"), lit(0).as("src"))
+    val w = Window.partitionBy("name").orderBy("date", "src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("n_asof", last(col("n"), ignoreNulls = true).over(w))
+      .where(col("src") === 1)
+      .select(col("name"), col("date"), col("tvl"), col("n_asof"))
+      .orderBy("name", "date")
+  }
 }

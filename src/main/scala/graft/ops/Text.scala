@@ -83,6 +83,29 @@ object Text {
           .cast("bigint").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Repetition / boilerplate detection — the "top token dominance"
+    * quality rule from published LLM-corpus filtering heuristics: the
+    * most frequent token's share of the document. explode + two-level
+    * aggregate: one shuffle on (doc_id, tok), per-doc windows bounded
+    * by vocabulary size — both plain hash shuffles at 100 TB.
+    * Output: doc_id, n_tokens, top_tok, top_n, rep_ratio. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("c").desc, col("tok"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tokens", sum(col("c")).over(wDoc))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"),
+        col("tok").as("top_tok"), col("c").as("top_n"),
+        round(col("c").cast("double") / col("n_tokens"), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+/** Operational adapter plumbing around the source seams — the
+  * reference's retry and cache behavior re-expressed with injectable
+  * effects so the engine stays deterministic and testable:
+  *
+  *  - `Retry.withBackoff` — bounded exponential backoff (reference
+  *    `aave_extract.py:84-116` `call_contract`: 13 tries, sleep
+  *    min(2^(n−1) + jitter, cap), raise after max retries);
+  *  - `TieredCache` — three-tier read-through cache (reference S15,
+  *    `aave_extract.py:240-300` `get_atoken_abi`: process memory →
+  *    object-store blob → origin fetch, writing back to the upper
+  *    tiers on miss).
+  *
+  * Neither touches Spark: they wrap the per-partition client calls a
+  * production `ChainSource` would make inside `mapPartitions`. Sleep
+  * and jitter are injected so tests run instantly and assert the
+  * exact backoff schedule.
+  */
+object Retry {
+
+  /** Run `op` up to `maxTries` times, sleeping
+    * min(2^(n−1)·1000 + jitterMs, capMs) after failed try n. Throws
+    * the last failure wrapped once `maxTries` is exhausted. `op`
+    * receives the (1-based) attempt number. */
+  def withBackoff[A](
+      maxTries: Int = 13,
+      capMs: Long = 64000L,
+      sleep: Long => Unit = Thread.sleep,
+      jitterMs: () => Long = () => scala.util.Random.nextLong(1000L))(op: Int => A): A = {
+    var n = 1
+    var last: Throwable = null
+    while (n <= maxTries) {
+      try return op(n)
+      catch {
+        case e: Throwable =>
+          last = e
+          if (n < maxTries) sleep(math.min((1L << (n - 1)) * 1000L + jitterMs(), capMs))
+      }
+      n += 1
+    }
+    throw new RuntimeException(s"max retry exceeded after $maxTries tries", last)
+  }
+}
+
+/** Read-through cache: in-process memory map, then a durable KV tier
+  * (a local directory here; an object bucket in production), then the
+  * origin `fetch`. Misses write back to every tier above, so a value
+  * is fetched from origin at most once per durable-tier lifetime and
+  * read from disk at most once per process — the reference's exact
+  * ABI-cache contract. */
+final class TieredCache(dir: Path, fetch: String => String) {
+  private val mem = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def get(key: String): String = mem.getOrElseUpdate(key, {
+    val f = dir.resolve(s"$key.json")
+    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8)
+    else {
+      val v = fetch(key)
+      Files.createDirectories(dir)
+      Files.write(f, v.getBytes(UTF_8))
+      v
+    }
+  })
+}

@@ -45,6 +45,47 @@ class OperatorsSpec extends SparkSpec {
     assert(nullsAfter === 0)
   }
 
+  test("multi-key asof: each segment carries its own latest observation") {
+    val df = Events.asofJoinByKey(spark, sf)
+    // within each segment, n_asof is non-null from that segment's first
+    // right-side date onward
+    val firstRight = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date")).count()
+      .where(dayofmonth(col("date")) % 3 === 0)
+      .groupBy("name").agg(min(col("date")).as("fr"))
+    val nullsAfter = df.join(firstRight, "name")
+      .where(col("date") >= col("fr") && col("n_asof").isNull).count()
+    assert(nullsAfter === 0)
+    // and segments are independent: at least 2 segments present
+    assert(df.select("name").distinct().count() >= 2)
+  }
+
+  test("estimated jaccard is 1.0 for exact duplicates and bounded in [0,1]") {
+    val est = Dedup.minhashEstJaccard(spark, sf)
+    assert(est.where(col("est_jac") < 0.0 || col("est_jac") > 1.0).count() === 0)
+    // exact-duplicate pairs (same md5(text)) share every minhash -> est 1.0
+    val hashes = Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("h"))
+    val dupPairs = hashes.alias("x").join(hashes.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val n = dupPairs.count()
+    if (n > 0) {
+      val joined = dupPairs.join(est, Seq("doc_a", "doc_b"))
+      assert(joined.count() === n)       // every exact dup is a candidate
+      assert(joined.where(col("est_jac") =!= 1.0).count() === 0)
+    }
+  }
+
+  test("repetition ratio agrees with whitespace token counts") {
+    val rep = Text.repetition(spark, sf)
+    val tok = Text.tokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
+    val joined = rep.join(tok, "doc_id")
+    assert(joined.where(col("n_tokens") =!= col("ws_tokens")).count() === 0)
+    assert(joined.where(col("top_n") > col("n_tokens")).count() === 0)
+    assert(joined.where(col("rep_ratio") <= 0.0 || col("rep_ratio") > 1.0).count() === 0)
+  }
+
   test("sessionize: session durations are bounded by gaps") {
     val s = Events.sessionize(spark, sf)
     assert(s.count() > 0)
