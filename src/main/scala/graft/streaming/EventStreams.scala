@@ -68,6 +68,22 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact` for a
+    * live ingest feed: re-deliveries of the same content key are
+    * dropped, and `dropDuplicatesWithinWatermark` lets the store evict
+    * a key's state once the watermark passes its event time + delay —
+    * the at-scale answer to otherwise-unbounded dedup state on an
+    * infinite stream (plain `dropDuplicates` state grows forever).
+    * The content key is an explicit md5 over the identifying columns,
+    * same convention as the batch dedup family. */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
+      .withColumn("h", md5(concat_ws("|",
+        col("user_id").cast("string"), col("event_type"), col("props"),
+        col("value").cast("string"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

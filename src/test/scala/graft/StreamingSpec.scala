@@ -65,6 +65,29 @@ class StreamingSpec extends SparkSpec {
     assert(n3 === n2)
   }
 
+  test("streaming dedup emits each content key once across redelivered files") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft_dedup_stream")
+    // the same file delivered twice — at-least-once redelivery
+    Files.createSymbolicLink(d.resolve("a.parquet"), Paths.get(s"$sf/events.parquet"))
+    Files.createSymbolicLink(d.resolve("b.parquet"), Paths.get(s"$sf/events.parquet"))
+    val events = EventStreams.readEvents(spark, d.toString)
+    val q = EventStreams.dedupExact(events)
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dd").select("h").distinct().count()
+      val emitted = spark.table("dd").count()
+      val expected = Tables.events(spark, sf)
+        .select(md5(concat_ws("|",
+          col("user_id").cast("string"), col("event_type"), col("props"),
+          col("value").cast("string"))).as("h"))
+        .distinct().count()
+      assert(streamed === expected)
+      assert(emitted === expected) // no key emitted twice despite redelivery
+    } finally q.stop()
+  }
+
   test("streaming sessionization assigns monotone session ids per user") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.sessionize(spark, events)
