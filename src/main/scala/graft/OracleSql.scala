@@ -174,6 +174,31 @@ object OracleSql {
       |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
       |FROM stats, m, v, pk, y""".stripMargin
 
+  /** Windowed-form oracle for the DISTRIBUTED parallel-prefix drawdown
+    * (`ops/Drawdown`): same series, sequential cumsum/cummax — the
+    * algebra must agree with the reference formulation exactly. */
+  val tsDrawdown: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |p AS (SELECT date, (tvl - LAG(tvl) OVER (ORDER BY date)) / LAG(tvl) OVER (ORDER BY date) AS pct FROM d),
+      |s AS (SELECT date, pct FROM p WHERE pct IS NOT NULL),
+      |w1 AS (SELECT date, SUM(pct) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s),
+      |w2 AS (
+      |  SELECT date, cum,
+      |         MAX(cum) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+      |  FROM w1
+      |),
+      |dd AS (SELECT date, cum, cummax, cum - cummax AS ddv FROM w2),
+      |m AS (SELECT MIN(ddv) AS min_dd FROM dd),
+      |v AS (SELECT MIN(date) AS valley_date, MIN(cummax) AS peak_cum FROM dd, m WHERE ddv = m.min_dd),
+      |pk AS (SELECT MIN(date) AS peak_date FROM dd, v WHERE date <= v.valley_date AND cum = v.peak_cum)
+      |SELECT ROUND(m.min_dd, 6) AS max_drawdown, pk.peak_date, v.valley_date,
+      |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
+      |FROM m, v, pk""".stripMargin
+
   // ---------------------------------------------------------- relational
 
   val relScanFilter: String =

@@ -63,6 +63,7 @@ object SparkEntry {
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
     "mm_decode"          -> (Multimodal.decodeSummary _),
+    "ts_drawdown"        -> (Drawdown.drawdownQuery _),
     "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
     "ts_gotk_by_segment" -> (TimeSeries.gotkBySegment _),
     "datamart_summary"   -> (graft.pipelines.Datamart.dimSummary _)
@@ -121,6 +122,7 @@ object SparkEntry {
     // bytes, which DuckDB reproduces from hex substrings.
     "mm_decode"          -> OracleSql.mmDecode,
     "mm_meta"            -> OracleSql.mmMeta,
+    "ts_drawdown"        -> OracleSql.tsDrawdown,
     "ts_benchmark"       -> OracleSql.tsBenchmark,
     "ts_gotk_by_segment" -> OracleSql.tsGotkBySegment,
     "datamart_summary"   -> OracleSql.datamartSummary

@@ -2,8 +2,9 @@ package graft.ops
 
 import java.sql.Date
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Distributed single-pass maximum drawdown.
   *
@@ -83,5 +84,29 @@ object Drawdown {
       .sortBy(_._1)
       .map(_._2)
     parts.reduceOption(merge).map(s => Result(s.minDd, s.peak, s.valley))
+  }
+
+  /** Driver-contract query: the DISTRIBUTED drawdown over the full
+    * daily-revenue pct history as a 1-row table — oracle-checked
+    * against DuckDB's windowed cumsum/cummax formulation, proving the
+    * parallel-prefix algebra agrees with the sequential reference on
+    * real data (DrawdownSpec covers generated series and partition
+    * counts). Output: max_drawdown, peak_date, valley_date, duration. */
+  def drawdownQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDate = Window.orderBy("date")
+    val series = TimeSeries.dailyOrderRevenue(spark, dir)
+      .withColumn("pct",
+        (col("tvl") - lag(col("tvl"), 1).over(wDate)) / lag(col("tvl"), 1).over(wDate))
+      .where(col("pct").isNotNull)
+      .select("date", "pct")
+    val r = maxDrawdown(series, partitions = 8)
+      .getOrElse(sys.error(s"empty series under $dir"))
+    Seq((r.maxDrawdown, r.peakDate, r.valleyDate))
+      .toDF("dd", "peak_date", "valley_date")
+      .select(
+        round(col("dd"), 6).as("max_drawdown"),
+        col("peak_date"), col("valley_date"),
+        datediff(col("valley_date"), col("peak_date")).cast("bigint").as("duration"))
   }
 }

@@ -251,6 +251,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("cos") >= 0.99)
   }
 
+  test("similarity plans stay free of cartesian/nested-loop joins") {
+    // regression guard for the round-1 scale-killer: candidates must
+    // come from LSH equi-joins, never an all-pairs non-equi join.
+    // (sim_topk is exempt: its brute-force pass IS the documented
+    // baseline, bounded to 10 broadcast query rows.)
+    Seq(
+      "sim_neardup" -> Similarity.cosineNearDup(spark, sf),
+      "sim_lsh" -> Similarity.lshTopK(spark, sf),
+      "sim_centroids" -> Similarity.labelCentroids(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a cartesian/nested-loop join:\n$plan")
+    }
+  }
+
+  test("distributed drawdown query matches the windowed risk drawdown") {
+    val q = graft.ops.Drawdown.drawdownQuery(spark, sf).collect().head
+    assert(q.getAs[Double]("max_drawdown") <= 0.0)
+    assert(!q.getAs[java.sql.Date]("peak_date").after(q.getAs[java.sql.Date]("valley_date")))
+    assert(q.getAs[Long]("duration") >= 0)
+  }
+
   test("multimodal decode: plumbing yields one decoded row per doc") {
     val docs = Tables.documents(spark, sf).count()
     val decoded = Multimodal.decode(spark, sf)
