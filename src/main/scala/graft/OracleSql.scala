@@ -683,6 +683,45 @@ object OracleSql {
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 
+  /** IVF probe: nearest centroid by 6-dp cosine (label tiebreak), then
+    * exact top-3 within the probed cell only. */
+  val simIvf: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         UNNEST(embedding)::DOUBLE AS x
+       |  FROM embeddings
+       |),
+       |c AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY label, pos),
+       |qd AS (
+       |  SELECT e.vec_id, c.label,
+       |         SUM(e.x * c.cx) AS dot, SUM(e.x * e.x) AS nv, SUM(c.cx * c.cx) AS nc
+       |  FROM e JOIN c ON e.pos = c.pos
+       |  WHERE e.vec_id < 10
+       |  GROUP BY e.vec_id, c.label
+       |),
+       |qa AS (SELECT vec_id, label, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS ccos FROM qd),
+       |probe AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+       |    FROM qa) t
+       |  WHERE rn = 1
+       |),
+       |pairs AS (
+       |  SELECT p.vec_id, p.cell, v.vec_id AS nbr_id,
+       |         ROUND(${cosSql("q.embedding", "v.embedding")}, 6) AS cos
+       |  FROM probe p
+       |  JOIN embeddings q ON q.vec_id = p.vec_id
+       |  JOIN embeddings v ON v.label = p.cell AND v.vec_id <> p.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, cell, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT vec_id, cell, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
   val tsGotkBySegment: String =
     """WITH daily AS (
       |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,

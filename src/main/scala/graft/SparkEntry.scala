@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash"      -> (Dedup.simhash _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
+    "sim_ivf"            -> (Similarity.ivfTopK _),
     "sim_neardup"        -> (Similarity.cosineNearDup _),
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "dedup_simhash"      -> OracleSql.dedupSimhash,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
+    "sim_ivf"            -> OracleSql.simIvf,
     "sim_neardup"        -> OracleSql.simNearDup,
     "sim_centroids"      -> OracleSql.simCentroids,
     // mm_decode IS oracle-checked despite running through

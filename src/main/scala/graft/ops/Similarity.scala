@@ -116,17 +116,22 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** (label, centroid: array<double>) — per-label mean vector, built
+    * by posexplode + two groupBys (never a collect). The array is
+    * reassembled in position order via sort-by-struct. */
+  private def centroidTable(spark: SparkSession, v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.cx)").as("centroid"))
+
   /** Per-label centroid + the vector closest to its centroid — the
     * k-means-assignment-shaped aggregation.
     * Output: label, n, medoid_id, medoid_cos. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val v = vecs(spark, dir).persist()
-    val centroids = v
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label"), expr("transform(pairs, p -> p.cx)").as("centroid"))
+    val centroids = centroidTable(spark, v)
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_id"))
     v.join(broadcast(centroids), "label")
       .withColumn("cos", round(
@@ -137,5 +142,43 @@ object Similarity {
       .join(v.groupBy("label").agg(count(lit(1)).as("n")), "label")
       .select("label", "n", "medoid_id", "medoid_cos")
       .orderBy("label")
+  }
+
+  /** IVF-style ANN — the second scale path alongside sign-LSH
+    * (`lshTopK`): cells are the label clusters with their mean vector
+    * as the coarse quantizer; each query (vec_id < 10) probes its
+    * nearest cell by centroid cosine and searches top-3 ONLY inside
+    * that cell. At 100 TB: centroids are a k-row broadcast, cell
+    * assignment is map-side, and the search join shuffles on the cell
+    * key — per-query work is O(cell size), never O(n). nprobe=1 here;
+    * a production variant probes the top-p cells the same way.
+    * Output: vec_id, cell, nbr_id, cos, rank. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val v = vecs(spark, dir).persist()
+    val centroids = broadcast(
+      centroidTable(spark, v)
+        .withColumn("cnorm", sqrt(VectorFunctions.dot(spark, col("centroid"), col("centroid")))))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("label"))
+    // bounded cross: 10 query rows × k centroids, centroids broadcast —
+    // the one intentional nested-loop in this module (k is tiny by design)
+    val probes = v.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("norm")) // drop own label: the cell comes from the probe
+      .crossJoin(centroids)
+      .withColumn("ccos", round(d(col("v"), col("centroid")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("rn", row_number().over(wCell))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("label").as("cell"))
+    val wRank = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    v.select(col("label").as("cell"), col("vec_id").as("nbr_id"),
+        col("v").as("w"), col("norm").as("nbr_norm"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("cell"), col("nbr_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
   }
 }

@@ -152,6 +152,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivf topk searches only the probed cell and never beats brute force") {
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // neighbors live in the probed cell
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    ivf.foreach(r =>
+      assert(labels(r.getAs[Long]("nbr_id")) === r.getAs[Any]("cell")))
+    // approximate: per query, ivf's best cos <= brute-force best cos
+    val bf = Similarity.bruteForceTopK(spark, sf).where(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    ivf.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(r.getAs[Double]("cos") <= bf(r.getAs[Long]("vec_id")) + 1e-9)
+    }
+  }
+
   test("language-ID picks the language with the most marker hits") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr => sexpr}
