@@ -84,6 +84,27 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
 
+  /** Stream-stream interval join — attribute each purchase to the
+    * same user's click within the preceding 30 minutes (the funnel /
+    * attribution shape). Both sides are watermarked, and the interval
+    * condition bounds the join state: a buffered click is evictable
+    * once the purchase-side watermark passes click ts + 30 min, so
+    * state is O(join-window traffic), not O(stream history) — the
+    * stream-stream answer to an ever-growing shuffle-join buffer. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"), col("value"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join reconciles with the batch interval join") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.clickPurchaseJoin(events)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr")
+      // batch twin: same interval condition over the static table
+      val ev = Tables.events(spark, sf)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"), col("value"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization assigns monotone session ids per user") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.sessionize(spark, events)
