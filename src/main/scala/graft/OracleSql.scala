@@ -540,14 +540,22 @@ object OracleSql {
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Sets are 56-bit md5 shingle hashes — the same function the Spark
+    * side intersects, so cardinalities agree by construction. */
   val dedupJaccard: String =
     s"""WITH $minhashCtes,
-       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+       |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
+       |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
+       |  FROM documents
+       |),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
        |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |  GROUP BY c.doc_a, c.doc_b
        |),
        |j AS (
