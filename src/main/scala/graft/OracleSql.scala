@@ -579,11 +579,12 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  val dedupSimhash: String = {
+  /** Shared CTEs: token md5s → 16 bit-sums → simhash signature. */
+  private val simhashCtes: String = {
     val sums = (1 to 16).map(k =>
       s"SUM(CASE WHEN substr(h, $k, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$k").mkString(",\n    ")
     val bits = (1 to 16).map(k => s"CASE WHEN s$k > 0 THEN '1' ELSE '0' END").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, md5(u.tok) AS h
        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
        |),
@@ -591,9 +592,38 @@ object OracleSql {
        |  SELECT doc_id,
        |    $sums
        |  FROM t GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, concat($bits) AS simhash FROM s)""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Hamming ≤ 2 pairing via pigeonhole bands (6/5/5 bit pieces) —
+    * exact: any pair within distance 2 agrees on at least one piece. */
+  val dedupSimhashPairs: String = {
+    val ham = (1 to 16).map(k =>
+      s"CASE WHEN substr(a.simhash, $k, 1) <> substr(b.simhash, $k, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $simhashCtes,
+       |bands AS (
+       |  SELECT doc_id, 0 AS b, substr(simhash, 1, 6) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, substr(simhash, 7, 5) FROM sig
+       |  UNION ALL SELECT doc_id, 2, substr(simhash, 12, 5) FROM sig
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |hm AS (
+       |  SELECT c.doc_a, c.doc_b, ($ham) AS hamming
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b
        |)
-       |SELECT doc_id, concat($bits) AS simhash
-       |FROM s ORDER BY doc_id""".stripMargin
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM hm WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------- similarity

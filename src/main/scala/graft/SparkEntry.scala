@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_minhash_est"  -> (Dedup.minhashEstJaccard _),
     "dedup_jaccard"      -> (Dedup.jaccard _),
     "dedup_simhash"      -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "dedup_minhash_est"  -> OracleSql.dedupMinhashEst,
     "dedup_jaccard"      -> OracleSql.dedupJaccard,
     "dedup_simhash"      -> OracleSql.dedupSimhash,
+    "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,

@@ -186,20 +186,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 16-bit signature from the md5 hex digits of each
-    * whitespace token (bit k set iff the weighted sum of hex-digit-k
-    * high bits is positive). Near-dup docs land on close signatures.
-    * Output: doc_id, simhash. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) without the final sort — shared by `simhash`
+    * and `simhashPairs`. */
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val ss = (1 to 16).map(k =>
       sum(when(substring(col("h"), k, 1).between("8", "f"), 1).otherwise(-1)).as(s"s$k"))
-    val bitSums = toks.groupBy("doc_id").agg(ss.head, ss.tail: _*)
-    bitSums
+    toks.groupBy("doc_id").agg(ss.head, ss.tail: _*)
       .select(col("doc_id"),
         concat((1 to 16).map(k => when(col(s"s$k") > 0, "1").otherwise("0")): _*).as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash: 16-bit signature from the md5 hex digits of each
+    * whitespace token (bit k set iff the weighted sum of hex-digit-k
+    * high bits is positive). Near-dup docs land on close signatures.
+    * Output: doc_id, simhash. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashTable(spark, dir).orderBy("doc_id")
+
+  /** SimHash near-dup pairing: ALL pairs at Hamming distance ≤ 2 —
+    * EXACT semantics from a banded equi-join, no cartesian and no
+    * false negatives: the 16 bits split into 3 pieces (6/5/5), and by
+    * pigeonhole any pair differing in ≤ 2 bits agrees exactly on at
+    * least one piece, so candidates = pairs sharing a (piece, value)
+    * bucket and the Hamming check runs on candidates only. The same
+    * construction carries to 64/128-bit simhashes at scale (k+1
+    * pieces for distance ≤ k). Output: doc_a, doc_b, hamming. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashTable(spark, dir).persist()
+    sig.count() // materialize before the band + two join sides fan out
+    val pieces = array(
+      substring(col("simhash"), 1, 6),
+      substring(col("simhash"), 7, 5),
+      substring(col("simhash"), 12, 5))
+    val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("key")), Seq("b", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ham = (1 to 16).map(k =>
+      when(substring(col("sig_a"), k, 1) =!= substring(col("sig_b"), k, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .withColumn("hamming", ham.cast("bigint"))
+      .where(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -134,6 +134,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash pairing finds EXACTLY the pairs at hamming <= 2") {
+    // pigeonhole completeness: banded candidates must reproduce the
+    // full all-pairs answer, verified by brute force on the test SF
+    val sig = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+  }
+
   test("simhash signatures are 16-bit strings") {
     val s = Dedup.simhash(spark, sf).collect()
     assert(s.nonEmpty)
