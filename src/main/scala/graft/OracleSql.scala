@@ -318,6 +318,18 @@ object OracleSql {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  val relPivot: String = {
+    def cell(s: String) =
+      s"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '$s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS \"$s\""
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |  ${cell("F")},
+       |  ${cell("O")},
+       |  ${cell("P")}
+       |FROM orders
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+  }
+
   // -------------------------------------------------------------- events
 
   val evHourly: String =
@@ -420,6 +432,23 @@ object OracleSql {
       |SELECT l.name, l.date, l.tvl, r.n AS n_asof
       |FROM l ASOF LEFT JOIN r ON l.name = r.name AND l.date >= r.date
       |ORDER BY l.name, l.date""".stripMargin
+
+  /** Derived non-aligned intervals, broadcast-dim range join. */
+  val evRangeJoin: String =
+    """WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+      |iv AS (
+      |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+      |                                     INTERVAL 11 DAY)) AS DATE) AS start
+      |  FROM b
+      |),
+      |iv2 AS (SELECT start, start + 3 AS iv_end FROM iv)
+      |SELECT iv2.start, COUNT(*) AS n,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN iv2 ON e.ts >= CAST(iv2.start AS TIMESTAMP)
+      |        AND e.ts <  CAST(iv2.iv_end AS TIMESTAMP)
+      |GROUP BY iv2.start
+      |ORDER BY iv2.start""".stripMargin
 
   // ---------------------------------------------------------------- text
 

@@ -38,6 +38,8 @@ object SparkEntry {
     "rel_rollup"         -> (Relational.rollupRevenue _),
     "rel_setops"         -> (Relational.setOps _),
     "rel_quantiles"      -> (Relational.quantiles _),
+    "rel_pivot"          -> (Relational.pivotRevenue _),
+    "ev_range_join"      -> (Relational.rangeJoin _),
     "ev_hourly"          -> (Events.hourlyRollup _),
     "ev_json"            -> (Events.jsonExtract _),
     "ev_sessionize"      -> (Events.sessionize _),
@@ -94,6 +96,8 @@ object SparkEntry {
     "rel_rollup"         -> OracleSql.relRollup,
     "rel_setops"         -> OracleSql.relSetOps,
     "rel_quantiles"      -> OracleSql.relQuantiles,
+    "rel_pivot"          -> OracleSql.relPivot,
+    "ev_range_join"      -> OracleSql.evRangeJoin,
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,
     "ev_sessionize"      -> OracleSql.evSessionize,

@@ -174,4 +174,39 @@ object Relational {
       .select(to_date(col("o_orderdate")).as("date"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("date").desc, col("o_orderkey").desc)
       .limit(1)
+
+  /** Pivot: yearly revenue with one column per order status. The value
+    * list is EXPLICIT (`pivot(col, values)`) so the pivot stays a
+    * single-pass aggregation with a static schema — the
+    * values-unspecified form runs an extra distinct scan at plan time
+    * and breaks schema stability, both wrong at 100 TB.
+    * Output: o_year, F, O, P (exact decimal sums as double). */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(coalesce(dsum(col("o_totalprice")), lit(0.0)))
+      .orderBy("o_year")
+
+  /** Range join: events against DERIVED, non-aligned "campaign"
+    * intervals (every 11th day of the span, lasting 3 days). The
+    * interval side is a broadcast dim, so the inequality join is a
+    * broadcast nested loop over O(#intervals) — the correct plan for
+    * interval dims; a fact-fact range join would instead bucket both
+    * sides to equi-join keys first. Output: start, n, total_value. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    val intervals = bounds.select(
+      explode(expr("sequence(lo, hi, interval 11 days)")).as("start"))
+      .withColumn("end", date_add(col("start"), 3))
+    ev.join(broadcast(intervals),
+        col("ts") >= col("start").cast("timestamp") &&
+          col("ts") < col("end").cast("timestamp"))
+      .groupBy(col("start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("start")
+  }
 }
