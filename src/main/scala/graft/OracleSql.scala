@@ -873,4 +873,19 @@ object OracleSql {
       |SELECT width, COUNT(*) AS n,
       |       ROUND(CAST(SUM(sum_bytes) AS DOUBLE) / (14.0 * COUNT(*)), 6) AS avg_mean_byte
       |FROM b GROUP BY width ORDER BY width""".stripMargin
+
+  /** Sampled frames 0 and 2 (4 bytes each) of the md5-derived payload:
+    * byte i (0-based) is hex pair (2i+1, 2i+2). */
+  val mmFrames: String = {
+    def frameSum(f: Int) =
+      (0 until 4).map(j => s"CAST('0x' || substr(h, ${2 * (4 * f + j) + 1}, 2) AS BIGINT)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |f AS (
+       |  SELECT doc_id, 0 AS frame_idx, ${frameSum(0)} AS frame_sum FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 2, ${frameSum(2)} FROM d
+       |)
+       |SELECT doc_id, frame_idx, CAST(frame_sum AS BIGINT) AS frame_sum
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  }
 }

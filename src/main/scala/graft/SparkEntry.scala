@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
     "mm_decode"          -> (Multimodal.decodeSummary _),
+    "mm_frames"          -> (Multimodal.frameSummary _),
     "ts_drawdown"        -> (Drawdown.drawdownQuery _),
     "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
     "ts_gotk_by_segment" -> (TimeSeries.gotkBySegment _),
@@ -129,6 +130,7 @@ object SparkEntry {
     // mapPartitions: the stub decode is a pure function of md5(text)
     // bytes, which DuckDB reproduces from hex substrings.
     "mm_decode"          -> OracleSql.mmDecode,
+    "mm_frames"          -> OracleSql.mmFrames,
     "mm_meta"            -> OracleSql.mmMeta,
     "ts_drawdown"        -> OracleSql.tsDrawdown,
     "ts_benchmark"       -> OracleSql.tsBenchmark,

@@ -74,6 +74,34 @@ object Multimodal {
           .as("avg_mean_byte"))
       .orderBy("width")
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_sum: Long)
+
+  /** Frame sampling — the video-shaped plumbing: the payload is
+    * treated as 4 fixed-size frames and every 2nd frame is decoded
+    * (stub: byte sum per frame). One input row fans out to K sampled
+    * frames via a typed flatMap — exactly where a real container
+    * parser (per-partition codec init, keyframe seek) would plug in;
+    * the fan-out shape, not the stub codec, is what carries to 100 TB
+    * (frame rows inherit the input partitioning, no shuffle).
+    * Output: doc_id, frame_idx, frame_sum. */
+  def sampleFrames(spark: SparkSession, dir: String): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .flatMap { r =>
+        (0 until 4 by 2).map { f =>
+          val frame = r.payload.slice(4 * f, 4 * f + 4)
+          Frame(r.doc_id, f, frame.map(x => (x & 0xff).toLong).sum)
+        }
+      }
+  }
+
+  /** Driver-contract frame-sample query (oracle: byte sums from
+    * md5(text) hex pairs, same derivation as `mmDecode`). */
+  def frameSummary(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, dir)
+      .orderBy("doc_id", "frame_idx")
+      .toDF()
+
   /** Metadata-only query — never touches payload bytes in the output
     * (oracle-checked): byte length + 2-hex-char format tag. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
