@@ -371,13 +371,14 @@ object OracleSql {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
-  /** Native-session_window semantics: each event spans [ts, ts+30min);
-    * sessions merge only while the next event starts STRICTLY before
-    * the current window end, so a gap of exactly 30 min starts a NEW
-    * session (`>=` below) — unlike `evSessionize`'s `>`. Bounds are
-    * rebuilt from epoch micros (`make_timestamp`) so DuckDB's
-    * nanosecond parquet timestamps compare equal to Spark's
-    * microsecond-truncated ones. */
+  /** Native-session_window semantics: each event spans [ts, ts+30min)
+    * and sessions MERGE when the next event starts at or before the
+    * current window end — verified empirically: two events exactly
+    * 30 min apart land in ONE session. So a new session starts only
+    * when the gap STRICTLY exceeds 30 min (`>` below), the same
+    * boundary as `evSessionize`. Bounds are rebuilt from epoch micros
+    * (`make_timestamp`) so DuckDB's nanosecond parquet timestamps
+    * compare equal to Spark's microsecond-truncated ones. */
   val evSessionWindow: String =
     """WITH x AS (
       |  SELECT user_id, ts, epoch_us(ts) AS us,
@@ -386,7 +387,7 @@ object OracleSql {
       |),
       |s AS (
       |  SELECT user_id, us,
-      |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+      |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY us
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM x
@@ -525,7 +526,7 @@ object OracleSql {
       |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp,
       |  CAST(len(list_distinct(list_transform(range(1, length(text) - 7 + 1),
       |    i -> substr(text, CAST(i AS INT), 8)))) AS BIGINT) AS n_shingles
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- dedup
 
@@ -549,7 +550,7 @@ object OracleSql {
     s"""sh AS (
        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, length(text) - 11 + 1),
        |    i -> substr(text, CAST(i AS INT), 12)))) AS sh
-       |  FROM documents
+       |  FROM documents WHERE length(text) >= 12
        |),
        |sigs AS (
        |  SELECT doc_id,
@@ -577,7 +578,7 @@ object OracleSql {
        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
        |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
        |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
-       |  FROM documents
+       |  FROM documents WHERE length(text) >= 12
        |),
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
        |inter AS (

@@ -58,6 +58,11 @@ object Dedup {
     * parallelism and Catalyst elides the extra shuffle. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // docs shorter than one shingle have no shingles. Without this
+      // guard Spark's sequence(1, length-11) runs DESCENDING for short
+      // text (start > stop defaults to step -1) and fabricates
+      // shingles the oracle's ascending range() never produces.
+      .where(length(col("text")) >= 12)
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))")).as("sh"))
@@ -91,6 +96,17 @@ object Dedup {
 
   private def bandsFrom(sh: DataFrame): DataFrame = bandsOf(sigsFrom(sh))
 
+  /** Distinct candidate pairs sharing at least one (band, key) bucket
+    * — THE candidate-generation idiom every near-dup operator here
+    * builds on (one definition; the oracle mirrors it verbatim). */
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
+    a.join(b, Seq("b", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Candidate pairs sharing at least one band bucket. The band table
     * is persisted AND materialized (count) before the self-join:
     * `persist()` alone is lazy, so the two join sides would otherwise
@@ -101,11 +117,7 @@ object Dedup {
   private def candidatesFrom(sh: DataFrame): DataFrame = {
     val bands = bandsFrom(sh).persist()
     bands.count()
-    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
-    a.join(b, Seq("b", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    pairsFromBands(bands)
   }
 
   /** MinHash + LSH band candidate generation. Output: doc_a, doc_b. */
@@ -133,6 +145,7 @@ object Dedup {
     * exact form is the audit pass. Output: doc_a, doc_b, jac. */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val docArrays = Tables.documents(spark, dir)
+      .where(length(col("text")) >= 12) // same short-doc guard as shingleTable
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
@@ -168,12 +181,7 @@ object Dedup {
   def minhashEstJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sigs = sigsFrom(shingleTable(spark, dir)).persist()
     sigs.count() // materialize before the band derivation + two join sides fan out
-    val bands = bandsOf(sigs)
-    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
-    val cand = a.join(b, Seq("b", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = pairsFromBands(bandsOf(sigs))
     val eq = (0 until 8).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
     cand
@@ -222,10 +230,7 @@ object Dedup {
       substring(col("simhash"), 7, 5),
       substring(col("simhash"), 12, 5))
     val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("key")), Seq("b", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = pairsFromBands(bands)
     val ham = (1 to 16).map(k =>
       when(substring(col("sig_a"), k, 1) =!= substring(col("sig_b"), k, 1), 1).otherwise(0))
       .reduce(_ + _)

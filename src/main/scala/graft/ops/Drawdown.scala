@@ -40,9 +40,16 @@ object Drawdown {
     val shiftedMaxPre = Pt(l.sum + r.maxPre.value, r.maxPre.date)
     val shiftedMinCum = Pt(l.sum + r.minCum.value, r.minCum.date)
     val cross = shiftedMinCum.value - l.maxPre.value
-    var (minDd, peak, valley) = (l.minDd, l.peak, l.valley)
-    if (r.minDd < minDd) { minDd = r.minDd; peak = r.peak; valley = r.valley }
-    if (cross < minDd) { minDd = cross; peak = l.maxPre.date; valley = shiftedMinCum.date }
+    // All min-drawdown candidates; exact ties break toward the
+    // EARLIEST valley date — the oracle's MIN(date) argmin rule, and
+    // what a sequential scan produces (first occurrence wins). A plain
+    // `<` chain would keep a later-valley within-R candidate over an
+    // equal cross-boundary one.
+    val cands = Seq(
+      (l.minDd, l.peak, l.valley),
+      (r.minDd, r.peak, r.valley),
+      (cross, l.maxPre.date, shiftedMinCum.date))
+    val (minDd, peak, valley) = cands.minBy { case (dd, _, v) => (dd, v.getTime) }
     Seg(l.sum + r.sum,
       better(l.maxPre, shiftedMaxPre, takeMax = true),
       better(l.minCum, shiftedMinCum, takeMax = false),

@@ -60,13 +60,13 @@ object Events {
   }
 
   /** Built-in session windows (`session_window`, gap-merged event-time
-    * sessions) via the native operator. Boundary semantics differ from
-    * `sessionize` at EXACTLY the gap: each event spans [ts, ts+30min)
-    * and sessions merge only while the next event starts strictly
-    * inside the current window, so a gap of exactly 30 min starts a
-    * new session here (`>=`) where `sessionize` keeps it (`>`).
-    * Oracle-checked: DuckDB rebuilds the same bounds from the gap
-    * logic (`OracleSql.evSessionWindow`), pinning that boundary.
+    * sessions) via the native operator. Boundary semantics MATCH
+    * `sessionize` at exactly the gap: sessions merge when the next
+    * event starts at or before the current window end, so only a gap
+    * STRICTLY over 30 min starts a new session (pinned by a unit test
+    * with two events exactly 30 min apart). Oracle-checked: DuckDB
+    * rebuilds the same bounds from the `>` gap logic
+    * (`OracleSql.evSessionWindow`).
     * Output: user_id, session_start, session_end, n_events. */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

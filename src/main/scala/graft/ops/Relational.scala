@@ -185,7 +185,11 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(coalesce(dsum(col("o_totalprice")), lit(0.0)))
+      .agg(dsum(col("o_totalprice")))
+      // empty cells must fill AFTER the pivot: a coalesce inside the
+      // agg never sees absent (year, status) combos (PivotFirst emits
+      // NULL for them), which would diverge from the oracle's 0.0
+      .select(col("o_year") +: Seq("F", "O", "P").map(s => coalesce(col(s), lit(0.0)).as(s)): _*)
       .orderBy("o_year")
 
   /** Range join: events against DERIVED, non-aligned "campaign"

@@ -49,6 +49,7 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
+    base.count() // materialize before both join sides fan out
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id"), col("v"), col("norm"))
     val c = base
@@ -69,6 +70,7 @@ object Similarity {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val sig = (0 until 8).map(i => when(element_at(col("v"), i + 1) >= 0, "1").otherwise("0"))
     val bucketed = vecs(spark, dir).withColumn("bucket", concat(sig: _*)).persist()
+    bucketed.count() // materialize before both join sides fan out
     val a = bucketed.select(col("vec_id"), col("bucket"), col("v"), col("norm"))
     val b = bucketed.select(col("vec_id").as("nbr_id"), col("bucket"),
       col("v").as("w"), col("norm").as("nbr_norm"))
@@ -90,8 +92,11 @@ object Similarity {
     * cartesian; the DuckDB oracle uses the identical construction so
     * the LSH-approximate semantics match bit-for-bit at any SF.
     * Output: doc_a, doc_b, cos. */
-  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupFrom(spark, vecs(spark, dir).persist())
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before the band + three join sides fan out
+    cosineNearDupFrom(spark, v)
+  }
 
   /** Core over an explicit (vec_id, v, norm) table — split out so
     * tests can drive constructed near-duplicate vectors (the sf
@@ -131,6 +136,7 @@ object Similarity {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val v = vecs(spark, dir).persist()
+    v.count() // materialize before the centroid + join + count consumers fan out
     val centroids = centroidTable(spark, v)
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_id"))
     v.join(broadcast(centroids), "label")
@@ -156,6 +162,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val v = vecs(spark, dir).persist()
+    v.count() // materialize before the centroid/probe/search consumers fan out
     val centroids = broadcast(
       centroidTable(spark, v)
         .withColumn("cnorm", sqrt(VectorFunctions.dot(spark, col("centroid"), col("centroid")))))

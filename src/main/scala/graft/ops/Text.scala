@@ -112,6 +112,10 @@ object Text {
     * Output: doc_id, fp, n_shingles. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // short-doc guard: Spark's sequence(1, length-7) runs DESCENDING
+      // when start > stop, fabricating shingles the oracle's ascending
+      // range() never produces
+      .where(length(col("text")) >= 8)
       .select(
         col("doc_id"),
         expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))").as("fp"),

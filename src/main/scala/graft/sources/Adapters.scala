@@ -34,9 +34,11 @@ object Retry {
     var n = 1
     var last: Throwable = null
     while (n <= maxTries) {
+      // NonFatal only: an interrupted Spark task or an OOM must
+      // propagate immediately, not spin through 13 capped sleeps
       try return op(n)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e
           if (n < maxTries) sleep(math.min((1L << (n - 1)) * 1000L + jitterMs(), capMs))
       }
@@ -54,15 +56,29 @@ object Retry {
   * ABI-cache contract. */
 final class TieredCache(dir: Path, fetch: String => String) {
   private val mem = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def get(key: String): String = mem.getOrElseUpdate(key, {
-    val f = dir.resolve(s"$key.json")
-    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8)
-    else {
-      val v = fetch(key)
-      Files.createDirectories(dir)
-      Files.write(f, v.getBytes(UTF_8))
-      v
+  /** Per-key lock around the miss path (TrieMap.getOrElseUpdate does
+    * not guarantee a single evaluation under contention — losing
+    * computations would each hit origin), and write-to-temp +
+    * ATOMIC_MOVE so a concurrent reader in another process never sees
+    * a half-written file. */
+  def get(key: String): String = mem.get(key).getOrElse {
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      mem.getOrElseUpdate(key, {
+        val f = dir.resolve(s"$key.json")
+        if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8)
+        else {
+          val v = fetch(key)
+          Files.createDirectories(dir)
+          val tmp = Files.createTempFile(dir, s".$key", ".tmp")
+          Files.write(tmp, v.getBytes(UTF_8))
+          try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+          v
+        }
+      })
     }
-  })
+  }
 }

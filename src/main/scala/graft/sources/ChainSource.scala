@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * and the date→block calendar. The engine only ever sees a DataFrame
   * of daily on-chain observations; production impls wrap RPC
   * endpoints behind `mapPartitions` (bounded-concurrency batch calls
-  * per partition), tests inject deterministic fixtures.
+  * per partition), tests inject deterministic fixtures. The
+  * per-partition client calls compose with `Retry.withBackoff` and
+  * `TieredCache` (`sources/Adapters.scala`) for the reference's
+  * backoff and ABI-cache behavior (S14/S15).
   *
   * Schema: date, block, liquidity_rate (RAY-scaled), liquidity_index,
   * emission_per_second (wei), atoken_supply, plus whatever a strategy

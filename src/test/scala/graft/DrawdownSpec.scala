@@ -46,6 +46,19 @@ class DrawdownSpec extends SparkSpec {
     assert(r.peakDate.toString === wp && r.valleyDate.toString === wvy)
   }
 
+  test("exact min-drawdown tie picks the earliest valley at every split") {
+    // dd hits -1.0 at BOTH date2 and date5; the argmin rule (oracle
+    // MIN(date)) demands valley=date2 regardless of partitioning
+    val df = series(Seq(1.0, -1.0, 1.0, 0.0, -1.0))
+    val (wv, wp, wvy) = windowedDd(df)
+    for (p <- 1 to 5) {
+      val r = Drawdown.maxDrawdown(df, partitions = p).get
+      assert(math.abs(r.maxDrawdown - wv) < 1e-12, s"p=$p")
+      assert(r.valleyDate.toString === wvy, s"p=$p valley=${r.valleyDate}")
+      assert(r.peakDate.toString === wp, s"p=$p peak=${r.peakDate}")
+    }
+  }
+
   test("generated series agree with the windowed form across partition counts") {
     val g = Gen.nonEmptyListOf(Gen.choose(-0.3, 0.3)).map(_.take(40))
     val cases = (1 to 6).flatMap(i => g.apply(Gen.Parameters.default, Seed(100L + i)))

@@ -92,6 +92,22 @@ class OperatorsSpec extends SparkSpec {
     assert(s.where(col("duration_us") < 0).count() === 0)
   }
 
+  test("session_window merges at EXACTLY the 30-min gap (boundary pinned)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    val t0 = 1700000000000000000L // ns
+    Seq(
+      (1L, t0, "click", "{}", 1.0),
+      (1L, t0 + 1800L * 1000000000L, "click", "{}", 1.0) // exactly 30 min later
+    ).toDF("user_id", "ts", "event_type", "props", "value")
+      .write.parquet(s"$d/events.parquet")
+    val sw = Events.sessionWindows(spark, d).collect()
+    assert(sw.length === 1 && sw.head.getAs[Long]("n_events") === 2,
+      s"native session_window should MERGE at exactly the gap, got ${sw.toSeq}")
+    val sz = Events.sessionize(spark, d).collect()
+    assert(sz.length === 1 && sz.head.getAs[Long]("n_events") === 2)
+  }
+
   test("session_window reconciles with the explicit gap sessionizer") {
     val builtin = Events.sessionWindows(spark, sf)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
