@@ -630,17 +630,33 @@ object OracleSql {
     s"""WITH $simhashCtes
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
-  /** Hamming ≤ 2 pairing via pigeonhole bands (6/5/5 bit pieces) —
-    * exact: any pair within distance 2 agrees on at least one piece. */
+  /** Hamming ≤ 2 pairing over the WIDE (64-bit) simhash via pigeonhole
+    * bands (22/21/21-bit pieces) — exact: any pair within distance 2
+    * agrees on at least one piece; wide pieces keep buckets sparse. */
   val dedupSimhashPairs: String = {
-    val ham = (1 to 16).map(k =>
-      s"CASE WHEN substr(a.simhash, $k, 1) <> substr(b.simhash, $k, 1) THEN 1 ELSE 0 END")
+    val sums = (0 until 64).map { b =>
+      val h = if (b < 32) "h0" else "h1"
+      val k = b % 32 + 1
+      s"SUM(CASE WHEN substr($h, $k, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val bits = (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(", ")
+    val ham = (1 to 64).map(k =>
+      s"CASE WHEN substr(a.sig64, $k, 1) <> substr(b.sig64, $k, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $simhashCtes,
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('0|' || u.tok) AS h0, md5('1|' || u.tok) AS h1
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM t GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, concat($bits) AS sig64 FROM s),
        |bands AS (
-       |  SELECT doc_id, 0 AS b, substr(simhash, 1, 6) AS key FROM sig
-       |  UNION ALL SELECT doc_id, 1, substr(simhash, 7, 5) FROM sig
-       |  UNION ALL SELECT doc_id, 2, substr(simhash, 12, 5) FROM sig
+       |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig
+       |  UNION ALL SELECT doc_id, 2, substr(sig64, 44, 21) FROM sig
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -214,29 +214,51 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashTable(spark, dir).orderBy("doc_id")
 
+  /** 64-bit simhash (doc_id, sig64: 64-char '0'/'1' string) from TWO
+    * salted md5 digests per token (32 hex-digit high bits each) —
+    * wide enough that banded buckets stay sparse at corpus scale
+    * (see `simhashPairs`). Shared with the brute-force test. */
+  private[graft] def simhash64Table(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
+      .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
+    val ss = (0 until 64).map { b =>
+      val (hc, k) = (if (b < 32) col("h0") else col("h1"), b % 32 + 1)
+      sum(when(substring(hc, k, 1).between("8", "f"), 1).otherwise(-1)).as(s"s$b")
+    }
+    toks.groupBy("doc_id").agg(ss.head, ss.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(b => when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("sig64"))
+  }
+
   /** SimHash near-dup pairing: ALL pairs at Hamming distance ≤ 2 —
     * EXACT semantics from a banded equi-join, no cartesian and no
-    * false negatives: the 16 bits split into 3 pieces (6/5/5), and by
-    * pigeonhole any pair differing in ≤ 2 bits agrees exactly on at
-    * least one piece, so candidates = pairs sharing a (piece, value)
-    * bucket and the Hamming check runs on candidates only. The same
-    * construction carries to 64/128-bit simhashes at scale (k+1
-    * pieces for distance ≤ k). Output: doc_a, doc_b, hamming. */
+    * false negatives: the 64 bits split into 3 pieces (22/21/21), and
+    * by pigeonhole any pair differing in ≤ 2 bits agrees exactly on
+    * at least one piece, so candidates = pairs sharing a (piece,
+    * value) bucket and the Hamming check runs on candidates only.
+    * Piece width is the scale lever: candidate count grows
+    * ~n²/2^bits-per-piece, so 21-bit pieces (2M buckets) keep
+    * non-near-dup buckets at singletons where the 16-bit signature's
+    * 5-bit pieces (32 buckets) would go quadratic — generally, k+1
+    * pieces of a signature sized to the corpus for distance ≤ k.
+    * Output: doc_a, doc_b, hamming. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashTable(spark, dir).persist()
+    val sig = simhash64Table(spark, dir).persist()
     sig.count() // materialize before the band + two join sides fan out
     val pieces = array(
-      substring(col("simhash"), 1, 6),
-      substring(col("simhash"), 7, 5),
-      substring(col("simhash"), 12, 5))
+      substring(col("sig64"), 1, 22),
+      substring(col("sig64"), 23, 21),
+      substring(col("sig64"), 44, 21))
     val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
     val cand = pairsFromBands(bands)
-    val ham = (1 to 16).map(k =>
+    val ham = (1 to 64).map(k =>
       when(substring(col("sig_a"), k, 1) =!= substring(col("sig_b"), k, 1), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig64").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig64").as("sig_b")), "doc_b")
       .withColumn("hamming", ham.cast("bigint"))
       .where(col("hamming") <= 2)
       .select("doc_a", "doc_b", "hamming")

@@ -153,7 +153,7 @@ class OperatorsSpec extends SparkSpec {
   test("simhash pairing finds EXACTLY the pairs at hamming <= 2") {
     // pigeonhole completeness: banded candidates must reproduce the
     // full all-pairs answer, verified by brute force on the test SF
-    val sig = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getString(1))
+    val sig = Dedup.simhash64Table(spark, sf).collect().map(r => r.getLong(0) -> r.getString(1))
     val brute = (for {
       (a, sa) <- sig; (b, sb) <- sig if a < b
       h = sa.zip(sb).count { case (x, y) => x != y } if h <= 2
