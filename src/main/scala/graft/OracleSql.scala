@@ -330,6 +330,24 @@ object OracleSql {
        |ORDER BY o_year""".stripMargin
   }
 
+  /** Unpivot of the zero-filled pivot: every (year, status) cell as a
+    * row — dense year×status frame left-joined onto the aggregate. */
+  val relUnpivot: String =
+    """WITH y AS (
+      |  SELECT DISTINCT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year FROM orders
+      |),
+      |st AS (SELECT UNNEST(['F', 'O', 'P']) AS status),
+      |a AS (
+      |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |         o_orderstatus AS status,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT y.o_year, st.status, COALESCE(a.revenue, 0.0) AS revenue
+      |FROM y CROSS JOIN st
+      |LEFT JOIN a ON a.o_year = y.o_year AND a.status = st.status
+      |ORDER BY y.o_year, st.status""".stripMargin
+
   // -------------------------------------------------------------- events
 
   val evHourly: String =
@@ -519,6 +537,14 @@ object OracleSql {
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok AS top_tok, c AS top_n,
       |       ROUND(CAST(c AS DOUBLE) / n_tokens, 6) AS rep_ratio
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val textSplit: String =
+    """SELECT doc_id,
+      |       CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 100 AS bucket,
+      |       CASE WHEN CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 100 < 90 THEN 'train'
+      |            WHEN CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val textFingerprint: String =
     """SELECT doc_id,

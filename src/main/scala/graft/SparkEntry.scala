@@ -39,6 +39,8 @@ object SparkEntry {
     "rel_setops"         -> (Relational.setOps _),
     "rel_quantiles"      -> (Relational.quantiles _),
     "rel_pivot"          -> (Relational.pivotRevenue _),
+    "rel_unpivot"        -> (Relational.unpivotRevenue _),
+    "text_split"         -> (Text.trainValTestSplit _),
     "ev_range_join"      -> (Relational.rangeJoin _),
     "ev_hourly"          -> (Events.hourlyRollup _),
     "ev_json"            -> (Events.jsonExtract _),
@@ -98,6 +100,8 @@ object SparkEntry {
     "rel_setops"         -> OracleSql.relSetOps,
     "rel_quantiles"      -> OracleSql.relQuantiles,
     "rel_pivot"          -> OracleSql.relPivot,
+    "rel_unpivot"        -> OracleSql.relUnpivot,
+    "text_split"         -> OracleSql.textSplit,
     "ev_range_join"      -> OracleSql.evRangeJoin,
     "ev_hourly"          -> OracleSql.evHourly,
     "ev_json"            -> OracleSql.evJson,

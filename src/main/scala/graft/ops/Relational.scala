@@ -192,6 +192,15 @@ object Relational {
       .select(col("o_year") +: Seq("F", "O", "P").map(s => coalesce(col(s), lit(0.0)).as(s)): _*)
       .orderBy("o_year")
 
+  /** Unpivot (melt) — the inverse of `pivotRevenue`: the wide
+    * per-status columns fold back into (o_year, status, revenue) rows,
+    * zero-filled cells included. `Dataset.unpivot` is a map-side
+    * row-expansion, no shuffle. Output: o_year, status, revenue. */
+  def unpivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    pivotRevenue(spark, dir)
+      .unpivot(Array(col("o_year")), Array(col("F"), col("O"), col("P")), "status", "revenue")
+      .orderBy("o_year", "status")
+
   /** Range join: events against DERIVED, non-aligned "campaign"
     * intervals (every 11th day of the span, lasting 3 days). The
     * interval side is a broadcast dim, so the inequality join is a

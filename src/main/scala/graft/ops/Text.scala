@@ -106,6 +106,19 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Reproducible train/val/test split assignment by CONTENT hash —
+    * the corpus-curation split: stable across re-runs, partition
+    * layouts, and engines, unlike rand()-based sampling (hash-based
+    * systematic sampling; 90/5/5). Map-only, no shuffle.
+    * Output: doc_id, bucket, split. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

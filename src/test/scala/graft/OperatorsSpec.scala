@@ -77,6 +77,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("train/val/test split is deterministic and ~90/5/5") {
+    val s = Text.trainValTestSplit(spark, sf)
+    val n = s.count().toDouble
+    val frac = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.08, frac.toString)
+    assert(s.where(col("bucket") < 0 || col("bucket") >= 100).count() === 0)
+    // content-hash based: a second run is bit-identical (no rand())
+    assert(s.exceptAll(Text.trainValTestSplit(spark, sf)).count() === 0)
+  }
+
+  test("unpivot folds the pivot back to one row per (year, status) cell") {
+    val wide = Relational.pivotRevenue(spark, sf)
+    val long = Relational.unpivotRevenue(spark, sf)
+    assert(long.count() === wide.count() * 3)
+    val wideTotal = wide.select((col("F") + col("O") + col("P")).as("t"))
+      .agg(sum(col("t"))).first().getDouble(0)
+    val longTotal = long.agg(sum(col("revenue"))).first().getDouble(0)
+    assert(math.abs(wideTotal - longTotal) < 1e-6)
+  }
+
   test("repetition ratio agrees with whitespace token counts") {
     val rep = Text.repetition(spark, sf)
     val tok = Text.tokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
