@@ -635,41 +635,18 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Shared CTEs: token md5s → 16 bit-sums → simhash signature. */
-  private val simhashCtes: String = {
-    val sums = (1 to 16).map(k =>
-      s"SUM(CASE WHEN substr(h, $k, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$k").mkString(",\n    ")
-    val bits = (1 to 16).map(k => s"CASE WHEN s$k > 0 THEN '1' ELSE '0' END").mkString(", ")
-    s"""t AS (
-       |  SELECT doc_id, md5(u.tok) AS h
-       |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
-       |),
-       |s AS (
-       |  SELECT doc_id,
-       |    $sums
-       |  FROM t GROUP BY doc_id
-       |),
-       |sig AS (SELECT doc_id, concat($bits) AS simhash FROM s)""".stripMargin
-  }
-
-  val dedupSimhash: String =
-    s"""WITH $simhashCtes
-       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
-
-  /** Hamming ≤ 2 pairing over the WIDE (64-bit) simhash via pigeonhole
-    * bands (22/21/21-bit pieces) — exact: any pair within distance 2
-    * agrees on at least one piece; wide pieces keep buckets sparse. */
-  val dedupSimhashPairs: String = {
+  /** Shared CTEs: two salted token md5s → 64 bit-sums → the 64-bit
+    * simhash — the ONE signature construction, mirrored by
+    * `Dedup.simhash64Table`, published by `dedupSimhash` and bucketed
+    * by `dedupSimhashPairs`. */
+  private val simhash64Ctes: String = {
     val sums = (0 until 64).map { b =>
       val h = if (b < 32) "h0" else "h1"
       val k = b % 32 + 1
       s"SUM(CASE WHEN substr($h, $k, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$b"
     }.mkString(",\n    ")
     val bits = (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(", ")
-    val ham = (1 to 64).map(k =>
-      s"CASE WHEN substr(a.sig64, $k, 1) <> substr(b.sig64, $k, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, md5('0|' || u.tok) AS h0, md5('1|' || u.tok) AS h1
        |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
        |),
@@ -678,7 +655,21 @@ object OracleSql {
        |    $sums
        |  FROM t GROUP BY doc_id
        |),
-       |sig AS (SELECT doc_id, concat($bits) AS sig64 FROM s),
+       |sig AS (SELECT doc_id, concat($bits) AS sig64 FROM s)""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH $simhash64Ctes
+       |SELECT doc_id, sig64 AS simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Hamming ≤ 2 pairing over the 64-bit simhash via pigeonhole
+    * bands (22/21/21-bit pieces) — exact: any pair within distance 2
+    * agrees on at least one piece; wide pieces keep buckets sparse. */
+  val dedupSimhashPairs: String = {
+    val ham = (1 to 64).map(k =>
+      s"CASE WHEN substr(a.sig64, $k, 1) <> substr(b.sig64, $k, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $simhash64Ctes,
        |bands AS (
        |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
        |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig

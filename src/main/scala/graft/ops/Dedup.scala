@@ -194,25 +194,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** (doc_id, simhash) without the final sort — shared by `simhash`
-    * and `simhashPairs`. */
-  private def simhashTable(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val ss = (1 to 16).map(k =>
-      sum(when(substring(col("h"), k, 1).between("8", "f"), 1).otherwise(-1)).as(s"s$k"))
-    toks.groupBy("doc_id").agg(ss.head, ss.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 16).map(k => when(col(s"s$k") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
-
-  /** SimHash: 16-bit signature from the md5 hex digits of each
-    * whitespace token (bit k set iff the weighted sum of hex-digit-k
-    * high bits is positive). Near-dup docs land on close signatures.
-    * Output: doc_id, simhash. */
+  /** SimHash: the published signature IS the same 64-bit one the
+    * pairing query buckets on (ONE construction — a 16-bit variant
+    * existed through round 2 but publishing a different signature than
+    * the pairs are computed over made the two outputs mutually
+    * inconsistent). Bit b is set iff the weighted sum of the b-th md5
+    * high bit over the doc's whitespace tokens is positive.
+    * Output: doc_id, simhash (64-char '0'/'1' string). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashTable(spark, dir).orderBy("doc_id")
+    simhash64Table(spark, dir)
+      .select(col("doc_id"), col("sig64").as("simhash"))
+      .orderBy("doc_id")
 
   /** 64-bit simhash (doc_id, sig64: 64-char '0'/'1' string) from TWO
     * salted md5 digests per token (32 hex-digit high bits each) —

@@ -181,7 +181,9 @@ object Relational {
     * values-unspecified form runs an extra distinct scan at plan time
     * and breaks schema stability, both wrong at 100 TB.
     * Output: o_year, F, O, P (exact decimal sums as double). */
-  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+  /** Unsorted wide pivot shared by `pivotRevenue` and
+    * `unpivotRevenue` (each adds only its own final sort). */
+  private def pivotWide(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -190,14 +192,17 @@ object Relational {
       // agg never sees absent (year, status) combos (PivotFirst emits
       // NULL for them), which would diverge from the oracle's 0.0
       .select(col("o_year") +: Seq("F", "O", "P").map(s => coalesce(col(s), lit(0.0)).as(s)): _*)
-      .orderBy("o_year")
+
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    pivotWide(spark, dir).orderBy("o_year")
 
   /** Unpivot (melt) — the inverse of `pivotRevenue`: the wide
     * per-status columns fold back into (o_year, status, revenue) rows,
-    * zero-filled cells included. `Dataset.unpivot` is a map-side
-    * row-expansion, no shuffle. Output: o_year, status, revenue. */
+    * zero-filled cells included. `Dataset.unpivot` itself is a
+    * map-side row-expansion — the only sort is the final output one.
+    * Output: o_year, status, revenue. */
   def unpivotRevenue(spark: SparkSession, dir: String): DataFrame =
-    pivotRevenue(spark, dir)
+    pivotWide(spark, dir)
       .unpivot(Array(col("o_year")), Array(col("F"), col("O"), col("P")), "status", "revenue")
       .orderBy("o_year", "status")
 

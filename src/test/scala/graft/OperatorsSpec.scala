@@ -184,10 +184,10 @@ class OperatorsSpec extends SparkSpec {
     assert(got === brute)
   }
 
-  test("simhash signatures are 16-bit strings") {
+  test("simhash signatures are 64-bit strings") {
     val s = Dedup.simhash(spark, sf).collect()
     assert(s.nonEmpty)
-    s.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{16}")))
+    s.foreach(r => assert(r.getAs[String]("simhash").matches("[01]{64}")))
   }
 
   test("brute-force topk: rank 1 neighbor has the highest cosine") {
