@@ -309,6 +309,27 @@ object OracleSql {
       |UNION ALL SELECT cohort, o_custkey FROM churned
       |ORDER BY cohort, o_custkey""".stripMargin
 
+  val relNtile: String =
+    """WITH r AS (
+      |  SELECT c_custkey,
+      |         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey
+      |)
+      |SELECT c_custkey, revenue,
+      |       CAST(NTILE(4) OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS quartile
+      |FROM r ORDER BY c_custkey""".stripMargin
+
+  val relCube: String =
+    """SELECT o_orderstatus,
+      |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_year) AS BIGINT) AS g
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_year)
+      |ORDER BY g, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin
+
   val relQuantiles: String =
     """SELECT o_orderstatus,
       |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,

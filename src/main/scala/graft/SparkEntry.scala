@@ -36,6 +36,8 @@ object SparkEntry {
     "rel_minmax_by"      -> (Relational.minMaxBy _),
     "rel_top_latest"     -> (Relational.topLatest _),
     "rel_rollup"         -> (Relational.rollupRevenue _),
+    "rel_cube"           -> (Relational.cubeRevenue _),
+    "rel_ntile"          -> (Relational.ntileRevenue _),
     "rel_setops"         -> (Relational.setOps _),
     "rel_quantiles"      -> (Relational.quantiles _),
     "rel_pivot"          -> (Relational.pivotRevenue _),
@@ -97,6 +99,8 @@ object SparkEntry {
     "rel_minmax_by"      -> OracleSql.relMinMaxBy,
     "rel_top_latest"     -> OracleSql.relTopLatest,
     "rel_rollup"         -> OracleSql.relRollup,
+    "rel_cube"           -> OracleSql.relCube,
+    "rel_ntile"          -> OracleSql.relNtile,
     "rel_setops"         -> OracleSql.relSetOps,
     "rel_quantiles"      -> OracleSql.relQuantiles,
     "rel_pivot"          -> OracleSql.relPivot,

@@ -181,6 +181,36 @@ object Relational {
     * values-unspecified form runs an extra distinct scan at plan time
     * and breaks schema stability, both wrong at 100 TB.
     * Output: o_year, F, O, P (exact decimal sums as double). */
+  /** NTILE quartile assignment of customers by lifetime revenue.
+    * Deterministic: ordered on (revenue DESC, custkey) so both engines
+    * fill buckets identically. Scale note: a global ntile is a total
+    * sort — at 100 TB the same bucketing comes from approx percentile
+    * cutpoints + a map-side CASE, trading exact bucket sizes for no
+    * global sort. Output: c_custkey, revenue, quartile. */
+  def ntileRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(coalesce(dsum(col("o_totalprice")), lit(0.0)).as("revenue"))
+    rev
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("revenue").desc, col("c_custkey"))).cast("bigint"))
+      .orderBy("c_custkey")
+  }
+
+  /** CUBE over (status, year): every grouping-set combination incl.
+    * both marginals — completes the rollup family (`rollupRevenue`).
+    * Output: o_orderstatus, o_year, revenue, n, g. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"),
+        col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_year"))).cast("bigint").as("g"))
+      .orderBy(col("g"), col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+
   /** Unsorted wide pivot shared by `pivotRevenue` and
     * `unpivotRevenue` (each adds only its own final sort). */
   private def pivotWide(spark: SparkSession, dir: String): DataFrame =
