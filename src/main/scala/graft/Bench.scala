@@ -16,23 +16,29 @@ object Bench {
     // session bring-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Two timed repetitions, report the min: the first execution of a
-      // plan pays one-time Janino codegen compilation (~1-2 s) that
-      // amortizes to zero in production; min-of-N is the standard way
-      // to measure the steady-state cost. Caches are cleared per rep so
-      // no rep benefits from a previous rep's persisted intermediates.
-      val reps = (1 to 2).map { _ =>
+      // Three timed repetitions, report the min: the first execution of
+      // a plan pays one-time Janino codegen compilation (~1-2 s) that
+      // amortizes to zero in production, and any single rep can land on
+      // transient background load — min-of-3 measures the steady-state
+      // cost. The per-rep times are emitted under "reps" so a
+      // contaminated run is visible post-hoc (a rep spread ≫ the min
+      // means machine noise, not a plan regression). Caches are cleared
+      // per rep so no rep benefits from a previous rep's persisted
+      // intermediates.
+      val reps = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> reps.min
+      name -> reps
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val repJson = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,26 +175,68 @@ object Relational {
       .orderBy(col("date").desc, col("o_orderkey").desc)
       .limit(1)
 
-  /** Pivot: yearly revenue with one column per order status. The value
-    * list is EXPLICIT (`pivot(col, values)`) so the pivot stays a
-    * single-pass aggregation with a static schema — the
-    * values-unspecified form runs an extra distinct scan at plan time
-    * and breaks schema stability, both wrong at 100 TB.
-    * Output: o_year, F, O, P (exact decimal sums as double). */
+  /** Exact global 1-based rank under `order` WITHOUT a
+    * single-partition window — the distributed form of
+    * `ROW_NUMBER() OVER (ORDER BY ...)`:
+    *  1. range-repartition on the sort key (the same sampled range
+    *     exchange a global sort uses, so partition p holds exactly the
+    *     rows ordered before partition p+1);
+    *  2. row_number within each range partition (partitioned window —
+    *     never a global funnel);
+    *  3. add each partition's starting offset, computed from the
+    *     O(#partitions)-row per-partition counts via a triangular
+    *     self-join (not a window, so even the tiny offset table never
+    *     runs an unpartitioned WindowExec) and broadcast back.
+    * Ranks are exact regardless of where the sampled range boundaries
+    * fall; `order` must be a total order (tiebreak to a unique key) for
+    * a deterministic result. Adds column `rankCol`. */
+  private[graft] def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // spark_partition_id() is non-deterministic to Catalyst, so the
+    // projection stays pinned above the range exchange
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    ranged
+      .withColumn("_rn", row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(rankCol, col("_off") + col("_rn"))
+      .drop("_pid", "_rn", "_off")
+  }
+
   /** NTILE quartile assignment of customers by lifetime revenue.
     * Deterministic: ordered on (revenue DESC, custkey) so both engines
-    * fill buckets identically. Scale note: a global ntile is a total
-    * sort — at 100 TB the same bucketing comes from approx percentile
-    * cutpoints + a map-side CASE, trading exact bucket sizes for no
-    * global sort. Output: c_custkey, revenue, quartile. */
+    * fill buckets identically.
+    *
+    * Scale-safe form: NO global-sort window — rank comes from
+    * `withGlobalRank` (range partitions + offsets) and the
+    * rank→quartile map is the closed-form NTILE bucket arithmetic
+    * (first n%4 buckets take one extra row), evaluated map-side
+    * against the 1-row broadcast count. Bit-identical to
+    * `NTILE(4) OVER (ORDER BY revenue DESC, c_custkey)` by
+    * construction, at any scale. Output: c_custkey, revenue, quartile. */
   def ntileRevenue(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(coalesce(dsum(col("o_totalprice")), lit(0.0)).as("revenue"))
-    rev
+      .persist()
+    rev.count() // materialize before the count + rank consumers fan out
+    val n1 = rev.agg(count(lit(1)).as("n"))
+    withGlobalRank(rev, "r", col("revenue").desc, col("c_custkey"))
+      .crossJoin(broadcast(n1))
+      // NTILE(k): base = n div k rows per bucket, the first n mod k
+      // buckets hold one extra; integer ceil via (x - 1) div w + 1
       .withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("revenue").desc, col("c_custkey"))).cast("bigint"))
+        when(col("r") <= (expr("n div 4") + 1) * (col("n") % 4),
+          expr("(r - 1) div (n div 4 + 1) + 1"))
+          .otherwise(expr("n % 4 + (r - (n div 4 + 1) * (n % 4) - 1) div (n div 4) + 1"))
+          .cast("bigint"))
+      .select("c_custkey", "revenue", "quartile")
       .orderBy("c_custkey")
   }
 
@@ -223,6 +265,12 @@ object Relational {
       // NULL for them), which would diverge from the oracle's 0.0
       .select(col("o_year") +: Seq("F", "O", "P").map(s => coalesce(col(s), lit(0.0)).as(s)): _*)
 
+  /** Pivot: yearly revenue with one column per order status. The value
+    * list is EXPLICIT (`pivot(col, values)`) so the pivot stays a
+    * single-pass aggregation with a static schema — the
+    * values-unspecified form runs an extra distinct scan at plan time
+    * and breaks schema stability, both wrong at 100 TB.
+    * Output: o_year, F, O, P (exact decimal sums as double). */
   def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
     pivotWide(spark, dir).orderBy("o_year")
 
