@@ -805,8 +805,9 @@ object OracleSql {
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 
-  /** IVF probe: nearest centroid by 6-dp cosine (label tiebreak), then
-    * exact top-3 within the probed cell only. */
+  /** IVF probe: top-2 nearest centroids by 6-dp cosine (label
+    * tiebreak), then exact top-3 over the probed cells' union (cells
+    * are disjoint, so no dedup); `cell` is the neighbor's cell. */
   val simIvf: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
@@ -827,7 +828,7 @@ object OracleSql {
        |    SELECT vec_id, label,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
        |    FROM qa) t
-       |  WHERE rn = 1
+       |  WHERE rn <= 2
        |),
        |pairs AS (
        |  SELECT p.vec_id, p.cell, v.vec_id AS nbr_id,

@@ -153,16 +153,28 @@ object Similarity {
   /** IVF-style ANN — the second scale path alongside sign-LSH
     * (`lshTopK`): cells are the label clusters with their mean vector
     * as the coarse quantizer; each query (vec_id < 10) probes its
-    * nearest cell by centroid cosine and searches top-3 ONLY inside
-    * that cell. At 100 TB: centroids are a k-row broadcast, cell
+    * nprobe=2 nearest cells by centroid cosine and searches top-3 over
+    * their union — probing >1 cell is what recovers true neighbors
+    * sitting just across a cell boundary (the first recall failure a
+    * one-probe IVF hits; pinned by a constructed boundary-vector unit
+    * test). At 100 TB: centroids are a k-row broadcast, cell
     * assignment is map-side, and the search join shuffles on the cell
-    * key — per-query work is O(cell size), never O(n). nprobe=1 here;
-    * a production variant probes the top-p cells the same way.
+    * key — per-query work is O(nprobe · cell size), never O(n).
     * Output: vec_id, cell, nbr_id, cos, rank. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val v = vecs(spark, dir).persist()
     v.count() // materialize before the centroid/probe/search consumers fan out
+    ivfTopKFrom(spark, v, nprobe = 2)
+  }
+
+  /** Core over an explicit (vec_id, v, label, norm) table with a
+    * parameterized probe count — split out so tests can drive
+    * constructed boundary vectors at nprobe 1 vs 2. Cells partition the
+    * vectors (one label each), so the probed cells' member sets are
+    * disjoint and the union needs no dedup; `cell` in the output is the
+    * cell the neighbor was found in. */
+  private[graft] def ivfTopKFrom(spark: SparkSession, v: DataFrame, nprobe: Int): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val centroids = broadcast(
       centroidTable(spark, v)
         .withColumn("cnorm", sqrt(VectorFunctions.dot(spark, col("centroid"), col("centroid")))))
@@ -174,7 +186,7 @@ object Similarity {
       .crossJoin(centroids)
       .withColumn("ccos", round(d(col("v"), col("centroid")) / (col("norm") * col("cnorm")), 6))
       .withColumn("rn", row_number().over(wCell))
-      .where(col("rn") === 1)
+      .where(col("rn") <= nprobe)
       .select(col("vec_id"), col("v"), col("norm"), col("label").as("cell"))
     val wRank = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     v.select(col("label").as("cell"), col("vec_id").as("nbr_id"),

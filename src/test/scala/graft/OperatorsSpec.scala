@@ -318,6 +318,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("cos") >= 0.99)
   }
 
+  test("ivf nprobe=2 recovers a boundary vector's true NN that nprobe=1 misses") {
+    import spark.implicits._
+    // query 0 sits between cells: nearest CENTROID is "a" (it points
+    // ~10° off a's members) but its nearest VECTOR is b1 in cell "b"
+    val rows = Seq(
+      (0L, Array(0.9, 0.44, 0.0, 0.0), "a"),
+      (10L, Array(1.0, 0.0, 0.0, 0.0), "a"),
+      (11L, Array(0.99, 0.05, 0.0, 0.0), "a"),
+      (12L, Array(0.8, 0.6, 0.0, 0.0), "b"),
+      (13L, Array(0.0, 1.0, 0.0, 0.0), "b"))
+    val v = rows.toDF("vec_id", "v", "label")
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dot(spark, col("v"), col("v"))))
+    val p1 = Similarity.ivfTopKFrom(spark, v, nprobe = 1).collect()
+    assert(p1.nonEmpty && !p1.exists(_.getAs[Long]("nbr_id") == 12L),
+      "one-probe IVF must not see across the cell boundary")
+    val best2 = Similarity.ivfTopKFrom(spark, v, nprobe = 2).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+    assert(best2.length === 1)
+    assert(best2.head.getAs[Long]("nbr_id") === 12L)
+    assert(best2.head.getAs[String]("cell") === "b")
+  }
+
   test("similarity plans stay free of cartesian/nested-loop joins") {
     // regression guard for the round-1 scale-killer: candidates must
     // come from LSH equi-joins, never an all-pairs non-equi join.
