@@ -656,6 +656,24 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Decontamination: distinct 56-bit shingle hashes shared with the
+    * held-out set (doc_id % 50 = 0), flagged at >= 10. */
+  val textDecontaminate: String =
+    """WITH shh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
+      |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
+      |  FROM documents WHERE length(text) >= 12
+      |),
+      |held AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0)
+      |SELECT s.doc_id,
+      |       CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_overlap,
+      |       COUNT(DISTINCT s.h) >= 10 AS contaminated
+      |FROM shh s JOIN held ON s.h = held.h
+      |WHERE s.doc_id % 50 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Shared CTEs: two salted token md5s → 64 bit-sums → the 64-bit
     * simhash — the ONE signature construction, mirrored by
     * `Dedup.simhash64Table`, published by `dedupSimhash` and bucketed

@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_jaccard"      -> (Dedup.jaccard _),
     "dedup_simhash"      -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "text_decontaminate" -> (Dedup.decontaminate _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "dedup_jaccard"      -> OracleSql.dedupJaccard,
     "dedup_simhash"      -> OracleSql.dedupSimhash,
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
+    "text_decontaminate" -> OracleSql.textDecontaminate,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,

@@ -194,6 +194,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Decontamination / train-test overlap: n-gram collision of
+    * candidate training docs against a held-out "benchmark" set —
+    * the standard corpus-curation pass that keeps eval data out of
+    * training corpora. The held-out set is deterministically sampled
+    * as doc_id % 50 == 0 (a stand-in for an external benchmark); a
+    * candidate doc counts one overlap per distinct 12-char shingle it
+    * shares with ANY held-out doc, and is flagged at >= 10.
+    *
+    * Scale (100 TB): shingles are hashed to 56-bit longs (compact join
+    * keys, same function as `jaccard`); the held-out side is an eval
+    * set — orders of magnitude smaller than the corpus — so its
+    * distinct-hash table broadcasts and the probe is map-side; the
+    * count is one groupBy(doc_id). Output: doc_id, n_overlap,
+    * contaminated. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 14), 16, 10) as bigint)").as("h"))
+      .persist()
+    sh.count() // materialize before the held-out + candidate sides fan out
+    val held = sh.where(col("doc_id") % 50 === 0).select(col("h")).distinct()
+    sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(held), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 10)
+      .orderBy("doc_id")
+  }
+
   /** SimHash: the published signature IS the same 64-bit one the
     * pairing query buckets on (ONE construction — a 16-bit variant
     * existed through round 2 but publishing a different signature than
