@@ -23,7 +23,10 @@ import graft.Tables
   * self-equi-join on (band, key) — candidate pairs only, never the
   * O(n²) cross join. Jaccard verification touches only the candidate
   * pairs. Skewed buckets (boilerplate docs) are AQE skew-join
-  * territory; a production variant would also cap bucket width.
+  * territory for the shuffle itself; candidate blow-up from oversized
+  * buckets is bounded by the `MaxBucket` bucket-width cap in
+  * `pairsFromBands` (measured on the adversarial boilerplate corpus —
+  * see `tools.Scale` and PERF.md).
   */
 object Dedup {
 
@@ -96,12 +99,30 @@ object Dedup {
 
   private def bandsFrom(sh: DataFrame): DataFrame = bandsOf(sigsFrom(sh))
 
+  /** Bucket-width cap: at most this many doc_ids participate per
+    * (band, key) bucket. A bucket of B docs yields B(B-1)/2 candidate
+    * pairs — one viral boilerplate bucket of 50k docs would emit 1.2B
+    * pairs and dominate the whole run; the cap bounds any bucket's
+    * contribution to MaxBucket(MaxBucket-1)/2 ≈ 2k pairs. The kept
+    * members are the lowest-MaxBucket doc_ids (deterministic, and
+    * aligned with min-id keeper election so a capped boilerplate
+    * cluster still collapses onto the keeper that survives). Docs cut
+    * from one bucket remain candidates through their other bands —
+    * the recall trade is per-bucket, not per-doc. */
+  private[graft] val MaxBucket = 64
+
   /** Distinct candidate pairs sharing at least one (band, key) bucket
     * — THE candidate-generation idiom every near-dup operator here
-    * builds on (one definition; the oracle mirrors it verbatim). */
-  private def pairsFromBands(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("key"))
+    * builds on (one definition; the oracle mirrors it verbatim,
+    * including the bucket-width cap). */
+  private[graft] def pairsFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
+    val w = Window.partitionBy("b", "key").orderBy("doc_id")
+    val capped = bands
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .drop("_rn")
+    val a = capped.select(col("doc_id").as("doc_a"), col("b"), col("key"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("b"), col("key"))
     a.join(b, Seq("b", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -192,6 +213,72 @@ object Dedup {
       .withColumn("est_jac", round(eq.cast("double") / 8.0, 6))
       .select("doc_a", "doc_b", "est_jac")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup cluster formation + keeper election — the last mile that
+    * turns near-dup PAIR lists into a usable dedup decision: candidate
+    * pairs become connected components and each component elects its
+    * min-doc_id keeper, mirroring `exact`'s per-hash-group semantics
+    * at the near-dup level. Output (docs in >= 1 pair): doc_id,
+    * cluster_id (= the component's min doc_id = the keeper), keep. */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(minhashCandidates(spark, dir).select("doc_a", "doc_b"))
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation WITH pointer jumping: each round,
+    * label(v) := min(label(v), min over neighbors' labels,
+    * label(label(v))). The pointer-jump term halves chain depth per
+    * round, so convergence is O(log diameter) rounds, not O(diameter)
+    * — a transitive chain of 2^k near-dups settles in ~k rounds. No
+    * GraphX dependency: each round is two hash equi-joins (edges ×
+    * labels, labels × labels), and the fixpoint test is one scalar
+    * aggregate per round (labels only ever decrease, so an unchanged
+    * label sum IS convergence — no row-level compare needed). The
+    * driver-side loop is the standard Spark shape for iterative graph
+    * algorithms; every per-round table is O(nodes + edges). */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    edges.count() // materialize: every round joins against this table
+    // 1-row scalar per round (like the documented O(p) drawdown merge);
+    // null-safe for the empty-pairs edge
+    def labelSumOf(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).collect().head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
+      .persist()
+    var labelSum = labelSumOf(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < 40) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      val jump = labels
+        .join(labels.select(col("id").as("jid"), col("label").as("jump_label")),
+          col("label") === col("jid"))
+        .select(col("id"), col("jump_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
+            .as("label"))
+        .persist()
+      val nextSum = labelSumOf(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      round += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Decontamination / train-test overlap: n-gram collision of
