@@ -33,12 +33,18 @@ object Bench {
       }
       name -> reps
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
+    // The driver captures a BOUNDED TAIL of stdout, so the summary line
+    // carrying the verdict (total + per-query minimums) must come LAST;
+    // the per-rep diagnostics line goes first and is expendable if
+    // truncated. All times at 3 dp so neither line bloats.
+    def dp3(d: Double): String = f"$d%.3f"
     val repJson = results.map { case (k, v) =>
-      s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
+      s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
+    println(s"""{"metric":"reps","unit":"sec","reps":$repJson,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp3(v.min) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

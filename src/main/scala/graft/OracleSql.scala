@@ -587,7 +587,10 @@ object OracleSql {
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
 
   /** Shared CTEs: distinct 12-char shingles → 8 salted-md5 minhashes →
-    * 4 LSH bands → candidate pairs. */
+    * 4 LSH bands → bucket-width cap → candidate pairs. The `bands`
+    * QUALIFY mirrors `Dedup.pairsFromBands`' MaxBucket cap exactly
+    * (lowest doc_ids kept per (band, key) bucket), so Spark and oracle
+    * agree even on a corpus with a viral >MaxBucket boilerplate bucket. */
   private val minhashCtes: String = {
     val mins = (0 until 8).map(j =>
       s"MIN(CAST('0x' || substr(md5('${j / 4}|' || sh), ${(j % 4) * 8 + 1}, 8) AS BIGINT)) AS mh$j").mkString(",\n    ")
@@ -604,8 +607,12 @@ object OracleSql {
        |    $mins
        |  FROM sh GROUP BY doc_id
        |),
-       |bands AS (
+       |bands0 AS (
        |  $bandRows
+       |),
+       |bands AS (
+       |  SELECT doc_id, b, key FROM bands0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b, key ORDER BY doc_id) <= ${ops.Dedup.MaxBucket}
        |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -656,6 +663,49 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Connected components over the SAME capped candidate pairs as
+    * `dedupMinhash`, via recursive reachability: cluster_id(v) =
+    * MIN over all nodes reachable from v (the fixpoint
+    * `Dedup.clustersFromPairs` computes by min-label propagation).
+    * UNION (not UNION ALL) dedups the frontier, so the recursion
+    * terminates at the component diameter. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand
+       |),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+       |)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The deduplicated corpus: left-join the cluster decision onto
+    * documents; unpaired docs survive as their own cluster, paired
+    * docs survive only as the keeper. */
+  val dedupApply: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand
+       |),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+       |),
+       |cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |  FROM reach GROUP BY id
+       |)
+       |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, md5(d.text) AS h
+       |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |WHERE COALESCE(cl.keep, TRUE)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Decontamination: distinct 56-bit shingle hashes shared with the
     * held-out set (doc_id % 50 = 0), flagged at >= 10. */
   val textDecontaminate: String =
@@ -703,16 +753,22 @@ object OracleSql {
 
   /** Hamming ≤ 2 pairing over the 64-bit simhash via pigeonhole
     * bands (22/21/21-bit pieces) — exact: any pair within distance 2
-    * agrees on at least one piece; wide pieces keep buckets sparse. */
+    * agrees on at least one piece; wide pieces keep buckets sparse.
+    * Buckets carry the same MaxBucket width cap as the Spark side
+    * (`Dedup.pairsFromBands`). */
   val dedupSimhashPairs: String = {
     val ham = (1 to 64).map(k =>
       s"CASE WHEN substr(a.sig64, $k, 1) <> substr(b.sig64, $k, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH $simhash64Ctes,
-       |bands AS (
+       |bands0 AS (
        |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
        |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig
        |  UNION ALL SELECT doc_id, 2, substr(sig64, 44, 21) FROM sig
+       |),
+       |bands AS (
+       |  SELECT doc_id, b, key FROM bands0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b, key ORDER BY doc_id) <= ${ops.Dedup.MaxBucket}
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -64,6 +64,8 @@ object SparkEntry {
     "dedup_jaccard"      -> (Dedup.jaccard _),
     "dedup_simhash"      -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_clusters"     -> (Dedup.clusters _),
+    "dedup_apply"        -> (Dedup.applyDedup _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
@@ -130,6 +132,8 @@ object SparkEntry {
     "dedup_jaccard"      -> OracleSql.dedupJaccard,
     "dedup_simhash"      -> OracleSql.dedupSimhash,
     "dedup_simhash_pairs" -> OracleSql.dedupSimhashPairs,
+    "dedup_clusters"     -> OracleSql.dedupClusters,
+    "dedup_apply"        -> OracleSql.dedupApply,
     "text_decontaminate" -> OracleSql.textDecontaminate,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,

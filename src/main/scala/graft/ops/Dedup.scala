@@ -222,7 +222,10 @@ object Dedup {
     * at the near-dup level. Output (docs in >= 1 pair): doc_id,
     * cluster_id (= the component's min doc_id = the keeper), keep. */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(minhashCandidates(spark, dir).select("doc_a", "doc_b"))
+    // unordered candidates: the loop destroys order anyway, so the
+    // orderBy minhashCandidates adds for its own output would be a
+    // wasted full sort here
+    clustersFromPairs(candidatesFrom(shingleTable(spark, dir)))
 
   /** Connected components over an undirected pair list via iterative
     * min-label propagation WITH pointer jumping: each round,
@@ -237,22 +240,41 @@ object Dedup {
     * driver-side loop is the standard Spark shape for iterative graph
     * algorithms; every per-round table is O(nodes + edges). */
   private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // persist + materialize the pair list BEFORE the direction union:
+    // the union's two branches are two consumers, and without the cache
+    // each would recompute the (expensive) candidate-generation subtree
+    val p = pairs.select("doc_a", "doc_b").persist()
+    p.count()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     edges.count() // materialize: every round joins against this table
+    p.unpersist()
     // 1-row scalar per round (like the documented O(p) drawdown merge);
     // null-safe for the empty-pairs edge
     def labelSumOf(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).collect().head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    // Each round is materialized with an EAGER localCheckpoint, not
+    // persist(): the round plan references the previous labels three
+    // times (neighbor-min, pointer jump, base), so without lineage
+    // truncation the LOGICAL plan quadruples per round — ~4^rounds
+    // nodes — and plan traversal itself overflows the stack long
+    // before the data is large. Checkpointing makes every round's
+    // plan constant-depth; superseded checkpoint RDDs are released by
+    // the ContextCleaner once unreferenced.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var labelSum = labelSumOf(labels)
     var converged = false
     var round = 0
     while (!converged && round < 40) {
+      // every term references ONLY the checkpointed `labels` constant —
+      // a flat plan AQE schedules as a handful of small stages; nesting
+      // extra jump joins on top of unmaterialized intermediates was
+      // measured to trigger escalating re-optimization cost near the
+      // fixpoint (1 s/round degrading to 20 s) for no round savings
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
@@ -266,18 +288,36 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
             .as("label"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = labelSumOf(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == labelSum
       labelSum = nextSum
       round += 1
+      if (sys.env.contains("GRAFT_DEBUG")) System.err.println(s"[clusters] round $round sum $nextSum t=${System.nanoTime()}")
     }
     edges.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Apply the dedup decision — the artifact a pipeline actually
+    * ships: the corpus with near-dup losers removed. Docs in no
+    * candidate pair survive untouched (cluster of themselves); docs in
+    * a cluster survive only as the elected keeper. The cluster table
+    * is O(docs-in-pairs) — far smaller than the corpus — and the join
+    * is a plain hash equi-join on doc_id; no full-text shuffle beyond
+    * the corpus' own scan. Output: doc_id, cluster_id, h = md5(text). */
+  def applyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(spark, dir).select("doc_id", "cluster_id", "keep")
+    Tables.documents(spark, dir)
+      .join(cl, Seq("doc_id"), "left")
+      .where(coalesce(col("keep"), lit(true)))
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        md5(col("text")).as("h"))
       .orderBy("doc_id")
   }
 

@@ -193,9 +193,17 @@ object Relational {
   private[graft] def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // spark_partition_id() is non-deterministic to Catalyst, so the
-    // projection stays pinned above the range exchange
+    // projection stays pinned above the range exchange.
+    // persist + materialize before the fan-out: the counts branch and
+    // the row_number branch below MUST observe the same sampled range
+    // boundaries — without the cache each branch can re-execute the
+    // range exchange with its own boundary sample, and offsets computed
+    // against one partitioning get applied to ranks from another
+    // (observed as off-by-one-bucket ntile flakes under AQE).
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
+    ranged.count()
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")

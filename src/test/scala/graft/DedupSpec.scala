@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Pins the two least-exercised dedup mechanisms: the MaxBucket
+  * bucket-width cap (sf0.01 never constructs a bucket wide enough for
+  * it to fire) and cluster formation (iterative min-label propagation
+  * with pointer jumping — an off-by-one here silently merges or
+  * splits clusters). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket-width cap keeps the lowest MaxBucket doc_ids per bucket") {
+    val cap = Dedup.MaxBucket
+    // one viral bucket of cap+6 docs, one small independent bucket
+    val bands = ((1 to cap + 6).map(id => (id.toLong, 0, "viral")) ++
+      Seq(100L, 101L, 102L).map(id => (id, 1, "small")))
+      .toDF("doc_id", "b", "key")
+    val pairs = Dedup.pairsFromBands(bands).collect()
+    val viral = pairs.filter(_.getLong(0) < 100L)
+    val small = pairs.filter(_.getLong(0) >= 100L)
+    // the viral bucket contributes exactly C(cap, 2) pairs over the
+    // LOWEST cap ids; docs beyond the cap appear in no pair
+    assert(viral.length === cap * (cap - 1) / 2)
+    assert(viral.flatMap(r => Seq(r.getLong(0), r.getLong(1))).max === cap.toLong)
+    // the small bucket is untouched
+    assert(small.length === 3)
+  }
+
+  test("a doc cut from one bucket stays a candidate through its other bands") {
+    val cap = Dedup.MaxBucket
+    // doc 999 is beyond the cap in the viral band-0 bucket but shares a
+    // band-1 bucket with doc 1 — the cap trades recall per-bucket, not
+    // per-doc, so the (1, 999) pair must survive
+    val bands = ((1 to cap).map(id => (id.toLong, 0, "viral")) :+ (999L, 0, "viral") :+
+      (1L, 1, "other") :+ (999L, 1, "other"))
+      .toDF("doc_id", "b", "key")
+    val pairs = Dedup.pairsFromBands(bands)
+    assert(pairs.where(col("doc_a") === 1L && col("doc_b") === 999L).count() === 1)
+  }
+
+  test("clusters: transitive chain A~B, B~C collapses to one cluster, keeper = min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(pairs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(_.getLong(1) === 1L))
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap ===
+      Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("clusters: deep chain converges within the round cap (pointer jumping)") {
+    // a path graph of 201 nodes: pure neighbor-min propagation needs
+    // ~200 rounds — far over the 40-round cap — so this passing at all
+    // proves the label(label(v)) pointer-jump term is doing its
+    // O(log diameter) work
+    val n = 200
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(pairs)
+    assert(out.count() === (n + 1).toLong)
+    assert(out.where(col("cluster_id") =!= 0L).count() === 0)
+    assert(out.where(col("keep")).count() === 1L)
+  }
+
+  test("clusters: independent components keep independent labels") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (31L, 30L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(pairs).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // every cluster_id IS the min doc_id of its members
+    assert(out.filter(r => r.getBoolean(2)).map(_.getLong(0)).sorted.toSeq === Seq(10L, 20L, 30L))
+  }
+
+  test("clusters: empty pair list yields empty output") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clustersFromPairs(pairs).count() === 0L)
+  }
+
+  test("applyDedup: exactly one survivor per cluster, all unpaired docs survive") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val cl = Dedup.clusters(spark, sf)
+    val out = Dedup.applyDedup(spark, sf)
+    val paired = cl.count()
+    val clusters = cl.select("cluster_id").distinct().count()
+    assert(out.count() === docs.count() - paired + clusters)
+    // survivors of paired clusters are exactly the keepers
+    assert(out.join(cl.where(!col("keep")), "doc_id").count() === 0L)
+  }
+}
