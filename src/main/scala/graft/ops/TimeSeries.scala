@@ -170,12 +170,18 @@ object TimeSeries {
     * 1000× more series costs no extra sort depth (SURVEY.md §7.4's
     * "always partitionBy(name) in multi-strategy tables").
     * Output: name, date, end_day_investment, percent_change. */
-  def gotkBySegment(spark: SparkSession, dir: String): DataFrame = {
-    import graft.Tables
-    val daily = Tables.orders(spark, dir)
+  /** Per-segment daily order revenue — the multi-series "TVL" fact
+    * table (name, date, tvl): ONE shuffle on the (name, date) rollup
+    * key; every multi-series operator partitions its windows on `name`
+    * from here. */
+  private[ops] def dailyOrderRevenueBySegment(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"))
+
+  def gotkBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenueBySegment(spark, dir)
     val wName = Window.partitionBy("name").orderBy("date")
     val wNameCum = wName.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -186,6 +192,44 @@ object TimeSeries {
           .as("end_day_investment"),
         round(col("pct"), 6).as("percent_change"))
       .orderBy("name", "date")
+  }
+
+  /** Multi-series trailing returns: `trailingReturn` with every window
+    * and aggregate under the series key — the reference's actual
+    * topology (one task chain per strategy, `aave_transform.py:627-657`)
+    * collapsed into ONE plan: each series gets its own as-of date and
+    * 6-row period dimension (the periods table is O(6·#series) and
+    * broadcasts), and the compounding aggregate groups by (name,
+    * period). 1000× more series = more groups in the same two
+    * shuffles, no new stages.
+    * Output: name, period, start_date, percent_change. */
+  def trailingReturnBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenueBySegment(spark, dir)
+    val wName = Window.partitionBy("name").orderBy("date")
+    val pct = daily.withColumn("pct",
+      (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))
+    val periods = daily.groupBy(col("name").as("pname")).agg(max(col("date")).as("ds"))
+      .select(col("pname"), col("ds"),
+        explode(array(
+          struct(lit("1d").as("period"), date_sub(col("ds"), 1).as("start_date")),
+          struct(lit("1m").as("period"), add_months(col("ds"), -1).as("start_date")),
+          struct(lit("3m").as("period"), add_months(col("ds"), -3).as("start_date")),
+          struct(lit("6m").as("period"), add_months(col("ds"), -6).as("start_date")),
+          struct(lit("1y").as("period"), add_months(col("ds"), -12).as("start_date")),
+          struct(lit("ytd").as("period"), trunc(col("ds"), "year").as("start_date"))
+        )).as("p"))
+      .select(col("pname"), col("p.period"), col("p.start_date"), col("ds"))
+    pct.join(broadcast(periods),
+        col("name") === col("pname") && col("date").between(col("start_date"), col("ds")))
+      .groupBy(col("name"), col("period"), col("start_date"))
+      .agg(
+        round(
+          when(min(col("date")) === col("start_date"),
+            exp(sum(when(col("date") > col("start_date"),
+              log(lit(1.0) + coalesce(col("pct"), lit(0.0)))).otherwise(lit(0.0)))) - lit(1.0)),
+          6).as("percent_change"))
+      .select(col("name"), col("period"), col("start_date"), col("percent_change"))
+      .orderBy("name", "period")
   }
 
   /** Benchmark series builder — reference `get_benchmark_query`

@@ -98,6 +98,29 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(wideTotal - longTotal) < 1e-6)
   }
 
+  test("risk by segment: one coherent row per segment") {
+    val rows = Risk.riskBySegment(spark, sf).collect()
+    val segs = Tables.customer(spark, sf).select("c_mktsegment").distinct().count()
+    assert(rows.length === segs.toInt)
+    rows.foreach { row =>
+      assert(row.getAs[Double]("max_drawdown") <= 0.0)
+      assert(row.getAs[Long]("duration") >= 0)
+      assert(!row.getAs[java.sql.Date]("peak_date").after(row.getAs[java.sql.Date]("valley_date")))
+    }
+  }
+
+  test("trailing return by segment: six periods per segment, gated on window start") {
+    val df = TimeSeries.trailingReturnBySegment(spark, sf)
+    val perSeg = df.groupBy("name").count().collect()
+    assert(perSeg.nonEmpty && perSeg.forall(_.getLong(1) === 6L))
+    // the full-window gate: percent_change is null whenever no
+    // observation exists exactly at start_date for that segment
+    val daily = TimeSeries.gotkBySegment(spark, sf).select(col("name"), col("date"))
+    val gated = df.join(daily,
+        df("name") === daily("name") && col("start_date") === col("date"), "left_anti")
+    assert(gated.where(col("percent_change").isNotNull).count() === 0)
+  }
+
   test("repetition ratio agrees with whitespace token counts") {
     val rep = Text.repetition(spark, sf)
     val tok = Text.tokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
