@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Writers
 import graft.ops.Finance
-import graft.sources.FixtureChainSource
+import graft.sources.{ChainSource, FixtureChainSource}
 
 /** Extract pipeline + idempotent writer semantics (reference S5-S9). */
 class PipelineSpec extends SparkSpec {
@@ -227,6 +227,78 @@ class PipelineSpec extends SparkSpec {
       .withColumn("change_tvl", col("tvl") - coalesce(lag(col("tvl"), 1).over(w), col("tvl")))
     assert(tvl.where(col("tvl").isNull).count() === 0)
     assert(tvl.count() === 31)
+  }
+
+  test("multi-strategy end-to-end: extract x2 -> fill -> ranged overwrite -> transform -> datamart") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = 31
+    // two strategies over distinct price curves; chain observations have
+    // gaps (every 7th day missing) that the load step must repair
+    def gappyChain(start: String, n: Int): ChainSource = new ChainSource {
+      override def observations(s: org.apache.spark.sql.SparkSession) =
+        new FixtureChainSource(start, n).observations(s)
+          .where(dayofmonth(col("date")) % 7 =!= 0)
+    }
+    val rawU = Finance.extractRawSupply(spark, "usdc", gappyChain("2024-01-01", days),
+      prices("2024-01-01", days, 1.0), prices("2024-01-01", days, 80.0),
+      "2024-01-01", "2024-01-31", "2024-01-05", "2024-01-25")
+    val rawD = Finance.extractRawSupply(spark, "dai", gappyChain("2024-01-01", days),
+      prices("2024-01-01", days, 2.0), prices("2024-01-01", days, 80.0),
+      "2024-01-01", "2024-01-31", "2024-01-10", "2024-01-20")
+    // ONE fill/interpolate pass over the union — the per-name
+    // partitioned form the reference runs as N separate task chains
+    val loaded = Finance.fillAndInterpolate(rawU.unionByName(rawD))
+    val dir = Files.createTempDirectory("graft_e2e_multi").toString
+    Writers.rangedOverwrite(
+      loaded.withColumn("date", col("date").cast("string")), dir, "name", "date")
+    // idempotent per-(strategy, day) re-run of one strategy's tail
+    Writers.rangedOverwrite(
+      loaded.where(col("name") === "dai" && col("date") >= "2024-01-22")
+        .withColumn("date", col("date").cast("string")), dir, "name", "date")
+    val table = spark.read.parquet(dir).withColumn("date", to_date(col("date")))
+    assert(table.count() === days * 2)
+
+    // row-level equality with an independent expectation: the fixture's
+    // supply and price forms are linear in the day index, so the
+    // interpolated gap days must land exactly back on the closed form
+    val tvl = table.withColumn("tvl", col("atoken_supply") * col("asset_price"))
+    val got = tvl.select("name", "date", "tvl").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val exp = (for (s <- Seq(("dai", 2.0), ("usdc", 1.0)); i <- 0 until days) yield
+      (s._1, java.time.LocalDate.parse("2024-01-01").plusDays(i).toString,
+        (1000000.0 + 1000.0 * i) * (s._2 + 0.01 * i))).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq === exp.map(t => (t._1, t._2)).toSeq)
+    got.zip(exp).foreach { case ((n, d, gv), (_, _, ev)) =>
+      assert(math.abs(gv - ev) < 1e-6, s"$n $d: $gv vs $ev")
+    }
+
+    // datamart over JDBC: per-strategy fact replace + summary UPDATE
+    val url = "jdbc:derby:memory:graftmulti;create=true"
+    val dim = Seq((1L, "usdc", 0.0), (2L, "dai", 0.0)).toDF("id", "slug", "tvl")
+    Writers.jdbcDeleteAppend(dim, url, "strategy", "id")
+    val ids = Seq(("usdc", 1L), ("dai", 2L)).toDF("name", "strategy_id")
+    val facts = tvl.join(broadcast(ids), "name")
+      .select(col("strategy_id"), col("date").cast("string").as("date"),
+        col("tvl").as("value"))
+    Writers.jdbcDeleteAppend(facts, url, "strategy_growth", "strategy_id")
+    // idempotent re-run of one strategy's facts
+    Writers.jdbcDeleteAppend(facts.where(col("strategy_id") === 2L),
+      url, "strategy_growth", "strategy_id")
+    val props = new java.util.Properties()
+    assert(spark.read.jdbc(url, "strategy_growth", props).count() === days * 2)
+    val latest = tvl
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("name").orderBy(col("date").desc)))
+      .where(col("rn") === 1).join(broadcast(ids), "name")
+      .select(col("strategy_id").as("id"), col("tvl"))
+    Writers.jdbcUpdateSummary(latest, url, "strategy", "id", Seq("tvl"))
+    val stamped = spark.read.jdbc(url, "strategy", props)
+      .orderBy("id").collect().map(_.getAs[Double]("tvl"))
+    val i = (days - 1).toDouble
+    assert(math.abs(stamped(0) - (1000000.0 + 1000.0 * i) * (1.0 + 0.01 * i)) < 1e-6)
+    assert(math.abs(stamped(1) - (1000000.0 + 1000.0 * i) * (2.0 + 0.01 * i)) < 1e-6)
   }
 
   test("csv interchange round-trips with declared schema") {
