@@ -62,12 +62,17 @@ object Writers {
     val keys = df.select(keyCol).distinct().collect().map(_.get(0))
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData
-      def exists(n: String) = {
-        val rs = meta.getTables(null, null, n, null)
-        try rs.next() finally rs.close()
-      }
-      if (exists(table) || exists(table.toUpperCase) || exists(table.toLowerCase)) {
+      // dialect-proof existence probe: a zero-row SELECT against the
+      // table either parses+binds (table exists) or throws (it does
+      // not) — no reliance on how the driver's metadata catalog cases
+      // or quotes identifiers
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
+      if (exists) {
         val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")
         try {
           keys.foreach { k => st.setObject(1, k); st.addBatch() }

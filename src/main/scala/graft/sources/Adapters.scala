@@ -25,12 +25,20 @@ object Retry {
   /** Run `op` up to `maxTries` times, sleeping
     * min(2^(n−1)·1000 + jitterMs, capMs) after failed try n. Throws
     * the last failure wrapped once `maxTries` is exhausted. `op`
-    * receives the (1-based) attempt number. */
+    * receives the (1-based) attempt number.
+    *
+    * The DEFAULT jitter is a seeded per-call RNG: a reproducible
+    * backoff schedule (the same run produces the same sleeps — what a
+    * deterministic engine should default to, and what the global
+    * unseeded `scala.util.Random` singleton cannot give). Callers that
+    * need cross-executor decorrelation — the production reason jitter
+    * exists — inject their own entropy via `jitterMs`. */
   def withBackoff[A](
       maxTries: Int = 13,
       capMs: Long = 64000L,
       sleep: Long => Unit = Thread.sleep,
-      jitterMs: () => Long = () => scala.util.Random.nextLong(1000L))(op: Int => A): A = {
+      jitterMs: () => Long = { val r = new scala.util.Random(0x5eedL); () => r.nextLong(1000L) })(
+      op: Int => A): A = {
     var n = 1
     var last: Throwable = null
     while (n <= maxTries) {

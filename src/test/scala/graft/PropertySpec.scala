@@ -67,6 +67,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clusters agree with a union-find oracle on random graphs") {
+    // random pair lists (dense small-id space → rich component
+    // structure: cliques, chains, isolated pairs) checked row-for-row
+    // against an in-memory union-find — the strongest verification the
+    // iterative min-label loop can get short of the DuckDB gate
+    val pairGen: Gen[List[(Long, Long)]] =
+      Gen.choose(5, 60).flatMap { n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+          .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+      }
+    forAll(pairGen, n = 4) { pairs =>
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.ops.Dedup.clustersFromPairs(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"pairs=$pairs")
+    }
+  }
+
   test("total_apy is invariant to null components (nulls read as zero)") {
     forAll(Gen.zip(Gen.option(Gen.choose(0.0, 50.0)), Gen.option(Gen.choose(0.0, 50.0)))) { case (s, a) =>
       import spark.implicits._
