@@ -651,6 +651,59 @@ object OracleSql {
        |        + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
        |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Composed curation decision: dedup-cluster losers (recursive CTE
+    * over the capped candidate pairs), contamination, quality < 0.5,
+    * held-out membership — one flag row per document. */
+  val textCurate: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand
+       |),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+       |),
+       |cl AS (
+       |  SELECT id AS doc_id, id = MIN(r) AS keep FROM reach GROUP BY id
+       |),
+       |shh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+       |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
+       |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
+       |  FROM documents WHERE length(text) >= 12
+       |),
+       |held AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0),
+       |cont AS (
+       |  SELECT s.doc_id FROM shh s JOIN held ON s.h = held.h
+       |  WHERE s.doc_id % 50 <> 0
+       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.h) >= 10
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    ROUND(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5
+       |          + CAST(${markerLen(enList)} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+       |          + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |                        / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+       |                 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |  FROM documents
+       |),
+       |f AS (
+       |  SELECT d.doc_id,
+       |         d.doc_id % 50 = 0 AS heldout,
+       |         COALESCE(NOT cl.keep, FALSE) AS dup_loser,
+       |         cont.doc_id IS NOT NULL AS contaminated,
+       |         COALESCE(q.quality < 0.5, FALSE) AS low_quality
+       |  FROM documents d
+       |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, heldout, dup_loser, contaminated, low_quality,
+       |       NOT heldout AND NOT dup_loser AND NOT contaminated AND NOT low_quality AS kept
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val textTokens: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -705,7 +758,7 @@ object OracleSql {
     * QUALIFY mirrors `Dedup.pairsFromBands`' MaxBucket cap exactly
     * (lowest doc_ids kept per (band, key) bucket), so Spark and oracle
     * agree even on a corpus with a viral >MaxBucket boilerplate bucket. */
-  private val minhashCtes: String = {
+  private lazy val minhashCtes: String = {
     val mins = (0 until 8).map(j =>
       s"MIN(CAST('0x' || substr(md5('${j / 4}|' || sh), ${(j % 4) * 8 + 1}, 8) AS BIGINT)) AS mh$j").mkString(",\n    ")
     val bandRows = (0 until 4).map(b =>
@@ -842,7 +895,7 @@ object OracleSql {
     * simhash — the ONE signature construction, mirrored by
     * `Dedup.simhash64Table`, published by `dedupSimhash` and bucketed
     * by `dedupSimhashPairs`. */
-  private val simhash64Ctes: String = {
+  private lazy val simhash64Ctes: String = {
     val sums = (0 until 64).map { b =>
       val h = if (b < 32) "h0" else "h1"
       val k = b % 32 + 1

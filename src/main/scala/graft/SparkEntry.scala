@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_clusters"     -> (Dedup.clusters _),
     "dedup_apply"        -> (Dedup.applyDedup _),
     "text_decontaminate" -> (Dedup.decontaminate _),
+    "text_curate"        -> (Text.curate _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "dedup_clusters"     -> OracleSql.dedupClusters,
     "dedup_apply"        -> OracleSql.dedupApply,
     "text_decontaminate" -> OracleSql.textDecontaminate,
+    "text_curate"        -> OracleSql.textCurate,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,

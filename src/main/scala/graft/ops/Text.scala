@@ -119,6 +119,44 @@ object Text {
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
       .orderBy("doc_id")
 
+  /** The composed corpus-curation decision — the artifact an LLM
+    * training-data pipeline actually ships: one auditable row per
+    * document carrying every gate's verdict and the final keep
+    * decision. Gates: held-out eval membership (excluded from
+    * training), near-dup cluster losers (`Dedup.clusters` keeper
+    * election), train-test contamination (`Dedup.decontaminate`), and
+    * the composite quality score below 0.5.
+    *
+    * Scale: three left joins on doc_id against tables that are each
+    * strictly smaller than the corpus (losers = docs in pairs minus
+    * keepers, contaminated = flagged docs only, quality = map-only) —
+    * plain hash equi-joins, no new shuffle shapes beyond the
+    * constituent operators'. Emitting flags for ALL docs (not just
+    * survivors) is deliberate: the reasons table is what makes a
+    * curation run reviewable. Output: doc_id, heldout, dup_loser,
+    * contaminated, low_quality, kept. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val losers = Dedup.clusters(spark, dir)
+      .where(!col("keep")).select(col("doc_id"), lit(true).as("dl"))
+    val cont = Dedup.decontaminate(spark, dir)
+      .where(col("contaminated")).select(col("doc_id"), lit(true).as("ct"))
+    val lowQ = quality(spark, dir)
+      .select(col("doc_id"), (col("quality") < 0.5).as("lq"))
+    docs
+      .join(losers, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(lowQ, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") % 50 === 0).as("heldout"),
+        coalesce(col("dl"), lit(false)).as("dup_loser"),
+        coalesce(col("ct"), lit(false)).as("contaminated"),
+        coalesce(col("lq"), lit(false)).as("low_quality"))
+      .withColumn("kept",
+        !col("heldout") && !col("dup_loser") && !col("contaminated") && !col("low_quality"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

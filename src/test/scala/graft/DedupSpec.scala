@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clustersFromPairs(pairs).count() === 0L)
   }
 
+  test("curate flags agree with the constituent operators") {
+    val cur = Text.curate(spark, sf)
+    assert(cur.count() === Tables.documents(spark, sf).count())
+    val losers = Dedup.clusters(spark, sf).where(!col("keep")).select("doc_id")
+    val flaggedDup = cur.where(col("dup_loser")).select("doc_id")
+    assert(flaggedDup.exceptAll(losers).count() === 0)
+    assert(losers.exceptAll(flaggedDup).count() === 0)
+    val cont = Dedup.decontaminate(spark, sf).where(col("contaminated")).select("doc_id")
+    val flaggedCont = cur.where(col("contaminated")).select("doc_id")
+    assert(flaggedCont.exceptAll(cont).count() === 0)
+    assert(cont.exceptAll(flaggedCont).count() === 0)
+    // kept is exactly the absence of every gate flag
+    assert(cur.where(col("kept") &&
+      (col("heldout") || col("dup_loser") || col("contaminated") || col("low_quality"))).count() === 0)
+    assert(cur.where(!col("kept") &&
+      !col("heldout") && !col("dup_loser") && !col("contaminated") && !col("low_quality")).count() === 0)
+  }
+
   test("applyDedup: exactly one survivor per cluster, all unpaired docs survive") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     val cl = Dedup.clusters(spark, sf)
