@@ -64,12 +64,18 @@ object Risk {
         (col("bench") - lag(col("bench"), 1).over(wDate)) / lag(col("bench"), 1).over(wDate))
       .select("date", "b_pct")
 
+    // materialize before the fan-out (repo idiom): strat feeds asOf,
+    // ytd, and the bench join; joined feeds stats and the drawdown
+    // windows — without the caches each consumer re-runs the rollup +
+    // window subtree (three orders scans in the physical plan)
+    strat.persist().count()
     val asOf = strat.groupBy("name")
       .agg(max(col("date")).as("ds"), add_months(max(col("date")), -12).as("start"))
     val joined = strat.join(broadcast(bench), Seq("date"))
       .join(broadcast(asOf), Seq("name"))
       .where(col("date") > col("start") && col("date") <= col("ds"))
       .where(col("s_pct").isNotNull && col("b_pct").isNotNull)
+    joined.persist().count()
 
     val ytd = strat.join(broadcast(asOf), Seq("name"))
       .where(col("date") > date_trunc("year", col("ds")).cast("date") && col("date") <= col("ds"))
