@@ -296,6 +296,11 @@ object Dedup {
       round += 1
       if (sys.env.contains("GRAFT_DEBUG")) System.err.println(s"[clusters] round $round sum $nextSum t=${System.nanoTime()}")
     }
+    // with pointer jumping the cap is unreachable for any real graph
+    // (it would take diameter > 2^40); if it ever trips, say so loudly
+    // rather than silently returning a pre-fixpoint labeling
+    if (!converged)
+      System.err.println(s"[clusters] WARNING: $round-round cap hit before fixpoint; labels may be unconverged")
     edges.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
