@@ -37,7 +37,10 @@ object Bench {
     // carrying the verdict (total + per-query minimums) must come LAST;
     // the per-rep diagnostics line goes first and is expendable if
     // truncated. All times at 3 dp so neither line bloats.
-    def dp3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale would print 6,340 — corrupting the JSON
+    // the driver parses
+    def dp3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val repJson = results.map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
     println(s"""{"metric":"reps","unit":"sec","reps":$repJson,"sf":"$sfDir"}""")

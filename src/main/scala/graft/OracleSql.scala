@@ -651,20 +651,30 @@ object OracleSql {
        |        + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
        |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Shared fragment: undirected edges over the capped candidate
+    * pairs + recursive min-reachability — the ONE traversal all three
+    * cluster oracles (`dedupClusters`, `dedupApply`, `textCurate`)
+    * build on, mirroring `Dedup.clustersFromPairs`' fixpoint. UNION
+    * (not UNION ALL) dedups the frontier, so the recursion terminates
+    * at the component diameter. Requires WITH RECURSIVE and the
+    * `cand` CTE in scope. */
+  private lazy val clusterCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+      |)""".stripMargin
+
   /** Composed curation decision: dedup-cluster losers (recursive CTE
     * over the capped candidate pairs), contamination, quality < 0.5,
     * held-out membership — one flag row per document. */
   val textCurate: String =
     s"""WITH RECURSIVE $minhashCtes,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand
-       |  UNION ALL SELECT doc_b, doc_a FROM cand
-       |),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
-       |),
+       |$clusterCtes,
        |cl AS (
        |  SELECT id AS doc_id, id = MIN(r) AS keep FROM reach GROUP BY id
        |),
@@ -833,20 +843,10 @@ object OracleSql {
   /** Connected components over the SAME capped candidate pairs as
     * `dedupMinhash`, via recursive reachability: cluster_id(v) =
     * MIN over all nodes reachable from v (the fixpoint
-    * `Dedup.clustersFromPairs` computes by min-label propagation).
-    * UNION (not UNION ALL) dedups the frontier, so the recursion
-    * terminates at the component diameter. */
+    * `Dedup.clustersFromPairs` computes by min-label propagation). */
   val dedupClusters: String =
     s"""WITH RECURSIVE $minhashCtes,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand
-       |  UNION ALL SELECT doc_b, doc_a FROM cand
-       |),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
-       |)
+       |$clusterCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -855,15 +855,7 @@ object OracleSql {
     * docs survive only as the keeper. */
   val dedupApply: String =
     s"""WITH RECURSIVE $minhashCtes,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand
-       |  UNION ALL SELECT doc_b, doc_a FROM cand
-       |),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
-       |),
+       |$clusterCtes,
        |cl AS (
        |  SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |  FROM reach GROUP BY id

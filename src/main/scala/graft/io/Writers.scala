@@ -63,15 +63,23 @@ object Writers {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       // dialect-proof existence probe: a zero-row SELECT against the
-      // table either parses+binds (table exists) or throws (it does
-      // not) — no reliance on how the driver's metadata catalog cases
-      // or quotes identifiers
+      // table either parses+binds (table exists) or fails to resolve
+      // (it does not) — no reliance on how the driver's metadata
+      // catalog cases or quotes identifiers. Only SQLState class 42
+      // (syntax error / access rule violation — what every dialect
+      // raises for an unknown table) reads as "absent"; any other
+      // failure (dead connection, lock timeout, permissions) rethrows,
+      // because silently skipping the DELETE would break the
+      // delete-then-append idempotency contract.
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
-        } catch { case _: java.sql.SQLException => false }
+        } catch {
+          case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("42")) => false
+        }
       if (exists) {
         val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")
         try {

@@ -163,13 +163,6 @@ object TimeSeries {
       .orderBy("date")
   }
 
-  /** Multi-series gotk: one growth index per customer market segment,
-    * every window `partitionBy("name")` — the shape the reference's
-    * multi-strategy tables take and the one that scales: N series run
-    * as N independent window partitions after a single shuffle, so
-    * 1000× more series costs no extra sort depth (SURVEY.md §7.4's
-    * "always partitionBy(name) in multi-strategy tables").
-    * Output: name, date, end_day_investment, percent_change. */
   /** Per-segment daily order revenue — the multi-series "TVL" fact
     * table (name, date, tvl): ONE shuffle on the (name, date) rollup
     * key; every multi-series operator partitions its windows on `name`
@@ -180,6 +173,13 @@ object TimeSeries {
       .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"))
 
+  /** Multi-series gotk: one growth index per customer market segment,
+    * every window `partitionBy("name")` — the shape the reference's
+    * multi-strategy tables take and the one that scales: N series run
+    * as N independent window partitions after a single shuffle, so
+    * 1000× more series costs no extra sort depth (SURVEY.md §7.4's
+    * "always partitionBy(name) in multi-strategy tables").
+    * Output: name, date, end_day_investment, percent_change. */
   def gotkBySegment(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyOrderRevenueBySegment(spark, dir)
     val wName = Window.partitionBy("name").orderBy("date")

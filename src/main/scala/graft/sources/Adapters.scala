@@ -22,22 +22,28 @@ import java.nio.file.{Files, Path}
   */
 object Retry {
 
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Run `op` up to `maxTries` times, sleeping
     * min(2^(n−1)·1000 + jitterMs, capMs) after failed try n. Throws
     * the last failure wrapped once `maxTries` is exhausted. `op`
     * receives the (1-based) attempt number.
     *
-    * The DEFAULT jitter is a seeded per-call RNG: a reproducible
-    * backoff schedule (the same run produces the same sleeps — what a
-    * deterministic engine should default to, and what the global
-    * unseeded `scala.util.Random` singleton cannot give). Callers that
-    * need cross-executor decorrelation — the production reason jitter
-    * exists — inject their own entropy via `jitterMs`. */
+    * The DEFAULT jitter is a per-call RNG seeded from a process-wide
+    * call counter: schedules are reproducible for a deterministic call
+    * order (no shared-singleton contention, no wall-clock entropy),
+    * yet concurrent callers get DIFFERENT sequences — identical seeds
+    * would make N retriers sleep in lockstep, the thundering herd
+    * jitter exists to break. Callers needing true entropy inject
+    * their own `jitterMs`. */
   def withBackoff[A](
       maxTries: Int = 13,
       capMs: Long = 64000L,
       sleep: Long => Unit = Thread.sleep,
-      jitterMs: () => Long = { val r = new scala.util.Random(0x5eedL); () => r.nextLong(1000L) })(
+      jitterMs: () => Long = {
+        val r = new scala.util.Random(0x5eedL ^ callSeq.incrementAndGet())
+        () => r.nextLong(1000L)
+      })(
       op: Int => A): A = {
     var n = 1
     var last: Throwable = null
