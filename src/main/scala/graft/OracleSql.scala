@@ -714,6 +714,36 @@ object OracleSql {
        |       NOT heldout AND NOT dup_loser AND NOT contaminated AND NOT low_quality AS kept
        |FROM f ORDER BY doc_id""".stripMargin
 
+  val textVocab: String =
+    """WITH t AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      |)
+      |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM t GROUP BY tok
+      |ORDER BY tf DESC, tok LIMIT 50""".stripMargin
+
+  val textSampleStratified: String =
+    """SELECT source, doc_id FROM documents
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** Chunking: list_slice is 1-based with INCLUSIVE end and clamps at
+    * the list end — identical to Spark's slice(start, length). The
+    * two UNNESTs in one select list zip positionally. */
+  val textChunks: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    UNNEST(range(0, (len(toks) - 1) // 48 + 1)) AS chunk_idx,
+      |    UNNEST(list_transform(range(0, (len(toks) - 1) // 48 + 1),
+      |      i -> array_to_string(list_slice(toks, CAST(i * 48 + 1 AS INT), CAST(i * 48 + 64 AS INT)), ' '))) AS chunk
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks,
+      |       md5(chunk) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val textTokens: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

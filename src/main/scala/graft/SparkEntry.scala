@@ -68,6 +68,9 @@ object SparkEntry {
     "dedup_apply"        -> (Dedup.applyDedup _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "text_curate"        -> (Text.curate _),
+    "text_vocab"         -> (Text.vocab _),
+    "text_sample"        -> (Text.sampleStratified _),
+    "text_chunks"        -> (Text.chunks _),
     "sim_topk"           -> (Similarity.bruteForceTopK _),
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
@@ -139,6 +142,9 @@ object SparkEntry {
     "dedup_apply"        -> OracleSql.dedupApply,
     "text_decontaminate" -> OracleSql.textDecontaminate,
     "text_curate"        -> OracleSql.textCurate,
+    "text_vocab"         -> OracleSql.textVocab,
+    "text_sample"        -> OracleSql.textSampleStratified,
+    "text_chunks"        -> OracleSql.textChunks,
     "sim_topk"           -> OracleSql.simTopK,
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,

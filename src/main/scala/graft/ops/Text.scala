@@ -157,6 +157,59 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level vocabulary statistics: the 50 highest-frequency
+    * whitespace tokens with term frequency and document frequency.
+    * One (doc, tok)-explode shuffle with map-side partial aggregation
+    * (hot tokens pre-combine per partition, so skew never concentrates
+    * raw rows); the top-k is `orderBy.limit` — Spark's distributed
+    * TakeOrdered, NOT a global-sort window, so a billion-token
+    * vocabulary never funnels through one partition.
+    * Output: tok, tf, df. */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(50)
+
+  /** Reproducible stratified sample: the 10 lowest-content-hash docs
+    * per `source` stratum — hash-ordered systematic sampling, so the
+    * sample is stable across re-runs, partition layouts, and engines
+    * (unlike rand()). The window partitions by stratum; at 100 TB each
+    * stratum ranks independently after one shuffle.
+    * Output: source, doc_id. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Fixed-size token chunking with overlap — the pre-packing step
+    * that turns documents into training sequences: 64-token chunks at
+    * stride 48 (16-token overlap). Chunk starts are i*48 for
+    * i in [0, (n-1) div 48]: every token is covered and the last
+    * chunk may be short. split-then-join on single spaces is the
+    * identity, so `chunk_hash` is content-addressed identically on
+    * both engines. Map-side explode only — no shuffle.
+    * Output: doc_id, chunk_idx, n_toks, chunk_hash. */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (n - 1) div 48), i -> array_join(slice(toks, i * 48 + 1, 64), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("bigint").as("n_toks"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

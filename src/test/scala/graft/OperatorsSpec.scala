@@ -121,6 +121,41 @@ class OperatorsSpec extends SparkSpec {
     assert(gated.where(col("percent_change").isNotNull).count() === 0)
   }
 
+  test("vocab: df bounded by corpus size and tf, reproducible top-k") {
+    val v = Text.vocab(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(v.nonEmpty && v.length <= 50)
+    v.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"))
+    }
+    // ordered by tf desc with tok tiebreak
+    assert(v.map(_.getAs[Long]("tf")).toSeq === v.map(_.getAs[Long]("tf")).sortBy(-_).toSeq)
+  }
+
+  test("stratified sample: at most 10 per stratum, deterministic") {
+    val s = Text.sampleStratified(spark, sf)
+    val per = s.groupBy("source").count().collect()
+    assert(per.nonEmpty && per.forall(_.getLong(1) <= 10L))
+    assert(s.exceptAll(Text.sampleStratified(spark, sf)).count() === 0)
+  }
+
+  test("chunks: stride arithmetic covers every token exactly") {
+    val c = Text.chunks(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n"))
+    val agg = c.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max(col("n_toks")).as("max_toks"))
+    val joined = agg.join(docs, "doc_id")
+    // chunk count = (n-1) div 48 + 1, chunks never exceed 64 tokens
+    assert(joined.where(col("n_chunks") =!= expr("(n - 1) div 48 + 1")).count() === 0)
+    assert(joined.where(col("max_toks") > 64).count() === 0)
+    // last chunk holds exactly the remaining tokens past its start
+    val last = c.join(docs, "doc_id")
+      .where(col("chunk_idx") === expr("(n - 1) div 48"))
+    assert(last.where(col("n_toks") =!= least(lit(64L), col("n") - col("chunk_idx") * 48)).count() === 0)
+  }
+
   test("repetition ratio agrees with whitespace token counts") {
     val rep = Text.repetition(spark, sf)
     val tok = Text.tokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
