@@ -115,17 +115,40 @@ object Dedup {
     * — THE candidate-generation idiom every near-dup operator here
     * builds on (one definition; the oracle mirrors it verbatim,
     * including the bucket-width cap). */
-  private[graft] def pairsFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
+  private def cappedBands(bands: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy("b", "key").orderBy("doc_id")
-    val capped = bands
+    bands
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= cap)
       .drop("_rn")
+  }
+
+  private[graft] def pairsFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
+    val capped = cappedBands(bands, cap)
     val a = capped.select(col("doc_id").as("doc_a"), col("b"), col("key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("b"), col("key"))
     a.join(b, Seq("b", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Star-contracted edges from the capped band table: each (band,
+    * key) bucket — a CLIQUE in the candidate-pair graph — contributes
+    * only (bucket-min, member) edges. Connectivity is identical (a
+    * clique is connected through any one member) but the edge list is
+    * O(Σ bucket) instead of the O(Σ bucket²) pair list, there is no
+    * pair self-join or giant distinct before the loop, and bucket
+    * cliques enter the loop as depth-1 stars. Every star edge IS a
+    * candidate pair (the bucket min is a bucket member), so the
+    * components equal those of `pairsFromBands` exactly — the cluster
+    * oracle stays the reachability fixpoint over the pair list. */
+  private def starEdgesFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
+    val wB = Window.partitionBy("b", "key")
+    cappedBands(bands, cap)
+      .withColumn("root", min(col("doc_id")).over(wB))
+      .where(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Candidate pairs sharing at least one band bucket. The band table
@@ -221,11 +244,16 @@ object Dedup {
     * min-doc_id keeper, mirroring `exact`'s per-hash-group semantics
     * at the near-dup level. Output (docs in >= 1 pair): doc_id,
     * cluster_id (= the component's min doc_id = the keeper), keep. */
-  def clusters(spark: SparkSession, dir: String): DataFrame =
-    // unordered candidates: the loop destroys order anyway, so the
-    // orderBy minhashCandidates adds for its own output would be a
-    // wasted full sort here
-    clustersFromPairs(candidatesFrom(shingleTable(spark, dir)))
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    // star-contracted edges, not the pair list: identical components
+    // (see starEdgesFromBands) without materializing O(bucket²)
+    // candidate pairs first. Trade measured at sf0.1: +3 convergence
+    // rounds (weaker intra-bucket connectivity) vs no pair
+    // join/distinct — a wash locally, strictly less shuffle at scale.
+    val bands = bandsFrom(shingleTable(spark, dir)).persist()
+    bands.count()
+    clustersFromPairs(starEdgesFromBands(bands))
+  }
 
   /** Connected components over an undirected pair list via iterative
     * min-label propagation WITH pointer jumping: each round,
@@ -254,27 +282,39 @@ object Dedup {
     // null-safe for the empty-pairs edge
     def labelSumOf(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).collect().head.get(0)).fold(0L)(_.asInstanceOf[Long])
-    // Each round is materialized with an EAGER localCheckpoint, not
-    // persist(): the round plan references the previous labels three
-    // times (neighbor-min, pointer jump, base), so without lineage
-    // truncation the LOGICAL plan quadruples per round — ~4^rounds
-    // nodes — and plan traversal itself overflows the stack long
-    // before the data is large. Checkpointing makes every round's
-    // plan constant-depth; superseded checkpoint RDDs are released by
-    // the ContextCleaner once unreferenced.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("label"))
-      .localCheckpoint(true)
+    // Each round is materialized by a PARQUET ROUND-TRIP through a
+    // session temp dir — a full out-of-JVM break, not persist() or
+    // (local)checkpoint(). Plain persist() leaves the logical plan
+    // quadrupling per round (three references to the previous labels)
+    // until plan traversal overflows the stack by ~round 8. Both
+    // localCheckpoint(true) and reliable checkpoint(true) truncate
+    // the plan yet still chain enough driver-side state through the
+    // returned LogicalRDD that per-round cost was measured ESCALATING
+    // near the fixpoint (0.4 s/round degrading 2→9→43 s by round 14,
+    // deterministically, on 1000-row labels; constraint propagation
+    // off changes nothing). Re-reading the round's parquet keeps all
+    // rounds flat (~0.5 s), and writing iteration state to storage is
+    // the standard robust pattern for distributed iterative jobs —
+    // it is also what makes a long-running run recoverable at 100 TB.
+    // The per-round files are label tables (KBs locally, O(nodes) in
+    // production) in the OS temp dir; the final round's files back
+    // the returned DataFrame.
+    val session = pairs.sparkSession
+    val iterDir = java.nio.file.Files.createTempDirectory("graft_cluster_iter").toString
+    def materialize(df: DataFrame, round: Int): DataFrame = {
+      val path = s"$iterDir/labels_$round"
+      df.write.mode("overwrite").parquet(path)
+      session.read.parquet(path)
+    }
+    var labels = materialize(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("id"), least(col("id"), col("m")).as("label")),
+      0)
     var labelSum = labelSumOf(labels)
     var converged = false
     var round = 0
     while (!converged && round < 40) {
-      // every term references ONLY the checkpointed `labels` constant —
-      // a flat plan AQE schedules as a handful of small stages; nesting
-      // extra jump joins on top of unmaterialized intermediates was
-      // measured to trigger escalating re-optimization cost near the
-      // fixpoint (1 s/round degrading to 20 s) for no round savings
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
@@ -282,19 +322,21 @@ object Dedup {
         .join(labels.select(col("id").as("jid"), col("label").as("jump_label")),
           col("label") === col("jid"))
         .select(col("id"), col("jump_label"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(jump, Seq("id"))
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
-            .as("label"))
-        .localCheckpoint(true)
+      val next = materialize(
+        labels
+          .join(nbrMin, Seq("id"), "left")
+          .join(jump, Seq("id"))
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
+              .as("label")),
+        round + 1)
       val nextSum = labelSumOf(next)
       labels = next
       converged = nextSum == labelSum
       labelSum = nextSum
       round += 1
-      if (sys.env.contains("GRAFT_DEBUG")) System.err.println(s"[clusters] round $round sum $nextSum t=${System.nanoTime()}")
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[clusters] round $round sum $nextSum t=${System.nanoTime()}")
     }
     // with pointer jumping the cap is unreachable for any real graph
     // (it would take diameter > 2^40); if it ever trips, say so loudly
