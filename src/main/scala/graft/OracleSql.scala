@@ -1020,29 +1020,46 @@ object OracleSql {
     * construction as the Spark side, so results are bit-identical at
     * any SF (the operator's semantics ARE the LSH-approximate ones;
     * no all-pairs cartesian on either engine). */
-  val simNearDup: String = {
+  /** Shared fragment: banded sign-LSH candidates + cosine-verified
+    * near-dup pairs — ends in `cand(doc_a, doc_b, cos)`, the verified
+    * pair list `simNearDup` publishes and `simClusters` clusters
+    * (named `cand` so `clusterCtes` composes on top). */
+  private lazy val simNearDupCtes: String = {
     def sig(b: Int) =
       "concat(" + (1 to 8).map(i =>
         s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
     val bandRows = (0 until 4).map(b =>
       (if (b == 0) "" else "UNION ALL ") +
         s"SELECT vec_id, $b AS b, ${sig(b)} AS key FROM embeddings").mkString("\n  ")
-    s"""WITH bands AS (
+    s"""bands AS (
        |  $bandRows
        |),
-       |cand AS (
+       |cand0 AS (
        |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id
-       |)
-       |SELECT c.doc_a, c.doc_b,
-       |       ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) AS cos
-       |FROM cand c
-       |JOIN embeddings a  ON a.vec_id = c.doc_a
-       |JOIN embeddings b2 ON b2.vec_id = c.doc_b
-       |WHERE ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) >= 0.9
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |),
+       |cand AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) AS cos
+       |  FROM cand0 c
+       |  JOIN embeddings a  ON a.vec_id = c.doc_a
+       |  JOIN embeddings b2 ON b2.vec_id = c.doc_b
+       |  WHERE ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) >= 0.9
+       |)""".stripMargin
   }
+
+  val simNearDup: String =
+    s"""WITH $simNearDupCtes
+       |SELECT doc_a, doc_b, cos FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup vector clusters: the SAME min-reachability fixpoint the
+    * text clusters use, over the cosine-verified pair list. */
+  val simClusters: String =
+    s"""WITH RECURSIVE $simNearDupCtes,
+       |$clusterCtes
+       |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val simCentroids: String =
     """WITH e AS (

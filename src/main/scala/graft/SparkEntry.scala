@@ -75,6 +75,7 @@ object SparkEntry {
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
     "sim_neardup"        -> (Similarity.cosineNearDup _),
+    "sim_clusters"       -> (Similarity.nearDupClusters _),
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
     "mm_decode"          -> (Multimodal.decodeSummary _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,
     "sim_neardup"        -> OracleSql.simNearDup,
+    "sim_clusters"       -> OracleSql.simClusters,
     "sim_centroids"      -> OracleSql.simCentroids,
     // mm_decode IS oracle-checked despite running through
     // mapPartitions: the stub decode is a pure function of md5(text)

@@ -121,6 +121,19 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup vector clusters: connected components + min-id keeper
+    * election over the cosine-verified near-dup pairs — the embedding
+    * analogue of `Dedup.clusters`, sharing the identical iterative
+    * fixpoint (`Dedup.clustersFromPairs`). The sf testdata holds no
+    * pair above the 0.9 threshold, so the gate proves the 0-row case;
+    * constructed-vector unit tests prove the clustering.
+    * Output (vectors in >= 1 pair): doc_id, cluster_id, keep. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count()
+    Dedup.clustersFromPairs(cosineNearDupFrom(spark, v).select("doc_a", "doc_b"))
+  }
+
   /** (label, centroid: array<double>) — per-label mean vector, built
     * by posexplode + two groupBys (never a collect). The array is
     * reassembled in position order via sort-by-struct. */

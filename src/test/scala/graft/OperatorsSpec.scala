@@ -121,6 +121,29 @@ class OperatorsSpec extends SparkSpec {
     assert(gated.where(col("percent_change").isNotNull).count() === 0)
   }
 
+  test("near-dup vector clusters: constructed groups collapse to min-id keepers") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // group A: three tiny perturbations of an all-ones vector (cos ~ 1,
+    // identical sign bands); group B: two alternating-sign vectors
+    // (different bands, cos ~ 0 vs A); vector 20 isolated
+    def perturb(base: Array[Double], seed: Int): Array[Double] =
+      base.zipWithIndex.map { case (x, i) => x + 0.001 * ((i * seed) % 7) }
+    val a = Array.fill(64)(1.0)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val iso = Array.tabulate(64)(i => if (i < 32) 1.0 else -1.0)
+    val rows = Seq(
+      (1L, perturb(a, 1)), (2L, perturb(a, 2)), (3L, perturb(a, 3)),
+      (10L, perturb(b, 1)), (11L, perturb(b, 2)),
+      (20L, iso))
+    val v = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(VectorFunctions.dot(spark, col("v"), col("v"))))
+    val pairs = graft.ops.Similarity.cosineNearDupFrom(spark, v).select("doc_a", "doc_b")
+    val out = graft.ops.Dedup.clustersFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("vocab: df bounded by corpus size and tf, reproducible top-k") {
     val v = Text.vocab(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
