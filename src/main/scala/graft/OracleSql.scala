@@ -634,22 +634,50 @@ object OracleSql {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** The ONE composite quality-score expression over a raw `text`
+    * column — the single source `textQuality` and `textCurate` both
+    * interpolate, mirroring `Text.quality`'s formula. */
+  private lazy val qualityScoreExpr: String =
+    s"""ROUND(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5
+       |        + CAST(${markerLen(enList)} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+       |        + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |                      / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+       |               THEN 0.2 ELSE 0.0 END, 6)""".stripMargin
+
   val textQuality: String =
     s"""WITH q AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(${markerLen(enList)} AS BIGINT) AS n_stop,
        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-       |      / len(string_split(text, ' ')) AS avg_token_len
+       |      / len(string_split(text, ' ')) AS avg_token_len,
+       |    $qualityScoreExpr AS quality
        |  FROM documents
        |)
        |SELECT doc_id, n_tokens,
        |  ROUND(avg_token_len, 6) AS avg_token_len,
        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-       |  ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
-       |        + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
-       |        + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |  quality
        |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE: (doc_id, h) — distinct 56-bit md5 shingle hashes per
+    * doc, the ONE compact shingle-set representation every consumer
+    * (`dedupJaccard`, `textDecontaminate`, `textCurate`) intersects
+    * on, mirroring the Spark side's hashed sets. */
+  private lazy val shingleHashCte: String =
+    """shh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
+      |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
+      |  FROM documents WHERE length(text) >= 12
+      |)""".stripMargin
+
+  /** Shared CTEs: shingle hashes + the held-out (doc_id % 50 = 0)
+    * eval set — the decontamination core `textDecontaminate` and
+    * `textCurate` both probe. */
+  private lazy val heldOutCtes: String =
+    s"""$shingleHashCte,
+       |held AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0)""".stripMargin
 
   /** Shared fragment: undirected edges over the capped candidate
     * pairs + recursive min-reachability — the ONE traversal all three
@@ -678,25 +706,14 @@ object OracleSql {
        |cl AS (
        |  SELECT id AS doc_id, id = MIN(r) AS keep FROM reach GROUP BY id
        |),
-       |shh AS (
-       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-       |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
-       |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
-       |  FROM documents WHERE length(text) >= 12
-       |),
-       |held AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0),
+       |$heldOutCtes,
        |cont AS (
        |  SELECT s.doc_id FROM shh s JOIN held ON s.h = held.h
        |  WHERE s.doc_id % 50 <> 0
        |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.h) >= 10
        |),
        |q AS (
-       |  SELECT doc_id,
-       |    ROUND(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5
-       |          + CAST(${markerLen(enList)} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
-       |          + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-       |                        / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
-       |                 THEN 0.2 ELSE 0.0 END, 6) AS quality
+       |  SELECT doc_id, $qualityScoreExpr AS quality
        |  FROM documents
        |),
        |f AS (
@@ -835,12 +852,7 @@ object OracleSql {
     * side intersects, so cardinalities agree by construction. */
   val dedupJaccard: String =
     s"""WITH $minhashCtes,
-       |shh AS (
-       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-       |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
-       |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
-       |  FROM documents WHERE length(text) >= 12
-       |),
+       |$shingleHashCte,
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
@@ -898,13 +910,7 @@ object OracleSql {
   /** Decontamination: distinct 56-bit shingle hashes shared with the
     * held-out set (doc_id % 50 = 0), flagged at >= 10. */
   val textDecontaminate: String =
-    """WITH shh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |    list_transform(range(1, length(text) - 11 + 1), i -> substr(text, CAST(i AS INT), 12)),
-      |    s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)))) AS h
-      |  FROM documents WHERE length(text) >= 12
-      |),
-      |held AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0)
+    s"""WITH $heldOutCtes
       |SELECT s.doc_id,
       |       CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_overlap,
       |       COUNT(DISTINCT s.h) >= 10 AS contaminated

@@ -65,12 +65,13 @@ object Writers {
       // dialect-proof existence probe: a zero-row SELECT against the
       // table either parses+binds (table exists) or fails to resolve
       // (it does not) — no reliance on how the driver's metadata
-      // catalog cases or quotes identifiers. Only SQLState class 42
-      // (syntax error / access rule violation — what every dialect
-      // raises for an unknown table) reads as "absent"; any other
-      // failure (dead connection, lock timeout, permissions) rethrows,
-      // because silently skipping the DELETE would break the
-      // delete-then-append idempotency contract.
+      // catalog cases or quotes identifiers. Only the specific
+      // table-not-found SQLStates read as "absent" (Derby 42X05,
+      // MySQL/SQL Server 42S02, Postgres 42P01, HSQLDB/ODBC S0002);
+      // anything else — including permission errors, which also live
+      // in class 42 — rethrows, because silently skipping the DELETE
+      // would break the delete-then-append idempotency contract.
+      val tableNotFound = Set("42X05", "42S02", "42P01", "S0002")
       val exists =
         try {
           val st = conn.createStatement()
@@ -78,7 +79,7 @@ object Writers {
           finally st.close()
         } catch {
           case e: java.sql.SQLException
-            if Option(e.getSQLState).exists(_.startsWith("42")) => false
+            if Option(e.getSQLState).exists(tableNotFound.contains) => false
         }
       if (exists) {
         val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$keyCol" = ?""")

@@ -300,7 +300,20 @@ object Dedup {
     // production) in the OS temp dir; the final round's files back
     // the returned DataFrame.
     val session = pairs.sparkSession
-    val iterDir = java.nio.file.Files.createTempDirectory("graft_cluster_iter").toString
+    val iterRoot = java.nio.file.Files.createTempDirectory("graft_cluster_iter")
+    val iterDir = iterRoot.toString
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    // the final round's files back the returned DataFrame, so the dir
+    // as a whole can only go at JVM exit; superseded rounds are
+    // deleted eagerly below, bounding live files to two rounds
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try rmTree(iterRoot) catch { case _: Throwable => () }))
     def materialize(df: DataFrame, round: Int): DataFrame = {
       val path = s"$iterDir/labels_$round"
       df.write.mode("overwrite").parquet(path)
@@ -332,6 +345,9 @@ object Dedup {
         round + 1)
       val nextSum = labelSumOf(next)
       labels = next
+      // round N's files are dead once round N+1 is materialized and
+      // summed; delete eagerly so a long loop holds two rounds on disk
+      rmTree(java.nio.file.Paths.get(iterDir, s"labels_$round"))
       converged = nextSum == labelSum
       labelSum = nextSum
       round += 1

@@ -204,7 +204,11 @@ object TimeSeries {
     * shuffles, no new stages.
     * Output: name, period, start_date, percent_change. */
   def trailingReturnBySegment(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyOrderRevenueBySegment(spark, dir)
+    // materialize before the fan-out (repo idiom): the pct window
+    // chain and the per-series as-of aggregate both consume the
+    // rollup — uncached, the orders⋈customer subtree runs twice
+    val daily = dailyOrderRevenueBySegment(spark, dir).persist()
+    daily.count()
     val wName = Window.partitionBy("name").orderBy("date")
     val pct = daily.withColumn("pct",
       (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))

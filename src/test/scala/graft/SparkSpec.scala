@@ -20,7 +20,16 @@ object TestSpark {
   val sf: String = "/root/testdata/sf0.001"
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterEach {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Several ops persist() intermediates for intra-query fan-out and
+    * rely on the runner to release them (the contract Verify/Bench
+    * uphold); the shared test session needs the same hygiene or cached
+    * RDDs accumulate monotonically across the suite. */
+  override protected def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 }
