@@ -297,23 +297,24 @@ object Dedup {
     // the standard robust pattern for distributed iterative jobs —
     // it is also what makes a long-running run recoverable at 100 TB.
     // The per-round files are label tables (KBs locally, O(nodes) in
-    // production) in the OS temp dir; the final round's files back
-    // the returned DataFrame.
+    // production) under the configured iteration root (see IterState);
+    // the final round's files back the returned DataFrame.
     val session = pairs.sparkSession
-    val iterRoot = java.nio.file.Files.createTempDirectory("graft_cluster_iter")
-    val iterDir = iterRoot.toString
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-    }
-    // the final round's files back the returned DataFrame, so the dir
-    // as a whole can only go at JVM exit; superseded rounds are
-    // deleted eagerly below, bounding live files to two rounds
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try rmTree(iterRoot) catch { case _: Throwable => () }))
+    // Iteration root resolution — the cluster-deployability seam. The
+    // parquet round-trip only works on a multi-node cluster if every
+    // executor AND the driver see the same filesystem, so the root
+    // comes from configuration, in order:
+    //   1. spark conf `graft.cluster.iterDir` (any Hadoop-visible URI:
+    //      hdfs://, s3a://, a mounted shared path, ...);
+    //   2. the session's checkpoint dir (`setCheckpointDir`) — the
+    //      location the user already designated for exactly this kind
+    //      of iteration state;
+    //   3. a driver-local temp dir — LOCAL MODE ONLY (executors share
+    //      the driver's filesystem there and nowhere else).
+    // All file ops go through the Hadoop FileSystem API so option 1/2
+    // work on object stores, not just posix paths.
+    val iterDir = s"${IterState.rootFor(session)}/run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(session, iterDir)
     def materialize(df: DataFrame, round: Int): DataFrame = {
       val path = s"$iterDir/labels_$round"
       df.write.mode("overwrite").parquet(path)
@@ -347,7 +348,7 @@ object Dedup {
       labels = next
       // round N's files are dead once round N+1 is materialized and
       // summed; delete eagerly so a long loop holds two rounds on disk
-      rmTree(java.nio.file.Paths.get(iterDir, s"labels_$round"))
+      cleanup.rm(s"$iterDir/labels_$round")
       converged = nextSum == labelSum
       labelSum = nextSum
       round += 1
@@ -474,5 +475,74 @@ object Dedup {
       .where(col("hamming") <= 2)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+}
+
+/** Process-wide registry for cluster-iteration storage
+  * (`Dedup.clustersFromPairs`): resolves WHERE iteration state lives
+  * and guarantees JVM-exit cleanup with a SINGLE shutdown hook.
+  *
+  * A per-call `addShutdownHook` would leak one thread object per
+  * invocation — a long-lived session running the cluster query
+  * repeatedly (the bench alone runs it 12×) accumulates hooks without
+  * bound. Here the hook is registered once; each run registers its
+  * directory in a concurrent set and the hook sweeps whatever is
+  * still live at exit. Superseded rounds inside a run are deleted
+  * eagerly by the loop itself.
+  *
+  * All deletes go through the Hadoop FileSystem of the path being
+  * deleted, so configured shared-storage roots (hdfs://, s3a://)
+  * clean up the same way local ones do.
+  */
+private[graft] object IterState {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Iteration root, in resolution order: the `graft.cluster.iterDir`
+    * session conf (any Hadoop-visible URI — the production setting),
+    * the session checkpoint dir (`setCheckpointDir` — storage the user
+    * already designated for iteration state), then a driver-local temp
+    * dir, which is correct in LOCAL MODE ONLY (executors share the
+    * driver's filesystem there and nowhere else). */
+  def rootFor(session: SparkSession): String =
+    session.conf.getOption("graft.cluster.iterDir")
+      .orElse(session.sparkContext.getCheckpointDir)
+      .getOrElse(localTempRoot)
+
+  private lazy val localTempRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_cluster_iter").toString
+
+  /** Cleanup handle for one run directory. */
+  final class Handle private[IterState] (path: String, conf: Configuration) {
+    private def fsOf(p: Path): FileSystem = p.getFileSystem(conf)
+    private[IterState] def deleteAll(): Unit = {
+      val p = new Path(path)
+      fsOf(p).delete(p, true); ()
+    }
+    /** Eagerly delete a superseded sub-path (a finished round). */
+    def rm(sub: String): Unit = {
+      val p = new Path(sub)
+      try { fsOf(p).delete(p, true); () } catch { case _: Throwable => () }
+    }
+  }
+
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Handle]()
+
+  // the ONE hook; `lazy val` evaluation is the once-only latch
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      live.forEach(h => try h.deleteAll() catch { case _: Throwable => () })))
+    ()
+  }
+
+  /** Register `path` for JVM-exit cleanup. The final round's parquet
+    * files back the DataFrame `clustersFromPairs` returns, so the run
+    * dir as a whole can only be removed at exit; rounds within it are
+    * reclaimed eagerly via [[Handle.rm]]. */
+  def register(session: SparkSession, path: String): Handle = {
+    hookInstalled
+    val h = new Handle(path, session.sparkContext.hadoopConfiguration)
+    live.add(h)
+    h
   }
 }

@@ -78,6 +78,47 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clustersFromPairs(pairs).count() === 0L)
   }
 
+  test("clusters: iteration state goes through the configured graft.cluster.iterDir") {
+    // the cluster-deployability seam: a real cluster points this conf
+    // at shared storage; the loop must write every round there and
+    // nowhere else (a driver-local temp default cannot work multi-node)
+    val root = java.nio.file.Files.createTempDirectory("graft_iterdir_test").toString
+    spark.conf.set("graft.cluster.iterDir", root)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+      val out = Dedup.clustersFromPairs(pairs)
+      assert(out.count() === 5L)
+      // the returned DataFrame is backed by parquet under the
+      // configured root: the run dir exists and holds the final round
+      val runDirs = new java.io.File(root).listFiles()
+      assert(runDirs != null && runDirs.exists(_.getName.startsWith("run_")),
+        s"no run_* dir under configured iterDir $root")
+      val rounds = runDirs.filter(_.getName.startsWith("run_"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      assert(rounds.exists(_.getName.startsWith("labels_")),
+        s"no labels_* round dir under configured iterDir $root")
+      // and the result still reads correctly from it
+      assert(out.where(col("cluster_id") === 1L).count() === 3L)
+    } finally spark.conf.unset("graft.cluster.iterDir")
+  }
+
+  test("clusters: checkpoint dir is used when no iterDir conf is set") {
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp_test").toString
+    spark.sparkContext.setCheckpointDir(cp)
+    try {
+      assert(Dedup.clustersFromPairs(Seq((5L, 6L)).toDF("doc_a", "doc_b")).count() === 2L)
+      // Spark creates a UUID subdir under the configured checkpoint
+      // dir; our run dirs land inside it
+      def findRun(f: java.io.File): Boolean =
+        f.getName.startsWith("run_") ||
+          Option(f.listFiles()).getOrElse(Array.empty).exists(findRun)
+      assert(findRun(new java.io.File(cp)), s"no run_* dir under checkpoint dir $cp")
+    } finally {
+      // no unset API for the checkpoint dir; later suites are
+      // unaffected (it only serves as the iterDir fallback)
+    }
+  }
+
   test("curate flags agree with the constituent operators") {
     val cur = Text.curate(spark, sf)
     assert(cur.count() === Tables.documents(spark, sf).count())
