@@ -374,8 +374,16 @@ object Dedup {
     * is O(docs-in-pairs) — far smaller than the corpus — and the join
     * is a plain hash equi-join on doc_id; no full-text shuffle beyond
     * the corpus' own scan. Output: doc_id, cluster_id, h = md5(text). */
-  def applyDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cl = clusters(spark, dir).select("doc_id", "cluster_id", "keep")
+  def applyDedup(spark: SparkSession, dir: String): DataFrame =
+    applyFrom(spark, dir, clusters(spark, dir))
+
+  /** The same decision applied from an EXPLICIT cluster table — the
+    * seam `pipelines.Curation` uses to apply a once-materialized
+    * decision instead of re-running the component loop (the
+    * independent-query contract forces `applyDedup` above to recompute
+    * it; a production pipeline never should). */
+  private[graft] def applyFrom(spark: SparkSession, dir: String, clusterTable: DataFrame): DataFrame = {
+    val cl = clusterTable.select("doc_id", "cluster_id", "keep")
     Tables.documents(spark, dir)
       .join(cl, Seq("doc_id"), "left")
       .where(coalesce(col("keep"), lit(true)))

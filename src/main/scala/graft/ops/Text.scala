@@ -135,9 +135,17 @@ object Text {
     * survivors) is deliberate: the reasons table is what makes a
     * curation run reviewable. Output: doc_id, heldout, dup_loser,
     * contaminated, low_quality, kept. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateFrom(spark, dir, Dedup.clusters(spark, dir))
+
+  /** The same decision composed from an EXPLICIT cluster table — the
+    * seam `pipelines.Curation` uses so a materialized cluster run is
+    * joined, not recomputed (the independent-query contract forces
+    * `curate` above to re-run the loop; a production pipeline never
+    * should). */
+  private[graft] def curateFrom(spark: SparkSession, dir: String, clusterTable: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
-    val losers = Dedup.clusters(spark, dir)
+    val losers = clusterTable
       .where(!col("keep")).select(col("doc_id"), lit(true).as("dl"))
     val cont = Dedup.decontaminate(spark, dir)
       .where(col("contaminated")).select(col("doc_id"), lit(true).as("ct"))

@@ -1,0 +1,65 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.Writers
+import graft.ops.{Dedup, Text}
+
+/** Materialized curation topology — the production shape of the
+  * dedup/curation family.
+  *
+  * The driver-contract queries (`dedup_clusters`, `dedup_apply`,
+  * `text_curate`) are independent by design, so each re-pays candidate
+  * generation plus the full connected-components loop (~11 s of the
+  * sf0.1 bench, three times over). A real pipeline never does that: it
+  * materializes each derived table once and every downstream consumer
+  * READS it — the reference stages every intermediate the same way
+  * (`aave_transform.py:227-239` writes each derived table
+  * WRITE_TRUNCATE and the next stage reads the table, never the
+  * query), and `pipelines.Datamart` already gives the load path that
+  * shape. This pipeline does the same for curation:
+  *
+  *   1. `buildClusters` — run candidate generation + the component
+  *      loop ONCE, land the per-doc cluster decision with
+  *      `Writers.truncateLoad`;
+  *   2. `applyDeduped` / `curationDecision` — derive the deduplicated
+  *      corpus and the composed curation decision by reading the
+  *      materialized table; marginal cost is one hash equi-join on
+  *      doc_id each (vs ~11 s of recompute — see PERF.md).
+  *
+  * At 100 TB the materialized table is also the operational seam: the
+  * cluster decision is O(docs-in-pairs) rows of three scalars —
+  * orders of magnitude smaller than the corpus — so it broadcasts or
+  * hash-joins cheaply, survives job restarts, and is auditable on its
+  * own (which corpus rows were collapsed, and into which keeper).
+  */
+object Curation {
+
+  def clustersPath(root: String): String = s"$root/dedup_clusters"
+
+  /** Stage 1: the expensive part, exactly once — near-dup candidate
+    * generation + connected components + keeper election, landed as a
+    * table (reference S6 WRITE_TRUNCATE semantics). */
+  def buildClusters(spark: SparkSession, dir: String, root: String): Unit =
+    Writers.truncateLoad(Dedup.clusters(spark, dir), clustersPath(root))
+
+  /** Stage 2a: the deduplicated corpus, derived by READING the
+    * materialized cluster table — row-identical to `Dedup.applyDedup`
+    * at one-join cost. */
+  def applyDeduped(spark: SparkSession, dir: String, root: String): DataFrame =
+    Dedup.applyFrom(spark, dir, spark.read.parquet(clustersPath(root)))
+
+  /** Stage 2b: the composed curation decision, same derivation. */
+  def curationDecision(spark: SparkSession, dir: String, root: String): DataFrame =
+    Text.curateFrom(spark, dir, spark.read.parquet(clustersPath(root)))
+
+  /** The full pipeline: cluster once, land both derived tables.
+    * Re-runnable: every stage is a truncate-load, so a re-run
+    * reproduces the same state (the reference's idempotency contract
+    * for staged tables). */
+  def run(spark: SparkSession, dir: String, root: String): Unit = {
+    buildClusters(spark, dir, root)
+    Writers.truncateLoad(applyDeduped(spark, dir, root), s"$root/corpus_deduped")
+    Writers.truncateLoad(curationDecision(spark, dir, root), s"$root/curation_decision")
+  }
+}
