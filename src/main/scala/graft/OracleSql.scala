@@ -1030,7 +1030,7 @@ object OracleSql {
     * near-dup pairs — ends in `cand(doc_a, doc_b, cos)`, the verified
     * pair list `simNearDup` publishes and `simClusters` clusters
     * (named `cand` so `clusterCtes` composes on top). */
-  private lazy val simNearDupCtes: String = {
+  private def simNearDupCtes(threshold: Double): String = {
     def sig(b: Int) =
       "concat(" + (1 to 8).map(i =>
         s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
@@ -1051,18 +1051,34 @@ object OracleSql {
        |  FROM cand0 c
        |  JOIN embeddings a  ON a.vec_id = c.doc_a
        |  JOIN embeddings b2 ON b2.vec_id = c.doc_b
-       |  WHERE ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) >= 0.9
+       |  WHERE ROUND(${cosSql("a.embedding", "b2.embedding")}, 6) >= $threshold
        |)""".stripMargin
   }
 
   val simNearDup: String =
-    s"""WITH $simNearDupCtes
+    s"""WITH ${simNearDupCtes(0.9)}
+       |SELECT doc_a, doc_b, cos FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Loose-threshold variant (`Similarity.LooseThreshold`): the
+    * testdata has no pair above cos 0.9, so `simNearDup` proves only
+    * the 0-row case — this one makes the cross-engine gate check a
+    * NON-EMPTY result (19 pairs at sf0.01). */
+  val simNearDupLoose: String =
+    s"""WITH ${simNearDupCtes(ops.Similarity.LooseThreshold)}
        |SELECT doc_a, doc_b, cos FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup vector clusters: the SAME min-reachability fixpoint the
     * text clusters use, over the cosine-verified pair list. */
   val simClusters: String =
-    s"""WITH RECURSIVE $simNearDupCtes,
+    s"""WITH RECURSIVE ${simNearDupCtes(0.9)},
+       |$clusterCtes
+       |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Cluster formation over the loose near-dup pairs — non-empty at
+    * the gate SFs. */
+  val simClustersLoose: String =
+    s"""WITH RECURSIVE ${simNearDupCtes(ops.Similarity.LooseThreshold)},
        |$clusterCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin

@@ -75,7 +75,9 @@ object SparkEntry {
     "sim_lsh"            -> (Similarity.lshTopK _),
     "sim_ivf"            -> (Similarity.ivfTopK _),
     "sim_neardup"        -> (Similarity.cosineNearDup _),
+    "sim_neardup_loose"  -> (Similarity.cosineNearDupLoose _),
     "sim_clusters"       -> (Similarity.nearDupClusters _),
+    "sim_clusters_loose" -> (Similarity.nearDupClustersLoose _),
     "sim_centroids"      -> (Similarity.labelCentroids _),
     "mm_meta"            -> (Multimodal.mediaMeta _),
     "mm_decode"          -> (Multimodal.decodeSummary _),
@@ -150,7 +152,9 @@ object SparkEntry {
     "sim_lsh"            -> OracleSql.simLsh,
     "sim_ivf"            -> OracleSql.simIvf,
     "sim_neardup"        -> OracleSql.simNearDup,
+    "sim_neardup_loose"  -> OracleSql.simNearDupLoose,
     "sim_clusters"       -> OracleSql.simClusters,
+    "sim_clusters_loose" -> OracleSql.simClustersLoose,
     "sim_centroids"      -> OracleSql.simCentroids,
     // mm_decode IS oracle-checked despite running through
     // mapPartitions: the stub decode is a pure function of md5(text)

@@ -98,11 +98,29 @@ object Similarity {
     cosineNearDupFrom(spark, v)
   }
 
-  /** Core over an explicit (vec_id, v, norm) table — split out so
-    * tests can drive constructed near-duplicate vectors (the sf
-    * testdata holds no pair above the 0.9 threshold, so the oracle
-    * only proves the 0-row case). */
-  private[graft] def cosineNearDupFrom(spark: SparkSession, v: DataFrame): DataFrame = {
+  /** `cosineNearDup` at the LOOSE threshold (0.35) — the testdata's
+    * embedding space holds no pair above 0.9, so the production-
+    * threshold query hash-matches only the 0-row case; this variant
+    * surfaces the threshold as a real parameter and gives the
+    * cross-engine gate a NON-EMPTY result to prove (19 pairs at
+    * sf0.01). Identical plan — the threshold is a post-candidate
+    * filter, so candidate generation and cost are unchanged. */
+  def cosineNearDupLoose(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count()
+    cosineNearDupFrom(spark, v, threshold = LooseThreshold)
+  }
+
+  /** The loose-variant threshold, shared with the oracle so both
+    * engines filter identically. */
+  private[graft] val LooseThreshold = 0.35
+
+  /** Core over an explicit (vec_id, v, norm) table with the cosine
+    * threshold as a parameter — split out so tests can drive
+    * constructed near-duplicate vectors and the loose-threshold
+    * variants give the oracle a non-empty result. */
+  private[graft] def cosineNearDupFrom(spark: SparkSession, v: DataFrame,
+                                       threshold: Double = 0.9): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     def sig(b: Int) = concat((0 until 8).map(i =>
       when(element_at(col("v"), 8 * b + i + 1) >= 0, "1").otherwise("0")): _*)
@@ -116,7 +134,7 @@ object Similarity {
       .join(v.select(col("vec_id").as("doc_a"), col("v"), col("norm")), "doc_a")
       .join(v.select(col("vec_id").as("doc_b"), col("v").as("w"), col("norm").as("nbr_norm")), "doc_b")
       .withColumn("cos", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
-      .where(col("cos") >= 0.9)
+      .where(col("cos") >= threshold)
       .select("doc_a", "doc_b", "cos")
       .orderBy("doc_a", "doc_b")
   }
@@ -132,6 +150,16 @@ object Similarity {
     val v = vecs(spark, dir).persist()
     v.count()
     Dedup.clustersFromPairs(cosineNearDupFrom(spark, v).select("doc_a", "doc_b"))
+  }
+
+  /** `nearDupClusters` at the loose threshold — non-empty at the gate
+    * SFs, so the cross-engine check proves actual cluster formation
+    * over embeddings, not just the empty fixpoint. */
+  def nearDupClustersLoose(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count()
+    Dedup.clustersFromPairs(
+      cosineNearDupFrom(spark, v, threshold = LooseThreshold).select("doc_a", "doc_b"))
   }
 
   /** (label, centroid: array<double>) — per-label mean vector, built
