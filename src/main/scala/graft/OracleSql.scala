@@ -313,6 +313,43 @@ object OracleSql {
       |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
       |FROM m, v, pk""".stripMargin
 
+  /** Per-segment windowed-form oracle for the distributed per-key
+    * drawdown (`Drawdown.maxDrawdownByKey`): the single-series
+    * `tsDrawdown` formulation with every window/aggregate partitioned
+    * or grouped by segment. */
+  val tsDrawdownBySegment: String =
+    s"""WITH $dailyBySegmentPct,
+      |s AS (SELECT name, date, pct FROM p WHERE pct IS NOT NULL),
+      |w1 AS (
+      |  SELECT name, date,
+      |         SUM(pct) OVER (PARTITION BY name ORDER BY date
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM s
+      |),
+      |w2 AS (
+      |  SELECT name, date, cum,
+      |         MAX(cum) OVER (PARTITION BY name ORDER BY date
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+      |  FROM w1
+      |),
+      |dd AS (SELECT name, date, cum, cummax, cum - cummax AS ddv FROM w2),
+      |m AS (SELECT name, MIN(ddv) AS min_dd FROM dd GROUP BY name),
+      |v AS (
+      |  SELECT dd.name, MIN(dd.date) AS valley_date, MIN(dd.cummax) AS peak_cum
+      |  FROM dd JOIN m ON m.name = dd.name AND dd.ddv = m.min_dd
+      |  GROUP BY dd.name
+      |),
+      |pk AS (
+      |  SELECT dd.name, MIN(dd.date) AS peak_date
+      |  FROM dd JOIN v ON v.name = dd.name AND dd.date <= v.valley_date AND dd.cum = v.peak_cum
+      |  GROUP BY dd.name
+      |)
+      |SELECT m.name, ROUND(m.min_dd, 6) AS max_drawdown,
+      |       pk.peak_date, v.valley_date,
+      |       CAST(v.valley_date - pk.peak_date AS BIGINT) AS duration
+      |FROM m JOIN v ON v.name = m.name JOIN pk ON pk.name = m.name
+      |ORDER BY m.name""".stripMargin
+
   // ---------------------------------------------------------- relational
 
   val relScanFilter: String =

@@ -83,6 +83,7 @@ object SparkEntry {
     "mm_decode"          -> (Multimodal.decodeSummary _),
     "mm_frames"          -> (Multimodal.frameSummary _),
     "ts_drawdown"        -> (Drawdown.drawdownQuery _),
+    "ts_drawdown_by_segment" -> (Drawdown.drawdownBySegmentQuery _),
     "ts_benchmark"       -> (TimeSeries.benchmarkBuyHold _),
     "ts_gotk_by_segment" -> (TimeSeries.gotkBySegment _),
     "ts_trailing_by_segment" -> (TimeSeries.trailingReturnBySegment _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "mm_frames"          -> OracleSql.mmFrames,
     "mm_meta"            -> OracleSql.mmMeta,
     "ts_drawdown"        -> OracleSql.tsDrawdown,
+    "ts_drawdown_by_segment" -> OracleSql.tsDrawdownBySegment,
     "ts_benchmark"       -> OracleSql.tsBenchmark,
     "ts_gotk_by_segment" -> OracleSql.tsGotkBySegment,
     "ts_trailing_by_segment" -> OracleSql.tsTrailingReturnBySegment,

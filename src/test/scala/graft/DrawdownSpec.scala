@@ -73,6 +73,31 @@ class DrawdownSpec extends SparkSpec {
     }
   }
 
+  test("by-key: each series' result equals its single-series run at every partition count") {
+    import spark.implicits._
+    // three series with different shapes, interleaved key ranges —
+    // partition boundaries land mid-series for small partition counts
+    val shapes = Map(
+      "a" -> Seq(0.1, 0.2, -0.15, -0.25, 0.1, 0.3),
+      "b" -> Seq(-0.1, -0.1, 0.3, -0.2, -0.2),
+      "c" -> Seq(0.05, 0.0, -0.05))
+    val df = shapes.toSeq.flatMap { case (n, vals) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        (n, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+      }
+    }.toDF("name", "date", "pct")
+    for (p <- Seq(1, 2, 4, 8)) {
+      val byKey = Drawdown.maxDrawdownByKey(df, partitions = p).toMap
+      assert(byKey.keySet === shapes.keySet, s"p=$p")
+      shapes.foreach { case (n, vals) =>
+        val solo = Drawdown.maxDrawdown(series(vals), partitions = 1).get
+        val r = byKey(n)
+        assert(math.abs(r.maxDrawdown - solo.maxDrawdown) < 1e-12, s"p=$p name=$n")
+        assert(r.peakDate === solo.peakDate && r.valleyDate === solo.valleyDate, s"p=$p name=$n")
+      }
+    }
+  }
+
   test("real daily series: distributed value matches the windowed value") {
     val wDate = Window.orderBy("date")
     val daily = TimeSeries.dailyOrderRevenue(spark, sf)
