@@ -16,6 +16,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exercise the cluster-iteration storage seam from the command
+    // line: GRAFT_CLUSTER_ITER_DIR=<path> routes the component loop's
+    // per-round state through an explicit (shared-storage-style) root
+    sys.env.get("GRAFT_CLUSTER_ITER_DIR")
+      .foreach(d => spark.conf.set("graft.cluster.iterDir", d))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (names.isEmpty) graft.SparkEntry.queries.toSeq.sortBy(_._1)
