@@ -989,9 +989,9 @@ object OracleSql {
     * Buckets carry the same MaxBucket width cap as the Spark side
     * (`Dedup.pairsFromBands`). */
   val dedupSimhashPairs: String = {
-    val ham = (1 to 64).map(k =>
-      s"CASE WHEN substr(a.sig64, $k, 1) <> substr(b.sig64, $k, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    // engine-native popcount, mirroring the Spark side's
+    // bit_count(hi^hi)+bit_count(lo^lo) over the packed signature
+    val ham = "bit_count(xor(CAST(a.sig64 AS BIT), CAST(b.sig64 AS BIT)))"
     s"""WITH $simhash64Ctes,
        |bands0 AS (
        |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig

@@ -465,7 +465,17 @@ object Dedup {
     * pieces of a signature sized to the corpus for distance ≤ k.
     * Output: doc_a, doc_b, hamming. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhash64Table(spark, dir).persist()
+    // the signature is packed to two BIGINTs once per doc (conv is
+    // pre-join, O(docs)); per-candidate Hamming is then two XORs + two
+    // popcounts (`bit_count`) inside whole-stage codegen instead of a
+    // 64-term substring-comparison chain, and the verify join ships 16
+    // bytes per side instead of a 64-char string. The oracle computes
+    // the same distance as bit_count(xor(sig64::BIT)) — engine-native
+    // popcount on both sides.
+    val sig = simhash64Table(spark, dir)
+      .withColumn("hi", expr("cast(conv(substring(sig64, 1, 32), 2, 10) as bigint)"))
+      .withColumn("lo", expr("cast(conv(substring(sig64, 33, 32), 2, 10) as bigint)"))
+      .persist()
     sig.count() // materialize before the band + two join sides fan out
     val pieces = array(
       substring(col("sig64"), 1, 22),
@@ -473,13 +483,11 @@ object Dedup {
       substring(col("sig64"), 44, 21))
     val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
     val cand = pairsFromBands(bands)
-    val ham = (1 to 64).map(k =>
-      when(substring(col("sig_a"), k, 1) =!= substring(col("sig_b"), k, 1), 1).otherwise(0))
-      .reduce(_ + _)
     cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig64").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig64").as("sig_b")), "doc_b")
-      .withColumn("hamming", ham.cast("bigint"))
+      .join(sig.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"))
       .where(col("hamming") <= 2)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
