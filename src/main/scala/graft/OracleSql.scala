@@ -828,6 +828,53 @@ object OracleSql {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per doc; rank on the ROUNDED score + tok
+    * tiebreak so both engines order identically. LN is natural log on
+    * both sides. */
+  val textTfidf: String =
+    """WITH c AS (
+      |  SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      |  GROUP BY doc_id, u.tok
+      |),
+      |nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM c GROUP BY doc_id),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT c.doc_id, c.tok,
+      |         ROUND((c.c::DOUBLE / nt.n_tokens::DOUBLE)
+      |               * LN(n.n_docs::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+      |  FROM c JOIN nt ON nt.doc_id = c.doc_id JOIN df ON df.tok = c.tok, n
+      |),
+      |r AS (
+      |  SELECT doc_id, tok, tfidf,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+      |  FROM s
+      |)
+      |SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rank
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Greedy sequence packing: content-hash shard, per-shard cumulative
+    * token window, bin = start-offset div 1024. SUM window cast to
+    * BIGINT (DuckDB widens to HUGEINT). */
+  val textPack: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, CAST('0x' || substr(h, 1, 7) AS BIGINT) % 8 AS shard, h, n_toks FROM d
+      |),
+      |w AS (
+      |  SELECT doc_id, shard, n_toks,
+      |         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM s
+      |)
+      |SELECT doc_id, shard, (cum - n_toks) // 1024 AS bin, n_toks
+      |FROM w ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     """SELECT doc_id,
       |  list_min(list_transform(range(1, length(text) - 7 + 1),
@@ -1119,6 +1166,24 @@ object OracleSql {
        |$clusterCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Int8 scalar-quantization audit: symmetric per-vector scale,
+    * saturation count, L2 reconstruction error. */
+  val simQuantize: String =
+    """WITH e AS (
+      |  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x FROM embeddings
+      |),
+      |m AS (SELECT vec_id, MAX(abs(x)) AS mx FROM e GROUP BY vec_id),
+      |q AS (
+      |  SELECT e.vec_id, e.x, m.mx,
+      |         COALESCE(ROUND(e.x * 127.0 / NULLIF(m.mx, 0.0)), 0.0) AS qv
+      |  FROM e JOIN m ON m.vec_id = e.vec_id
+      |)
+      |SELECT vec_id,
+      |       ROUND(MAX(mx) / 127.0, 6) AS scale,
+      |       CAST(SUM(CASE WHEN abs(qv) = 127.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+      |       ROUND(sqrt(SUM((x - qv * mx / 127.0) * (x - qv * mx / 127.0))), 6) AS recon_err
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   val simCentroids: String =
     """WITH e AS (

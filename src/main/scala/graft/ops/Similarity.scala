@@ -162,6 +162,33 @@ object Similarity {
       cosineNearDupFrom(spark, v, threshold = LooseThreshold).select("doc_a", "doc_b"))
   }
 
+  /** Int8 scalar quantization audit — the vector-index compression
+    * pass (16→1 bytes/dim for float32 sources): per vector, symmetric
+    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127], and the
+    * summary a quantization job reports per vector: the scale, the
+    * number of saturated dims, and the L2 reconstruction error.
+    *
+    * Scale: posexplode + per-vec window max + one groupBy — a single
+    * vec_id-keyed shuffle, no joins against other vectors; 100 TB of
+    * vectors is embarrassingly parallel. (The agg runs over exploded
+    * rows rather than an `aggregate()` HOF lambda to stay on the
+    * codegen path.) Zero vectors quantize to all-zero with scale 0
+    * (nullif-guarded). Output: vec_id, scale, n_sat, recon_err. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("mx", max(abs(col("x"))).over(w))
+      .withColumn("q", coalesce(round(col("x") * 127.0 / nullif(col("mx"), lit(0.0))), lit(0.0)))
+      .withColumn("err", col("x") - col("q") * col("mx") / 127.0)
+      .groupBy("vec_id")
+      .agg(
+        round(max(col("mx")) / 127.0, 6).as("scale"),
+        sum(when(abs(col("q")) === 127.0, 1L).otherwise(0L)).as("n_sat"),
+        round(sqrt(sum(col("err") * col("err"))), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   /** (label, centroid: array<double>) — per-label mean vector, built
     * by posexplode + two groupBys (never a collect). The array is
     * reassembled in position order via sort-by-struct. */

@@ -218,6 +218,72 @@ object Text {
         md5(col("chunk")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** TF-IDF keyword extraction: the top-3 terms per document by
+    * tf·idf — the classic corpus-weighted relevance score (tf = term
+    * share of the doc, idf = ln(N/df) over the whole corpus), the
+    * building block of keyword tagging / topic labeling passes over
+    * training corpora.
+    *
+    * Scale: one (doc, tok) count shuffle with map-side partial
+    * aggregation, one tok-keyed df aggregation (vocabulary-sized),
+    * joined back token-count-table-sized; N is a 1-row broadcast
+    * scalar (the documented crossJoin carrier, never a collect). The
+    * top-k window partitions by doc. Rank orders on the ROUNDED score
+    * (+ tok tiebreak) so both engines rank identically.
+    * Output: doc_id, tok, tfidf, rank. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .persist()
+    counts.count() // materialize before the df-aggregation + score sides fan out
+    val nTok = counts.groupBy("doc_id").agg(sum(col("c")).as("n_tokens"))
+    val df = counts.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n1 = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    counts
+      .join(nTok, "doc_id")
+      .join(df, "tok")
+      .crossJoin(broadcast(n1))
+      .withColumn("tfidf", round(
+        (col("c").cast("double") / col("n_tokens").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("tfidf"), col("rank").cast("bigint").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Distributed sequence packing — the shard-and-pack step that turns
+    * a curated corpus into fixed-budget training bins: docs are
+    * assigned to one of 8 shards by content hash (reproducible, like
+    * `trainValTestSplit`), ordered within their shard by (hash,
+    * doc_id), and greedily packed into 1024-token bins — a doc belongs
+    * to the bin its cumulative START offset falls in. This is the
+    * parallel form of sequential greedy packing: one shuffle on the
+    * shard key, a per-shard cumulative-sum window, map-side bin
+    * arithmetic. 1000 shards at a billion docs is the same plan.
+    * Output: doc_id, shard, bin, n_toks. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 7), 16, 10).cast("long") % 8).as("shard"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("shard"),
+        expr("(cum - n_toks) div 1024").as("bin"),
+        col("n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

