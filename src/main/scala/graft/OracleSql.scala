@@ -875,6 +875,15 @@ object OracleSql {
       |SELECT doc_id, shard, (cum - n_toks) // 1024 AS bin, n_toks
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Prefix-hash-keyed split: near-exact duplicates co-assign. */
+  val textSplitLeakFree: String =
+    """SELECT doc_id,
+      |       CAST('0x' || substr(md5(substr(text, 1, 40)), 1, 7) AS BIGINT) % 100 AS bucket,
+      |       CASE WHEN CAST('0x' || substr(md5(substr(text, 1, 40)), 1, 7) AS BIGINT) % 100 < 90 THEN 'train'
+      |            WHEN CAST('0x' || substr(md5(substr(text, 1, 40)), 1, 7) AS BIGINT) % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     """SELECT doc_id,
       |  list_min(list_transform(range(1, length(text) - 7 + 1),

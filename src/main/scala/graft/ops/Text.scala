@@ -119,6 +119,26 @@ object Text {
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
       .orderBy("doc_id")
 
+  /** Duplication-aware train/val/test split: assignment keyed on the
+    * 40-char PREFIX hash (the `Dedup.prefix` near-exact group key)
+    * instead of the full content hash, so near-exact duplicates —
+    * trailing-whitespace/footer variants of the same document — land
+    * in the SAME split and never straddle the train/test boundary (the
+    * standard leakage failure of naive per-doc splitting). Map-only,
+    * no shuffle, same 90/5/5 buckets as `trainValTestSplit`. The full
+    * near-dup-safe form keys on the minhash cluster instead —
+    * `pipelines.Curation.leakFreeSplit` derives it from the
+    * materialized cluster table at one-join cost.
+    * Output: doc_id, bucket, split. */
+  def splitLeakFree(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(substring(col("text"), 1, 40)), 1, 7), 16, 10).cast("long") % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+
   /** The composed corpus-curation decision — the artifact an LLM
     * training-data pipeline actually ships: one auditable row per
     * document carrying every gate's verdict and the final keep

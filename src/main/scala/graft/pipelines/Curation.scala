@@ -53,6 +53,32 @@ object Curation {
   def curationDecision(spark: SparkSession, dir: String, root: String): DataFrame =
     Text.curateFrom(spark, dir, spark.read.parquet(clustersPath(root)))
 
+  /** Stage 2c: the fully near-dup-safe train/val/test split, derived
+    * from the materialized cluster table: every doc is keyed by its
+    * CLUSTER's keeper (unpaired docs by themselves), and the split
+    * bucket comes from the keeper's content hash — so an entire
+    * near-dup cluster lands in one split and can never straddle the
+    * train/test boundary. Two hash equi-joins against tables no larger
+    * than the corpus (decision table + the keeper text lookup); the
+    * map-only prefix-hash approximation is `Text.splitLeakFree`.
+    * Output: doc_id, key_doc, bucket, split. */
+  def leakFreeSplit(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val cl = spark.read.parquet(clustersPath(root)).select("doc_id", "cluster_id")
+    val keyed = docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("key_doc"))
+    keyed
+      .join(docs.select(col("doc_id").as("key_doc"),
+        (conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long") % 100).as("bucket")),
+        "key_doc")
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .select("doc_id", "key_doc", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** The full pipeline: cluster once, land both derived tables.
     * Re-runnable: every stage is a truncate-load, so a re-run
     * reproduces the same state (the reference's idempotency contract

@@ -332,6 +332,23 @@ class PipelineSpec extends SparkSpec {
     val inputs = graft.pipelines.Curation.applyDeduped(spark, sf, root).inputFiles
     assert(inputs.exists(_.contains("dedup_clusters")),
       "derived stage must scan the materialized cluster table")
+
+    // leak-free split: every member of a near-dup cluster lands in the
+    // SAME split (keyed by the keeper), and unpaired docs keep the
+    // content-hash assignment of the naive split
+    val lfs = graft.pipelines.Curation.leakFreeSplit(spark, sf, root)
+    assert(lfs.count() === Tables.documents(spark, sf).count())
+    val straddling = lfs.groupBy("key_doc")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1)
+    assert(straddling.count() === 0, "a cluster straddles the train/test boundary")
+    val clustered = spark.read.parquet(s"$root/dedup_clusters").select("doc_id")
+    val naive = graft.ops.Text.trainValTestSplit(spark, sf).select("doc_id", "split")
+    val unpairedMismatch = lfs.join(clustered, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("split").as("lf_split"))
+      .join(naive, "doc_id")
+      .where(col("lf_split") =!= col("split"))
+    assert(unpairedMismatch.count() === 0)
   }
 
   test("csv interchange round-trips with declared schema") {
