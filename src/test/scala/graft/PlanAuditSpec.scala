@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Locks the scale posture in as tests: the plan shapes the 100 TB
+  * design depends on must SURVIVE refactors, not just hold on the day
+  * they were reviewed. Asserts over the physical plans of every driver
+  * query (at sf0.001 — plan shape, not data volume):
+  *
+  *  - no `CartesianProduct` anywhere, ever;
+  *  - `BroadcastNestedLoopJoin` only in the whitelisted queries whose
+  *    nested-loop side is a documented BOUNDED broadcast (1-row scalar
+  *    carriers, the <=10-row query side, k centroids, the interval
+  *    dim, the 6-period dim) — a new unbounded one fails the suite;
+  *  - predicate pushdown reaches the parquet scan where the operator
+  *    contract promises it.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose construction executes jobs (iterative loops /
+    * driver merges); their dataflow subtrees are audited through their
+    * constituent operators instead. */
+  private val executesAtConstruction = Set(
+    "dedup_clusters", "dedup_apply", "text_curate",
+    "sim_clusters", "sim_clusters_loose",
+    "ts_drawdown", "ts_drawdown_by_segment")
+
+  /** Bounded-broadcast nested loops, each justified at the operator:
+    * ev_range_join = broadcast interval dim; rel_ntile / risk /
+    * ts_trailing_return / text_tfidf = 1-row (or 6-row period) scalar
+    * carriers; sim_topk = <=10-row query side; sim_ivf = 10 x k
+    * centroid probe. */
+  private val boundedNestedLoop = Set(
+    "ev_range_join", "rel_ntile", "risk", "ts_trailing_return",
+    "text_tfidf", "sim_topk", "sim_ivf")
+
+  test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !executesAtConstruction(name)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !boundedNestedLoop(name))
+        offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("scan-level predicate pushdown holds for the scan+filter contract") {
+    // rel_scan_filter (S1/P2): the date-range + flag predicates must
+    // reach the parquet source as PushedFilters, not a post-scan
+    // Filter-only plan
+    val qe = ops.Relational.scanFilter(spark, sf).queryExecution
+    val scans = qe.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scans.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(scans.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty,
+      "PushedFilters list is empty")
+  }
+
+  test("broadcast dims actually broadcast in the dim-join contract") {
+    // J2 (slug -> id dim stamp): the customer dim side must plan as a
+    // BroadcastHashJoin, not a shuffle join
+    val plan = graft.pipelines.Datamart.dimSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "dim join did not broadcast")
+  }
+}
