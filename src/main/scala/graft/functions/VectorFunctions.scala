@@ -57,11 +57,16 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Idempotently register `graft_dot` with the session and return a
-    * Column-level handle. */
+  /** Register `graft_dot` with the session (once — skipped when the
+    * session already has it, e.g. injected via
+    * [[graft.GraftExtensions]]) and return a Column-level handle. */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
     call_function("graft_dot", a, b)
   }
 }
