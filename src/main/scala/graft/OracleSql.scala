@@ -1279,6 +1279,27 @@ object OracleSql {
       |       ROUND(pct, 6) AS percent_change
       |FROM p ORDER BY name, date""".stripMargin
 
+  /** EWMA (half-life 15 d / 30-day lookback), offset-join form:
+    * weights renormalized over present days; 2 dp for cross-engine
+    * float-sum association. */
+  val tsEwma: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |pr AS (
+      |  SELECT d.date, r.k, d.date - CAST(r.k AS INTEGER) AS b_date
+      |  FROM d, range(0, 30) r(k)
+      |),
+      |j AS (
+      |  SELECT pr.date, POW(0.5, pr.k::DOUBLE / 15.0) AS w, b.tvl
+      |  FROM pr JOIN d b ON b.date = pr.b_date
+      |)
+      |SELECT date, ROUND(SUM(tvl * w) / SUM(w), 2) AS ewma15,
+      |       CAST(COUNT(*) AS BIGINT) AS n_obs
+      |FROM j GROUP BY date ORDER BY date""".stripMargin
+
   val tsMovingAvg: String =
     s"""WITH $dailyOrders
        |SELECT date, tvl,

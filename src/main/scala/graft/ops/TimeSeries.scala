@@ -163,6 +163,36 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Exponentially-weighted moving average (half-life 15 days over a
+    * 30-day lookback) of the daily revenue — the standard smoothing
+    * financial dashboards layer on volatile TVL-style series. Weights
+    * renormalize over the days actually PRESENT in the window
+    * (ignore-missing semantics), so calendar gaps don't drag the
+    * average.
+    *
+    * Scale form: NOT a non-equi self-join (that plans as a nested
+    * loop) — each anchor date explodes its 30 candidate offsets
+    * map-side and hash-equi-joins back to the rollup on the offset
+    * date; one shuffle, the same shape at any series length. 2 dp
+    * rounding for the same reason as `movingAverage`: windowed float
+    * sums associate differently across engines at 1e6 magnitudes.
+    * Output: date, ewma15, n_obs. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir).persist()
+    daily.count() // materialize before the anchor + lookup sides fan out
+    val probes = daily
+      .select(col("date"), explode(expr("sequence(0, 29)")).as("k"))
+      .select(col("date"), col("k"), expr("date_sub(date, k)").as("b_date"))
+    probes
+      .join(daily.select(col("date").as("b_date"), col("tvl")), "b_date")
+      .withColumn("w", pow(lit(0.5), col("k").cast("double") / 15.0))
+      .groupBy("date")
+      .agg(
+        round(sum(col("tvl") * col("w")) / sum(col("w")), 2).as("ewma15"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("date")
+  }
+
   /** Per-segment daily order revenue — the multi-series "TVL" fact
     * table (name, date, tvl): ONE shuffle on the (name, date) rollup
     * key; every multi-series operator partitions its windows on `name`
