@@ -1300,6 +1300,33 @@ object OracleSql {
       |       CAST(COUNT(*) AS BIGINT) AS n_obs
       |FROM j GROUP BY date ORDER BY date""".stripMargin
 
+  val tsEwmaBySegment: String =
+    s"""WITH $dailyBySegmentPct,
+      |pr AS (
+      |  SELECT name, date, r.k, date - CAST(r.k AS INTEGER) AS b_date
+      |  FROM daily, range(0, 30) r(k)
+      |),
+      |j AS (
+      |  SELECT pr.name, pr.date, POW(0.5, pr.k::DOUBLE / 15.0) AS w, b.tvl
+      |  FROM pr JOIN daily b ON b.name = pr.name AND b.date = pr.b_date
+      |)
+      |SELECT name, date, ROUND(SUM(tvl * w) / SUM(w), 2) AS ewma15,
+      |       CAST(COUNT(*) AS BIGINT) AS n_obs
+      |FROM j GROUP BY name, date ORDER BY name, date""".stripMargin
+
+  /** Single-pass profiling aggregate; mean = exact decimal sum /
+    * count, divided once. */
+  val relProfile: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+      |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+      |       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices,
+      |       MIN(CAST(o_orderdate AS DATE)) AS min_date,
+      |       MAX(CAST(o_orderdate AS DATE)) AS max_date,
+      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price
+      |FROM orders""".stripMargin
+
   val tsMovingAvg: String =
     s"""WITH $dailyOrders
        |SELECT date, tvl,

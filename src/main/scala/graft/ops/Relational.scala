@@ -42,6 +42,25 @@ object Relational {
       max(to_date(col("o_orderdate"))).as("end_date"),
       count(lit(1)).as("n"))
 
+  /** Single-pass table profiling — the data-quality monitor every
+    * ingest pipeline fronts its tables with: row count, key
+    * cardinalities, null counts, domain bounds, and an exact mean, all
+    * from ONE scan + one aggregate (a production variant swaps the
+    * exact distincts for `approx_count_distinct` at the same plan
+    * shape; exact here so the oracle can check it). Mean = exact
+    * decimal sum / count, divided once (cross-engine-safe, unlike
+    * avg-of-doubles). Output: 1 row of profile measures. */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_prices"),
+      min(to_date(col("o_orderdate"))).as("min_date"),
+      max(to_date(col("o_orderdate"))).as("max_date"),
+      round(dsum(col("o_totalprice")) / count(lit(1)), 2).as("avg_price"))
+
   /** TPC-H Q1-shaped pricing summary: multi-measure hash agg with
     * exact decimal arithmetic (A-family + F7). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {

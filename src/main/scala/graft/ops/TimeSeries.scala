@@ -193,6 +193,27 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Multi-series `ewma`: the same offset-equi-join per market
+    * segment — the join key grows to (name, b_date) and everything
+    * else is unchanged, so 1000 series is the identical single-shuffle
+    * plan. Output: name, date, ewma15, n_obs. */
+  def ewmaBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenueBySegment(spark, dir).persist()
+    daily.count() // materialize before the anchor + lookup sides fan out
+    val probes = daily
+      .select(col("name"), col("date"), explode(expr("sequence(0, 29)")).as("k"))
+      .select(col("name"), col("date"), col("k"), expr("date_sub(date, k)").as("b_date"))
+    probes
+      .join(daily.select(col("name"), col("date").as("b_date"), col("tvl")),
+        Seq("name", "b_date"))
+      .withColumn("w", pow(lit(0.5), col("k").cast("double") / 15.0))
+      .groupBy("name", "date")
+      .agg(
+        round(sum(col("tvl") * col("w")) / sum(col("w")), 2).as("ewma15"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("name", "date")
+  }
+
   /** Per-segment daily order revenue — the multi-series "TVL" fact
     * table (name, date, tvl): ONE shuffle on the (name, date) rollup
     * key; every multi-series operator partitions its windows on `name`
