@@ -278,10 +278,6 @@ object Dedup {
       .persist()
     edges.count() // materialize: every round joins against this table
     p.unpersist()
-    // 1-row scalar per round (like the documented O(p) drawdown merge);
-    // null-safe for the empty-pairs edge
-    def labelSumOf(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).collect().head.get(0)).fold(0L)(_.asInstanceOf[Long])
     // Each round is materialized by a PARQUET ROUND-TRIP through a
     // session temp dir — a full out-of-JVM break, not persist() or
     // (local)checkpoint(). Plain persist() leaves the logical plan
@@ -315,17 +311,24 @@ object Dedup {
     // work on object stores, not just posix paths.
     val iterDir = s"${IterState.rootFor(session)}/run_${java.util.UUID.randomUUID().toString.take(8)}"
     val cleanup = IterState.register(session, iterDir)
-    def materialize(df: DataFrame, round: Int): DataFrame = {
+    // The convergence scalar (labels only ever decrease, so an
+    // unchanged label sum IS the fixpoint) rides the WRITE job via the
+    // Observation API instead of a separate aggregation over the
+    // round's parquet — zero extra Spark jobs per round (null-safe for
+    // the empty-pairs edge: sum over zero rows observes null).
+    def materialize(df: DataFrame, round: Int): (DataFrame, Long) = {
       val path = s"$iterDir/labels_$round"
-      df.write.mode("overwrite").parquet(path)
-      session.read.parquet(path)
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, sum(col("label")).as("ls"))
+        .write.mode("overwrite").parquet(path)
+      val s = obs.get.get("ls").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
+      (session.read.parquet(path), s)
     }
-    var labels = materialize(
+    var (labels, labelSum) = materialize(
       edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))
         .select(col("id"), least(col("id"), col("m")).as("label")),
       0)
-    var labelSum = labelSumOf(labels)
     var converged = false
     var round = 0
     while (!converged && round < 40) {
@@ -336,7 +339,7 @@ object Dedup {
         .join(labels.select(col("id").as("jid"), col("label").as("jump_label")),
           col("label") === col("jid"))
         .select(col("id"), col("jump_label"))
-      val next = materialize(
+      val (next, nextSum) = materialize(
         labels
           .join(nbrMin, Seq("id"), "left")
           .join(jump, Seq("id"))
@@ -344,7 +347,6 @@ object Dedup {
             least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
               .as("label")),
         round + 1)
-      val nextSum = labelSumOf(next)
       labels = next
       // round N's files are dead once round N+1 is materialized and
       // summed; delete eagerly so a long loop holds two rounds on disk
