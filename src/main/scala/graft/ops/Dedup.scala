@@ -244,7 +244,13 @@ object Dedup {
     * min-doc_id keeper, mirroring `exact`'s per-hash-group semantics
     * at the near-dup level. Output (docs in >= 1 pair): doc_id,
     * cluster_id (= the component's min doc_id = the keeper), keep. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clustersReleasable(spark, dir)._1
+
+  /** `clusters` plus the iteration-storage handle (see
+    * [[clustersFromPairsReleasable]]) for callers that materialize the
+    * result and can reclaim the run dir immediately. */
+  private[graft] def clustersReleasable(spark: SparkSession, dir: String): (DataFrame, IterState.Handle) = {
     // star-contracted edges, not the pair list: identical components
     // (see starEdgesFromBands) without materializing O(bucket²)
     // candidate pairs first. Trade measured at sf0.1: +3 convergence
@@ -252,30 +258,68 @@ object Dedup {
     // join/distinct — a wash locally, strictly less shuffle at scale.
     val bands = bandsFrom(shingleTable(spark, dir)).persist()
     bands.count()
-    clustersFromPairs(starEdgesFromBands(bands))
+    clustersFromPairsReleasable(starEdgesFromBands(bands))
   }
 
   /** Connected components over an undirected pair list via iterative
-    * min-label propagation WITH pointer jumping: each round,
+    * min-label propagation WITH pointer jumping: each hop,
     * label(v) := min(label(v), min over neighbors' labels,
     * label(label(v))). The pointer-jump term halves chain depth per
-    * round, so convergence is O(log diameter) rounds, not O(diameter)
-    * — a transitive chain of 2^k near-dups settles in ~k rounds. No
-    * GraphX dependency: each round is two hash equi-joins (edges ×
+    * hop, so convergence is O(log diameter) hops, not O(diameter)
+    * — a transitive chain of 2^k near-dups settles in ~k hops. No
+    * GraphX dependency: each hop is two hash equi-joins (edges ×
     * labels, labels × labels), and the fixpoint test is one scalar
-    * aggregate per round (labels only ever decrease, so an unchanged
-    * label sum IS convergence — no row-level compare needed). The
-    * driver-side loop is the standard Spark shape for iterative graph
-    * algorithms; every per-round table is O(nodes + edges). */
-  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    * aggregate per materialized round (labels only ever decrease, so
+    * an unchanged label sum IS convergence — no row-level compare
+    * needed). The driver-side loop is the standard Spark shape for
+    * iterative graph algorithms; every per-round table is
+    * O(nodes + edges).
+    *
+    * HOP UNROLLING: at local[32] the dominant per-round cost is the
+    * ~0.5-1 s fixed scheduler latency of ONE Spark action over a tiny
+    * label table, not the data — so the loop composes
+    * `graft.cluster.hopsPerRound` hops (default 3) into a single plan
+    * between materializations, cutting the ACTION count ~k×. Unlike
+    * chaining across rounds (which quadruples the logical plan per
+    * round until traversal overflows — see below), intra-round depth
+    * is bounded and resets at each parquet break; the previous hop's
+    * subtree is referenced 4× per hop but its shuffles are shared by
+    * ReuseExchange, so executed work stays ~linear in k. Convergence
+    * may overshoot by up to k-1 hops past the fixpoint — harmless,
+    * labels are already stable. At production scale the same lever
+    * trades fewer stage barriers + fewer intermediate materializations
+    * for a deeper (still shuffle-shared) plan per round. */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame =
+    clustersFromPairsReleasable(pairs)._1
+
+  /** `clustersFromPairs` plus the iteration-storage handle: the final
+    * round's parquet backs the returned DataFrame, so only the CALLER
+    * knows when the run dir is reclaimable. A caller that lands the
+    * output elsewhere (`pipelines.Curation.buildClusters` via
+    * truncateLoad) should `release()` the handle immediately; the
+    * driver-contract queries return the DataFrame itself and leave
+    * cleanup to the JVM-exit sweep. */
+  private[graft] def clustersFromPairsReleasable(pairs: DataFrame): (DataFrame, IterState.Handle) = {
     // persist + materialize the pair list BEFORE the direction union:
     // the union's two branches are two consumers, and without the cache
     // each would recompute the (expensive) candidate-generation subtree
     val p = pairs.select("doc_a", "doc_b").persist()
     p.count()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    // Both edge directions PLUS a self-loop per node: the self-loop
+    // folds the "keep your own label" term into the neighbor-min join,
+    // so one propagation hop references the previous labels exactly
+    // ONCE (join + groupBy). That single-reference shape is what makes
+    // hop unrolling linear — a hop that needs its input twice (let
+    // alone the pointer jump's self-join) re-executes the whole
+    // unmaterialized chain beneath it once per reference, measured
+    // 4^k-style blow-up at k=3 (see PERF.md round 6).
+    val edges = {
+      val bidir = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      bidir.union(
+        bidir.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+        .persist()
+    }
     edges.count() // materialize: every round joins against this table
     p.unpersist()
     // Each round is materialized by a PARQUET ROUND-TRIP through a
@@ -324,6 +368,24 @@ object Dedup {
       val s = obs.get.get("ls").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
       (session.read.parquet(path), s)
     }
+    // one propagation hop: min over (self, neighbors' labels, label of
+    // label). Composable — `l` may itself be an unmaterialized hop.
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = l.select(col("id").as("src"), col("label"))
+        .join(edges, "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      val jump = l
+        .join(l.select(col("id").as("jid"), col("label").as("jump_label")),
+          col("label") === col("jid"))
+        .select(col("id"), col("jump_label"))
+      l.join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
+            .as("label"))
+    }
+    val hopsPerRound = math.max(1,
+      session.conf.getOption("graft.cluster.hopsPerRound").map(_.toInt).getOrElse(3))
     var (labels, labelSum) = materialize(
       edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))
@@ -332,21 +394,23 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < 40) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      val jump = labels
-        .join(labels.select(col("id").as("jid"), col("label").as("jump_label")),
-          col("label") === col("jid"))
-        .select(col("id"), col("jump_label"))
-      val (next, nextSum) = materialize(
-        labels
-          .join(nbrMin, Seq("id"), "left")
-          .join(jump, Seq("id"))
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
-              .as("label")),
-        round + 1)
+      // Chain hopsPerRound hops into ONE action. Each intermediate hop
+      // is persist()ed: a hop references its predecessor 4× (self,
+      // neighbor join, both jump sides), so an uncached chain executes
+      // the base subtree 4^k times — measured 10× slower per round at
+      // k=3. The cache truncates that to ~linear in k at zero extra
+      // actions (sibling stages may race-fill a partition of the same
+      // cached hop — duplicated work bounded by one hop's depth, never
+      // exponential). Intermediates are dropped as soon as the round's
+      // parquet is on disk.
+      val intermediates = Seq.newBuilder[DataFrame]
+      var cur = labels
+      for (_ <- 1 until hopsPerRound) {
+        cur = hop(cur).persist()
+        intermediates += cur
+      }
+      val (next, nextSum) = materialize(hop(cur), round + 1)
+      intermediates.result().foreach(_.unpersist(false))
       labels = next
       // round N's files are dead once round N+1 is materialized and
       // summed; delete eagerly so a long loop holds two rounds on disk
@@ -363,10 +427,11 @@ object Dedup {
     if (!converged)
       System.err.println(s"[clusters] WARNING: $round-round cap hit before fixpoint; labels may be unconverged")
     edges.unpersist()
-    labels
+    val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
+    (out, cleanup)
   }
 
   /** Apply the dedup decision — the artifact a pipeline actually
@@ -542,14 +607,40 @@ private[graft] object IterState {
       val p = new Path(sub)
       try { fsOf(p).delete(p, true); () } catch { case _: Throwable => () }
     }
+    /** Reclaim the whole run dir NOW and drop it from the exit sweep.
+      * Only valid once the returned DataFrame has been fully consumed
+      * (its final-round parquet lives here) — i.e. after the caller
+      * has landed the result somewhere else, as
+      * `pipelines.Curation.buildClusters` does via truncateLoad.
+      * Without an explicit release a long-lived session (Thrift
+      * server, notebook) keeps one final-round dir per invocation on
+      * the configured root until JVM exit. Errors propagate: a failed
+      * caller-initiated delete on shared storage should be seen, not
+      * swallowed. */
+    def release(): Unit = {
+      live.remove(this)
+      deleteAll()
+    }
   }
 
   private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Handle]()
 
-  // the ONE hook; `lazy val` evaluation is the once-only latch
+  // The ONE exit sweep; `lazy val` evaluation is the once-only latch.
+  // Registered through Hadoop's ShutdownHookManager — NOT a raw JVM
+  // hook — at a priority above FileSystem's own close hook: raw hooks
+  // run in nondeterministic order relative to Hadoop's, so on hdfs://
+  // or s3a:// iteration roots an exit-time delete could race the
+  // FileSystem cache close and silently leak run dirs (the sweep's
+  // swallowed exception would hide it). Ordering before FS close makes
+  // the delete see a live FileSystem. Production roots should still
+  // carry an external TTL/lifecycle policy as backstop — a kill -9
+  // runs no hooks at all.
   private lazy val hookInstalled: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      live.forEach(h => try h.deleteAll() catch { case _: Throwable => () })))
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = live.forEach(h => try h.deleteAll() catch { case _: Throwable => () })
+      },
+      FileSystem.SHUTDOWN_HOOK_PRIORITY + 20)
     ()
   }
 

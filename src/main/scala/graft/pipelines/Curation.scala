@@ -39,9 +39,15 @@ object Curation {
 
   /** Stage 1: the expensive part, exactly once — near-dup candidate
     * generation + connected components + keeper election, landed as a
-    * table (reference S6 WRITE_TRUNCATE semantics). */
-  def buildClusters(spark: SparkSession, dir: String, root: String): Unit =
-    Writers.truncateLoad(Dedup.clusters(spark, dir), clustersPath(root))
+    * table (reference S6 WRITE_TRUNCATE semantics). truncateLoad fully
+    * consumes the loop's output, so the iteration run dir is released
+    * immediately instead of parking on the configured storage root
+    * until JVM exit — the reclamation seam a long-lived session needs. */
+  def buildClusters(spark: SparkSession, dir: String, root: String): Unit = {
+    val (clusters, iterHandle) = Dedup.clustersReleasable(spark, dir)
+    Writers.truncateLoad(clusters, clustersPath(root))
+    iterHandle.release()
+  }
 
   /** Stage 2a: the deduplicated corpus, derived by READING the
     * materialized cluster table — row-identical to `Dedup.applyDedup`

@@ -21,6 +21,9 @@ object Profile {
     // per-round state through an explicit (shared-storage-style) root
     sys.env.get("GRAFT_CLUSTER_ITER_DIR")
       .foreach(d => spark.conf.set("graft.cluster.iterDir", d))
+    // and the hop-unroll factor (default 3; 1 = one action per hop)
+    sys.env.get("GRAFT_CLUSTER_HOPS")
+      .foreach(k => spark.conf.set("graft.cluster.hopsPerRound", k))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (names.isEmpty) graft.SparkEntry.queries.toSeq.sortBy(_._1)
