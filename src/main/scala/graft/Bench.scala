@@ -33,32 +33,47 @@ object Bench {
       }
       name -> reps
     }
-    // The driver captures a BOUNDED TAIL of stdout, so the summary line
-    // carrying the verdict (total + per-query minimums) must come LAST;
-    // the per-rep diagnostics line goes first and is expendable if
-    // truncated. All times at 3 dp so neither line bloats.
+    // The driver captures a BOUNDED TAIL of stdout (2000 chars, measured
+    // from BENCH_r05's capture), so the summary line carrying the
+    // verdict (total + per-query minimums) must be the LAST line printed
+    // — round 5 printed diagnostics after it and the 78-query summary
+    // lost its head to the window, leaving the driver nothing to parse.
+    // Print order: full reps (expendable), top10 reps (evidence), summary
+    // (verdict, last). Values are %.3f with trailing zeros stripped so
+    // the summary stays well under the window as queries accumulate; if
+    // it would still exceed the window budget, degrade to 2 dp.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and
     // a comma-decimal locale would print 6,340 — corrupting the JSON
     // the driver parses
-    def dp3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def dp(d: Double, places: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    def dp3(d: Double): String = dp(d, 3)
     val repJson = results.map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
     println(s"""{"metric":"reps","unit":"sec","reps":$repJson,"sf":"$sfDir"}""")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp3(v.min) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Contamination evidence that SURVIVES tail truncation: the full
-    // "reps" line above is 2x the summary's size and is the first to
-    // be cut, which round 4 proved loses exactly the arbitration data
-    // when the machine was loaded. This compact line repeats the rep
-    // triplets for only the 10 most expensive queries — the ones that
-    // dominate the total — AFTER the summary, so any captured tail
-    // that has the verdict also has its evidence (rep spread >> min
-    // means machine noise, not a plan regression).
+    // Contamination evidence that survives tail truncation: the full
+    // "reps" line above is 2x the summary's size and is the first to be
+    // cut, which round 4 proved loses exactly the arbitration data when
+    // the machine is loaded. This compact line repeats the rep triplets
+    // for only the 10 most expensive queries — the ones that dominate
+    // the total — right before the summary, so a captured tail that has
+    // the verdict usually has its evidence too (rep spread >> min means
+    // machine noise, not a plan regression).
     val top10 = results.sortBy(-_._2.min).take(10).map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
     println(s"""{"metric":"top10_reps","unit":"sec","reps":$top10}""")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    def summaryLine(places: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp(v.min, places) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Budget: 2000-char tail window minus sbt's trailing "[success]..."
+    // line (~75) and this line's own "[info] " prefix — keep under 1880.
+    val line3 = summaryLine(3)
+    println(if (line3.length <= 1880) line3 else summaryLine(2))
     spark.stop()
   }
 }

@@ -275,20 +275,18 @@ object Dedup {
     * iterative graph algorithms; every per-round table is
     * O(nodes + edges).
     *
-    * HOP UNROLLING: at local[32] the dominant per-round cost is the
-    * ~0.5-1 s fixed scheduler latency of ONE Spark action over a tiny
-    * label table, not the data — so the loop composes
-    * `graft.cluster.hopsPerRound` hops (default 3) into a single plan
-    * between materializations, cutting the ACTION count ~k×. Unlike
-    * chaining across rounds (which quadruples the logical plan per
-    * round until traversal overflows — see below), intra-round depth
-    * is bounded and resets at each parquet break; the previous hop's
-    * subtree is referenced 4× per hop but its shuffles are shared by
-    * ReuseExchange, so executed work stays ~linear in k. Convergence
-    * may overshoot by up to k-1 hops past the fixpoint — harmless,
-    * labels are already stable. At production scale the same lever
-    * trades fewer stage barriers + fewer intermediate materializations
-    * for a deeper (still shuffle-shared) plan per round. */
+    * HOP UNROLLING (`graft.cluster.hopsPerRound`, default 1): the loop
+    * can compose k hops into a single plan between materializations,
+    * cutting the ACTION count ~k×. MEASURED NEGATIVE at local[32]
+    * sf0.1 (PERF.md round 6): k=3 is ~2× SLOWER than k=1 across the
+    * whole cluster family (dedup_clusters 14.6→24.0 s) — the k× extra
+    * join work per round plus race-filled intermediate caches cost
+    * more than the saved per-action scheduler latency, and the round
+    * count doesn't fall k× because pointer jumping already collapses
+    * chains superlinearly, so late hops in a round are mostly wasted
+    * past-fixpoint work. The knob stays for environments where action
+    * latency genuinely dominates (very high scheduler RTT); default is
+    * the measured winner. */
   private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame =
     clustersFromPairsReleasable(pairs)._1
 
@@ -307,12 +305,12 @@ object Dedup {
     p.count()
     // Both edge directions PLUS a self-loop per node: the self-loop
     // folds the "keep your own label" term into the neighbor-min join,
-    // so one propagation hop references the previous labels exactly
-    // ONCE (join + groupBy). That single-reference shape is what makes
-    // hop unrolling linear — a hop that needs its input twice (let
-    // alone the pointer jump's self-join) re-executes the whole
-    // unmaterialized chain beneath it once per reference, measured
-    // 4^k-style blow-up at k=3 (see PERF.md round 6).
+    // so every node is guaranteed a nbr_label row (the left-join
+    // coalesce in hop() is belt-and-braces, never load-bearing) and
+    // the neighbor min can only tighten monotonically. A hop still
+    // references the previous labels 4× (self, neighbor join, both
+    // pointer-jump sides) — the per-hop persist in the round loop is
+    // what keeps unrolled hops linear instead of 4^k (PERF.md round 6).
     val edges = {
       val bidir = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -385,7 +383,7 @@ object Dedup {
             .as("label"))
     }
     val hopsPerRound = math.max(1,
-      session.conf.getOption("graft.cluster.hopsPerRound").map(_.toInt).getOrElse(3))
+      session.conf.getOption("graft.cluster.hopsPerRound").map(_.toInt).getOrElse(1))
     var (labels, labelSum) = materialize(
       edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))

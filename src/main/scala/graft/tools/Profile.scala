@@ -21,7 +21,8 @@ object Profile {
     // per-round state through an explicit (shared-storage-style) root
     sys.env.get("GRAFT_CLUSTER_ITER_DIR")
       .foreach(d => spark.conf.set("graft.cluster.iterDir", d))
-    // and the hop-unroll factor (default 3; 1 = one action per hop)
+    // and the hop-unroll factor (default 1 = one action per hop;
+    // k>1 measured slower at local[32], see PERF.md round 6)
     sys.env.get("GRAFT_CLUSTER_HOPS")
       .foreach(k => spark.conf.set("graft.cluster.hopsPerRound", k))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
