@@ -71,9 +71,10 @@ object Bench {
       s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // Budget: 2000-char tail window minus sbt's trailing "[success]..."
-    // line (~75) and this line's own "[info] " prefix — keep under 1880.
-    val line3 = summaryLine(3)
-    println(if (line3.length <= 1880) line3 else summaryLine(2))
+    // line (~75) and this line's own "[info] " prefix — keep under 1880,
+    // degrading precision until it fits (1 dp accommodates ~130 queries).
+    println(Seq(3, 2, 1).map(summaryLine).find(_.length <= 1880)
+      .getOrElse(summaryLine(1)))
     spark.stop()
   }
 }

@@ -624,6 +624,54 @@ object OracleSql {
       |FROM l ASOF LEFT JOIN r ON l.name = r.name AND l.date >= r.date
       |ORDER BY l.name, l.date""".stripMargin
 
+  /** Ordered funnel: each stage's entry time is the min event ts
+    * STRICTLY AFTER the user's entry into the previous stage — the
+    * same chained-CTE shape as the Spark side's chained stage
+    * aggregates. */
+  val evFunnel: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3
+      |)
+      |SELECT stage, users, ROUND(users / n1, 6) AS pct_of_first FROM (
+      |  SELECT '1_signup' AS stage, n1 AS users, n1 FROM c
+      |  UNION ALL SELECT '2_click', n2, n1 FROM c
+      |  UNION ALL SELECT '3_purchase', n3, n1 FROM c
+      |) t ORDER BY stage""".stripMargin
+
+  /** Weekly cohort retention: ISO-week truncation on both the first
+    * event (cohort) and each active week; offsets are exact multiples
+    * of 7 days, so the /7 division is lossless in both engines. */
+  val evRetention: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1
+      |),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |)
+      |SELECT cohort_week,
+      |       CAST((week - cohort_week) / 7 AS BIGINT) AS week_offset,
+      |       COUNT(DISTINCT user_id) AS users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Derived non-aligned intervals, broadcast-dim range join. */
   val evRangeJoin: String =
     """WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
@@ -1218,6 +1266,65 @@ object OracleSql {
       |FROM r JOIN cnt ON cnt.label = r.label
       |WHERE r.rn = 1 ORDER BY r.label""".stripMargin
 
+  /** Lloyd's k-means, unrolled: k=8 centroids seeded from vec_id < 8,
+    * two assign/update iterations as explicit CTE pairs, final
+    * assignment output — the exact computation the Spark side runs
+    * with a fixed iteration count, so the chain is cross-engine
+    * deterministic. Distances use the positional-sum form (same as
+    * `simCentroids`); ROUND(dist, 6) before the argmin pins the
+    * cluster choice across engines, with the centroid-id tiebreak. */
+  val simKmeans: String = {
+    def assign(i: Int, cPrev: String) =
+      s"""d$i AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ROUND(SUM(e.x * e.x) - 2 * SUM(e.x * c.cx) + SUM(c.cx * c.cx), 6) AS dist
+         |  FROM e JOIN $cPrev c ON e.pos = c.pos
+         |  GROUP BY 1, 2
+         |),
+         |a$i AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$i) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def update(i: Int) =
+      s"""c$i AS (
+         |  SELECT a.cid, e.pos, AVG(e.x) AS cx
+         |  FROM a$i a JOIN e USING (vec_id)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |         UNNEST(embedding)::DOUBLE AS x
+       |  FROM embeddings
+       |),
+       |c0 AS (SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < 8),
+       |${assign(1, "c0")},
+       |${update(1)},
+       |${assign(2, "c1")},
+       |${update(2)},
+       |${assign(3, "c2")}
+       |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
+  /** In-cell kNN graph: per-label self-join (the IVF-cell containment
+    * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak. */
+  val simKnnGraph: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |         ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, nbr_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
   /** IVF probe: top-2 nearest centroids by 6-dp cosine (label
     * tiebreak), then exact top-3 over the probed cells' union (cells
     * are disjoint, so no dedup); `cell` is the neighbor's cell. */
@@ -1333,6 +1440,27 @@ object OracleSql {
        |       ROUND(AVG(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
        |       MAX(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS max7
        |FROM daily ORDER BY date""".stripMargin
+
+  /** Rolling z-score vs the 30 PRECEDING days (current excluded), full
+    * 30-obs gate; the anomaly flag derives from the ROUNDED z so the
+    * |z| > 2 boundary is engine-deterministic. */
+  val tsAnomaly: String =
+    s"""WITH $dailyOrders,
+       |w AS (
+       |  SELECT date, tvl,
+       |         COUNT(*)     OVER win AS n30,
+       |         AVG(tvl)     OVER win AS mu,
+       |         STDDEV_SAMP(tvl) OVER win AS sd
+       |  FROM daily
+       |  WINDOW win AS (ORDER BY date ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+       |),
+       |z AS (
+       |  SELECT date, tvl,
+       |         CASE WHEN n30 = 30 THEN ROUND((tvl - mu) / NULLIF(sd, 0), 6) END AS z
+       |  FROM w
+       |)
+       |SELECT date, tvl, z, COALESCE(ABS(z) > 2, false) AS is_anomaly
+       |FROM z ORDER BY date""".stripMargin
 
   val tsBenchmark: String =
     """WITH bd AS (

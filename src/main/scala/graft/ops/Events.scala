@@ -87,6 +87,69 @@ object Events {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
       .orderBy("event_type")
 
+  /** Ordered conversion funnel over the event stream: signup →
+    * click → purchase, where each stage must happen STRICTLY AFTER the
+    * user's entry into the previous stage (min qualifying timestamp),
+    * not merely anywhere in their history — the semantics product
+    * funnels actually need, and the part a naive per-type min()
+    * aggregate gets wrong. Three stage tables, each one filtered scan +
+    * one user_id-keyed aggregate, chained by hash equi-joins on
+    * user_id; nothing is ordered globally and nothing collects. At
+    * scale all three joins co-shuffle on user_id (AQE broadcasts the
+    * later, strictly-shrinking stage tables when small enough).
+    * Output: stage, users, pct_of_first (round 6). */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.events(spark, dir))
+
+  /** Core over an explicit (user_id, event_type, ts) table — split out
+    * so tests can drive constructed orderings (click-before-signup,
+    * purchase-before-click) through the strictly-after semantics. */
+  private[graft] def funnelFrom(ev: DataFrame): DataFrame = {
+    def stageMin(evType: String, prev: DataFrame, prevT: String, out: String) =
+      ev.where(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .where(col("ts") > col(prevT))
+        .groupBy("user_id").agg(min(col("ts")).as(out))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = stageMin("click", s1, "t1", "t2")
+    val s3 = stageMin("purchase", s2, "t2", "t3")
+    val counts = s1.agg(count(lit(1)).as("n1")).crossJoin(
+      s2.agg(count(lit(1)).as("n2"))).crossJoin(
+      s3.agg(count(lit(1)).as("n3")))
+    // 1-row × 1-row crossJoins: scalar carriers, the documented pattern
+    counts.select(explode(array(
+        struct(lit("1_signup").as("stage"), col("n1").as("users")),
+        struct(lit("2_click").as("stage"), col("n2").as("users")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("users")))).as("s"),
+        col("n1"))
+      .select(col("s.stage").as("stage"), col("s.users").as("users"),
+        round(col("s.users") / col("n1"), 6).as("pct_of_first"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event (the cohort), counted distinct in each subsequent
+    * active week, keyed by offset-in-weeks from the cohort week — the
+    * engagement matrix behind every retention curve. Two user_id-keyed
+    * aggregates + one join + one (cohort, offset) aggregate; the
+    * distinct-week projection keeps the join input at O(users ×
+    * active-weeks), not O(events). Output: cohort_week, week_offset,
+    * users. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("bigint").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** As-of (backward) join: for each day of the order-revenue series,
     * the most recent available observation of a sparser series (daily
     * lineitem quantity, deterministically thinned to every 3rd

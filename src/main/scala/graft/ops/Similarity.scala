@@ -218,6 +218,89 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Lloyd's k-means over the embedding column: k=8 centroids seeded
+    * deterministically from the 8 lowest vec_ids, 2 fixed
+    * assign/update iterations, then the final assignment — fixed
+    * iteration count (not a convergence test) so the result is
+    * engine-deterministic and the DuckDB oracle can unroll the exact
+    * same computation as CTEs. Assignment is argmin of squared L2
+    * distance, computed as dot(v,v) − 2·dot(v,c) + dot(c,c) through
+    * the codegen'd dot product, ROUNDED to 6 dp before the argmin with
+    * a centroid-id tiebreak — the rounding is what pins the argmin
+    * across engines (raw float distances differ at ~1e-13 ulp;
+    * distances are O(100)-magnitude so 6 dp is far above that).
+    * Scale: centroids are a k-row broadcast, assignment is map-side
+    * over the vector scan, the update is one (cid, pos)-keyed partial
+    * agg — the canonical distributed k-means iteration; 100 TB of
+    * vectors is k broadcast joins + k tiny aggregates per iteration.
+    * Output: vec_id, cluster, dist. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before the per-iteration assignment scans fan out
+    kmeansFrom(spark, v)
+  }
+
+  /** Core over an explicit (vec_id, v) table with parameterized k and
+    * iteration count — split out so tests can drive constructed
+    * seed/satellite geometries and assert the assignment. */
+  private[graft] def kmeansFrom(spark: SparkSession, v: DataFrame,
+                                k: Int = 8, iters: Int = 2): DataFrame = {
+    var cent = v.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val asg = kmeansAssign(spark, v, cent)
+      cent = centroidTable(spark,
+          asg.join(v, "vec_id").select(col("cid").as("label"), col("v")))
+        .select(col("label").as("cid"), col("centroid").as("c"))
+    }
+    kmeansAssign(spark, v, cent)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** One k-means assignment pass: nearest centroid per vector by
+    * 6dp-rounded squared L2, centroid-id tiebreak. The k-row centroid
+    * table is broadcast; the per-vector crossJoin is the intentional
+    * bounded nested loop (k tiny by design, same as `ivfTopKFrom`'s
+    * probe). */
+  private def kmeansAssign(spark: SparkSession, v: DataFrame, cent: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    v.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist",
+        round(d(col("v"), col("v")) - lit(2.0) * d(col("v"), col("c")) + d(col("c"), col("c")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("dist"))
+  }
+
+  /** k-nearest-neighbor graph over ALL vectors — the base-layer
+    * neighbor graph every graph-ANN index (HNSW/NSG-style) builds on —
+    * with candidates bounded to the vector's own IVF cell (its label
+    * cluster), so the self-join is per-cell, never all-pairs: cost is
+    * O(Σ cell²) with the cell as shuffle key, the same containment
+    * argument as `lshTopK`, and at 100 TB cell size is what the coarse
+    * quantizer is tuned for. Contrast with `bruteForceTopK`, which is
+    * exact but bounds the QUERY side instead; here every vector gets
+    * its k=3 in-cell neighbors. Output: vec_id, nbr_id, cos, rank. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before both self-join sides fan out
+    val a = v.select(col("label").as("cell"), col("vec_id"), col("v"), col("norm"))
+    val b = v.select(col("label").as("cell"), col("vec_id").as("nbr_id"),
+      col("v").as("w"), col("norm").as("nbr_norm"))
+    val wR = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
+      .withColumn("rank", row_number().over(wR))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** IVF-style ANN — the second scale path alongside sign-LSH
     * (`lshTopK`): cells are the label clusters with their mean vector
     * as the coarse quantizer; each query (vec_id < 10) probes its

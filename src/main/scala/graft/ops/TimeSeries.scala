@@ -193,6 +193,33 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Rolling z-score anomaly detection on the daily revenue series:
+    * each day scored against the mean/stddev of the 30 PRECEDING days
+    * (the day itself excluded, so a spike can't mask itself), flagged
+    * when |z| > 2. The full-window gate (exactly 30 prior observations)
+    * keeps early days unscored rather than scored against a thin
+    * baseline — same discipline as `trailingReturns`' W7 gate. z is
+    * O(1)-magnitude (a ratio of 1e6-magnitude terms), so 6 dp rounding
+    * sits far above cross-engine ulp divergence, and the flag is
+    * derived from the ROUNDED z in both engines so the boundary is
+    * engine-deterministic. Runs on the O(#days) rollup — the one
+    * documented unpartitioned-window shape; the per-key variant would
+    * partition by series key like every other multi-series op.
+    * Output: date, tvl, z (null until the gate fills), is_anomaly. */
+  def zscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w30 = wDate.rowsBetween(-30, -1)
+    dailyOrderRevenue(spark, dir)
+      .withColumn("n30", count(lit(1)).over(w30))
+      .withColumn("mu", avg(col("tvl")).over(w30))
+      .withColumn("sd", stddev_samp(col("tvl")).over(w30))
+      .withColumn("z",
+        when(col("n30") === 30,
+          round((col("tvl") - col("mu")) / nullif(col("sd"), lit(0.0)), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2.0, lit(false)))
+      .select(col("date"), col("tvl"), col("z"), col("is_anomaly"))
+      .orderBy("date")
+  }
+
   /** Multi-series `ewma`: the same offset-equi-join per market
     * segment — the join key grows to (name, b_date) and everything
     * else is unchanged, so 1000 series is the identical single-shuffle

@@ -497,4 +497,79 @@ class OperatorsSpec extends SparkSpec {
       col("mean_byte") < 0 || col("mean_byte") > 255).count()
     assert(bad === 0)
   }
+
+  test("funnel counts each stage strictly after the previous stage entry") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // A: fully ordered signup -> click -> purchase
+      (1L, "signup", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // B: click BEFORE signup — a naive per-type min() would count it
+      (2L, "click", t(1)), (2L, "signup", t(2)), (2L, "purchase", t(3)),
+      // C: purchase before the qualifying click — stages 1 and 2 only
+      (3L, "signup", t(1)), (3L, "purchase", t(2)), (3L, "click", t(3)),
+      // D: never signed up — no stage at all
+      (4L, "click", t(1)), (4L, "purchase", t(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnelFrom(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("1_signup") === 3)
+    assert(out("2_click") === 2)
+    assert(out("3_purchase") === 1)
+  }
+
+  test("retention: offset-0 cell covers every user, offsets never negative") {
+    val r = Events.retention(spark, sf)
+    val total = Tables.events(spark, sf).select("user_id").distinct().count()
+    val atZero = r.where(col("week_offset") === 0)
+      .agg(sum(col("users"))).first().getLong(0)
+    // every user is active in their own cohort week by construction
+    assert(atZero === total)
+    assert(r.where(col("week_offset") < 0).count() === 0)
+  }
+
+  test("z-score anomaly gates on 30 prior rows and flags from rounded z") {
+    val rows = TimeSeries.zscoreAnomaly(spark, sf).collect()
+    assert(rows.take(30).forall(_.isNullAt(2)), "rows before the gate must be unscored")
+    assert(rows.drop(30).forall(!_.isNullAt(2)), "rows past the gate must be scored")
+    rows.foreach { r =>
+      if (r.isNullAt(2)) assert(!r.getBoolean(3))
+      else assert(r.getBoolean(3) === (math.abs(r.getDouble(2)) > 2.0))
+    }
+  }
+
+  test("kmeans assigns satellites to their seed's cluster") {
+    import spark.implicits._
+    // 4 far-apart seeds (ids 0..3 = the deterministic init), one
+    // satellite near each; 2 Lloyd iterations must keep each satellite
+    // with its corner's centroid
+    val v = Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(100.0, 0.0),
+      2L -> Array(0.0, 100.0), 3L -> Array(100.0, 100.0),
+      4L -> Array(1.0, 0.0), 5L -> Array(99.0, 0.0),
+      6L -> Array(0.0, 99.0), 7L -> Array(99.0, 100.0)
+    ).toDF("vec_id", "v")
+    val m = Similarity.kmeansFrom(spark, v, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(4) === 0 && m(5) === 1 && m(6) === 2 && m(7) === 3)
+    assert(m(0) === 0 && m(1) === 1 && m(2) === 2 && m(3) === 3)
+  }
+
+  test("knn graph stays in-cell with consecutive ranks and non-increasing cosine") {
+    val g = Similarity.knnGraph(spark, sf).persist()
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val crossCell = g.join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")), "nbr_id")
+      .where(col("label") =!= col("nbr_label")).count()
+    assert(crossCell === 0, "a neighbor escaped its IVF cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy("rank")
+    val bad = g
+      .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(w))
+      .where(col("prev_cos") < col("cos") || col("rank") =!= col("prev_rank") + 1)
+      .count()
+    assert(bad === 0, "ranks must be consecutive with non-increasing cosine")
+    g.unpersist()
+  }
 }
