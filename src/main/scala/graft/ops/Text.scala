@@ -257,7 +257,13 @@ object Text {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .persist()
-    counts.count() // materialize before the df-aggregation + score sides fan out
+    // Materialize before the df-aggregation + score sides fan out. The
+    // cache is NOT unpersisted here — the returned plan still reads it
+    // lazily, so release belongs to the runner: Bench/Verify/the test
+    // base clearCache() between queries (the module-wide convention,
+    // same as every vecs()/bands persist in Similarity/Dedup). A
+    // long-lived session embedding these queries should do the same.
+    counts.count()
     val nTok = counts.groupBy("doc_id").agg(sum(col("c")).as("n_tokens"))
     val df = counts.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val n1 = docs.agg(count(lit(1)).as("n_docs"))
