@@ -672,6 +672,23 @@ object OracleSql {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Last-touch attribution: carried-forward previous non-purchase
+    * event per user (event_id breaks ts ties), purchase rollup by
+    * attributed channel. */
+  val evAttribution: String =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch
+      |  FROM events
+      |)
+      |SELECT COALESCE(prev_touch, 'none') AS channel,
+      |       COUNT(*) AS purchases,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Derived non-aligned intervals, broadcast-dim range join. */
   val evRangeJoin: String =
     """WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
@@ -931,6 +948,25 @@ object OracleSql {
       |            WHEN CAST('0x' || substr(md5(substr(text, 1, 40)), 1, 7) AS BIGINT) % 100 < 95 THEN 'val'
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Add-one-smoothed bigram LM score: every log term is a ratio of
+    * exact integer counts (bit-identical across engines); only the
+    * per-doc mean's summation order differs, absorbed by 6 dp. */
+  val textLmScore: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |),
+      |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vocab
+      |      FROM (SELECT UNNEST(t) AS tok FROM toks) u)
+      |SELECT doc_id,
+      |       ROUND(AVG(LN((c_ab + 1) / (c_a + vocab))), 6) AS lm_score,
+      |       COUNT(*) AS n_bigrams
+      |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val textFingerprint: String =
     """SELECT doc_id,
@@ -1423,6 +1459,14 @@ object OracleSql {
 
   /** Single-pass profiling aggregate; mean = exact decimal sum /
     * count, divided once. */
+  /** Fixed-width histogram: bucket boundary is one IEEE division +
+    * floor, identical across engines. */
+  val relHistogram: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val relProfile: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,

@@ -150,6 +150,28 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent PRECEDING non-purchase event in the user's stream (the
+    * standard marketing-attribution baseline), then rolled up by
+    * attributed channel. The carried-forward touch is a per-user
+    * window (`last(..., ignoreNulls)` over preceding rows — the same
+    * composition as the as-of join), with event_id breaking timestamp
+    * ties so the credit is engine-deterministic. One user_id shuffle +
+    * one channel aggregate; no joins. A purchase with no prior touch
+    * lands in 'none'. Output: channel, purchases, total_value. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prev_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("prev_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("channel")
+  }
+
   /** As-of (backward) join: for each day of the order-revenue series,
     * the most recent available observation of a sparser series (daily
     * lineitem quantity, deterministically thinned to every 3rd

@@ -42,6 +42,19 @@ object Relational {
       max(to_date(col("o_orderdate"))).as("end_date"),
       count(lit(1)).as("n"))
 
+  /** Fixed-width histogram of order totals (50k-wide buckets): the
+    * profiling companion to `quantiles` when the full distribution
+    * shape matters, one partial-agg groupBy on a map-side-computed
+    * bucket key — embarrassingly parallel at any scale. The bucket
+    * boundary is a single IEEE division + floor, identical across
+    * engines. Output: bucket, n, total. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("bucket")
+
   /** Single-pass table profiling — the data-quality monitor every
     * ingest pipeline fronts its tables with: row count, key
     * cardinalities, null counts, domain bounds, and an exact mean, all

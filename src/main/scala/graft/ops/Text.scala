@@ -310,6 +310,40 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * proxy training pipelines filter on: per-document mean log
+    * P(w_i | w_{i-1}) under an add-one-smoothed corpus bigram model,
+    * P(b|a) = (c(a,b)+1) / (c(a)+V). Every probability is a ratio of
+    * exact integer counts, so each log term is bit-identical across
+    * engines and only the per-doc summation order differs — far below
+    * the 6 dp rounding. Scale: one bigram-keyed shuffle for corpus
+    * counts, joined back on the bigram key; V rides a 1-row broadcast
+    * carrier; nothing is quadratic in corpus size. Documents with <2
+    * tokens have no bigrams and drop out (no score is honest — a
+    * 1-token doc has no LM evidence). Output: doc_id, lm_score,
+    * n_bigrams. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.x").as("a"), col("bg.y").as("b"))
+      .persist()
+    bigrams.count() // materialize before the count + score sides fan out
+    val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = bigrams.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("vocab"))
+    bigrams
+      .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", log((col("c_ab") + 1).cast("double") / (col("c_a") + col("vocab"))))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 6).as("lm_score"), count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

@@ -555,6 +555,34 @@ class OperatorsSpec extends SparkSpec {
     assert(m(0) === 0 && m(1) === 1 && m(2) === 2 && m(3) === 3)
   }
 
+  test("attribution conserves purchases and only credits real channels") {
+    val a = Events.attribution(spark, sf)
+    val totalPurchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(a.agg(sum(col("purchases"))).first().getLong(0) === totalPurchases)
+    val channels = a.select("channel").collect().map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("signup", "view", "click", "error", "none")),
+      s"unexpected channel in $channels")
+  }
+
+  test("lm score is a negative mean log-probability with one bigram per adjacent pair") {
+    val s = Text.lmScore(spark, sf).persist()
+    assert(s.where(col("lm_score") >= 0).count() === 0,
+      "smoothed bigram probabilities are < 1, so mean log must be negative")
+    // every doc with >= 2 tokens contributes (n_tokens - 1) bigrams
+    val expected = Tables.documents(spark, sf)
+      .select((size(split(col("text"), " ")) - 1).cast("bigint").as("nb"))
+      .where(col("nb") >= 1).agg(sum(col("nb"))).first().getLong(0)
+    assert(s.agg(sum(col("n_bigrams"))).first().getLong(0) === expected)
+    s.unpersist()
+  }
+
+  test("histogram partitions the orders table exactly") {
+    val h = Relational.histogram(spark, sf)
+    assert(h.agg(sum(col("n"))).first().getLong(0) === Tables.orders(spark, sf).count())
+    assert(h.where(col("bucket") < 0).count() === 0)
+  }
+
   test("knn graph stays in-cell with consecutive ranks and non-increasing cosine") {
     val g = Similarity.knnGraph(spark, sf).persist()
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
