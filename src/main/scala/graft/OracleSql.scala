@@ -654,6 +654,36 @@ object OracleSql {
       |  UNION ALL SELECT '3_purchase', n3, n1 FROM c
       |) t ORDER BY stage""".stripMargin
 
+  /** `evFunnel` with the 7-day conversion window: each stage must land
+    * within 7 days of the previous stage entry. */
+  val evFunnelWindow: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3
+      |)
+      |SELECT stage, users, ROUND(users / n1, 6) AS pct_of_first FROM (
+      |  SELECT '1_signup' AS stage, n1 AS users, n1 FROM c
+      |  UNION ALL SELECT '2_click', n2, n1 FROM c
+      |  UNION ALL SELECT '3_purchase', n3, n1 FROM c
+      |) t ORDER BY stage""".stripMargin
+
   /** Weekly cohort retention: ISO-week truncation on both the first
     * event (cohort) and each active week; offsets are exact multiples
     * of 7 days, so the /7 division is lossless in both engines. */
@@ -1361,6 +1391,36 @@ object OracleSql {
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  /** Random-projection audit: identical ±1 hyperplanes derived from
+    * md5(j ++ '_' ++ i) in both engines, true top-3 neighbors ranked
+    * on the 64-dim cosine, projected-space cosine + error alongside. */
+  val simRpAudit: String = {
+    val proj =
+      """list_transform(range(0, 16), j -> list_sum(list_transform(range(1, 65),
+        |      i -> embedding[CAST(i AS INT)]::DOUBLE *
+        |           CASE WHEN substr(md5(concat(j, '_', i)), 1, 1) < '8'
+        |                THEN 1.0 ELSE -1.0 END)))""".stripMargin
+    s"""WITH pv AS (
+       |  SELECT vec_id, embedding,
+       |    $proj AS p
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT q.vec_id, c.vec_id AS nbr_id,
+       |         ROUND(${cosSql("q.embedding", "c.embedding")}, 6) AS cos64,
+       |         ROUND(${cosSql("q.p", "c.p")}, 6) AS cos16
+       |  FROM pv q JOIN pv c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |),
+       |r AS (
+       |  SELECT vec_id, nbr_id, cos64, cos16,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos64 DESC, nbr_id) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rank, cos64, cos16,
+       |       ROUND(ABS(cos64 - cos16), 6) AS err
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** IVF probe: top-2 nearest centroids by 6-dp cosine (label
     * tiebreak), then exact top-3 over the probed cells' union (cells
     * are disjoint, so no dedup); `cell` is the neighbor's cell. */
@@ -1484,6 +1544,48 @@ object OracleSql {
        |       ROUND(AVG(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
        |       MAX(tvl) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS max7
        |FROM daily ORDER BY date""".stripMargin
+
+  /** Multi-series rolling z-score: `tsAnomaly` per market segment. */
+  val tsAnomalyBySegment: String =
+    """WITH daily AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |w AS (
+      |  SELECT name, date, tvl,
+      |         COUNT(*)         OVER win AS n30,
+      |         AVG(tvl)         OVER win AS mu,
+      |         STDDEV_SAMP(tvl) OVER win AS sd
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY name ORDER BY date
+      |                 ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+      |),
+      |z AS (
+      |  SELECT name, date, tvl,
+      |         CASE WHEN n30 = 30 THEN ROUND((tvl - mu) / NULLIF(sd, 0), 6) END AS z
+      |  FROM w
+      |)
+      |SELECT name, date, tvl, z, COALESCE(ABS(z) > 2, false) AS is_anomaly
+      |FROM z ORDER BY name, date""".stripMargin
+
+  /** Day-of-week seasonal profile: ISO dow (0=Monday, `isodow - 1`),
+    * exact decimal-sum means, index vs overall mean. */
+  val tsSeasonality: String =
+    s"""WITH $dailyOrders,
+       |o AS (
+       |  SELECT CAST(SUM(CAST(tvl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS overall_mean
+       |  FROM daily
+       |),
+       |g AS (
+       |  SELECT CAST(isodow(date) - 1 AS BIGINT) AS dow, COUNT(*) AS n_days,
+       |         CAST(SUM(CAST(tvl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM daily GROUP BY 1
+       |)
+       |SELECT dow, n_days, ROUND(m, 2) AS mean_tvl,
+       |       ROUND(m / overall_mean, 6) AS seasonal_index
+       |FROM g CROSS JOIN o ORDER BY dow""".stripMargin
 
   /** Rolling z-score vs the 30 PRECEDING days (current excluded), full
     * 30-obs gate; the anomaly flag derives from the ROUNDED z so the

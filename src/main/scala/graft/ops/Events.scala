@@ -101,14 +101,26 @@ object Events {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelFrom(Tables.events(spark, dir))
 
+  /** `funnel` with a conversion window: each stage must land within 7
+    * days of the user's entry into the previous stage — the form
+    * product analytics actually reports ("converted within a week"),
+    * and the variant that keeps a years-later purchase from counting.
+    * Identical plan; the window is one more predicate on the stage
+    * join. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.events(spark, dir), maxLag = Some("7 DAYS"))
+
   /** Core over an explicit (user_id, event_type, ts) table — split out
     * so tests can drive constructed orderings (click-before-signup,
-    * purchase-before-click) through the strictly-after semantics. */
-  private[graft] def funnelFrom(ev: DataFrame): DataFrame = {
+    * purchase-before-click) through the strictly-after semantics.
+    * `maxLag` (an SQL interval literal) bounds each stage to land
+    * within that lag of the previous stage entry. */
+  private[graft] def funnelFrom(ev: DataFrame, maxLag: Option[String] = None): DataFrame = {
     def stageMin(evType: String, prev: DataFrame, prevT: String, out: String) =
       ev.where(col("event_type") === evType)
         .join(prev.select(col("user_id"), col(prevT)), "user_id")
-        .where(col("ts") > col(prevT))
+        .where(col("ts") > col(prevT) &&
+          maxLag.map(l => col("ts") <= col(prevT) + expr(s"INTERVAL $l")).getOrElse(lit(true)))
         .groupBy("user_id").agg(min(col("ts")).as(out))
     val s1 = ev.where(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))

@@ -301,6 +301,45 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) audit: project 64-dim
+    * embeddings to 16 dims through deterministic ±1 hyperplanes
+    * (sign of md5(j ++ '_' ++ i) — both engines derive the identical
+    * matrix from nothing but the hash, no shared state or RNG), then
+    * report, for each query vector's true top-3 neighbors, the cosine
+    * in the original vs the projected space and the absolute error —
+    * the measurement that justifies (or rejects) shipping 4× smaller
+    * vectors to the ANN index. The projection is map-side per vector;
+    * the audit join is the bounded <=10-row query side of
+    * `bruteForceTopK`. The HOF-based projection is interpreted, not
+    * codegen'd — acceptable for an audit pass; a production projection
+    * would precompute the matrix into a broadcast literal.
+    * Output: vec_id, nbr_id, rank, cos64, cos16, err. */
+  def rpAudit(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val proj = expr(
+      """transform(sequence(0, 15), j -> aggregate(sequence(1, 64), cast(0.0 as double),
+        |  (acc, i) -> acc + element_at(v, i) *
+        |    if(substring(md5(concat(j, '_', i)), 1, 1) < '8',
+        |       cast(1.0 as double), cast(-1.0 as double))))""".stripMargin)
+    val pv = vecs(spark, dir).withColumn("p", proj).persist()
+    pv.count() // materialize before both audit-join sides fan out
+    val q = pv.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("norm"), col("p").as("qp"))
+    val c = pv.select(col("vec_id").as("nbr_id"), col("v").as("w"),
+      col("norm").as("nbr_norm"), col("p").as("np"))
+    val wR = Window.partitionBy("vec_id").orderBy(col("cos64").desc, col("nbr_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos64", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
+      .withColumn("cos16", round(
+        d(col("qp"), col("np")) /
+          (sqrt(d(col("qp"), col("qp"))) * sqrt(d(col("np"), col("np")))), 6))
+      .withColumn("rank", row_number().over(wR))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("nbr_id"), col("rank").cast("bigint").as("rank"),
+        col("cos64"), col("cos16"), round(abs(col("cos64") - col("cos16")), 6).as("err"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** IVF-style ANN — the second scale path alongside sign-LSH
     * (`lshTopK`): cells are the label clusters with their mean vector
     * as the coarse quantizer; each query (vec_id < 10) probes its

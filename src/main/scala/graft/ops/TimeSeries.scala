@@ -220,6 +220,50 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Multi-series `zscoreAnomaly`: the same 30-observation rolling
+    * z-score per market segment — the window gains
+    * `partitionBy("name")` and nothing else changes, so 1000 series is
+    * the identical single-shuffle plan with more window partitions
+    * (the multi-series discipline every ts_* operator here follows).
+    * Output: name, date, tvl, z, is_anomaly. */
+  def zscoreAnomalyBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val w30 = Window.partitionBy("name").orderBy("date").rowsBetween(-30, -1)
+    dailyOrderRevenueBySegment(spark, dir)
+      .withColumn("n30", count(lit(1)).over(w30))
+      .withColumn("mu", avg(col("tvl")).over(w30))
+      .withColumn("sd", stddev_samp(col("tvl")).over(w30))
+      .withColumn("z",
+        when(col("n30") === 30,
+          round((col("tvl") - col("mu")) / nullif(col("sd"), lit(0.0)), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2.0, lit(false)))
+      .select(col("name"), col("date"), col("tvl"), col("z"), col("is_anomaly"))
+      .orderBy("name", "date")
+  }
+
+  /** Day-of-week seasonal profile of the daily revenue series: per-dow
+    * observation count, exact mean (decimal sum / count — never
+    * avg-of-doubles, same discipline as `Relational.profile`), and the
+    * seasonal index (dow mean / overall mean). dow is ISO (0=Monday):
+    * Spark `weekday`; the oracle uses `isodow - 1`. The overall mean
+    * rides a 1-row broadcast carrier. 7-row output from one partial-agg
+    * groupBy over the O(#days) rollup — trivially scale-safe.
+    * Output: dow, n_days, mean_tvl, seasonal_index. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir).persist()
+    daily.count() // materialize before the per-dow + overall sides fan out
+    val overall = daily.agg(
+      (sum(col("tvl").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("overall_mean"))
+    daily
+      .groupBy(weekday(col("date")).cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("tvl").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("m"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"),
+        round(col("m"), 2).as("mean_tvl"),
+        round(col("m") / col("overall_mean"), 6).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   /** Multi-series `ewma`: the same offset-equi-join per market
     * segment — the join key grows to (name, b_date) and everything
     * else is unchanged, so 1000 series is the identical single-shuffle

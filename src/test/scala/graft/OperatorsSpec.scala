@@ -555,6 +555,55 @@ class OperatorsSpec extends SparkSpec {
     assert(m(0) === 0 && m(1) === 1 && m(2) === 2 && m(3) === 3)
   }
 
+  test("windowed funnel drops conversions outside the lag bound") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // A converts within the window at every stage
+      (1L, "signup", t(1, 0)), (1L, "click", t(3, 0)), (1L, "purchase", t(5, 0)),
+      // B clicks 8 days after signup — outside the 7-day window
+      (2L, "signup", t(1, 0)), (2L, "click", t(9, 1)), (2L, "purchase", t(10, 0)),
+      // C clicks at exactly 7 days (inclusive bound), purchases late
+      (3L, "signup", t(1, 0)), (3L, "click", t(8, 0)), (3L, "purchase", t(20, 0))
+    ).toDF("user_id", "event_type", "ts")
+    val strict = Events.funnelFrom(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val windowed = Events.funnelFrom(ev, maxLag = Some("7 DAYS")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strict("2_click") === 3 && strict("3_purchase") === 3)
+    assert(windowed("1_signup") === 3)
+    assert(windowed("2_click") === 2, "B's 8-day click must fall outside the window")
+    assert(windowed("3_purchase") === 1, "only A converts fully inside the window")
+  }
+
+  test("seasonality: 7 dow rows partitioning all days, indexes centered on 1") {
+    val s = TimeSeries.seasonality(spark, sf).collect()
+    assert(s.length === 7)
+    assert(s.map(_.getLong(1)).sum ===
+      TimeSeries.dailyOrderRevenue(spark, sf).count())
+    // day-count-weighted mean of the seasonal index is exactly 1
+    val weighted = s.map(r => r.getDouble(3) * r.getLong(1)).sum / s.map(_.getLong(1)).sum
+    assert(math.abs(weighted - 1.0) < 1e-4)
+  }
+
+  test("per-segment anomaly gates independently per series") {
+    val rows = TimeSeries.zscoreAnomalyBySegment(spark, sf)
+      .orderBy("name", "date").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, seg) =>
+      assert(seg.take(30).forall(_.isNullAt(3)), "per-segment gate must restart")
+      assert(seg.drop(30).forall(!_.isNullAt(3)))
+    }
+  }
+
+  test("rp audit reports a bounded projected cosine for each true neighbor") {
+    val a = Similarity.rpAudit(spark, sf).persist()
+    assert(a.count() === 30) // 10 query vectors x top-3
+    assert(a.where(col("cos16") < -1.0 || col("cos16") > 1.0).count() === 0)
+    val bad = a.where(round(abs(col("cos64") - col("cos16")), 6) =!= col("err")).count()
+    assert(bad === 0)
+    a.unpersist()
+  }
+
   test("attribution conserves purchases and only credits real channels") {
     val a = Events.attribution(spark, sf)
     val totalPurchases = Tables.events(spark, sf)

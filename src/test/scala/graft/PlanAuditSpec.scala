@@ -30,12 +30,14 @@ class PlanAuditSpec extends SparkSpec {
     * ts_trailing_return / text_tfidf = 1-row (or 6-row period) scalar
     * carriers; sim_topk = <=10-row query side; sim_ivf = 10 x k
     * centroid probe; sim_kmeans = k-row broadcast centroid table per
-    * assignment pass; ev_funnel = 1-row stage-count scalar carriers;
-    * text_lm_score = 1-row vocabulary-size carrier. */
+    * assignment pass; ev_funnel / ev_funnel_window = 1-row stage-count
+    * scalar carriers; text_lm_score = 1-row vocabulary-size carrier;
+    * sim_rp_audit = <=10-row query side; ts_seasonality = 1-row
+    * overall-mean carrier. */
   private val boundedNestedLoop = Set(
     "ev_range_join", "rel_ntile", "risk", "ts_trailing_return",
     "text_tfidf", "sim_topk", "sim_ivf", "sim_kmeans", "ev_funnel",
-    "text_lm_score")
+    "ev_funnel_window", "text_lm_score", "sim_rp_audit", "ts_seasonality")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
