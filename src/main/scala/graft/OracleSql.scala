@@ -702,6 +702,22 @@ object OracleSql {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Markov transitions: lead over the per-user ordered stream
+    * (event_id ties), normalized within from_type. */
+  val evMarkov: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** Last-touch attribution: carried-forward previous non-purchase
     * event per user (event_id breaks ts ties), purchase rollup by
     * attributed channel. */

@@ -303,21 +303,19 @@ object Dedup {
     // each would recompute the (expensive) candidate-generation subtree
     val p = pairs.select("doc_a", "doc_b").persist()
     p.count()
-    // Both edge directions PLUS a self-loop per node: the self-loop
-    // folds the "keep your own label" term into the neighbor-min join,
-    // so every node is guaranteed a nbr_label row (the left-join
-    // coalesce in hop() is belt-and-braces, never load-bearing) and
-    // the neighbor min can only tighten monotonically. A hop still
-    // references the previous labels 4× (self, neighbor join, both
-    // pointer-jump sides) — the per-hop persist in the round loop is
-    // what keeps unrolled hops linear instead of 4^k (PERF.md round 6).
-    val edges = {
-      val bidir = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      bidir.union(
-        bidir.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        .persist()
-    }
+    // Both edge directions, NO self-loops: the hop's left join +
+    // coalesce keeps a node's own label when the neighbor min is
+    // absent, so self-loop rows would only duplicate that term at the
+    // cost of +|V| rows in every per-round join AND an extra distinct
+    // shuffle to build them (the round-6 snapshot carried them;
+    // removing them measured dedup_clusters min-of-reps 13.2 -> 10.6 s
+    // at sf0.1, ~2.5 s off every cluster-family query).
+    // A hop references the previous labels 4x (self, neighbor join,
+    // both pointer-jump sides) — the per-hop persist in the round loop
+    // is what keeps unrolled hops linear instead of 4^k (PERF.md r6).
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     edges.count() // materialize: every round joins against this table
     p.unpersist()
     // Each round is materialized by a PARQUET ROUND-TRIP through a

@@ -162,6 +162,26 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: count and conditional probability of event_type →
+    * next event_type (lead over the per-user ordered stream, event_id
+    * breaking ts ties), the sequence statistic behind next-action
+    * models and journey analysis. One user_id-keyed window shuffle +
+    * one (from, to) aggregate; the probability normalizes within
+    * from_type via a k×k-bounded window (k = #event types).
+    * Output: from_type, to_type, n, p (round 6). */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Last-touch attribution: each purchase is credited to the most
     * recent PRECEDING non-purchase event in the user's stream (the
     * standard marketing-attribution baseline), then rolled up by

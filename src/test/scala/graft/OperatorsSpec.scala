@@ -604,6 +604,18 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("markov transitions: rows conserve events and probabilities sum to 1") {
+    val t = Events.transitions(spark, sf).persist()
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    // each user's stream of length L contributes L-1 transitions
+    assert(t.agg(sum(col("n"))).first().getLong(0) === nEvents - nUsers)
+    val sums = t.groupBy("from_type").agg(sum(col("p")).as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"row ${r.getString(0)} probabilities sum to ${r.getDouble(1)}"))
+    t.unpersist()
+  }
+
   test("attribution conserves purchases and only credits real channels") {
     val a = Events.attribution(spark, sf)
     val totalPurchases = Tables.events(spark, sf)
