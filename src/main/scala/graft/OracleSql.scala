@@ -1390,14 +1390,25 @@ object OracleSql {
        |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
   }
 
-  /** In-cell kNN graph: per-label self-join (the IVF-cell containment
-    * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak. */
-  val simKnnGraph: String =
-    s"""WITH pairs AS (
+  /** In-cell kNN graph: per-cell self-join (the IVF-cell containment
+    * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak.
+    * Carries the identical width-tiered cell split as the Spark side:
+    * cells wider than 500 split on 3 sign bits, wider than 4000 on 6. */
+  val simKnnGraph: String = {
+    val sig6 = (1 to 6).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH cw AS (SELECT label, COUNT(*) AS cn FROM embeddings GROUP BY 1),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |         concat(e.label, '_', substr(concat($sig6), 1,
+       |           CASE WHEN cw.cn > 4000 THEN 6 WHEN cw.cn > 500 THEN 3 ELSE 0 END)) AS cell
+       |  FROM embeddings e JOIN cw USING (label)
+       |),
+       |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |         ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  FROM v a JOIN v b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |),
        |r AS (
        |  SELECT vec_id, nbr_id, cos,
@@ -1406,6 +1417,7 @@ object OracleSql {
        |)
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
 
   /** Random-projection audit: identical ±1 hyperplanes derived from
     * md5(j ++ '_' ++ i) in both engines, true top-3 neighbors ranked

@@ -280,16 +280,36 @@ object Similarity {
     * with candidates bounded to the vector's own IVF cell (its label
     * cluster), so the self-join is per-cell, never all-pairs: cost is
     * O(Σ cell²) with the cell as shuffle key, the same containment
-    * argument as `lshTopK`, and at 100 TB cell size is what the coarse
-    * quantizer is tuned for. Contrast with `bruteForceTopK`, which is
+    * argument as `lshTopK`. Contrast with `bruteForceTopK`, which is
     * exact but bounds the QUERY side instead; here every vector gets
-    * its k=3 in-cell neighbors. Output: vec_id, nbr_id, cos, rank. */
+    * its k=3 in-cell neighbors.
+    *
+    * CELL-WIDTH CAP (the 10× lesson, PERF.md round 6): with a FIXED
+    * cell count the per-cell self-join is quadratic in corpus growth —
+    * measured 16× cost for 10× vectors. Real IVF re-tunes nlist as n
+    * grows; this emulates that deterministically: a cell wider than
+    * 500 splits on 3 hyperplane-sign bits (8 sub-cells), wider than
+    * 4000 on 6 (64 sub-cells), so per-cell work stays bounded while
+    * the gate SFs (cells ≤ 200) are untouched. The DuckDB oracle
+    * carries the identical width-tiered split, so the (slightly
+    * coarser at huge cells) neighbor semantics match bit-for-bit at
+    * any SF — the same proven-in-the-oracle cap pattern as the LSH
+    * bucket cap in `Dedup`. Output: vec_id, nbr_id, cos, rank. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val v = vecs(spark, dir).persist()
+    val v0 = vecs(spark, dir)
+    val widths = v0.groupBy("label").agg(count(lit(1)).as("cn"))
+    val sig6 = concat((1 to 6).map(i =>
+      when(element_at(col("v"), i) >= 0, "1").otherwise("0")): _*)
+    val v = v0.join(broadcast(widths), "label")
+      .withColumn("bits",
+        when(col("cn") > 4000, 6).when(col("cn") > 500, 3).otherwise(0))
+      .withColumn("cell",
+        concat(col("label"), lit("_"), sig6.substr(lit(1), col("bits"))))
+      .persist()
     v.count() // materialize before both self-join sides fan out
-    val a = v.select(col("label").as("cell"), col("vec_id"), col("v"), col("norm"))
-    val b = v.select(col("label").as("cell"), col("vec_id").as("nbr_id"),
+    val a = v.select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val b = v.select(col("cell"), col("vec_id").as("nbr_id"),
       col("v").as("w"), col("norm").as("nbr_norm"))
     val wR = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     a.join(b, Seq("cell"))
