@@ -102,6 +102,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cluster.iterDir")
   }
 
+  test("clustersReleasable: release() reclaims the run dir immediately") {
+    // the long-lived-session seam: a caller that lands the output
+    // elsewhere (Curation.buildClusters via truncateLoad) must be able
+    // to reclaim iteration storage NOW, not at JVM exit
+    val root = java.nio.file.Files.createTempDirectory("graft_release_test").toString
+    spark.conf.set("graft.cluster.iterDir", root)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      val (out, handle) = Dedup.clustersFromPairsReleasable(pairs)
+      assert(out.count() === 3L) // fully consume before releasing
+      def runDirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("run_"))
+      assert(runDirs === 1, "run dir must exist while the result is live")
+      handle.release()
+      assert(runDirs === 0, "release() must delete the run dir immediately")
+    } finally spark.conf.unset("graft.cluster.iterDir")
+  }
+
   test("clusters: checkpoint dir is used when no iterDir conf is set") {
     val cp = java.nio.file.Files.createTempDirectory("graft_cp_test").toString
     spark.sparkContext.setCheckpointDir(cp)
