@@ -995,6 +995,23 @@ object OracleSql {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Character-distribution entropy: identical substring(range)
+    * construction as the Spark side; −p·ln(p) over exact count
+    * ratios. */
+  val textEntropy: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+      |  WHERE length(text) >= 1
+      |),
+      |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |t AS (SELECT doc_id, SUM(c) AS tot FROM c GROUP BY 1)
+      |SELECT c.doc_id,
+      |       ROUND(SUM(-(c.c / t.tot) * LN(c.c / t.tot)), 6) AS entropy,
+      |       COUNT(*) AS n_distinct_chars
+      |FROM c JOIN t USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
     * per-doc mean's summation order differs, absorbed by 6 dp. */
@@ -1597,6 +1614,19 @@ object OracleSql {
       |)
       |SELECT name, date, tvl, z, COALESCE(ABS(z) > 2, false) AS is_anomaly
       |FROM z ORDER BY name, date""".stripMargin
+
+  /** Lag-k Pearson autocorrelation over the overlap rows, k=1/7/30. */
+  val tsAutocorr: String = {
+    def one(k: Int) =
+      s"""SELECT CAST($k AS BIGINT) AS lag, ROUND(CORR(tvl, l), 6) AS acf, COUNT(*) AS n
+         |FROM (SELECT tvl, LAG(tvl, $k) OVER (ORDER BY date) AS l FROM daily) t$k
+         |WHERE l IS NOT NULL""".stripMargin
+    s"""WITH $dailyOrders
+       |${one(1)}
+       |UNION ALL ${one(7)}
+       |UNION ALL ${one(30)}
+       |ORDER BY lag""".stripMargin
+  }
 
   /** Day-of-week seasonal profile: ISO dow (0=Monday, `isodow - 1`),
     * exact decimal-sum means, index vs overall mean. */

@@ -330,17 +330,24 @@ object Similarity {
     * the measurement that justifies (or rejects) shipping 4× smaller
     * vectors to the ANN index. The projection is map-side per vector;
     * the audit join is the bounded <=10-row query side of
-    * `bruteForceTopK`. The HOF-based projection is interpreted, not
-    * codegen'd — acceptable for an audit pass; a production projection
-    * would precompute the matrix into a broadcast literal.
+    * `bruteForceTopK`. The ±1 matrix is precomputed DRIVER-SIDE from
+    * the same md5 rule and folded into 16 codegen'd `graft_dot` calls
+    * against array literals — the oracle's per-row
+    * `substr(md5(j_i),1,1) < '8'` test is exactly "high bit of the
+    * digest's first byte is 0", so both derivations are provably the
+    * same matrix, and the projection stays on the codegen path (the
+    * interpreted HOF `aggregate` form measured 2.4 s vs 1.4 s
+    * steady-state for the whole query — the remainder is the
+    * brute-force cos64 join).
     * Output: vec_id, nbr_id, rank, cos64, cos16, err. */
   def rpAudit(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val proj = expr(
-      """transform(sequence(0, 15), j -> aggregate(sequence(1, 64), cast(0.0 as double),
-        |  (acc, i) -> acc + element_at(v, i) *
-        |    if(substring(md5(concat(j, '_', i)), 1, 1) < '8',
-        |       cast(1.0 as double), cast(-1.0 as double))))""".stripMargin)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // hex digit < '8'  <=>  (digest[0] & 0x80) == 0
+    val signs: IndexedSeq[Array[Double]] = (0 until 16).map(j =>
+      Array.tabulate(64)(i =>
+        if ((md.digest(s"${j}_${i + 1}".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0))
+    val proj = array((0 until 16).map(j => d(col("v"), typedLit(signs(j)))): _*)
     val pv = vecs(spark, dir).withColumn("p", proj).persist()
     pv.count() // materialize before both audit-join sides fan out
     val q = pv.where(col("vec_id") < 10)

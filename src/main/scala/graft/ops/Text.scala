@@ -310,6 +310,34 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Character-distribution Shannon entropy per document — the
+    * cheapest garbage detector in a text-quality stack (binary blobs,
+    * base64 runs, and single-char spam all sit far from natural
+    * language's ~4 bits/char). Each term −p·ln(p) is a ratio of exact
+    * integer counts, so only per-doc summation order differs across
+    * engines (≪ 6 dp). Chars come from the same explicit
+    * substring(sequence) construction as the oracle's range() — NOT
+    * split-on-empty-regex, whose edge semantics differ between
+    * engines. Map-side explode + one (doc_id, ch) shuffle, per-doc
+    * cardinality bounded by the alphabet.
+    * Output: doc_id, entropy, n_distinct_chars. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    Tables.documents(spark, dir)
+      // empty-text guard: sequence(1, 0) runs DESCENDING (same pitfall
+      // as fingerprint), fabricating positions the oracle never visits
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(w))
+      .withColumn("pe", -(col("c") / col("tot")) * log(col("c") / col("tot")))
+      .groupBy("doc_id")
+      .agg(round(sum(col("pe")), 6).as("entropy"),
+        count(lit(1)).as("n_distinct_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model quality score — the KenLM-style perplexity
     * proxy training pipelines filter on: per-document mean log
     * P(w_i | w_{i-1}) under an add-one-smoothed corpus bigram model,

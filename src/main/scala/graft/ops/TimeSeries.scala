@@ -240,6 +240,26 @@ object TimeSeries {
       .orderBy("name", "date")
   }
 
+  /** Lag-k autocorrelation of the daily revenue series (k = 1, 7, 30)
+    * — the diagnostic behind every seasonality/trend decision (a high
+    * lag-7 ACF is what justifies `seasonality`'s weekly profile).
+    * Pearson correlation of the series with its lagged self over the
+    * overlapping rows; `corr` is an O(1)-magnitude ratio, so 6 dp
+    * rounding absorbs cross-engine co-moment accumulation-order
+    * differences. Three passes over the O(#days) rollup (one per lag),
+    * each a window + scalar aggregate. Output: lag, acf, n. */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyOrderRevenue(spark, dir).persist()
+    daily.count() // materialize before the three lag passes fan out
+    Seq(1, 7, 30).map { k =>
+      daily
+        .withColumn("l", lag(col("tvl"), k).over(wDate))
+        .where(col("l").isNotNull)
+        .agg(round(corr(col("tvl"), col("l")), 6).as("acf"), count(lit(1)).as("n"))
+        .select(lit(k.toLong).as("lag"), col("acf"), col("n"))
+    }.reduce(_.unionByName(_)).orderBy("lag")
+  }
+
   /** Day-of-week seasonal profile of the daily revenue series: per-dow
     * observation count, exact mean (decimal sum / count — never
     * avg-of-doubles, same discipline as `Relational.profile`), and the

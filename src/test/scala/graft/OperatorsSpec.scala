@@ -604,6 +604,24 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("autocorrelation: bounded coefficients over shrinking overlaps") {
+    val a = TimeSeries.autocorrelation(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq === Seq(1L, 7L, 30L))
+    a.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
+    // overlap shrinks as the lag grows
+    assert(a(0).getLong(2) > a(1).getLong(2) && a(1).getLong(2) > a(2).getLong(2))
+  }
+
+  test("entropy is bounded by the log alphabet size per document") {
+    val e = Text.entropy(spark, sf).persist()
+    assert(e.count() ===
+      Tables.documents(spark, sf).where(length(col("text")) >= 1).count())
+    val bad = e.where(col("entropy") < 0 ||
+      col("entropy") > log(col("n_distinct_chars").cast("double")) + 1e-6).count()
+    assert(bad === 0, "0 <= H <= ln(|alphabet|) must hold")
+    e.unpersist()
+  }
+
   test("markov transitions: rows conserve events and probabilities sum to 1") {
     val t = Events.transitions(spark, sf).persist()
     val nEvents = Tables.events(spark, sf).count()
