@@ -481,6 +481,16 @@ object OracleSql {
       |GROUP BY CUBE(o_orderstatus, o_year)
       |ORDER BY g, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin
 
+  val relGroupingSets: String =
+    """SELECT o_orderstatus,
+      |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_year) AS BIGINT) AS g
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_year))
+      |ORDER BY g, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin
+
   val relQuantiles: String =
     """SELECT o_orderstatus,
       |       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,

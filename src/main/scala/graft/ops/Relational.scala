@@ -293,6 +293,26 @@ object Relational {
         (grouping(col("o_orderstatus")) * 2 + grouping(col("o_year"))).cast("bigint").as("g"))
       .orderBy(col("g"), col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form `cube`/`rollup` are
+    * sugar for: exactly the (status, year) marginals, WITHOUT the
+    * grand total or the cross detail a cube would add (the shape
+    * reporting queries use when only the marginals matter — half the
+    * aggregate rows of the cube at the same single-pass plan). Spark
+    * 4's native `Dataset.groupingSets`; one scan, partial aggs per
+    * set. Output: o_orderstatus, o_year, revenue, n, g. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        year(to_date(col("o_orderdate"))).cast("bigint").as("o_year"),
+        col("o_totalprice"))
+    base
+      .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_year"))),
+        col("o_orderstatus"), col("o_year"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_year"))).cast("bigint").as("g"))
+      .orderBy(col("g"), col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+  }
+
   /** Unsorted wide pivot shared by `pivotRevenue` and
     * `unpivotRevenue` (each adds only its own final sort). */
   private def pivotWide(spark: SparkSession, dir: String): DataFrame =

@@ -604,6 +604,18 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("grouping sets returns exactly the cube's two marginals") {
+    val gs = Relational.groupingSetsRevenue(spark, sf).persist()
+    // g encodes which keys are aggregated away: 1 = (status) marginal,
+    // 2 = (year) marginal; the grand total (3) and cross detail (0)
+    // belong to cube/rollup only
+    assert(gs.where(!col("g").isin(1L, 2L)).count() === 0)
+    val cubeMarginals = Relational.cubeRevenue(spark, sf)
+      .where(col("g").isin(1L, 2L)).count()
+    assert(gs.count() === cubeMarginals)
+    gs.unpersist()
+  }
+
   test("autocorrelation: bounded coefficients over shrinking overlaps") {
     val a = TimeSeries.autocorrelation(spark, sf).collect()
     assert(a.map(_.getLong(0)).toSeq === Seq(1L, 7L, 30L))
