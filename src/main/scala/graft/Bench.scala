@@ -65,16 +65,28 @@ object Bench {
       s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
     println(s"""{"metric":"top10_reps","unit":"sec","reps":$top10}""")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    def summaryLine(places: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + dp(v.min, places) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
     // Budget: 2000-char tail window minus sbt's trailing "[success]..."
-    // line (~75) and this line's own "[info] " prefix — keep under 1880,
-    // degrading precision until it fits (1 dp accommodates ~130 queries).
-    println(Seq(3, 2, 1).map(summaryLine).find(_.length <= 1880)
-      .getOrElse(summaryLine(1)))
+    // line (~75) and this line's own "[info] " prefix — keep under 1880.
+    // At ~94 queries the name mass alone overflows that at ANY value
+    // precision (1 dp measured 1931 chars), so instead of degrading
+    // precision the dict keeps full 3 dp for as many queries as fit IN
+    // DESCENDING COST ORDER and states what it dropped: the cheap tail
+    // is summarized by "omitted" (count) + "omitted_sec" (their summed
+    // min cost), so value = sum(queries) + omitted_sec always holds and
+    // the line parses whole at any query count. Full per-query triplets
+    // remain on the leading "reps" line for captures that keep it.
+    val byCost = results.sortBy(-_._2.min)
+    def summaryLine(included: Int): String = {
+      val omitted = byCost.drop(included)
+      val qs = byCost.take(included)
+        .map { case (k, v) => s"\"" + k + "\":" + dp3(v.min) }
+        .mkString("{", ",", "}")
+      val om = if (omitted.isEmpty) ""
+        else s""","omitted":${omitted.size},"omitted_sec":${dp3(omitted.map(_._2.min).sum)}"""
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    println((results.size to 0 by -1).view.map(summaryLine)
+      .find(_.length <= 1880).getOrElse(summaryLine(0)))
     spark.stop()
   }
 }

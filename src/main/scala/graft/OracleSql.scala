@@ -712,6 +712,23 @@ object OracleSql {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** IQR outlier audit: Tukey fences from 6-dp-rounded exact
+    * quantiles, so the fence comparison is engine-deterministic. */
+  val evOutliers: String =
+    """WITH q AS (
+      |  SELECT event_type,
+      |         ROUND(quantile_cont(value, 0.25), 6) AS q1,
+      |         ROUND(quantile_cont(value, 0.75), 6) AS q3,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, q.q1, q.q3, ROUND(q.q3 - q.q1, 6) AS iqr, q.n,
+      |       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+      |                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN q USING (event_type)
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin
+
   /** Markov transitions: lead over the per-user ordered stream
     * (event_id ties), normalized within from_type. */
   val evMarkov: String =
@@ -1020,6 +1037,21 @@ object OracleSql {
       |       ROUND(SUM(-(c.c / t.tot) * LN(c.c / t.tot)), 6) AS entropy,
       |       COUNT(*) AS n_distinct_chars
       |FROM c JOIN t USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bigram novelty: distinct per-doc bigrams vs their corpus-wide
+    * first owner (min doc_id). */
+  val textNovelty: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |),
+      |f AS (SELECT a, b, MIN(doc_id) AS first_doc FROM bg GROUP BY 1, 2)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       ROUND(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) / COUNT(*), 6) AS novelty
+      |FROM bg JOIN f USING (a, b)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Add-one-smoothed bigram LM score: every log term is a ratio of

@@ -76,6 +76,31 @@ object Events {
         col("w.end").as("session_end"), col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** IQR outlier audit per event type: exact q1/q3 via
+    * `percentile_cont` (the same exact-quantile discipline as
+    * `rel_quantiles` — a production variant swaps in approx
+    * percentiles at the same plan shape), Tukey fences at 1.5×IQR,
+    * and the count of values outside them — the standard data-quality
+    * gate on a numeric column. Two passes over the events scan (one
+    * quantile agg, one fence count) joined on the tiny type key.
+    * Output: event_type, q1, q3, iqr, n, n_outliers. */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val q = ev.groupBy("event_type").agg(
+      round(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY value)"), 6).as("q1"),
+      round(expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY value)"), 6).as("q3"),
+      count(lit(1)).as("n"))
+    ev.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("q1"), col("q3"), col("n"))
+      .agg(sum(when(
+        col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+        col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        round(col("q3") - col("q1"), 6).as("iqr"), col("n"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Approximate sketches (rows-only: HLL/quantile sketch internals are
     * engine-specific, so no oracle): distinct users and value quantiles
     * per event type. Output: event_type, approx_users, p50_value. */

@@ -372,6 +372,33 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-document bigram novelty: the fraction of a doc's DISTINCT
+    * bigrams that no earlier document (by doc_id, the corpus ingest
+    * order) already used — the curve curation pipelines chart to see
+    * boilerplate accumulate (novelty decays as the corpus fills with
+    * repeated phrasing). A bigram's first owner is one (a, b)-keyed
+    * min aggregate; the join back is on the same key, so the whole op
+    * is two shuffles on the bigram key regardless of corpus size.
+    * Output: doc_id, n_bigrams (distinct), n_novel, novelty. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.x").as("a"), col("bg.y").as("b"))
+      .distinct()
+      .persist()
+    bg.count() // materialize before the first-owner + join sides fan out
+    val first = bg.groupBy("a", "b").agg(min(col("doc_id")).as("first_doc"))
+    bg.join(first, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_bigrams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

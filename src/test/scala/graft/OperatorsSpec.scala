@@ -604,6 +604,31 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("novelty: first document is fully novel, fractions well-formed") {
+    val n = Text.novelty(spark, sf).persist()
+    val first = n.orderBy("doc_id").first()
+    assert(first.getDouble(3) === 1.0, "doc 0 has no earlier corpus to repeat")
+    assert(n.where(col("n_novel") > col("n_bigrams") ||
+      col("novelty") < 0 || col("novelty") > 1).count() === 0)
+    // every distinct bigram is novel in exactly one document
+    val totalNovel = n.agg(sum(col("n_novel"))).first().getLong(0)
+    val distinctBigrams = Tables.documents(spark, sf)
+      .select(explode(expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), slice(split(text, ' '), 2, size(split(text, ' ')) - 1), (x, y) -> struct(x, y))")).as("bg"))
+      .distinct().count()
+    assert(totalNovel === distinctBigrams)
+    n.unpersist()
+  }
+
+  test("IQR outliers: fences honored and counts within bounds") {
+    val o = Events.valueOutliers(spark, sf).persist()
+    assert(o.count() === 5) // one row per event type
+    assert(o.where(col("q3") < col("q1") || col("n_outliers") > col("n")).count() === 0)
+    // by construction ~half the mass sits inside [q1, q3]
+    assert(o.where(col("n_outliers") > col("n") / 2).count() === 0)
+    o.unpersist()
+  }
+
   test("grouping sets returns exactly the cube's two marginals") {
     val gs = Relational.groupingSetsRevenue(spark, sf).persist()
     // g encodes which keys are aggregated away: 1 = (status) marginal,
