@@ -313,8 +313,13 @@ object Dedup {
     // A hop references the previous labels 4x (self, neighbor join,
     // both pointer-jump sides) — the per-hop persist in the round loop
     // is what keeps unrolled hops linear instead of 4^k (PERF.md r6).
+    // Pre-partitioned by dst so the per-round neighbor-min aggregation
+    // (groupBy dst) reuses the cached partitioning: when the label side
+    // arrives by broadcast (small-labels tier below), the whole
+    // nbr-min derivation runs exchange-free off this cache.
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     edges.count() // materialize: every round joins against this table
     p.unpersist()
@@ -356,37 +361,53 @@ object Dedup {
     // Observation API instead of a separate aggregation over the
     // round's parquet — zero extra Spark jobs per round (null-safe for
     // the empty-pairs edge: sum over zero rows observes null).
-    def materialize(df: DataFrame, round: Int): (DataFrame, Long) = {
+    def materialize(df: DataFrame, round: Int): (DataFrame, Long, Long) = {
       val path = s"$iterDir/labels_$round"
       val obs = org.apache.spark.sql.Observation()
-      df.observe(obs, sum(col("label")).as("ls"))
+      df.observe(obs, sum(col("label")).as("ls"), count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(path)
-      val s = obs.get.get("ls").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
-      (session.read.parquet(path), s)
+      val row = obs.get
+      val s = row.get("ls").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
+      val n = row.get("n").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
+      (session.read.parquet(path), s, n)
     }
+    // Small-labels tier: the label table is O(docs-in-pairs) rows and
+    // its size is KNOWN from round 0's observation, so when it fits a
+    // broadcast (row threshold below ≈ tens of MB) every per-round
+    // join takes the broadcast strategy and the neighbor-min
+    // aggregation runs exchange-free off the dst-partitioned edge
+    // cache — a round becomes broadcast builds + one cached-edges pass
+    // + the parquet write, no shuffle. Above the threshold (a
+    // billion-doc dedup on a real cluster) everything falls back to
+    // the plain hash-shuffle shape, which is the right plan there.
+    val bcMax = session.conf.getOption("graft.cluster.broadcastLabelsMax")
+      .map(_.toLong).getOrElse(1000000L)
+    var small = false
+    def tier(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // one propagation hop: min over (self, neighbors' labels, label of
     // label). Composable — `l` may itself be an unmaterialized hop.
     def hop(l: DataFrame): DataFrame = {
-      val nbrMin = l.select(col("id").as("src"), col("label"))
-        .join(edges, "src")
+      val nbrMin = edges
+        .join(tier(l.select(col("id").as("src"), col("label"))), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
       val jump = l
-        .join(l.select(col("id").as("jid"), col("label").as("jump_label")),
+        .join(tier(l.select(col("id").as("jid"), col("label").as("jump_label"))),
           col("label") === col("jid"))
         .select(col("id"), col("jump_label"))
-      l.join(nbrMin, Seq("id"), "left")
-        .join(jump, Seq("id"))
+      l.join(tier(nbrMin), Seq("id"), "left")
+        .join(tier(jump), Seq("id"))
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")), col("jump_label"))
             .as("label"))
     }
     val hopsPerRound = math.max(1,
       session.conf.getOption("graft.cluster.hopsPerRound").map(_.toInt).getOrElse(1))
-    var (labels, labelSum) = materialize(
+    var (labels, labelSum, nNodes) = materialize(
       edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))
         .select(col("id"), least(col("id"), col("m")).as("label")),
       0)
+    small = nNodes <= bcMax
     var converged = false
     var round = 0
     while (!converged && round < 40) {
@@ -405,7 +426,11 @@ object Dedup {
         cur = hop(cur).persist()
         intermediates += cur
       }
-      val (next, nextSum) = materialize(hop(cur), round + 1)
+      // (A second path-compression jump per round was measured here
+      // and reverted: −1 round only — the convergence tail is new
+      // minima traversing EDGES, not label-chain depth — at +0.15 s
+      // per round of extra join work. dedup_clusters 6.0 → 7.0 s.)
+      val (next, nextSum, _) = materialize(hop(cur), round + 1)
       intermediates.result().foreach(_.unpersist(false))
       labels = next
       // round N's files are dead once round N+1 is materialized and
