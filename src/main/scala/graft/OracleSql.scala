@@ -42,6 +42,32 @@ object OracleSql {
        |       ROUND(change_tvl / NULLIF(tvl, 0.0), 6) AS percent_change
        |FROM t ORDER BY date""".stripMargin
 
+  /** Rolling 30-day return correlation between the order-revenue and
+    * lineitem-benchmark series: corr over day-over-day fractional
+    * changes (O(1e-2) magnitudes, so cross-engine co-moment noise
+    * sits far below 6 dp), full-window gated. */
+  val tsRollingCorr: String =
+    s"""WITH $dailyOrders,
+       |bench AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS date,
+       |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bench
+       |  FROM lineitem GROUP BY 1
+       |),
+       |j AS (SELECT daily.date, tvl, bench FROM daily JOIN bench USING (date)),
+       |r AS (
+       |  SELECT date,
+       |         (tvl - LAG(tvl) OVER (ORDER BY date)) / LAG(tvl) OVER (ORDER BY date) AS rx,
+       |         (bench - LAG(bench) OVER (ORDER BY date)) / LAG(bench) OVER (ORDER BY date) AS ry,
+       |         ROW_NUMBER() OVER (ORDER BY date) AS rn
+       |  FROM j
+       |),
+       |c AS (
+       |  SELECT date, rn,
+       |         ROUND(corr(rx, ry) OVER (ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS corr30
+       |  FROM r
+       |)
+       |SELECT date, corr30 FROM c WHERE rn >= 31 ORDER BY date""".stripMargin
+
   val tsGotk: String =
     s"""WITH $dailyPct,
        |e AS (
@@ -500,6 +526,47 @@ object OracleSql {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Benford audit: leading digit extracted in the integer domain
+    * (first char of floor(x)::BIGINT; every total > 1), so the only
+    * float terms are the 6-dp-rounded expected frequency and
+    * deviation. */
+  val relBenford: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+      |         COUNT(*) AS n
+      |  FROM orders GROUP BY 1
+      |),
+      |t AS (SELECT SUM(n) AS total FROM d)
+      |SELECT digit, n,
+      |       ROUND(n / t.total, 6) AS freq,
+      |       ROUND(LOG10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford,
+      |       ROUND(ABS(n / t.total - LOG10(1.0 + 1.0 / digit::DOUBLE)), 6) AS dev
+      |FROM d CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
+  /** Winsorized segment means: clip fences are the 6-dp-rounded exact
+    * quantiles (deterministic compares); means are decimal sums with
+    * one final division. */
+  val relWinsorize: String =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment, o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |),
+      |q AS (
+      |  SELECT c_mktsegment,
+      |         ROUND(quantile_cont(o_totalprice, 0.05), 6) AS p05,
+      |         ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+      |  FROM o GROUP BY 1
+      |)
+      |SELECT o.c_mktsegment, q.p05, q.p95, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN LEAST(GREATEST(o.o_totalprice, q.p05), q.p95) <> o.o_totalprice
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+      |       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.p05), q.p95) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_wins
+      |FROM o JOIN q USING (c_mktsegment)
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
+
   val relPivot: String = {
     def cell(s: String) =
       s"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '$s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS \"$s\""
@@ -728,6 +795,22 @@ object OracleSql {
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM events e JOIN q USING (event_type)
       |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin
+
+  /** Inter-event gaps: integer epoch-microsecond differences over the
+    * per-user ordered stream; all aggregates exact until the final
+    * mean division. */
+  val evGaps: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |       ROUND(AVG(gap), 6) AS mean_gap_us,
+      |       quantile_cont(gap, 0.5) AS p50_gap_us,
+      |       MAX(gap) AS max_gap_us
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Markov transitions: lead over the per-user ordered stream
     * (event_id ties), normalized within from_type. */
@@ -1053,6 +1136,50 @@ object OracleSql {
       |       ROUND(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) / COUNT(*), 6) AS novelty
       |FROM bg JOIN f USING (a, b)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Span-level duplication audit: 8-token rolling windows (md5 of
+    * the space-joined span), position shared iff the span occurs in
+    * more than one document. */
+  val textSpans: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS h
+      |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |),
+      |o AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+      |SELECT w.doc_id, COUNT(*) AS n_windows,
+      |       CAST(SUM(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |       ROUND(SUM(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS shared_frac
+      |FROM w JOIN o USING (h)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PMI collocations: ln over ratios of exact integer counts, 6-dp
+    * rounded BEFORE the top-20 selection so both engines rank (and
+    * tie-break on (a, b)) identically at the cut boundary. */
+  val textCollocations: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT u.tok AS t, COUNT(*) AS c
+      |  FROM toks, UNNEST(t) AS u(tok) GROUP BY 1
+      |),
+      |nu AS (SELECT SUM(c) AS n_uni FROM uni),
+      |bg AS (
+      |  SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b, COUNT(*) AS n_ab
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |  GROUP BY 1, 2
+      |),
+      |nb AS (SELECT SUM(n_ab) AS n_bg FROM bg)
+      |SELECT bg.a, bg.b, bg.n_ab,
+      |       ROUND(LN((bg.n_ab / nb.n_bg) /
+      |                ((ca.c / nu.n_uni) * (cb.c / nu.n_uni))), 6) AS pmi
+      |FROM bg
+      |JOIN uni ca ON ca.t = bg.a
+      |JOIN uni cb ON cb.t = bg.b
+      |CROSS JOIN nb CROSS JOIN nu
+      |WHERE bg.n_ab >= 5
+      |ORDER BY pmi DESC, bg.a, bg.b
+      |LIMIT 20""".stripMargin
 
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
@@ -1453,10 +1580,13 @@ object OracleSql {
     * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak.
     * Carries the identical width-tiered cell split as the Spark side:
     * cells wider than 500 split on 3 sign bits, wider than 4000 on 6. */
-  val simKnnGraph: String = {
+  /** kNN-graph CTE chain (`cw`, `v`, `pairs`, `r`) — shared by
+    * `simKnnGraph` and `simPagerank` so the two queries see the
+    * identical edge set. */
+  private lazy val knnGraphCtes: String = {
     val sig6 = (1 to 6).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
-    s"""WITH cw AS (SELECT label, COUNT(*) AS cn FROM embeddings GROUP BY 1),
+    s"""cw AS (SELECT label, COUNT(*) AS cn FROM embeddings GROUP BY 1),
        |v AS (
        |  SELECT vec_id, embedding,
        |         concat(e.label, '_', substr(concat($sig6), 1,
@@ -1473,9 +1603,40 @@ object OracleSql {
        |  SELECT vec_id, nbr_id, cos,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
        |  FROM pairs
-       |)
+       |)""".stripMargin
+  }
+
+  val simKnnGraph: String =
+    s"""WITH $knnGraphCtes
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  /** PageRank over the kNN graph: five unrolled synchronous damped
+    * iterations with the dangling-mass term, the identical arithmetic
+    * shape as the Spark loop (0.15/N + 0.85*(contrib + dmass/N)). */
+  val simPagerank: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT e.vec_id,
+         |         0.15 / n.n_nodes + 0.85 * (COALESCE(c.contrib, 0.0) + d.dmass / n.n_nodes) AS r
+         |  FROM (SELECT vec_id FROM embeddings) e
+         |  CROSS JOIN n
+         |  CROSS JOIN (SELECT COALESCE(SUM(p.r), 0.0) AS dmass
+         |              FROM r${k - 1} p LEFT JOIN deg USING (vec_id)
+         |              WHERE deg.deg IS NULL) d
+         |  LEFT JOIN (SELECT edges.nbr_id AS vid, SUM(p.r / deg.deg) AS contrib
+         |             FROM edges JOIN r${k - 1} p USING (vec_id) JOIN deg USING (vec_id)
+         |             GROUP BY 1) c
+         |    ON e.vec_id = c.vid
+         |)""".stripMargin
+    val iters = (1 to 5).map(iter).mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+       |deg AS (SELECT vec_id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT COUNT(*)::DOUBLE AS n_nodes FROM embeddings),
+       |r0 AS (SELECT vec_id, 1.0 / n.n_nodes AS r FROM embeddings CROSS JOIN n),
+       |$iters
+       |SELECT vec_id, ROUND(r, 6) AS pagerank FROM r5 ORDER BY vec_id""".stripMargin
   }
 
   /** Random-projection audit: identical ±1 hyperplanes derived from

@@ -101,6 +101,30 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Inter-event gap distribution: microsecond-exact time since the
+    * user's previous event (any type), attributed to the later
+    * event's type — the cadence statistic behind bot detection and
+    * session-timeout tuning. Gaps are INTEGER epoch-microsecond
+    * differences (`unix_micros`), so every aggregate below is exact
+    * integer arithmetic until the final division; the p50 is an exact
+    * per-type percentile reported in microseconds (a .5 midpoint is
+    * exactly representable — no 6-dp rounding boundary to straddle).
+    * One user_id window shuffle + one tiny per-type aggregate.
+    * Output: event_type, n, mean_gap_us, p50_gap_us, max_gap_us. */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .where(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("gap")), 6).as("mean_gap_us"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)").as("p50_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** Approximate sketches (rows-only: HLL/quantile sketch internals are
     * engine-specific, so no oracle): distinct users and value quantiles
     * per event type. Output: event_type, approx_users, p50_value. */

@@ -200,6 +200,57 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Benford first-digit audit: the distribution of the leading
+    * digit of order totals vs Benford's law — the classic
+    * fabricated-data / data-quality screen. The digit is extracted in
+    * the INTEGER domain (first character of floor(x) as bigint; every
+    * total is > 1) so no engine-specific float formatting or log10
+    * edge case is involved; the expected frequency log10(1 + 1/d) and
+    * the deviation are the only float terms, both 6-dp rounded. One
+    * map-side digit projection + a 9-row aggregate; the total rides a
+    * 1-row broadcast. Output: digit, n, freq, benford, dev. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("freq", round(col("n") / col("total"), 6))
+      .withColumn("benford",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .withColumn("dev", round(abs(
+        col("n") / col("total") -
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6))
+      .select("digit", "n", "freq", "benford", "dev")
+      .orderBy("digit")
+  }
+
+  /** Winsorized segment means: per market segment, order totals
+    * clipped to the exact [p05, p95] quantile fence (6-dp rounded so
+    * the clip compare is engine-deterministic) and the mean before vs
+    * after — the robust-statistics pass that keeps a few whale orders
+    * from dominating a segment average. Means run over DECIMAL sums
+    * (exact, then one final division); the quantile table is 5 rows
+    * and broadcasts back onto the fact scan. Output: c_mktsegment,
+    * p05, p95, n, n_clipped, mean_raw, mean_wins. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    val q = o.groupBy("c_mktsegment").agg(
+      round(expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p05"),
+      round(expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p95"))
+    o.join(broadcast(q), "c_mktsegment")
+      .withColumn("wins", least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+      .groupBy(col("c_mktsegment"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("wins") =!= col("o_totalprice"), 1L).otherwise(0L)).as("n_clipped"),
+        round(sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("mean_raw"),
+        round(sum(col("wins").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("mean_wins"))
+      .select("c_mktsegment", "p05", "p95", "n", "n_clipped", "mean_raw", "mean_wins")
+      .orderBy("c_mktsegment")
+  }
+
   /** O3/A9: single latest row by date (top-1 sort with tiebreak). */
   def topLatest(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -321,6 +321,58 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** PageRank over the kNN graph — graph-centrality quality
+    * propagation on the embedding space (a central document sits in a
+    * dense semantic neighborhood; an isolated one is an outlier/noise
+    * candidate — the graph-based curation signal alongside per-doc
+    * quality scores). Standard damped PageRank with the dangling-mass
+    * term, FIVE unrolled synchronous iterations from the uniform
+    * start: r' = 0.15/N + 0.85·(Σ_in r/outdeg + dangling/N). Each
+    * iteration is one edge-keyed join + aggregate over the persisted
+    * O(V·k) edge table plus two 1-row broadcast scalars — the same
+    * per-iteration shape GraphX's pregel emits, with no driver
+    * collect; each iteration is persisted (tiny O(V) table) so the
+    * unrolled lineage stays linear, and a fixed iteration count keeps
+    * the result a pure deterministic function both engines can
+    * evaluate (the oracle unrolls the identical five steps).
+    * Output: vec_id, pagerank (6 dp). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id")).persist()
+    edges.count() // materialize: every iteration joins against this table
+    val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg")).persist()
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var rank = nodes.crossJoin(broadcast(nRow))
+      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("r"))
+      .persist()
+    var prev: DataFrame = null
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(rank, "vec_id").join(deg, "vec_id")
+        .groupBy(col("nbr_id").as("vec_id"))
+        .agg(sum(col("r") / col("deg")).as("contrib"))
+      val dangling = rank.join(deg, Seq("vec_id"), "left")
+        .where(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
+      val next = nodes
+        .join(contrib, Seq("vec_id"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nRow))
+        .select(col("vec_id"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / col("n_nodes")))
+            .as("r"))
+        .persist()
+      next.count() // materialize: the next iteration reads this twice
+      // the (i-1)th table's cache is done feeding iteration i's count;
+      // keep only the latest two so the final plan still hits a cache
+      if (prev != null) prev.unpersist(false)
+      prev = rank
+      rank = next
+    }
+    rank.select(col("vec_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) audit: project 64-dim
     * embeddings to 16 dims through deterministic ±1 hyperplanes
     * (sign of md5(j ++ '_' ++ i) — both engines derive the identical

@@ -399,6 +399,73 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Span-level duplication audit: every 8-token rolling window of
+    * every document, hashed; a window position is SHARED when the
+    * same 8-token span also appears in some other document — the
+    * substring-granularity signal behind span-level dedup (full-doc
+    * near-dup misses boilerplate paragraphs pasted into otherwise
+    * distinct pages; this measures exactly that). Per doc: window
+    * positions, positions covered by a cross-doc span, and the
+    * covered fraction. Two shuffles on the 128-bit window hash
+    * (owner count + join back) regardless of corpus size; the window
+    * fan-out is map-side. Docs under 8 tokens have no windows and are
+    * absent, mirroring the oracle's empty range.
+    * Output: doc_id, n_windows, n_shared, shared_frac. */
+  def spans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> md5(array_join(slice(toks, i, 8), ' ')))"))
+        .as("h"))
+      .persist()
+    w.count() // materialize before the owner-count + join sides fan out
+    val owners = w.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+    w.join(owners, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac", round(col("n_shared") / col("n_windows"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocations: the corpus' top-20 most-associated adjacent
+    * token pairs — pointwise mutual information over exact integer
+    * counts, ln((c_ab/N_bg) / ((c_a/N_uni)(c_b/N_uni))), with a
+    * min-count floor of 5 so rare accidental pairs don't dominate
+    * (the standard phrase-mining / tokenizer-diagnostics pass). One
+    * token-keyed and one bigram-keyed aggregate; totals ride 1-row
+    * broadcasts, never a driver collect; top-k is TakeOrdered on the
+    * ROUNDED score with (a, b) tiebreak so both engines select the
+    * identical boundary rows. Output: a, b, n_ab, pmi. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist()
+    uni.count() // materialize before totals + both unigram joins fan out
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bgAll = toks.select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))"))
+        .as("bg"))
+      .groupBy(col("bg.x").as("a"), col("bg.y").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist()
+    bgAll.count() // materialize before the total + filtered sides fan out
+    val nBg = bgAll.agg(sum(col("n_ab")).as("n_bg"))
+    bgAll.where(col("n_ab") >= 5)
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nUni))
+      .withColumn("pmi", round(log(
+        (col("n_ab") / col("n_bg")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6))
+      .select("a", "b", "n_ab", "pmi")
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

@@ -163,6 +163,30 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Rolling 30-day return correlation between the revenue ("TVL")
+    * series and the benchmark series — the co-movement diagnostic
+    * behind hedge ratios and regime detection. Correlation runs over
+    * DAY-OVER-DAY FRACTIONAL CHANGES (O(1e-2) magnitudes), not raw
+    * 1e6-magnitude levels, so the cross-engine co-moment divergence
+    * that forces `movingAverage` down to 2 dp stays far below the
+    * 6-dp gate here; corr is additionally scale-free. Full-window
+    * gate (31st joined day onward) like `trailingReturn`. The window
+    * is unpartitioned but runs on the O(#days) rollup, not the fact
+    * table. Output: date, corr30. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val joined = dailyOrderRevenue(spark, dir)
+      .join(dailyBenchmark(spark, dir), "date")
+    val w30 = wDate.rowsBetween(-29, Window.currentRow)
+    joined
+      .withColumn("rx", pctChange(col("tvl")))
+      .withColumn("ry", pctChange(col("bench")))
+      .withColumn("rn", row_number().over(wDate))
+      .withColumn("corr30", round(corr(col("rx"), col("ry")).over(w30), 6))
+      .where(col("rn") >= 31)
+      .select("date", "corr30")
+      .orderBy("date")
+  }
+
   /** Exponentially-weighted moving average (half-life 15 days over a
     * 30-day lookback) of the daily revenue — the standard smoothing
     * financial dashboards layer on volatile TVL-style series. Weights

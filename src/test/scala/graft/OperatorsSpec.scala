@@ -716,4 +716,71 @@ class OperatorsSpec extends SparkSpec {
     assert(bad === 0, "ranks must be consecutive with non-increasing cosine")
     g.unpersist()
   }
+
+  test("spans: fractions well-formed and sharing is symmetric-positive") {
+    val s = Text.spans(spark, sf).persist()
+    assert(s.count() > 0)
+    assert(s.where(col("n_shared") > col("n_windows") ||
+      col("shared_frac") < 0 || col("shared_frac") > 1).count() === 0)
+    // a shared span needs >= 2 docs carrying it, so the number of docs
+    // with any shared window is 0 or >= 2 — never exactly 1
+    val docsSharing = s.where(col("n_shared") > 0).count()
+    assert(docsSharing != 1)
+    s.unpersist()
+  }
+
+  test("collocations: exactly top-20, counts above floor, deterministic order") {
+    val c = Text.collocations(spark, sf).persist()
+    assert(c.count() === 20)
+    assert(c.where(col("n_ab") < 5).count() === 0)
+    val pmis = c.select("pmi").collect().map(_.getDouble(0))
+    assert(pmis.sameElements(pmis.sortBy(-_)), "rows must arrive pmi-descending")
+    c.unpersist()
+  }
+
+  test("pagerank: mass conserved and uniform on the dangling-free graph") {
+    val pr = Similarity.pagerank(spark, sf).persist()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(pr.count() === n)
+    assert(pr.where(col("pagerank") <= 0).count() === 0)
+    // with the dangling term, total mass stays 1 up to rounding slack
+    val total = pr.agg(sum(col("pagerank"))).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3, s"mass drifted: $total")
+    spark.sharedState.cacheManager.clearCache()
+    pr.unpersist()
+  }
+
+  test("inter-event gaps: positive, ordered stats per type") {
+    val g = Events.interEventGaps(spark, sf).persist()
+    assert(g.count() === 5)
+    assert(g.where(col("mean_gap_us") <= 0 || col("p50_gap_us") > col("max_gap_us")).count() === 0)
+    g.unpersist()
+  }
+
+  test("benford: nine digits, frequencies sum to one") {
+    val b = Relational.benford(spark, sf).persist()
+    assert(b.count() === 9)
+    val freqSum = b.agg(sum(col("freq"))).first().getDouble(0)
+    assert(math.abs(freqSum - 1.0) < 1e-4)
+    // Benford expectation is fixed: digit 1 ~ 0.30103
+    val d1 = b.where(col("digit") === "1").first()
+    assert(math.abs(d1.getDouble(3) - 0.30103) < 1e-5)
+    b.unpersist()
+  }
+
+  test("winsorize: clipped mean moves toward the fence interval") {
+    val w = Relational.winsorize(spark, sf).persist()
+    assert(w.count() === 5)
+    assert(w.where(col("p95") < col("p05") || col("n_clipped") > col("n")).count() === 0)
+    // winsorized mean always lies within [p05, p95]
+    assert(w.where(col("mean_wins") < col("p05") || col("mean_wins") > col("p95")).count() === 0)
+    w.unpersist()
+  }
+
+  test("rolling corr: bounded in [-1, 1] and only full windows emitted") {
+    val c = TimeSeries.rollingCorr(spark, sf).persist()
+    assert(c.count() > 0)
+    assert(c.where(col("corr30") < -1.0 || col("corr30") > 1.0).count() === 0)
+    c.unpersist()
+  }
 }
