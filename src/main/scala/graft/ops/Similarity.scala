@@ -335,18 +335,37 @@ object Similarity {
     * unrolled lineage stays linear, and a fixed iteration count keeps
     * the result a pure deterministic function both engines can
     * evaluate (the oracle unrolls the identical five steps).
+    *
+    * Iteration state goes through the SAME parquet round-trip seam as
+    * the cluster loop (`IterState`): a per-iteration persist() was
+    * measured ESCALATING here exactly like the cluster loop's
+    * checkpoint pathology (iterations 2.2 → 1.9 → 2.4 → 4.7 → 14.2 s
+    * at sf0.1 — the nested-InMemoryRelation lineage grows each round
+    * until plan work dominates), while the out-of-JVM break keeps
+    * every iteration flat and makes a long run recoverable.
     * Output: vec_id, pagerank (6 dp). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id")).persist()
+    // contrib aggregates by nbr_id every iteration; partitioning the
+    // edge cache on it lets that agg reuse the cached partitioning
+    // whenever the rank side arrives by broadcast (AQE converts the
+    // tiny parquet-backed rank/deg sides at this scale; at corpus
+    // scale they stay shuffle joins, which is the right plan there)
+    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+      .repartition(col("nbr_id"))
+      .persist()
     edges.count() // materialize: every iteration joins against this table
     val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg")).persist()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var rank = nodes.crossJoin(broadcast(nRow))
-      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("r"))
-      .persist()
-    var prev: DataFrame = null
-    for (_ <- 1 to 5) {
+    val iterDir = s"${IterState.rootFor(spark)}/pagerank_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(spark, iterDir)
+    def materialize(df: DataFrame, i: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/rank_$i")
+      spark.read.parquet(s"$iterDir/rank_$i")
+    }
+    var rank = materialize(nodes.crossJoin(broadcast(nRow))
+      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("r")), 0)
+    for (i <- 1 to 5) {
       val contrib = edges
         .join(rank, "vec_id").join(deg, "vec_id")
         .groupBy(col("nbr_id").as("vec_id"))
@@ -361,13 +380,8 @@ object Similarity {
           (lit(0.15) / col("n_nodes") +
             lit(0.85) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / col("n_nodes")))
             .as("r"))
-        .persist()
-      next.count() // materialize: the next iteration reads this twice
-      // the (i-1)th table's cache is done feeding iteration i's count;
-      // keep only the latest two so the final plan still hits a cache
-      if (prev != null) prev.unpersist(false)
-      prev = rank
-      rank = next
+      rank = materialize(next, i)
+      cleanup.rm(s"$iterDir/rank_${i - 1}")
     }
     rank.select(col("vec_id"), round(col("r"), 6).as("pagerank"))
       .orderBy("vec_id")
