@@ -42,6 +42,18 @@ object OracleSql {
        |       ROUND(change_tvl / NULLIF(tvl, 0.0), 6) AS percent_change
        |FROM t ORDER BY date""".stripMargin
 
+  /** Weekly OHLC resample: argmin/argmax elections are tie-free
+    * (dates unique within a week). */
+  val tsResample: String =
+    s"""WITH $dailyOrders
+       |SELECT date_trunc('week', date) AS week,
+       |       arg_min(tvl, date) AS open,
+       |       MAX(tvl) AS high,
+       |       MIN(tvl) AS low,
+       |       arg_max(tvl, date) AS close,
+       |       COUNT(*) AS n_days
+       |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Rolling 30-day return correlation between the order-revenue and
     * lineitem-benchmark series: corr over day-over-day fractional
     * changes (O(1e-2) magnitudes, so cross-engine co-moment noise
@@ -567,6 +579,30 @@ object OracleSql {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
+  /** Pairwise Pearson correlations, tidy output; 6 dp absorbs the
+    * engines' co-moment accumulation-order ulps. */
+  val relCorrMatrix: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val selects = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, ROUND(corr($a, $b), 6) AS corr FROM lineitem" }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /** MAD per status: the inner median is 6-dp rounded before the
+    * deviation pass so both engines deviate from identical operands. */
+  val relMad: String =
+    """WITH m AS (
+      |  SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT o.o_orderstatus, m.median_price,
+      |       ROUND(quantile_cont(ABS(o.o_totalprice - m.median_price), 0.5), 6) AS mad,
+      |       COUNT(*) AS n
+      |FROM orders o JOIN m USING (o_orderstatus)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val relPivot: String = {
     def cell(s: String) =
       s"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '$s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS \"$s\""
@@ -811,6 +847,16 @@ object OracleSql {
       |       MAX(gap) AS max_gap_us
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Heavy hitters: exact decimal sums, value-then-id ordered cut. */
+  val evTopUsers: String =
+    """SELECT user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       COUNT(*) AS n_purchases
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY total_value DESC, user_id
+      |LIMIT 10""".stripMargin
 
   /** Markov transitions: lead over the per-user ordered stream
     * (event_id ties), normalized within from_type. */

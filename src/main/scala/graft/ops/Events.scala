@@ -125,6 +125,21 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Heavy hitters: top-10 users by total purchase value — the exact
+    * top-k that an approximate heavy-hitters sketch would feed at
+    * stream scale, here as one user-keyed decimal aggregate + a
+    * TakeOrdered top-k (no global-sort window), value-then-user_id
+    * ordered so both engines cut the boundary identically.
+    * Output: user_id, total_value, n_purchases. */
+  def topUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+
   /** Approximate sketches (rows-only: HLL/quantile sketch internals are
     * engine-specific, so no oracle): distinct users and value quantiles
     * per event type. Output: event_type, approx_users, p50_value. */

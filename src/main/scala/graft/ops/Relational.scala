@@ -251,6 +251,49 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * columns — the one-pass feature-correlation screen run before any
+    * modeling. All six pairs compute in a SINGLE scalar aggregate
+    * over one scan (Spark fuses the co-moment accumulators; no
+    * per-pair passes), then unpivot to tidy (col_a, col_b, corr)
+    * rows. Output: col_a, col_b, corr (6 dp). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val agg = Tables.lineitem(spark, dir).agg(
+      round(corr(col(pairs.head._1), col(pairs.head._2)), 6).as("c0"),
+      pairs.tail.zipWithIndex.map { case ((a, b), k) =>
+        round(corr(col(a), col(b)), 6).as(s"c${k + 1}") }: _*)
+    val stack = pairs.zipWithIndex
+      .map { case ((a, b), k) => s"'$a', '$b', c$k" }
+      .mkString(", ")
+    agg.select(expr(s"stack(${pairs.size}, $stack) AS (col_a, col_b, corr)"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Median absolute deviation per order status — the robust
+    * dispersion measure paired with `winsorize`'s robust mean. The
+    * inner median is 6-dp rounded BEFORE the deviation pass (the same
+    * deterministic-fence discipline as winsorize/ev_outliers), so
+    * both engines compute |x − med| over identical operands; the MAD
+    * itself is an exact percentile over those. Two quantile
+    * aggregates with a 3-row broadcast between. Output:
+    * o_orderstatus, median_price, mad, n. */
+  def medianAbsDev(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val med = o.groupBy("o_orderstatus").agg(
+      round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("median_price"))
+    o.join(broadcast(med), "o_orderstatus")
+      .withColumn("adev", abs(col("o_totalprice") - col("median_price")))
+      .groupBy(col("o_orderstatus"), col("median_price"))
+      .agg(round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+      .select("o_orderstatus", "median_price", "mad", "n")
+      .orderBy("o_orderstatus")
+  }
+
   /** O3/A9: single latest row by date (top-1 sort with tiebreak). */
   def topLatest(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

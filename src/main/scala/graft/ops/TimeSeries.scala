@@ -163,6 +163,23 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Weekly OHLC resample of the daily revenue series — the standard
+    * downsample for charting and weekly reporting: per ISO week,
+    * opening value (earliest day, `min_by`), high, low, and closing
+    * value (latest day, `max_by`), plus days observed. Dates within a
+    * week are unique, so the argmin/argmax elections are
+    * tie-free-deterministic. One small aggregate over the O(#days)
+    * rollup. Output: week, open, high, low, close, n_days. */
+  def resampleWeekly(spark: SparkSession, dir: String): DataFrame =
+    dailyOrderRevenue(spark, dir)
+      .groupBy(date_trunc("week", col("date")).cast("date").as("week"))
+      .agg(min_by(col("tvl"), col("date")).as("open"),
+        max(col("tvl")).as("high"),
+        min(col("tvl")).as("low"),
+        max_by(col("tvl"), col("date")).as("close"),
+        count(lit(1)).as("n_days"))
+      .orderBy("week")
+
   /** Rolling 30-day return correlation between the revenue ("TVL")
     * series and the benchmark series — the co-movement diagnostic
     * behind hedge ratios and regime detection. Correlation runs over

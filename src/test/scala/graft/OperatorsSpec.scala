@@ -783,4 +783,44 @@ class OperatorsSpec extends SparkSpec {
     assert(c.where(col("corr30") < -1.0 || col("corr30") > 1.0).count() === 0)
     c.unpersist()
   }
+
+  test("corr matrix: six unordered pairs, all in [-1, 1]") {
+    val m = Relational.corrMatrix(spark, sf).persist()
+    assert(m.count() === 6)
+    assert(m.where(col("corr") < -1.0 || col("corr") > 1.0).count() === 0)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val expected = (for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))).toSet
+    val got = m.select("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected, "one row per unordered column pair")
+    m.unpersist()
+  }
+
+  test("MAD: non-negative and below the larger median half-range") {
+    val m = Relational.medianAbsDev(spark, sf).persist()
+    assert(m.count() === 3)
+    assert(m.where(col("mad") < 0).count() === 0)
+    m.unpersist()
+  }
+
+  test("weekly resample: OHLC envelope holds and day counts bounded") {
+    val r = TimeSeries.resampleWeekly(spark, sf).persist()
+    assert(r.count() > 0)
+    assert(r.where(col("high") < col("low") || col("open") > col("high") ||
+      col("open") < col("low") || col("close") > col("high") ||
+      col("close") < col("low") || col("n_days") > 7).count() === 0)
+    // weeks partition the daily series
+    val days = TimeSeries.dailyOrderRevenue(spark, sf).count()
+    assert(r.agg(sum(col("n_days"))).first().getLong(0) === days)
+    r.unpersist()
+  }
+
+  test("top users: exactly ten, descending totals") {
+    val t = Events.topUsers(spark, sf).persist()
+    assert(t.count() === 10)
+    val vals = t.select("total_value").collect().map(_.getDouble(0))
+    assert(vals.sameElements(vals.sortBy(-_)))
+    t.unpersist()
+  }
 }
