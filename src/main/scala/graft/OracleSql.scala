@@ -590,6 +590,19 @@ object OracleSql {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
   }
 
+  /** Join-key skew audit: integer count profile, one float entropy
+    * term (6 dp absorbs summation-order ulps on O(1e-3) terms). */
+  val relSkewAudit: String =
+    """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c)
+      |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |       COUNT(*) AS n_keys,
+      |       MAX(cnt) AS max_cnt,
+      |       ROUND(MAX(cnt) / SUM(cnt), 6) AS max_share,
+      |       quantile_cont(cnt, 0.99) AS p99_cnt,
+      |       ROUND(-SUM((cnt / t.total) * LN(cnt / t.total)), 6) AS entropy
+      |FROM c CROSS JOIN t""".stripMargin
+
   /** MAD per status: the inner median is 6-dp rounded before the
     * deviation pass so both engines deviate from identical operands. */
   val relMad: String =
@@ -937,6 +950,29 @@ object OracleSql {
        |  CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS BIGINT) AS score
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** Lang-ID confusion matrix: the langId CTE re-aggregated against
+    * the labeled column; row share normalizes within the true lang. */
+  val textLangIdEval: String =
+    s"""WITH pred AS (${textLangId.replace("ORDER BY doc_id", "")})
+       |SELECT lang, pred_lang, COUNT(*) AS n,
+       |       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac
+       |FROM pred
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Corpus mixture: integer counts/char mass, two rounded ratios. */
+  val textSourceMix: String =
+    """WITH m AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |         ROUND(SUM(n_chars) / COUNT(*), 6) AS mean_chars
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM m)
+      |SELECT source, lang, n_docs, total_chars, mean_chars,
+      |       ROUND(n_docs / t.total_docs, 6) AS doc_share
+      |FROM m CROSS JOIN t
+      |ORDER BY source, lang""".stripMargin
 
   /** The ONE composite quality-score expression over a raw `text`
     * column — the single source `textQuality` and `textCurate` both

@@ -294,6 +294,31 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Join-key skew audit: the per-key frequency profile of a fact
+    * table's join key (orders.o_custkey) — the measurement that
+    * decides salting factors and AQE skew thresholds BEFORE a big
+    * join ships. One key-grouped count, then a single-row summary:
+    * key cardinality, hottest-key share, the p99 key count, and the
+    * Shannon entropy of the key distribution (log-uniformity in one
+    * number; max-entropy = ln(n_keys)). Entropy's float sum runs over
+    * O(keys) terms of O(1e-3) magnitude — far below the 6-dp gate.
+    * Output: n_rows, n_keys, max_cnt, max_share, p99_cnt, entropy. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .persist()
+    counts.count() // materialize before the total + summary sides fan out
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        round(max(col("cnt")) / sum(col("cnt")), 6).as("max_share"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt)").as("p99_cnt"),
+        round(-sum((col("cnt") / col("total")) * log(col("cnt") / col("total"))), 6)
+          .as("entropy"))
+  }
+
   /** O3/A9: single latest row by date (top-1 sort with tiebreak). */
   def topLatest(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

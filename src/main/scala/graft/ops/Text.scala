@@ -52,6 +52,41 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation: the marker heuristic's confusion matrix
+    * against the corpus' labeled `lang` column — the
+    * classifier-vs-ground-truth audit a pipeline runs before trusting
+    * a cheap heuristic to route documents. One k×k-bounded aggregate
+    * over `langId`'s map-side scores; the row share normalizes within
+    * the true language via a k-bounded window.
+    * Output: lang, pred_lang, n, frac. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    langId(spark, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", round(col("n") / sum(col("n")).over(w), 6))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Corpus composition report: document count, exact character mass,
+    * mean length, and corpus share per (source, lang) — the mixture
+    * table every training-data builder publishes alongside a corpus
+    * (and re-weights against). Map-side projection + one tiny
+    * aggregate; the corpus total rides a 1-row broadcast.
+    * Output: source, lang, n_docs, total_chars, mean_chars, doc_share. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val mix = Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")) / count(lit(1)), 6).as("mean_chars"))
+    val tot = mix.agg(sum(col("n_docs")).as("total_docs"))
+    mix.crossJoin(broadcast(tot))
+      .withColumn("doc_share", round(col("n_docs") / col("total_docs"), 6))
+      .select("source", "lang", "n_docs", "total_chars", "mean_chars", "doc_share")
+      .orderBy("source", "lang")
+  }
+
   /** Quality scoring: token count, average token length, stopword
     * ratio, and a composite [0,1] score. Output: doc_id, n_tokens,
     * avg_token_len, stop_ratio, quality. */

@@ -816,6 +816,35 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("langid eval: per-language rows normalize to 1") {
+    val e = Text.langIdEval(spark, sf).persist()
+    assert(e.count() >= 5) // at least the diagonal
+    val sums = e.groupBy("lang").agg(sum(col("frac")).as("s"))
+      .where(abs(col("s") - 1.0) > 1e-4).count()
+    assert(sums === 0, "row shares must sum to 1 within each true lang")
+    e.unpersist()
+  }
+
+  test("source mix: corpus shares sum to 1 and char mass positive") {
+    val m = Text.sourceMix(spark, sf).persist()
+    assert(m.count() > 0)
+    val shareSum = m.agg(sum(col("doc_share"))).first().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    assert(m.where(col("total_chars") <= 0 || col("mean_chars") <= 0).count() === 0)
+    m.unpersist()
+  }
+
+  test("skew audit: one summary row with consistent bounds") {
+    val a = Relational.skewAudit(spark, sf).persist()
+    assert(a.count() === 1)
+    val r = a.first()
+    val (nRows, nKeys, maxCnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(maxCnt <= nRows && nKeys <= nRows)
+    assert(r.getDouble(5) <= math.log(nKeys.toDouble) + 1e-6, "entropy bounded by ln(n_keys)")
+    spark.sharedState.cacheManager.clearCache()
+    a.unpersist()
+  }
+
   test("top users: exactly ten, descending totals") {
     val t = Events.topUsers(spark, sf).persist()
     assert(t.count() === 10)
