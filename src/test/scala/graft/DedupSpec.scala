@@ -78,6 +78,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clustersFromPairs(pairs).count() === 0L)
   }
 
+  test("clusters: equivalent to union-find on random graphs (property)") {
+    // the distributed loop vs a driver-side union-find reference on
+    // seeded random edge lists — sparse chains, dense blobs, and
+    // multi-component mixes all land in the generator's range
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(2, 60)           // node universe
+      m <- Gen.choose(1, 90)           // edge count
+      // b = (a + d) mod n with d >= 1 guarantees a != b without a
+      // filter (filtered generators can abort the whole sample)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        d <- Gen.choose(1L, n.toLong - 1)
+      } yield (a, (a + d) % n))
+    } yield edges
+    val cases = (1 to 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    assert(cases.size === 5, "generator must produce every case")
+    for (edges <- cases) {
+      // reference: path-compressed union-find, min root per component
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.clustersFromPairs(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"mismatch on ${edges.size}-edge graph")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("clusters: iteration state goes through the configured graft.cluster.iterDir") {
     // the cluster-deployability seam: a real cluster points this conf
     // at shared storage; the loop must write every round there and
