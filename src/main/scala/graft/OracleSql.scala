@@ -861,6 +861,16 @@ object OracleSql {
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cumulative user acquisition: integer counts, same-order cumsum
+    * over the daily rollup. */
+  val evCumulativeUsers: String =
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS date FROM events GROUP BY 1),
+      |d AS (SELECT date, COUNT(*) AS n_new FROM f GROUP BY 1)
+      |SELECT date, n_new,
+      |       CAST(SUM(n_new) OVER (ORDER BY date
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY date""".stripMargin
+
   /** Heavy hitters: exact decimal sums, value-then-id ordered cut. */
   val evTopUsers: String =
     """SELECT user_id,
@@ -1262,6 +1272,22 @@ object OracleSql {
       |WHERE bg.n_ab >= 5
       |ORDER BY pmi DESC, bg.a, bg.b
       |LIMIT 20""".stripMargin
+
+  /** BPE merge candidates: exact integer char-pair counts; the top-20
+    * cut orders on (n DESC, a, b) — fully deterministic. */
+  val textBpePairs: String =
+    """WITH toks AS (
+      |  SELECT u.tok FROM (SELECT string_split(text, ' ') AS t FROM documents) s,
+      |       UNNEST(s.t) AS u(tok)
+      |),
+      |p AS (
+      |  SELECT substr(tok, CAST(i AS INT), 1) AS a,
+      |         substr(tok, CAST(i AS INT) + 1, 1) AS b
+      |  FROM toks, UNNEST(range(1, len(tok))) AS r(i)
+      |  WHERE len(tok) >= 2
+      |)
+      |SELECT a, b, COUNT(*) AS n FROM p GROUP BY 1, 2
+      |ORDER BY n DESC, a, b LIMIT 20""".stripMargin
 
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
@@ -1720,6 +1746,23 @@ object OracleSql {
        |$iters
        |SELECT vec_id, ROUND(r, 6) AS pagerank FROM r5 ORDER BY vec_id""".stripMargin
   }
+
+  /** Triangle counts: canonical a<b edges, two edge-keyed joins
+    * enumerate each triangle once as a<b<c. */
+  val simTriangles: String =
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+       |e AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+       |             GREATEST(vec_id, nbr_id) AS b FROM edges),
+       |tri AS (
+       |  SELECT ab.a, ab.b, bc.c
+       |  FROM e ab
+       |  JOIN (SELECT a AS b, b AS c FROM e) bc ON ab.b = bc.b
+       |  JOIN (SELECT a, b AS c FROM e) ac ON ab.a = ac.a AND bc.c = ac.c
+       |),
+       |x AS (SELECT UNNEST([a, b, c]) AS vec_id FROM tri)
+       |SELECT vec_id, COUNT(*) AS n_triangles
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Random-projection audit: identical ±1 hyperplanes derived from
     * md5(j ++ '_' ++ i) in both engines, true top-3 neighbors ranked

@@ -125,6 +125,20 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Cumulative user acquisition: per day, users seen for the FIRST
+    * time and the running total — the growth curve every product
+    * dashboard opens with. First-seen is one user-keyed min; the
+    * cumsum window is unpartitioned but runs on the O(#days) rollup,
+    * not the event stream. Output: date, n_new, cum_users. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("date"))
+      .groupBy("date").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("date")
+  }
+
   /** Heavy hitters: top-10 users by total purchase value — the exact
     * top-k that an approximate heavy-hitters sketch would feed at
     * stream scale, here as one user-keyed decimal aggregate + a

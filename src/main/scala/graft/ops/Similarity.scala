@@ -387,6 +387,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-node triangle counts on the kNN graph — the local clustering
+    * signal that separates docs inside dense semantic neighborhoods
+    * from bridge/outlier docs (a triangle-rich node's neighbors agree
+    * with each other). Standard distributed triangle counting: the
+    * graph is symmetrized and deduplicated to canonical a<b edges,
+    * then two edge-keyed equi-joins enumerate each triangle exactly
+    * once as a<b<c; each member node gets credit via one union +
+    * aggregate. Every join is on an edge endpoint — no enumeration
+    * beyond actual wedges, the same shape at any graph size.
+    * Output: vec_id, n_triangles (nodes in >= 1 triangle). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+    val e = und
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+      .persist()
+    e.count() // materialize before the three join sides fan out
+    val tri = e.as("ab")
+      .join(e.select(col("a").as("b"), col("b").as("c")).as("bc"), "b")
+      .join(e.select(col("a"), col("b").as("c")).as("ac"), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("vec_id")
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) audit: project 64-dim
     * embeddings to 16 dims through deterministic ±1 hyperplanes
     * (sign of md5(j ++ '_' ++ i) — both engines derive the identical

@@ -501,6 +501,25 @@ object Text {
       .limit(20)
   }
 
+  /** BPE merge candidates: corpus-wide counts of adjacent CHARACTER
+    * pairs within whitespace tokens — exactly the statistic the first
+    * byte-pair-encoding merge maximizes, and the fan-out shape a
+    * distributed tokenizer trainer iterates (count pairs → merge →
+    * recount). Map-side per-token pair explosion + one pair-keyed
+    * aggregate; top-20 by exact integer count with (a, b) tiebreak is
+    * TakeOrdered, no global-sort window. Output: a, b, n. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> struct(substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(20)
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

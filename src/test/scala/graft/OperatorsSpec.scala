@@ -845,6 +845,44 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("cumulative users: running total ends at distinct-user count") {
+    val c = Events.cumulativeUsers(spark, sf).persist()
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val last = c.orderBy(col("date").desc).first()
+    assert(last.getLong(2) === totalUsers)
+    assert(c.agg(sum(col("n_new"))).first().getLong(0) === totalUsers)
+    c.unpersist()
+  }
+
+  test("bpe pairs: exactly top-20, all single characters, descending counts") {
+    val p = Text.bpePairs(spark, sf).persist()
+    assert(p.count() === 20)
+    assert(p.where(length(col("a")) =!= 1 || length(col("b")) =!= 1).count() === 0)
+    val ns = p.select("n").collect().map(_.getLong(0))
+    assert(ns.sameElements(ns.sortBy(-_)))
+    p.unpersist()
+  }
+
+  test("triangles: consistent with a driver-side count on the same edges") {
+    val t = Similarity.triangles(spark, sf).persist()
+    // reference: brute-force triangle enumeration on the collected
+    // (tiny at test SF) canonical edge set
+    val edges = Similarity.knnGraph(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+    val got = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+    spark.sharedState.cacheManager.clearCache()
+    t.unpersist()
+  }
+
   test("top users: exactly ten, descending totals") {
     val t = Events.topUsers(spark, sf).persist()
     assert(t.count() === 10)
