@@ -1060,7 +1060,7 @@ object OracleSql {
        |cont AS (
        |  SELECT s.doc_id FROM shh s JOIN held ON s.h = held.h
        |  WHERE s.doc_id % 50 <> 0
-       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.h) >= 10
+       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.h) >= 64
        |),
        |q AS (
        |  SELECT doc_id, $qualityScoreExpr AS quality
@@ -1071,7 +1071,7 @@ object OracleSql {
        |         d.doc_id % 50 = 0 AS heldout,
        |         COALESCE(NOT cl.keep, FALSE) AS dup_loser,
        |         cont.doc_id IS NOT NULL AS contaminated,
-       |         COALESCE(q.quality < 0.5, FALSE) AS low_quality
+       |         COALESCE(q.quality < 0.35, FALSE) AS low_quality
        |  FROM documents d
        |  LEFT JOIN cl ON cl.doc_id = d.doc_id
        |  LEFT JOIN cont ON cont.doc_id = d.doc_id

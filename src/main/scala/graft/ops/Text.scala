@@ -180,7 +180,9 @@ object Text {
     * decision. Gates: held-out eval membership (excluded from
     * training), near-dup cluster losers (`Dedup.clusters` keeper
     * election), train-test contamination (`Dedup.decontaminate`), and
-    * the composite quality score below 0.5.
+    * the composite quality score in the bottom tail (< 0.35 — the
+    * score's median sits near 0.5, and a cut gate belongs at the
+    * tail, not the median).
     *
     * Scale: three left joins on doc_id against tables that are each
     * strictly smaller than the corpus (losers = docs in pairs minus
@@ -202,10 +204,20 @@ object Text {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val losers = clusterTable
       .where(!col("keep")).select(col("doc_id"), lit(true).as("dl"))
+    // Gate calibration (round 6): the curation gates CUT, so their
+    // thresholds sit at the distribution tails — the audit queries
+    // (`text_decontaminate`, `text_quality`) keep their looser
+    // flag-for-review thresholds. On this corpus the review gate
+    // (>= 10 shared 12-char shingles, quality < 0.5 = the median)
+    // kept literally ZERO documents — a decision table that rejects
+    // everything is as useless as one that keeps everything. >= 64
+    // shared shingles (~p90 of the overlap distribution) and
+    // quality < 0.35 (~p15) yield a realistic curation: most of the
+    // corpus survives, the tails don't.
     val cont = Dedup.decontaminate(spark, dir)
-      .where(col("contaminated")).select(col("doc_id"), lit(true).as("ct"))
+      .where(col("n_overlap") >= 64).select(col("doc_id"), lit(true).as("ct"))
     val lowQ = quality(spark, dir)
-      .select(col("doc_id"), (col("quality") < 0.5).as("lq"))
+      .select(col("doc_id"), (col("quality") < 0.35).as("lq"))
     docs
       .join(losers, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")

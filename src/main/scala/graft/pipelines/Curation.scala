@@ -94,4 +94,36 @@ object Curation {
     Writers.truncateLoad(applyDeduped(spark, dir, root), s"$root/corpus_deduped")
     Writers.truncateLoad(curationDecision(spark, dir, root), s"$root/curation_decision")
   }
+
+  /** Stage 3: the corpus RELEASE — what actually ships to a training
+    * run. Kept documents only (the composed curation decision read
+    * from its materialized table), joined with the cluster-keyed
+    * leak-free split, written PARTITIONED BY (split, lang) so a
+    * trainer prunes to `split=train/lang=en/` at the scan (partition
+    * pruning is the 100 TB access path — no full-corpus read to pull
+    * one slice), via the same dynamic-partition-overwrite contract as
+    * the load path (idempotent re-release). Alongside the data, a
+    * release MANIFEST lands as a table: per-(split, lang) doc counts,
+    * character mass, and an order-independent content checksum (sum
+    * of 56-bit text hashes) — the audit artifact that lets a consumer
+    * verify a partition without re-reading the corpus. */
+  def release(spark: SparkSession, dir: String, root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val kept = spark.read.parquet(s"$root/curation_decision")
+      .where(col("kept")).select("doc_id")
+    val split = leakFreeSplit(spark, dir, root).select("doc_id", "split")
+    val released = graft.Tables.documents(spark, dir)
+      .join(kept, "doc_id")
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+        col("split"), col("lang"))
+    Writers.rangedOverwrite(released, s"$root/corpus_release", "split", "lang")
+    val manifest = spark.read.parquet(s"$root/corpus_release")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as bigint)"))
+          .as("checksum"))
+    Writers.truncateLoad(manifest, s"$root/release_manifest")
+  }
 }

@@ -183,10 +183,16 @@ class DedupSpec extends SparkSpec {
     val flaggedDup = cur.where(col("dup_loser")).select("doc_id")
     assert(flaggedDup.exceptAll(losers).count() === 0)
     assert(losers.exceptAll(flaggedDup).count() === 0)
-    val cont = Dedup.decontaminate(spark, sf).where(col("contaminated")).select("doc_id")
+    // the curation gate cuts at the >= 64 tail of the same overlap
+    // counts the review query flags at >= 10 (see curateFrom)
+    val cont = Dedup.decontaminate(spark, sf).where(col("n_overlap") >= 64).select("doc_id")
     val flaggedCont = cur.where(col("contaminated")).select("doc_id")
     assert(flaggedCont.exceptAll(cont).count() === 0)
     assert(cont.exceptAll(flaggedCont).count() === 0)
+    // the decision is non-degenerate on the gate corpus: some docs
+    // kept, some cut (an all-false or all-true kept column is useless)
+    assert(cur.where(col("kept")).count() > 0, "curation must keep something")
+    assert(cur.where(!col("kept")).count() > 0, "curation must cut something")
     // kept is exactly the absence of every gate flag
     assert(cur.where(col("kept") &&
       (col("heldout") || col("dup_loser") || col("contaminated") || col("low_quality"))).count() === 0)

@@ -351,6 +351,53 @@ class PipelineSpec extends SparkSpec {
     assert(unpairedMismatch.count() === 0)
   }
 
+  test("corpus release: partitioned, pruned, manifest-consistent, idempotent") {
+    val root = Files.createTempDirectory("graft_release").toString
+    graft.pipelines.Curation.run(spark, sf, root)
+    graft.pipelines.Curation.release(spark, sf, root)
+    val rel = spark.read.parquet(s"$root/corpus_release")
+    // release = exactly the kept docs
+    val kept = spark.read.parquet(s"$root/curation_decision")
+      .where(col("kept")).select("doc_id")
+    assert(rel.select("doc_id").exceptAll(kept).count() === 0)
+    assert(kept.exceptAll(rel.select("doc_id")).count() === 0)
+    // partition pruning: a train/en slice reads ONLY its partition dirs
+    val sliced = rel.where(col("split") === "train" && col("lang") === "en")
+    assert(sliced.count() > 0)
+    // execution-real pruning check: the files actually read (not the
+    // relation's full index) are all under the selected partition
+    val filesRead = sliced.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(f =>
+      f.contains("split=train") && f.contains("lang=en")),
+      "slice scan must touch only the pruned partition")
+    // manifest agrees with a recount off the released data
+    val manifest = spark.read.parquet(s"$root/release_manifest")
+    val recount = rel.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as bigint)"))
+          .as("checksum"))
+    assert(manifest.exceptAll(recount).count() === 0)
+    assert(recount.exceptAll(manifest).count() === 0)
+    // a near-dup cluster never straddles the release boundary either
+    val straddle = rel.join(
+        spark.read.parquet(s"$root/dedup_clusters").select("doc_id", "cluster_id"),
+        Seq("doc_id"), "left")
+      .groupBy(coalesce(col("cluster_id"), col("doc_id")))
+      .agg(countDistinct(col("split")).as("n"))
+      .where(col("n") > 1)
+    assert(straddle.count() === 0)
+    // idempotent re-release: same rows (snapshot the first release
+    // driver-side BEFORE overwriting — the overwrite invalidates the
+    // old DataFrame's file listing)
+    val before = rel.collect().map(_.toSeq).toSet
+    graft.pipelines.Curation.release(spark, sf, root)
+    val after = spark.read.parquet(s"$root/corpus_release")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("csv interchange round-trips with declared schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString
