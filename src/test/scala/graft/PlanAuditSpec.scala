@@ -72,6 +72,28 @@ class PlanAuditSpec extends SparkSpec {
       "PushedFilters list is empty")
   }
 
+  test("column pruning reaches the scan: projections never drag the text payload") {
+    // the 100 TB rule: a scan must read only the columns the operator
+    // projects — dragging the wide `text` payload (or the whole row)
+    // through a metadata-only query is the classic silent 100× cost.
+    // ReadSchema on the parquet leaf is the proof.
+    def readSchemas(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        .filter(_.contains("ReadSchema")).mkString("\n")
+    // text_source_mix aggregates labels + n_chars — text must be pruned
+    val mix = readSchemas(ops.Text.sourceMix(spark, sf))
+    assert(mix.nonEmpty && !mix.contains("text"), s"source_mix scan reads text: $mix")
+    // rel_benford touches exactly one fact column
+    val ben = readSchemas(ops.Relational.benford(spark, sf))
+    assert(ben.contains("o_totalprice") && !ben.contains("o_orderdate"),
+      s"benford scan reads beyond o_totalprice: $ben")
+    // ev_top_users needs only (user_id, event_type, value) — props (the
+    // wide JSON payload) must be pruned
+    val top = readSchemas(ops.Events.topUsers(spark, sf))
+    assert(top.nonEmpty && !top.contains("props"), s"top_users scan reads props: $top")
+    spark.catalog.clearCache()
+  }
+
   test("broadcast dims actually broadcast in the dim-join contract") {
     // J2 (slug -> id dim stamp): the customer dim side must plan as a
     // BroadcastHashJoin, not a shuffle join
