@@ -416,6 +416,19 @@ object OracleSql {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Part-type revenue mix: exact decimal money arithmetic (the
+    * pricing-summary idiom), 1-row total for the share. */
+  val relPromoShare: String =
+    """WITH bt AS (
+      |  SELECT p_type, COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1
+      |),
+      |t AS (SELECT SUM(revenue) AS total FROM bt)
+      |SELECT p_type, n_items, revenue, ROUND(revenue / t.total, 6) AS rev_share
+      |FROM bt CROSS JOIN t ORDER BY p_type""".stripMargin
+
   val relTopCustomers: String =
     """SELECT c_custkey, c_name,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

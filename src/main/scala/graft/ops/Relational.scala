@@ -161,6 +161,26 @@ object Relational {
         round(max(col("s_acctbal")), 6).as("max_bal"))
       .orderBy("s_nationkey")
 
+  /** Part-type revenue mix (TPC-H Q14 flavor): discounted lineitem
+    * revenue per part type and each type's share of the total — the
+    * classic fact×dim broadcast join (part is a true dimension) with
+    * exact DECIMAL money arithmetic and a 1-row total carrier.
+    * Output: p_type, n_items, revenue, rev_share. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val byType = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    val tot = byType.agg(sum(col("revenue")).as("total"))
+    byType.crossJoin(broadcast(tot))
+      .withColumn("rev_share", round(col("revenue") / col("total"), 6))
+      .select("p_type", "n_items", "revenue", "rev_share")
+      .orderBy("p_type")
+  }
+
   /** ROLLUP aggregation with subtotals + grand total; explicit
     * grouping-bit column so the oracle compare can line up subtotal
     * rows. (Reference has no grouping sets — Spark built-in, included

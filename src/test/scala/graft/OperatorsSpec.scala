@@ -883,6 +883,15 @@ class OperatorsSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("promo share: shares partition the revenue total") {
+    val p = Relational.promoShare(spark, sf).persist()
+    assert(p.count() === 6) // one row per part type
+    val shareSum = p.agg(sum(col("rev_share"))).first().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    assert(p.where(col("revenue") <= 0 || col("n_items") <= 0).count() === 0)
+    p.unpersist()
+  }
+
   test("top users: exactly ten, descending totals") {
     val t = Events.topUsers(spark, sf).persist()
     assert(t.count() === 10)
