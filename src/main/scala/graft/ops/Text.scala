@@ -368,22 +368,24 @@ object Text {
     * engines. Map-side explode + one (doc_id, ch) shuffle, per-doc
     * cardinality bounded by the alphabet.
     * Output: doc_id, entropy, n_distinct_chars. */
-  def entropy(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+  def entropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       // empty-text guard: sequence(1, 0) runs DESCENDING (same pitfall
       // as fingerprint), fabricating positions the oracle never visits
       .where(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(expr(
+      // the normalizer is just length(text) — carrying it through the
+      // aggregate instead of re-deriving it with a doc_id window
+      // removes the window's repartition from (doc_id, ch) back to
+      // doc_id (wall-time neutral at sf0.1 — the 10M-row char explode
+      // dominates — but one less exchange at any scale)
+      .select(col("doc_id"), length(col("text")).as("tot"), explode(expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .withColumn("tot", sum(col("c")).over(w))
+      .groupBy("doc_id", "tot", "ch").agg(count(lit(1)).as("c"))
       .withColumn("pe", -(col("c") / col("tot")) * log(col("c") / col("tot")))
       .groupBy("doc_id")
       .agg(round(sum(col("pe")), 6).as("entropy"),
         count(lit(1)).as("n_distinct_chars"))
       .orderBy("doc_id")
-  }
 
   /** Bigram language-model quality score — the KenLM-style perplexity
     * proxy training pipelines filter on: per-document mean log
