@@ -1102,6 +1102,19 @@ object OracleSql {
       |FROM t GROUP BY tok
       |ORDER BY tf DESC, tok LIMIT 50""".stripMargin
 
+  /** Zipf fit over the top-50 vocabulary: ln/regr aggregates on exact
+    * integer counts and 50 deterministic ranks. */
+  val textZipf: String =
+    s"""WITH v AS ($textVocab),
+       |r AS (
+       |  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank FROM v
+       |)
+       |SELECT ROUND(regr_slope(ln(tf), ln(rank)), 6) AS zipf_slope,
+       |       ROUND(regr_intercept(ln(tf), ln(rank)), 6) AS zipf_intercept,
+       |       ROUND(regr_r2(ln(tf), ln(rank)), 6) AS r2,
+       |       COUNT(*) AS n_top
+       |FROM r""".stripMargin
+
   val textSampleStratified: String =
     """SELECT source, doc_id FROM documents
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) <= 10

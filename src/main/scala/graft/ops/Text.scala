@@ -248,6 +248,26 @@ object Text {
       .orderBy(col("tf").desc, col("tok"))
       .limit(50)
 
+  /** Zipf fit: the rank–frequency power law over the top-50 vocabulary
+    * — OLS of ln(tf) on ln(rank), whose slope for natural language
+    * sits near −1 (a corpus that deviates hard is boilerplate- or
+    * template-heavy: the same distributional red flag `repetition`
+    * measures per doc, here corpus-level). Ranks are assigned on the
+    * 50-row top-k result (the window is bounded by k, not the
+    * vocabulary), regression via the same `regr_*` aggregates the
+    * risk family hash-matches with. Output: zipf_slope,
+    * zipf_intercept, r2, n_top. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("tok"))
+    vocab(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .agg(round(expr("regr_slope(ln(tf), ln(rank))"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(ln(tf), ln(rank))"), 6).as("zipf_intercept"),
+        round(expr("regr_r2(ln(tf), ln(rank))"), 6).as("r2"),
+        count(lit(1)).as("n_top"))
+  }
+
   /** Reproducible stratified sample: the 10 lowest-content-hash docs
     * per `source` stratum — hash-ordered systematic sampling, so the
     * sample is stable across re-runs, partition layouts, and engines

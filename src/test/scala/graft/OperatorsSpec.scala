@@ -883,6 +883,16 @@ class OperatorsSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("zipf fit: one row, negative slope, r2 in range, rank count bounded") {
+    val z = Text.zipfFit(spark, sf).persist()
+    assert(z.count() === 1)
+    val r = z.first()
+    assert(r.getDouble(0) < 0, "rank-frequency slope must be negative")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    assert(r.getLong(3) <= 50)
+    z.unpersist()
+  }
+
   test("promo share: shares partition the revenue total") {
     val p = Relational.promoShare(spark, sf).persist()
     assert(p.count() === 6) // one row per part type
