@@ -1612,6 +1612,17 @@ object OracleSql {
 
   /** Near-dup vector clusters: the SAME min-reachability fixpoint the
     * text clusters use, over the cosine-verified pair list. */
+  /** Threshold sweep: cumulative pair counts per threshold, LEFT join
+    * so zero-count thresholds survive; identical double literals in
+    * both engines. */
+  val simNearDupSweep: String =
+    s"""WITH ${simNearDupCtes(0.3)},
+       |t AS (SELECT UNNEST([0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60,
+       |                     0.65, 0.70, 0.75, 0.80, 0.85, 0.90]) AS threshold)
+       |SELECT t.threshold, CAST(COUNT(c.cos) AS BIGINT) AS n_pairs
+       |FROM t LEFT JOIN cand c ON c.cos >= t.threshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val simClusters: String =
     s"""WITH RECURSIVE ${simNearDupCtes(0.9)},
        |$clusterCtes

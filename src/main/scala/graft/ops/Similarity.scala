@@ -139,6 +139,27 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup threshold sweep: CUMULATIVE pair counts at each cosine
+    * threshold from 0.30 to 0.90 — the tuning curve that picks a
+    * production threshold (how many pairs a given cut would act on).
+    * One candidate pass at the loosest threshold; the 13-row
+    * threshold dim then non-equi-joins as a bounded broadcast (the
+    * `ev_range_join` pattern), so zero-count thresholds still appear.
+    * Output: threshold, n_pairs. */
+  def nearDupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count()
+    val pairs = cosineNearDupFrom(spark, v, threshold = 0.30).select("cos")
+    val thresholds = spark.sql(
+      "SELECT explode(array(0.30D, 0.35D, 0.40D, 0.45D, 0.50D, 0.55D, 0.60D, " +
+        "0.65D, 0.70D, 0.75D, 0.80D, 0.85D, 0.90D)) AS threshold")
+    broadcast(thresholds)
+      .join(pairs, col("cos") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(count(col("cos")).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
   /** Near-dup vector clusters: connected components + min-id keeper
     * election over the cosine-verified near-dup pairs — the embedding
     * analogue of `Dedup.clusters`, sharing the identical iterative

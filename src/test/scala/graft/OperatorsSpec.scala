@@ -883,6 +883,17 @@ class OperatorsSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("neardup sweep: 13 monotone-decreasing cumulative counts") {
+    val s = Similarity.nearDupSweep(spark, sf).persist()
+    assert(s.count() === 13)
+    val ns = s.orderBy("threshold").select("n_pairs").collect().map(_.getLong(0))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "cumulative counts must not increase with threshold")
+    assert(ns.head > 0, "loosest threshold must see some pairs")
+    spark.sharedState.cacheManager.clearCache()
+    s.unpersist()
+  }
+
   test("zipf fit: one row, negative slope, r2 in range, rank count bounded") {
     val z = Text.zipfFit(spark, sf).persist()
     assert(z.count() === 1)
