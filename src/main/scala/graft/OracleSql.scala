@@ -1612,6 +1612,18 @@ object OracleSql {
 
   /** Near-dup vector clusters: the SAME min-reachability fixpoint the
     * text clusters use, over the cosine-verified pair list. */
+  /** ANN recall audit: the LSH pick LEFT-joined against the exact
+    * top-3 (both full oracle queries nested as CTE bodies). */
+  val simRecall: String =
+    s"""WITH bf AS ($simTopK),
+       |l AS ($simLsh)
+       |SELECT l.vec_id, l.nbr_id,
+       |       bf.rank IS NOT NULL AS in_top3,
+       |       bf.rank AS true_rank
+       |FROM l LEFT JOIN bf USING (vec_id, nbr_id)
+       |WHERE l.vec_id < 10
+       |ORDER BY l.vec_id""".stripMargin
+
   /** Threshold sweep: cumulative pair counts per threshold, LEFT join
     * so zero-count thresholds survive; identical double literals in
     * both engines. */

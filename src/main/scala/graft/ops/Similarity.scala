@@ -84,6 +84,25 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ANN recall audit: does the LSH index's answer appear in the
+    * exact brute-force top-3? The measurement that justifies (or
+    * rejects) the bucketed index — the same audit discipline as
+    * `rpAudit`, here for the retrieval structure instead of the
+    * representation. Composes the two existing operators (bounded
+    * query side); `true_rank` is the LSH pick's position in the exact
+    * ranking, null when it missed the top-3 entirely.
+    * Output: vec_id, nbr_id, in_top3, true_rank. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir).select(col("vec_id"), col("nbr_id"), col("rank"))
+    val lsh = lshTopK(spark, dir).where(col("vec_id") < 10)
+      .select(col("vec_id"), col("nbr_id"))
+    lsh.join(bf, Seq("vec_id", "nbr_id"), "left")
+      .select(col("vec_id"), col("nbr_id"),
+        col("rank").isNotNull.as("in_top3"),
+        col("rank").as("true_rank"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs, banded sign-LSH: 4 bands
     * of 8 hyperplane signs (dims 1–8, 9–16, 17–24, 25–32); a pair is a
     * candidate iff it agrees on ALL 8 signs of at least one band, and

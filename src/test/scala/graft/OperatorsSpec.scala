@@ -894,6 +894,16 @@ class OperatorsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("ann recall audit: rank consistency and bounded query side") {
+    val r = Similarity.annRecall(spark, sf).persist()
+    assert(r.count() <= 10, "one row per query vector at most")
+    assert(r.where(col("vec_id") >= 10).count() === 0)
+    // in_top3 is exactly true_rank's presence, and ranks are 1..3
+    assert(r.where(col("in_top3") =!= col("true_rank").isNotNull).count() === 0)
+    assert(r.where(col("true_rank") < 1 || col("true_rank") > 3).count() === 0)
+    r.unpersist()
+  }
+
   test("zipf fit: one row, negative slope, r2 in range, rank count bounded") {
     val z = Text.zipfFit(spark, sf).persist()
     assert(z.count() === 1)

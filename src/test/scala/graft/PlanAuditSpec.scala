@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     * text_collocations = 1-row corpus-total (n_uni / n_bg) carriers;
     * rel_skew_audit / text_source_mix / rel_promo_share = 1-row
     * total carriers; sim_neardup_sweep = 13-row threshold dim
-    * (the ev_range_join pattern);
+    * (the ev_range_join pattern); sim_recall = brute-force side's
+    * <=10-row query broadcast (inherited from sim_topk);
     * sim_pagerank = 1-row node-count + dangling-mass carriers (its
     * five iterations persist as they build, so construction runs jobs
     * like the cluster family, but the final plan is still auditable
@@ -48,7 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "ev_funnel_window", "text_lm_score", "sim_rp_audit", "ts_seasonality",
     "rel_benford", "text_collocations", "sim_pagerank",
     "rel_skew_audit", "text_source_mix", "rel_promo_share",
-    "sim_neardup_sweep")
+    "sim_neardup_sweep", "sim_recall")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
