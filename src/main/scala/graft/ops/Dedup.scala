@@ -525,17 +525,30 @@ object Dedup {
   /** 64-bit simhash (doc_id, sig64: 64-char '0'/'1' string) from TWO
     * salted md5 digests per token (32 hex-digit high bits each) —
     * wide enough that banded buckets stay sparse at corpus scale
-    * (see `simhashPairs`). Shared with the brute-force test. */
+    * (see `simhashPairs`). Shared with the brute-force test.
+    *
+    * The digests are computed once per DISTINCT token and weighted by
+    * the per-doc occurrence count (Σ over occurrences of ±1 ≡ Σ over
+    * distinct tokens of ±count — exact integer identity, so the
+    * signature is bit-unchanged): md5 work goes from O(token
+    * occurrences) to O(vocabulary), and the 64 bit-tests run on
+    * (doc, distinct-token) rows instead of every occurrence. Measured
+    * dedup_simhash_pairs 3.8 → 1.6 s steady-state at sf0.1; the hash
+    * table joins back on the token key (broadcast when the vocabulary
+    * is small — AQE's call either way). */
   private[graft] def simhash64Table(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val hashes = toks.select("tok").distinct()
       .withColumn("h0", md5(concat(lit("0|"), col("tok"))))
       .withColumn("h1", md5(concat(lit("1|"), col("tok"))))
     val ss = (0 until 64).map { b =>
       val (hc, k) = (if (b < 32) col("h0") else col("h1"), b % 32 + 1)
-      sum(when(substring(hc, k, 1).between("8", "f"), 1).otherwise(-1)).as(s"s$b")
+      sum(when(substring(hc, k, 1).between("8", "f"), col("c")).otherwise(-col("c"))).as(s"s$b")
     }
-    toks.groupBy("doc_id").agg(ss.head, ss.tail: _*)
+    toks.join(hashes, "tok")
+      .groupBy("doc_id").agg(ss.head, ss.tail: _*)
       .select(col("doc_id"),
         concat((0 until 64).map(b => when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("sig64"))
   }
