@@ -416,6 +416,21 @@ object OracleSql {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** FK integrity: one left-join scalar aggregate per schema edge. */
+  val relFkIntegrity: String = {
+    def edge(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS fk, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
   /** Part-type revenue mix: exact decimal money arithmetic (the
     * pricing-summary idiom), 1-row total for the share. */
   val relPromoShare: String =

@@ -161,6 +161,38 @@ object Relational {
         round(max(col("s_acctbal")), 6).as("max_bal"))
       .orderBy("s_nationkey")
 
+  /** Referential-integrity audit: orphan counts along every foreign
+    * key in the schema (lineitem→orders, orders→customer,
+    * customer→nation, supplier→nation, nation→region) — the
+    * load-gate a warehouse runs after every ingest. Each edge is one
+    * left-anti join (broadcast for the dim-sized parents); output is
+    * one tidy row per edge so the gate is a single small table a
+    * scheduler can assert on. Output: fk, n_rows, n_orphans. */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // pure plan — each edge is a broadcast left join + one scalar
+    // aggregate; the five 1-row results union with no driver action
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(broadcast(parent), col(childKey) === col(parentKey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    Seq(
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir).select("o_orderkey"), "o_orderkey"),
+      edge("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir).select("c_custkey"), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir).select("n_nationkey"), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir).select("n_nationkey"), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir).select("r_regionkey"), "r_regionkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("fk")
+  }
+
   /** Part-type revenue mix (TPC-H Q14 flavor): discounted lineitem
     * revenue per part type and each type's share of the total — the
     * classic fact×dim broadcast join (part is a true dimension) with

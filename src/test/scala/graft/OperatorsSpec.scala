@@ -914,6 +914,15 @@ class OperatorsSpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("fk integrity: five edges, orphan counts bounded, clean testdata") {
+    val f = Relational.fkIntegrity(spark, sf).persist()
+    assert(f.count() === 5)
+    assert(f.where(col("n_orphans") > col("n_rows")).count() === 0)
+    // the testdata is referentially clean
+    assert(f.agg(sum(col("n_orphans"))).first().getLong(0) === 0L)
+    f.unpersist()
+  }
+
   test("promo share: shares partition the revenue total") {
     val p = Relational.promoShare(spark, sf).persist()
     assert(p.count() === 6) // one row per part type
