@@ -42,6 +42,22 @@ object OracleSql {
        |       ROUND(change_tvl / NULLIF(tvl, 0.0), 6) AS percent_change
        |FROM t ORDER BY date""".stripMargin
 
+  /** Rolling percentile bands: 31-row frames make p·(n−1) integral,
+    * so the window quantile is an exact element — no interpolation,
+    * no rounding needed. */
+  val tsBands: String =
+    s"""WITH $dailyOrders,
+       |b AS (
+       |  SELECT date,
+       |         ROW_NUMBER() OVER (ORDER BY date) AS rn,
+       |         quantile_cont(tvl, 0.1) OVER w AS p10,
+       |         quantile_cont(tvl, 0.5) OVER w AS p50,
+       |         quantile_cont(tvl, 0.9) OVER w AS p90
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY date ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT date, p10, p50, p90 FROM b WHERE rn >= 31 ORDER BY date""".stripMargin
+
   /** Weekly OHLC resample: argmin/argmax elections are tie-free
     * (dates unique within a week). */
   val tsResample: String =

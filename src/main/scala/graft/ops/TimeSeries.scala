@@ -163,6 +163,29 @@ object TimeSeries {
       .orderBy("date")
   }
 
+  /** Rolling percentile bands: exact p10/p50/p90 of the trailing 31
+    * days of revenue — the envelope a dashboard shades behind the
+    * line, and the non-parametric sibling of the z-score anomaly gate
+    * (a point outside its own trailing band needs no normality
+    * assumption). The frame is 31 rows ON PURPOSE: p·(n−1) is then
+    * integral for all three percentiles (3, 15, 27), so the window
+    * quantile is an exact order statistic with NO interpolation —
+    * bit-identical across engines (a 30-row frame interpolates at
+    * fraction .9 and lands on half-cent rounding boundaries; measured
+    * flaking at any rounding width). Full-window gated; runs on the
+    * O(#days) rollup. Output: date, p10, p50, p90. */
+  def percentileBands(spark: SparkSession, dir: String): DataFrame = {
+    val w31 = wDate.rowsBetween(-30, Window.currentRow)
+    dailyOrderRevenue(spark, dir)
+      .withColumn("rn", row_number().over(wDate))
+      .withColumn("p10", expr("percentile(tvl, 0.1)").over(w31))
+      .withColumn("p50", expr("percentile(tvl, 0.5)").over(w31))
+      .withColumn("p90", expr("percentile(tvl, 0.9)").over(w31))
+      .where(col("rn") >= 31)
+      .select("date", "p10", "p50", "p90")
+      .orderBy("date")
+  }
+
   /** Weekly OHLC resample of the daily revenue series — the standard
     * downsample for charting and weekly reporting: per ISO week,
     * opening value (earliest day, `min_by`), high, low, and closing

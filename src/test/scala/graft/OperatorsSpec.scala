@@ -914,6 +914,13 @@ class OperatorsSpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("percentile bands: ordered envelope, median inside it") {
+    val b = TimeSeries.percentileBands(spark, sf).persist()
+    assert(b.count() > 0)
+    assert(b.where(col("p10") > col("p50") || col("p50") > col("p90")).count() === 0)
+    b.unpersist()
+  }
+
   test("fk integrity: five edges, orphan counts bounded, clean testdata") {
     val f = Relational.fkIntegrity(spark, sf).persist()
     assert(f.count() === 5)
