@@ -139,4 +139,30 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  case class UserTotal(user_id: Long, total: Double, n: Long)
+
+  /** Streaming heavy hitters — the streaming twin of
+    * `Events.topUsers`: per-user running purchase totals held in
+    * keyed state (`mapGroupsWithState`), emitted on every update so a
+    * downstream consumer (or the test) can take the current top-k at
+    * any micro-batch boundary. State is one (total, n) pair per user
+    * — sharded by the groupBy key like the sessionizer, so the hot
+    * path scales with the key space, and the top-k itself stays a
+    * bounded downstream aggregation over the update stream, never a
+    * global sort inside the stateful operator. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    def update(user: Long, batch: Iterator[Ev],
+               state: GroupState[UserTotal]): UserTotal = {
+      val st = state.getOption.getOrElse(UserTotal(user, 0.0, 0L))
+      val next = batch.foldLeft(st)((s, e) => UserTotal(user, s.total + e.value, s.n + 1))
+      state.update(next)
+      next
+    }
+    events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -131,4 +131,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamSessions.exceptAll(batchSessions).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming running totals converge to the batch heavy hitters") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.runningUserTotals(spark, events)
+      .writeStream.format("memory").queryName("tot").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // latest state per user = the final running total; its top-10 by
+      // (total desc, user_id) must equal the batch ev_top_users answer
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc)
+      val latest = spark.table("tot")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val streamTop = latest
+        .select(col("user_id"),
+          round(col("total").cast("decimal(18,2)").cast("double"), 2).as("total_value"),
+          col("n").as("n_purchases"))
+        .orderBy(col("total_value").desc, col("user_id")).limit(10)
+      val batchTop = graft.ops.Events.topUsers(spark, sf)
+        .select(col("user_id"), round(col("total_value"), 2).as("total_value"),
+          col("n_purchases"))
+      assert(streamTop.exceptAll(batchTop).count() === 0)
+      assert(batchTop.exceptAll(streamTop).count() === 0)
+    } finally q.stop()
+  }
 }
