@@ -1767,18 +1767,20 @@ object OracleSql {
   /** In-cell kNN graph: per-cell self-join (the IVF-cell containment
     * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak.
     * Carries the identical width-tiered cell split as the Spark side:
-    * cells wider than 500 split on 3 sign bits, wider than 4000 on 6. */
+    * cells wider than 500 split on 3 sign bits, wider than 4000 on 6,
+    * wider than 32000 on 9. */
   /** kNN-graph CTE chain (`cw`, `v`, `pairs`, `r`) — shared by
     * `simKnnGraph` and `simPagerank` so the two queries see the
     * identical edge set. */
   private lazy val knnGraphCtes: String = {
-    val sig6 = (1 to 6).map(i =>
+    val sig9 = (1 to 9).map(i =>
       s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
     s"""cw AS (SELECT label, COUNT(*) AS cn FROM embeddings GROUP BY 1),
        |v AS (
        |  SELECT vec_id, embedding,
-       |         concat(e.label, '_', substr(concat($sig6), 1,
-       |           CASE WHEN cw.cn > 4000 THEN 6 WHEN cw.cn > 500 THEN 3 ELSE 0 END)) AS cell
+       |         concat(e.label, '_', substr(concat($sig9), 1,
+       |           CASE WHEN cw.cn > 32000 THEN 9 WHEN cw.cn > 4000 THEN 6
+       |                WHEN cw.cn > 500 THEN 3 ELSE 0 END)) AS cell
        |  FROM embeddings e JOIN cw USING (label)
        |),
        |pairs AS (

@@ -60,7 +60,13 @@ object Dedup {
     * spread; at production scale the many-file input supplies the
     * parallelism and Catalyst elides the extra shuffle. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingleTableOf(Tables.documents(spark, dir))
+
+  /** The same shingle derivation over an EXPLICIT (doc_id, text)
+    * DataFrame — the seam incremental dedup uses to shingle ONLY the
+    * release delta instead of the whole corpus. */
+  private def shingleTableOf(docs: DataFrame): DataFrame =
+    docs
       // docs shorter than one shingle have no shingles. Without this
       // guard Spark's sequence(1, length-11) runs DESCENDING for short
       // text (start > stop defaults to step -1) and fabricates
@@ -142,9 +148,15 @@ object Dedup {
     * candidate pair (the bucket min is a bucket member), so the
     * components equal those of `pairsFromBands` exactly — the cluster
     * oracle stays the reachability fixpoint over the pair list. */
-  private def starEdgesFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
+  private def starEdgesFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame =
+    starEdgesFromCapped(cappedBands(bands, cap))
+
+  /** Star edges from an ALREADY-capped (doc_id, b, key) table — the
+    * form incremental dedup needs, where cap semantics were resolved
+    * against the union of prior and delta bands before this point. */
+  private def starEdgesFromCapped(capped: DataFrame): DataFrame = {
     val wB = Window.partitionBy("b", "key")
-    cappedBands(bands, cap)
+    capped
       .withColumn("root", min(col("doc_id")).over(wB))
       .where(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
@@ -592,6 +604,130 @@ object Dedup {
       .where(col("hamming") <= 2)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup across corpus releases
+  // ---------------------------------------------------------------------
+
+  /** The materialized per-release dedup STATE: the capped band table
+    * (doc_id, b, key). Together with the cluster decision table this is
+    * sufficient prior state for EXACT incremental re-clustering:
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ B), so the lowest-`MaxBucket`
+    * members of any bucket at release vN+1 are computable from vN's
+    * CAPPED membership plus the delta's members alone — the pre-cap
+    * band table never needs to be kept. O(4 rows/doc) of three small
+    * columns, like the decision table itself. */
+  private[graft] def cappedBandsOf(docs: DataFrame): DataFrame =
+    cappedBands(bandsFrom(shingleTableOf(docs)), MaxBucket)
+
+  /** Components + keeper election straight from a materialized capped
+    * band table (the state `cappedBandsOf` lands) — used by the state
+    * build so the banding work is paid once, not once for the state
+    * table and again for the decision. */
+  private[graft] def clustersFromCappedReleasable(capped: DataFrame): (DataFrame, IterState.Handle) =
+    clustersFromPairsReleasable(starEdgesFromCapped(capped))
+
+  /** Result of one incremental release: the vN+1 cluster decision, the
+    * REFRESHED capped band table (the state the NEXT increment probes),
+    * and a release thunk reclaiming the run's caches and iteration
+    * storage — call it once both tables are landed (both plans read
+    * the run's cached intermediates until then). */
+  private[graft] final case class IncrementalState(
+      clusters: DataFrame, bands: DataFrame, release: () => Unit)
+
+  /** Incremental near-dup clustering for a corpus release vN+1 =
+    * vN ∪ delta — the operation that makes dedup SHIP at 100 TB, where
+    * re-clustering the whole corpus per release is the thing that
+    * cannot run (the reference's whole orchestration is incremental
+    * the same way: resume from the last materialized state and
+    * recompute a bounded slice, `aave_extract.py:538-557`).
+    *
+    * EXACTNESS: the output is row-identical to a full recompute over
+    * vN ∪ delta (proven in PipelineSpec), because every way the delta
+    * can change the answer is accounted for:
+    *
+    *   1. Bucket membership. A bucket's capped membership changes iff
+    *      a delta doc enters its lowest-`MaxBucket` set (min-k of the
+    *      union is computable from vN's capped membership + delta —
+    *      see `cappedBandsOf`). Buckets the delta lands in are re-capped
+    *      ("recapped"); a bucket is DIRTY iff a delta doc survived the
+    *      cap — including the eviction case, where a lower-id delta doc
+    *      pushes a vN doc out and DELETES its star edges.
+    *   2. Component blast radius. A vN bucket with ≥2 members is a
+    *      clique, so all its members share one vN cluster — meaning a
+    *      non-dirty bucket can never connect two distinct vN clusters,
+    *      and the only components the delta can touch are those of
+    *      dirty buckets' members (old membership ∪ new membership — old
+    *      covers eviction, new covers merges). Everything else keeps
+    *      its vN decision row verbatim.
+    *   3. Re-solve. The component loop re-runs ONLY over the affected
+    *      region: star edges of dirty buckets (new membership) plus
+    *      star edges of non-dirty buckets restricted to affected docs
+    *      (bucket homogeneity makes the root-side filter exact).
+    *
+    * COST: the text-proportional work — shingling, signature md5s,
+    * banding — runs on the DELTA ONLY. The prior state is touched as
+    * (a) one equi-join of the capped band table against the delta's
+    * bucket keys (broadcast-able when the delta is small) and (b) one
+    * semi-join of the decision table against affected clusters — both
+    * O(4 rows/doc) tables of scalars, never the corpus text. The loop
+    * runs on the affected region, whose size scales with the delta's
+    * connectivity, not the corpus (PERF.md round 7).
+    */
+  private[graft] def incrementalClusters(
+      newDocs: DataFrame, priorCapped: DataFrame, priorClusters: DataFrame): IncrementalState = {
+    // 1. delta-only text work
+    val deltaBands = bandsFrom(shingleTableOf(newDocs)).persist()
+    deltaBands.count()
+    val deltaIds = newDocs.select("doc_id").distinct()
+    // 2. re-cap every bucket the delta lands in, over vN capped ∪ delta
+    val dirtyKeys = deltaBands.select("b", "key").distinct()
+    val prior = priorCapped.select("doc_id", "b", "key")
+    val recapped = cappedBands(
+      prior.join(dirtyKeys, Seq("b", "key")).select("doc_id", "b", "key")
+        .union(deltaBands.select("doc_id", "b", "key")),
+      MaxBucket).persist()
+    recapped.count() // three consumers below; unmaterialized persist = recompute races
+    // 3. dirty = a delta doc survived the cap (else membership is
+    //    bit-identical to vN and the bucket contributes nothing new)
+    val dirty = recapped.join(deltaIds, "doc_id").select("b", "key").distinct()
+    val dirtyNew = recapped.join(dirty, Seq("b", "key"))
+    val dirtyMembers = dirtyNew.select("doc_id")
+      .union(prior.join(dirty, Seq("b", "key")).select("doc_id")) // eviction: OLD members count too
+      .distinct()
+    // 4. affected vN components and the re-solve doc set R
+    val affected = dirtyMembers.join(priorClusters, "doc_id")
+      .select("cluster_id").distinct()
+    val rIds = priorClusters.join(affected, "cluster_id").select("doc_id")
+      .union(dirtyMembers)
+      .distinct().persist()
+    rIds.count()
+    // 5. edges of the affected region: dirty buckets use their NEW
+    //    membership; non-dirty buckets keep vN membership, restricted
+    //    to R (whole-bucket or not-at-all, by bucket homogeneity)
+    val edges = starEdgesFromCapped(prior.join(dirty, Seq("b", "key"), "left_anti").join(rIds, "doc_id"))
+      .union(starEdgesFromCapped(dirtyNew))
+    // 6. re-solve the region, splice with the untouched vN rows
+    val (resolved, handle) = clustersFromPairsReleasable(edges)
+    val untouched = priorClusters.join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id", "keep")
+    val clustersOut = untouched
+      .union(resolved.select("doc_id", "cluster_id", "keep"))
+      .orderBy("doc_id")
+    // 7. refreshed state: recapped membership replaces vN's for every
+    //    re-capped key (dirty or not — for non-dirty keys it is
+    //    bit-identical, so one plan covers both)
+    val bandsOut = prior.join(dirtyKeys, Seq("b", "key"), "left_anti")
+      .select("doc_id", "b", "key")
+      .union(recapped.select("doc_id", "b", "key"))
+    deltaBands.unpersist(); rIds.unpersist()
+    // recapped stays cached until the caller lands clusters/bands (the
+    // bands plan reads it); the thunk bundles that unpersist with the
+    // loop's iteration-dir reclaim so the caller has ONE landing-point
+    // obligation.
+    IncrementalState(clustersOut, bandsOut,
+      () => { recapped.unpersist(); handle.release() })
   }
 }
 

@@ -329,36 +329,54 @@ object Similarity {
     * measured 16× cost for 10× vectors. Real IVF re-tunes nlist as n
     * grows; this emulates that deterministically: a cell wider than
     * 500 splits on 3 hyperplane-sign bits (8 sub-cells), wider than
-    * 4000 on 6 (64 sub-cells), so per-cell work stays bounded while
-    * the gate SFs (cells ≤ 200) are untouched. The DuckDB oracle
+    * 4000 on 6 (64 sub-cells), wider than 32000 on 9 (512 sub-cells) —
+    * each tier 8× deeper at 8× the width, so expected sub-cell width
+    * stays O(500) up to ~256k-row labels; beyond that the ladder needs
+    * another rung (3 more sign bits per 8× label growth, mirrored in
+    * the oracle — the pattern, not a hard bound). The gate SFs
+    * (cells ≤ 200) are untouched by all tiers. The DuckDB oracle
     * carries the identical width-tiered split, so the (slightly
     * coarser at huge cells) neighbor semantics match bit-for-bit at
     * any SF — the same proven-in-the-oracle cap pattern as the LSH
-    * bucket cap in `Dedup`. Output: vec_id, nbr_id, cos, rank. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    * bucket cap in `Dedup`. Output: vec_id, nbr_id, cos, rank.
+    *
+    * As a standalone query the persisted cell table is reclaimed by
+    * the runner's clearCache() convention; composing consumers
+    * (`pagerank`, `triangles`) use `knnGraphReleasable` and unpersist
+    * it as soon as their own derived cache is materialized. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphReleasable(spark, dir)._1
+
+  /** `knnGraph` plus a release handle for its persisted cell table —
+    * call the handle once every consumer of the returned plan has
+    * materialized (the plan reads the cache, so releasing earlier
+    * would silently recompute). */
+  def knnGraphReleasable(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val v0 = vecs(spark, dir)
     val widths = v0.groupBy("label").agg(count(lit(1)).as("cn"))
-    val sig6 = concat((1 to 6).map(i =>
+    val sig9 = concat((1 to 9).map(i =>
       when(element_at(col("v"), i) >= 0, "1").otherwise("0")): _*)
     val v = v0.join(broadcast(widths), "label")
       .withColumn("bits",
-        when(col("cn") > 4000, 6).when(col("cn") > 500, 3).otherwise(0))
+        when(col("cn") > 32000, 9).when(col("cn") > 4000, 6)
+          .when(col("cn") > 500, 3).otherwise(0))
       .withColumn("cell",
-        concat(col("label"), lit("_"), sig6.substr(lit(1), col("bits"))))
+        concat(col("label"), lit("_"), sig9.substr(lit(1), col("bits"))))
       .persist()
     v.count() // materialize before both self-join sides fan out
     val a = v.select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val b = v.select(col("cell"), col("vec_id").as("nbr_id"),
       col("v").as("w"), col("norm").as("nbr_norm"))
     val wR = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    a.join(b, Seq("cell"))
+    val graph = a.join(b, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
       .withColumn("rank", row_number().over(wR))
       .where(col("rank") <= 3)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank").cast("bigint").as("rank"))
       .orderBy("vec_id", "rank")
+    (graph, () => { v.unpersist(); () })
   }
 
   /** PageRank over the kNN graph — graph-centrality quality
@@ -390,10 +408,12 @@ object Similarity {
     // whenever the rank side arrives by broadcast (AQE converts the
     // tiny parquet-backed rank/deg sides at this scale; at corpus
     // scale they stay shuffle joins, which is the right plan there)
-    val edges = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+    val (graph, releaseCells) = knnGraphReleasable(spark, dir)
+    val edges = graph.select(col("vec_id"), col("nbr_id"))
       .repartition(col("nbr_id"))
       .persist()
     edges.count() // materialize: every iteration joins against this table
+    releaseCells() // the cell cache fed edges exactly once — drop it now
     val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg")).persist()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
@@ -423,6 +443,11 @@ object Similarity {
       rank = materialize(next, i)
       cleanup.rm(s"$iterDir/rank_${i - 1}")
     }
+    // the final rank is parquet-backed — nothing downstream reads the
+    // caches, so release them here rather than leaning on the runner's
+    // clearCache() (a long-lived session composing several graph
+    // queries would otherwise accumulate executor cache)
+    edges.unpersist(); deg.unpersist(); nodes.unpersist()
     rank.select(col("vec_id"), round(col("r"), 6).as("pagerank"))
       .orderBy("vec_id")
   }
@@ -438,13 +463,15 @@ object Similarity {
     * beyond actual wedges, the same shape at any graph size.
     * Output: vec_id, n_triangles (nodes in >= 1 triangle). */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = knnGraph(spark, dir).select(col("vec_id"), col("nbr_id"))
+    val (graph, releaseCells) = knnGraphReleasable(spark, dir)
+    val und = graph.select(col("vec_id"), col("nbr_id"))
     val e = und
       .select(least(col("vec_id"), col("nbr_id")).as("a"),
         greatest(col("vec_id"), col("nbr_id")).as("b"))
       .distinct()
       .persist()
     e.count() // materialize before the three join sides fan out
+    releaseCells() // edge table is cached; the cell cache is done
     val tri = e.as("ab")
       .join(e.select(col("a").as("b"), col("b").as("c")).as("bc"), "b")
       .join(e.select(col("a"), col("b").as("c")).as("ac"), Seq("a", "c"))

@@ -37,16 +37,51 @@ object Curation {
 
   def clustersPath(root: String): String = s"$root/dedup_clusters"
 
+  def bandsPath(root: String): String = s"$root/dedup_bands"
+
   /** Stage 1: the expensive part, exactly once — near-dup candidate
     * generation + connected components + keeper election, landed as a
-    * table (reference S6 WRITE_TRUNCATE semantics). truncateLoad fully
-    * consumes the loop's output, so the iteration run dir is released
-    * immediately instead of parking on the configured storage root
-    * until JVM exit — the reclamation seam a long-lived session needs. */
-  def buildClusters(spark: SparkSession, dir: String, root: String): Unit = {
-    val (clusters, iterHandle) = Dedup.clustersReleasable(spark, dir)
+    * table (reference S6 WRITE_TRUNCATE semantics). Also lands the
+    * capped band table alongside the decision: together they are the
+    * release's dedup STATE, which is what `incrementState` probes so
+    * the NEXT release's clustering costs the delta, not the corpus.
+    * truncateLoad fully consumes the loop's output, so the iteration
+    * run dir is released immediately instead of parking on the
+    * configured storage root until JVM exit — the reclamation seam a
+    * long-lived session needs. */
+  def buildClusters(spark: SparkSession, dir: String, root: String): Unit =
+    buildState(spark, graft.Tables.documents(spark, dir), root)
+
+  /** The state build over an EXPLICIT corpus slice — the vN release of
+    * an incremental chain. The decision derives from the LANDED band
+    * parquet (not a cached plan), so the banding work is paid once and
+    * the two state tables are consistent by construction. */
+  def buildState(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    Writers.truncateLoad(
+      Dedup.cappedBandsOf(docs).select("doc_id", "b", "key"), bandsPath(root))
+    val (clusters, iterHandle) =
+      Dedup.clustersFromCappedReleasable(spark.read.parquet(bandsPath(root)))
     Writers.truncateLoad(clusters, clustersPath(root))
     iterHandle.release()
+  }
+
+  /** Release vN → vN+1: shingle/band ONLY the delta, probe it against
+    * the state materialized under `priorRoot`, re-solve just the
+    * touched components, and land the refreshed state under
+    * `nextRoot`. Versioned roots mirror real release layouts and keep
+    * the increment from overwriting state it is still reading
+    * (truncate-load onto the prior root would be a self-overwrite).
+    * Row-identical to `buildState` over the full vN ∪ delta corpus —
+    * `PipelineSpec` proves it — at delta-proportional cost
+    * (see `Dedup.incrementalClusters` and PERF.md round 7). */
+  def incrementState(spark: SparkSession, newDocs: DataFrame,
+      priorRoot: String, nextRoot: String): Unit = {
+    val st = Dedup.incrementalClusters(newDocs,
+      spark.read.parquet(bandsPath(priorRoot)),
+      spark.read.parquet(clustersPath(priorRoot)))
+    Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
+    Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
+    st.release()
   }
 
   /** Stage 2a: the deduplicated corpus, derived by READING the
@@ -106,7 +141,11 @@ object Curation {
     * release MANIFEST lands as a table: per-(split, lang) doc counts,
     * character mass, and an order-independent content checksum (sum
     * of 56-bit text hashes) — the audit artifact that lets a consumer
-    * verify a partition without re-reading the corpus. */
+    * verify a partition without re-reading the corpus. The checksum
+    * accumulates in DECIMAL(38,0), not BIGINT: 56-bit addends overflow
+    * a signed long at ~128 docs per partition, and Spark 4's default
+    * ANSI mode turns that into ARITHMETIC_OVERFLOW at realistic corpus
+    * scale; decimal(38,0) holds ~10^21 docs per (split,lang). */
   def release(spark: SparkSession, dir: String, root: String): Unit = {
     import org.apache.spark.sql.functions._
     val kept = spark.read.parquet(s"$root/curation_decision")
@@ -122,7 +161,7 @@ object Curation {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as bigint)"))
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as decimal(38,0))"))
           .as("checksum"))
     Writers.truncateLoad(manifest, s"$root/release_manifest")
   }

@@ -351,6 +351,63 @@ class PipelineSpec extends SparkSpec {
     assert(unpairedMismatch.count() === 0)
   }
 
+  test("incremental dedup: vN + delta state is row-identical to full recompute") {
+    val docs = Tables.documents(spark, sf)
+    val vN = docs.where(col("doc_id") % 10 =!= 7)
+    val delta = docs.where(col("doc_id") % 10 === 7)
+    val rootA = Files.createTempDirectory("graft_incr_vn").toString
+    val rootB = Files.createTempDirectory("graft_incr_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_incr_full").toString
+    graft.pipelines.Curation.buildState(spark, vN, rootA)
+    graft.pipelines.Curation.incrementState(spark, delta, rootA, rootB)
+    graft.pipelines.Curation.buildState(spark, docs, rootFull)
+    // the decision a consumer reads at vN+1 equals the full recompute
+    val incr = spark.read.parquet(graft.pipelines.Curation.clustersPath(rootB))
+    val full = spark.read.parquet(graft.pipelines.Curation.clustersPath(rootFull))
+    assert(incr.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incr).count() === 0)
+    // the refreshed band STATE is identical too — the next increment
+    // probes it, so drift here would compound across releases
+    val bi = spark.read.parquet(graft.pipelines.Curation.bandsPath(rootB))
+    val bf = spark.read.parquet(graft.pipelines.Curation.bandsPath(rootFull))
+    assert(bi.exceptAll(bf).count() === 0)
+    assert(bf.exceptAll(bi).count() === 0)
+    // non-vacuous: the delta actually added band state
+    assert(bi.count() >
+      spark.read.parquet(graft.pipelines.Curation.bandsPath(rootA)).count())
+  }
+
+  test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
+    // 70 identical vN docs share every band bucket; MaxBucket = 64
+    // caps membership to the lowest 64 ids (100..163 — ids 164..169
+    // never enter the vN decision). A 10-doc delta with LOWER ids must
+    // evict the 10 highest capped vN members (154..163), DELETING
+    // their decision rows — the hard case where an increment removes
+    // rows, not just merges new ones.
+    val text = "the same exact boilerplate sentence repeated for every document in this bucket"
+    val vN = spark.range(100, 170)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val delta = spark.range(0, 10)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val rootA = Files.createTempDirectory("graft_evict_vn").toString
+    val rootB = Files.createTempDirectory("graft_evict_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_evict_full").toString
+    graft.pipelines.Curation.buildState(spark, vN, rootA)
+    graft.pipelines.Curation.incrementState(spark, delta, rootA, rootB)
+    graft.pipelines.Curation.buildState(spark, vN.union(delta), rootFull)
+    val incr = spark.read.parquet(graft.pipelines.Curation.clustersPath(rootB))
+    val full = spark.read.parquet(graft.pipelines.Curation.clustersPath(rootFull))
+    assert(incr.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incr).count() === 0)
+    // the eviction really happened: vN and vN+1 both hold 64 capped
+    // rows, but vN+1 is rooted at the delta's min id and ids 154..163
+    // (present at vN) are gone
+    assert(spark.read.parquet(graft.pipelines.Curation.clustersPath(rootA)).count() === 64)
+    assert(incr.count() === 64)
+    assert(incr.agg(min(col("cluster_id"))).first().getLong(0) === 0L)
+    assert(incr.where(col("doc_id") >= 154).count() === 0)
+  }
+
   test("corpus release: partitioned, pruned, manifest-consistent, idempotent") {
     val root = Files.createTempDirectory("graft_release").toString
     graft.pipelines.Curation.run(spark, sf, root)
@@ -376,10 +433,24 @@ class PipelineSpec extends SparkSpec {
     val recount = rel.groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as bigint)"))
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as decimal(38,0))"))
           .as("checksum"))
     assert(manifest.exceptAll(recount).count() === 0)
     assert(recount.exceptAll(manifest).count() === 0)
+    // independent oracle for the checksum: recompute one partition's
+    // sum driver-side with arbitrary-precision BigInt over JDK md5 —
+    // catches an engine-side overflow the mirrored SQL expression
+    // cannot (it would overflow identically on both sides)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val trainEn = rel.where(col("split") === "train" && col("lang") === "en")
+      .select("text").collect().map(_.getString(0))
+    val expected = trainEn.map { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 14), 16)
+    }.sum
+    val got = manifest.where(col("split") === "train" && col("lang") === "en")
+      .select("checksum").collect()(0).getDecimal(0)
+    assert(BigInt(got.toBigInteger) === expected)
     // a near-dup cluster never straddles the release boundary either
     val straddle = rel.join(
         spark.read.parquet(s"$root/dedup_clusters").select("doc_id", "cluster_id"),
