@@ -1028,6 +1028,39 @@ object OracleSql {
       |FROM m CROSS JOIN t
       |ORDER BY source, lang""".stripMargin
 
+  /** Token-budget mixture resample: temperature weights
+    * w = floor(sqrt(n_docs)) per (source, lang), budget = corpus
+    * tokens // 4, per-group share via the exact floor-division
+    * identity (b // Σw)·w + ((b % Σw)·w) // Σw — integer arithmetic
+    * end to end, mirroring `Text.resampleMix` bit-for-bit (no float
+    * compare at the selection boundary). */
+  val textResampleMix: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT source, lang, CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+      |  FROM d GROUP BY 1, 2
+      |),
+      |t AS (SELECT CAST(SUM(n_toks) AS BIGINT) // 4 AS b FROM d),
+      |s AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM g),
+      |bud AS (
+      |  SELECT source, lang,
+      |         (b // sum_w) * w + ((b % sum_w) * w) // sum_w AS budget
+      |  FROM g CROSS JOIN t CROSS JOIN s
+      |),
+      |c AS (
+      |  SELECT d.doc_id, d.source, d.lang, d.n_toks, bud.budget,
+      |         CAST(SUM(n_toks) OVER (PARTITION BY d.source, d.lang
+      |           ORDER BY h, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d JOIN bud USING (source, lang)
+      |)
+      |SELECT doc_id, source, lang, n_toks
+      |FROM c WHERE cum - n_toks < budget ORDER BY doc_id""".stripMargin
+
   /** The ONE composite quality-score expression over a raw `text`
     * column — the single source `textQuality` and `textCurate` both
     * interpolate, mirroring `Text.quality`'s formula. */
@@ -1094,6 +1127,45 @@ object OracleSql {
   /** Composed curation decision: dedup-cluster losers (recursive CTE
     * over the capped candidate pairs), contamination, quality < 0.5,
     * held-out membership — one flag row per document. */
+  /** Shared CTE: the PII-detector input — corpus text with the
+    * deterministic synthetic contact footer on 1-in-7 docs (email +
+    * phone; 1-in-14 also an IP), mirroring `Text.piiText`. */
+  private lazy val piiTextCte: String =
+    """pt AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN concat(text,
+      |           ' contact u', CAST(doc_id AS VARCHAR), '@example.com phone 555-012-',
+      |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |           CASE WHEN doc_id % 14 = 0 THEN concat(' ip 10.0.',
+      |             CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR))
+      |           ELSE '' END)
+      |         ELSE text END AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  /** PII detection + redaction audit, Java∩RE2-portable patterns
+    * mirroring `Text.pii` (DuckDB regexp_replace needs the 'g' flag
+    * for replace-all; Spark's replaces all by default). */
+  val textPii: String = {
+    val (em, ph, ip) =
+      (ops.Text.EmailRe, ops.Text.PhoneRe, ops.Text.IpRe)
+    s"""WITH $piiTextCte,
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+       |    CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+       |    CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
+       |      AS BIGINT) AS redacted_len
+       |  FROM pt
+       |)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |       n_emails + n_phones + n_ips AS n_pii, redacted_len,
+       |       n_emails + n_phones + n_ips > 0 AS has_pii
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val textCurate: String =
     s"""WITH RECURSIVE $minhashCtes,
        |$clusterCtes,
@@ -1110,19 +1182,29 @@ object OracleSql {
        |  SELECT doc_id, $qualityScoreExpr AS quality
        |  FROM documents
        |),
+       |$piiTextCte,
+       |ph AS (
+       |  SELECT doc_id FROM pt
+       |  WHERE len(regexp_extract_all(t, '${ops.Text.EmailRe}')) > 0
+       |    AND len(regexp_extract_all(t, '${ops.Text.PhoneRe}')) > 0
+       |    AND len(regexp_extract_all(t, '${ops.Text.IpRe}')) > 0
+       |),
        |f AS (
        |  SELECT d.doc_id,
        |         d.doc_id % 50 = 0 AS heldout,
        |         COALESCE(NOT cl.keep, FALSE) AS dup_loser,
        |         cont.doc_id IS NOT NULL AS contaminated,
-       |         COALESCE(q.quality < 0.35, FALSE) AS low_quality
+       |         COALESCE(q.quality < 0.35, FALSE) AS low_quality,
+       |         ph.doc_id IS NOT NULL AS pii_heavy
        |  FROM documents d
        |  LEFT JOIN cl ON cl.doc_id = d.doc_id
        |  LEFT JOIN cont ON cont.doc_id = d.doc_id
        |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN ph ON ph.doc_id = d.doc_id
        |)
-       |SELECT doc_id, heldout, dup_loser, contaminated, low_quality,
-       |       NOT heldout AND NOT dup_loser AND NOT contaminated AND NOT low_quality AS kept
+       |SELECT doc_id, heldout, dup_loser, contaminated, low_quality, pii_heavy,
+       |       NOT heldout AND NOT dup_loser AND NOT contaminated
+       |       AND NOT low_quality AND NOT pii_heavy AS kept
        |FROM f ORDER BY doc_id""".stripMargin
 
   val textVocab: String =
@@ -1346,6 +1428,44 @@ object OracleSql {
       |SELECT a, b, COUNT(*) AS n FROM p GROUP BY 1, 2
       |ORDER BY n DESC, a, b LIMIT 20""".stripMargin
 
+  /** Iterative BPE training: five unrolled merge rounds over the
+    * weighted vocabulary, mirroring `Text.bpeTrain` — same
+    * wrapper-delimited symbol string, same leftmost-first replace
+    * merge, same (n DESC, a, b) pair election. */
+  val textBpeTrain: String = {
+    val k = 5
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         |         CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (SELECT c, string_split(substr(st, 2, length(st) - 2), '||') AS syms
+         |        FROM v${i - 1}) s,
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |v$i AS (
+         |  SELECT c, replace(st, '|' || b$i.a || '||' || b$i.b || '|',
+         |                        '|' || b$i.a || b$i.b || '|') AS st
+         |  FROM v${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, a, b, n FROM b$i").mkString("\n  UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT COUNT(*) AS c,
+       |         '|' || array_to_string(list_transform(range(1, length(tok) + 1),
+       |           i -> substr(tok, CAST(i AS INT), 1)), '||') || '|' AS st
+       |  FROM (SELECT u.tok FROM (SELECT string_split(text, ' ') AS t FROM documents) s,
+       |        UNNEST(s.t) AS u(tok) WHERE length(u.tok) >= 1) toks
+       |  GROUP BY tok
+       |),
+       |$rounds
+       |SELECT round, a, b, n FROM (
+       |  $out
+       |) ORDER BY round""".stripMargin
+  }
+
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
     * per-doc mean's summation order differs, absorbed by 6 dp. */
@@ -1530,6 +1650,68 @@ object OracleSql {
     // bit_count(hi^hi)+bit_count(lo^lo) over the packed signature
     val ham = "bit_count(xor(CAST(a.sig64 AS BIT), CAST(b.sig64 AS BIT)))"
     s"""WITH $simhash64Ctes,
+       |bands0 AS (
+       |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig
+       |  UNION ALL SELECT doc_id, 2, substr(sig64, 44, 21) FROM sig
+       |),
+       |bands AS (
+       |  SELECT doc_id, b, key FROM bands0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b, key ORDER BY doc_id) <= ${ops.Dedup.MaxBucket}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |hm AS (
+       |  SELECT c.doc_a, c.doc_b, ($ham) AS hamming
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM hm WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Shared CTEs for the 64-bit perceptual hash: 4 salted digests of
+    * the 40-char visual prefix = 62 pixels + 2 length-bucket pixels;
+    * bit b = pixel_b·64 > Σ pixels (exact-integer aHash threshold) —
+    * mirroring `Multimodal.phash64Table`. */
+  private lazy val mmPhashCtes: String = {
+    val pxCols = ((0 until 62).map(i =>
+      s"CAST('0x' || substr(hx, ${2 * i + 1}, 2) AS INT) AS px$i") ++
+      (62 until 64).map(i =>
+        s"CAST('0x' || substr(lh, ${2 * (i - 62) + 1}, 2) AS INT) AS px$i"))
+      .mkString(",\n    ")
+    val tot = (0 until 64).map(i => s"px$i").mkString(" + ")
+    val bits = (0 until 64).map(i =>
+      s"CASE WHEN px$i * 64 > tot THEN '1' ELSE '0' END").mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    md5('p0|' || substr(text, 1, 40)) || md5('p1|' || substr(text, 1, 40)) ||
+       |    md5('p2|' || substr(text, 1, 40)) || md5('p3|' || substr(text, 1, 40)) AS hx,
+       |    md5('L|' || CAST(n_chars // 64 AS VARCHAR)) AS lh
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |    $pxCols
+       |  FROM d
+       |),
+       |q AS (SELECT *, ($tot) AS tot FROM p),
+       |sig AS (SELECT doc_id, concat($bits) AS sig64 FROM q)""".stripMargin
+  }
+
+  val mmPhash: String =
+    s"""WITH $mmPhashCtes
+       |SELECT doc_id, sig64 AS phash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Hamming ≤ 2 pHash pairing — identical pigeonhole band/cap/verify
+    * construction as `dedupSimhashPairs`, over the perceptual
+    * signature. */
+  val mmPhashPairs: String = {
+    val ham = "bit_count(xor(CAST(a.sig64 AS BIT), CAST(b.sig64 AS BIT)))"
+    s"""WITH $mmPhashCtes,
        |bands0 AS (
        |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
        |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig

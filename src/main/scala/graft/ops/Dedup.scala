@@ -302,6 +302,7 @@ object Dedup {
   private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame =
     clustersFromPairsReleasable(pairs)._1
 
+
   /** `clustersFromPairs` plus the iteration-storage handle: the final
     * round's parquet backs the returned DataFrame, so only the CALLER
     * knows when the run dir is reclaimable. A caller that lands the
@@ -677,9 +678,15 @@ object Dedup {
     */
   private[graft] def incrementalClusters(
       newDocs: DataFrame, priorCapped: DataFrame, priorClusters: DataFrame): IncrementalState = {
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (sys.env.contains("GRAFT_DEBUG")) {
+      System.err.println(f"[incr] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     // 1. delta-only text work
     val deltaBands = bandsFrom(shingleTableOf(newDocs)).persist()
     deltaBands.count()
+    lap("deltaBands")
     val deltaIds = newDocs.select("doc_id").distinct()
     // 2. re-cap every bucket the delta lands in, over vN capped ∪ delta
     val dirtyKeys = deltaBands.select("b", "key").distinct()
@@ -689,6 +696,7 @@ object Dedup {
         .union(deltaBands.select("doc_id", "b", "key")),
       MaxBucket).persist()
     recapped.count() // three consumers below; unmaterialized persist = recompute races
+    lap("recapped")
     // 3. dirty = a delta doc survived the cap (else membership is
     //    bit-identical to vN and the bucket contributes nothing new)
     val dirty = recapped.join(deltaIds, "doc_id").select("b", "key").distinct()
@@ -696,24 +704,66 @@ object Dedup {
     val dirtyMembers = dirtyNew.select("doc_id")
       .union(prior.join(dirty, Seq("b", "key")).select("doc_id")) // eviction: OLD members count too
       .distinct()
-    // 4. affected vN components and the re-solve doc set R
+    // 4. affected vN components, split by whether they can CONTRACT:
+    //    a cluster that lost a member to bucket eviction may SPLIT
+    //    (its interior connectivity is no longer known), so its
+    //    members re-enter the loop as individuals ("cold"); every
+    //    other affected cluster is provably still internally connected
+    //    (edges were only added or re-rooted onto a lower id) and
+    //    enters the loop as ONE super-node — its cluster_id, which is
+    //    also its member-min, so component minima are preserved.
     val affected = dirtyMembers.join(priorClusters, "doc_id")
       .select("cluster_id").distinct()
-    val rIds = priorClusters.join(affected, "cluster_id").select("doc_id")
-      .union(dirtyMembers)
-      .distinct().persist()
-    rIds.count()
-    // 5. edges of the affected region: dirty buckets use their NEW
-    //    membership; non-dirty buckets keep vN membership, restricted
-    //    to R (whole-bucket or not-at-all, by bucket homogeneity)
-    val edges = starEdgesFromCapped(prior.join(dirty, Seq("b", "key"), "left_anti").join(rIds, "doc_id"))
-      .union(starEdgesFromCapped(dirtyNew))
-    // 6. re-solve the region, splice with the untouched vN rows
+    val evictedDocs = prior.join(dirty, Seq("b", "key"))
+      .join(recapped, Seq("b", "key", "doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    val coldClusters = evictedDocs.join(priorClusters, "doc_id")
+      .select("cluster_id").distinct()
+    val contractMap = priorClusters.join(affected, Seq("cluster_id"))
+      .join(coldClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id").as("super"))
+      .persist()
+    contractMap.count()
+    lap("contractMap")
+    // 5. the CONTRACTED re-solve graph — this is what makes the loop
+    //    pay for the delta, not the corpus: cluster interiors never
+    //    re-enter it (a cold-started interior needs O(component
+    //    diameter) propagation rounds all over again — measured: the
+    //    uncontracted re-solve ran the full 16 rounds of the from-
+    //    scratch build on the 10× corpus, erasing the increment's
+    //    savings). Nodes = super-nodes + cold docs + delta docs; edges
+    //    = dirty buckets' NEW star edges with endpoints mapped through
+    //    the contraction, plus cold docs' surviving vN edges (bucket
+    //    homogeneity keeps both endpoints in the same cold cluster —
+    //    no mapping needed). Non-dirty buckets of contracted clusters
+    //    collapse to self-loops and are skipped entirely.
+    val coldDocs = priorClusters.join(coldClusters, Seq("cluster_id")).select("doc_id")
+    def contract(e: DataFrame): DataFrame = e
+      .join(contractMap.select(col("doc_id").as("doc_a"), col("super").as("sa")), Seq("doc_a"), "left")
+      .join(contractMap.select(col("doc_id").as("doc_b"), col("super").as("sb")), Seq("doc_b"), "left")
+      .select(coalesce(col("sa"), col("doc_a")).as("doc_a"),
+        coalesce(col("sb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val edges = contract(starEdgesFromCapped(dirtyNew))
+      .union(starEdgesFromCapped(
+        prior.join(dirty, Seq("b", "key"), "left_anti").join(coldDocs, "doc_id")))
+    // 6. re-solve the contracted graph, expand super-node labels back
+    //    over their members (one hash join), splice with the untouched
+    //    vN rows
     val (resolved, handle) = clustersFromPairsReleasable(edges)
+    lap("loop")
+    val memberRows = contractMap
+      .join(resolved.select(col("doc_id").as("super"), col("cluster_id").as("cid")), "super")
+      .select(col("doc_id"), col("cid").as("cluster_id"),
+        (col("doc_id") === col("cid")).as("keep"))
+    val individualRows = resolved
+      .join(contractMap.select(col("super").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "cluster_id", "keep")
     val untouched = priorClusters.join(affected, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "keep")
     val clustersOut = untouched
-      .union(resolved.select("doc_id", "cluster_id", "keep"))
+      .union(memberRows)
+      .union(individualRows)
       .orderBy("doc_id")
     // 7. refreshed state: recapped membership replaces vN's for every
     //    re-capped key (dirty or not — for non-dirty keys it is
@@ -721,13 +771,17 @@ object Dedup {
     val bandsOut = prior.join(dirtyKeys, Seq("b", "key"), "left_anti")
       .select("doc_id", "b", "key")
       .union(recapped.select("doc_id", "b", "key"))
-    deltaBands.unpersist(); rIds.unpersist()
-    // recapped stays cached until the caller lands clusters/bands (the
-    // bands plan reads it); the thunk bundles that unpersist with the
-    // loop's iteration-dir reclaim so the caller has ONE landing-point
+    // deltaBands/recapped/contractMap stay cached until the caller
+    // lands clusters/bands — the returned plans read them (bandsOut
+    // reads dirtyKeys ⊂ deltaBands and recapped; clustersOut reads
+    // contractMap); the thunk bundles those unpersists with the loop's
+    // iteration-dir reclaim so the caller has ONE landing-point
     // obligation.
     IncrementalState(clustersOut, bandsOut,
-      () => { recapped.unpersist(); handle.release() })
+      () => {
+        deltaBands.unpersist(); recapped.unpersist(); contractMap.unpersist()
+        handle.release()
+      })
   }
 }
 

@@ -111,4 +111,70 @@ object Multimodal {
         length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"),
         substring(md5(col("text")), 1, 2).as("fmt"))
       .orderBy("doc_id")
+
+  /** 64-bit perceptual hash (aHash form) over the stub-decoded media:
+    * an 8×8 "luminance grid" whose first 62 pixels derive from the
+    * doc's VISUAL PREFIX (salted md5 chain over the 40-char prefix —
+    * trailing-footer variants of the same image render the same
+    * pixels) and whose last 2 pixels derive from the coarse payload
+    * length bucket (n_chars div 64) — so a re-render with a slightly
+    * different length lands at Hamming 1–2, not 0. Bit b is set iff
+    * pixel_b exceeds the grid mean; the compare is exact-integer
+    * (px·64 > Σpx), never a float mean, so both engines emit identical
+    * signatures. A production pipeline swaps the stub grid for a real
+    * decode + downsample (the DCT step of full pHash slots in the
+    * same place); everything downstream — banding, verify, clustering
+    * — is unchanged.
+    *
+    * Columns: doc_id, sig64 (64-char '0'/'1'), hi/lo packed BIGINTs. */
+  private[graft] def phash64Table(spark: SparkSession, dir: String): DataFrame = {
+    val pfx = substring(col("text"), 1, 40)
+    // 62 prefix-derived pixels (4 salted digests = 64 bytes, last 2
+    // unused) + 2 length-bucket pixels
+    val hx = concat((0 until 4).map(j => md5(concat(lit(s"p$j|"), pfx))): _*)
+    val lh = md5(concat(lit("L|"), expr("cast(n_chars div 64 as string)")))
+    def pxAt(src: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(src, 2 * i + 1, 2), 16, 10).cast("int")
+    val px = (0 until 62).map(pxAt(hx, _)) ++ (0 until 2).map(pxAt(lh, _))
+    val s = px.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .withColumn("_s", s)
+      .select(col("doc_id"),
+        concat(px.map(p => when(p * 64 > col("_s"), "1").otherwise("0")): _*).as("sig64"))
+      .withColumn("hi", expr("cast(conv(substring(sig64, 1, 32), 2, 10) as bigint)"))
+      .withColumn("lo", expr("cast(conv(substring(sig64, 33, 32), 2, 10) as bigint)"))
+  }
+
+  /** Published per-doc perceptual hash. Output: doc_id, phash. */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    phash64Table(spark, dir)
+      .select(col("doc_id"), col("sig64").as("phash"))
+      .orderBy("doc_id")
+
+  /** Multimodal near-dup pairing: ALL media pairs at pHash Hamming
+    * distance ≤ 2 — the same EXACT pigeonhole construction as
+    * `Dedup.simhashPairs` (64 bits in 22/21/21 pieces: any pair
+    * within distance 2 agrees on ≥ 1 piece, so candidates come from a
+    * banded equi-join — no cartesian, no false negatives) with the
+    * same packed-long XOR + `bit_count` verify inside whole-stage
+    * codegen. This makes multimodal a first-class DEDUP citizen: the
+    * pair list feeds the identical component/keeper machinery as text
+    * near-dup. Output: doc_a, doc_b, hamming. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = phash64Table(spark, dir).persist()
+    sig.count() // materialize before the band + two join sides fan out
+    val pieces = array(
+      substring(col("sig64"), 1, 22),
+      substring(col("sig64"), 23, 21),
+      substring(col("sig64"), 44, 21))
+    val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
+    Dedup.pairsFromBands(bands)
+      .join(sig.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"))
+      .where(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 }

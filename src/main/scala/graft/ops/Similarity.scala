@@ -189,7 +189,12 @@ object Similarity {
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir).persist()
     v.count()
-    Dedup.clustersFromPairs(cosineNearDupFrom(spark, v).select("doc_a", "doc_b"))
+    // the loop materializes through the pair list, so the returned
+    // plan reads only its final-round parquet — the vector cache is
+    // dead here and is released inline (graft.CachePolicy exception)
+    val cl = Dedup.clustersFromPairs(cosineNearDupFrom(spark, v).select("doc_a", "doc_b"))
+    v.unpersist()
+    cl
   }
 
   /** `nearDupClusters` at the loose threshold — non-empty at the gate
@@ -198,8 +203,10 @@ object Similarity {
   def nearDupClustersLoose(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir).persist()
     v.count()
-    Dedup.clustersFromPairs(
+    val cl = Dedup.clustersFromPairs(
       cosineNearDupFrom(spark, v, threshold = LooseThreshold).select("doc_a", "doc_b"))
+    v.unpersist() // same inline release as nearDupClusters
+    cl
   }
 
   /** Int8 scalar quantization audit — the vector-index compression

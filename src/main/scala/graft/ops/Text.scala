@@ -87,6 +87,61 @@ object Text {
       .orderBy("source", "lang")
   }
 
+  /** Corpus mixture RESAMPLING to a token budget — the operator that
+    * CONSUMES the `sourceMix` report: given per-(source, lang) target
+    * weights, emit the deterministic subset of the corpus that hits a
+    * total token budget in those proportions (the step between the mix
+    * report and a release). Weights here are temperature-style
+    * w_g = floor(sqrt(n_docs_g)) — the standard sub-linear rebalancing
+    * that upsamples tail groups relative to head groups (α = 0.5);
+    * budget = 1/4 of corpus whitespace tokens.
+    *
+    * Determinism + engine parity: docs are hash-ordered within their
+    * group (md5(text), doc_id — same systematic-sampling idiom as
+    * `sampleStratified`), and a doc is kept while the tokens BEFORE it
+    * fit the group budget (the last kept doc may overflow, exactly
+    * `pack`'s bin rule). All budget arithmetic is exact BIGINT:
+    * budget_g = floor(B·w_g / Σw) evaluated as
+    * (B div Σw)·w_g + ((B mod Σw)·w_g) div Σw — the floor-division
+    * identity keeps every intermediate ≤ max(B, Σw·max_w), so nothing
+    * overflows at 100 TB token counts where a naive B·w_g product
+    * would, and both engines select the identical boundary doc (no
+    * float compare anywhere).
+    *
+    * Scale: one tiny (source, lang) aggregate, scalars on 1-row
+    * broadcast carriers, the per-group budget table broadcast to the
+    * corpus scan, one cumulative window per group — the same
+    * shard-window shape as `pack`. Output: doc_id, source, lang,
+    * n_toks. */
+  def resampleMix(spark: SparkSession, dir: String): DataFrame =
+    resampleMixFrom(Tables.documents(spark, dir))
+
+  /** The same resample over an EXPLICIT corpus slice — the seam a
+    * release pipeline uses to resample the CURATED corpus (kept docs
+    * only) rather than the raw table. */
+  private[graft] def resampleMixFrom(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+      md5(col("text")).as("h"))
+    val grp = docs.groupBy("source", "lang")
+      .agg(floor(sqrt(count(lit(1)))).cast("bigint").as("w"))
+    val tot = docs.agg(expr("sum(n_toks) div 4").as("b"))
+    val sumW = grp.agg(sum(col("w")).as("sum_w"))
+    val budgets = grp.crossJoin(broadcast(tot)).crossJoin(broadcast(sumW))
+      .select(col("source"), col("lang"),
+        expr("(b div sum_w) * w + ((b % sum_w) * w) div sum_w").as("budget"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .join(broadcast(budgets), Seq("source", "lang"))
+      .withColumn("cum", sum(col("n_toks")).over(win))
+      .where(col("cum") - col("n_toks") < col("budget"))
+      .select("doc_id", "source", "lang", "n_toks")
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: token count, average token length, stopword
     * ratio, and a composite [0,1] score. Output: doc_id, n_tokens,
     * avg_token_len, stop_ratio, quality. */
@@ -174,6 +229,59 @@ object Text {
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
       .orderBy("doc_id")
 
+  /** PII regex patterns — the dialect-portable subset (character
+    * classes, bounded repetition; no lookaround, no \b) that Java
+    * regex (Spark) and RE2 (DuckDB) interpret identically. */
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The PII-detector input: the corpus text with a deterministic
+    * synthetic contact footer on 1-in-7 docs (email + phone; 1-in-14
+    * also an IP). The testdata ships no PII-shaped strings, so — same
+    * posture as `Multimodal.mediaTable`'s synthesized payloads — the
+    * INPUT is a documented stub derived purely from (doc_id, text)
+    * while the detection/redaction machinery is real, oracle-mirrored,
+    * and exactly what runs over a corpus that does contain PII. */
+  private def piiText: org.apache.spark.sql.Column = {
+    val footer = concat(
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com phone 555-012-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 14 === 0,
+        concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+    when(col("doc_id") % 7 === 0, concat(col("text"), footer)).otherwise(col("text"))
+  }
+
+  /** PII / redaction curation pass — the standard pre-release gate:
+    * per-doc counts of email / phone / IPv4 regex hits and the length
+    * of the text after class-tagged redaction ([EMAIL]/[PHONE]/[IP]),
+    * the audit columns a privacy review reads. Pure per-row regex
+    * expressions (codegen'd, map-only, no shuffle — the same scaling
+    * story as `quality`); patterns are restricted to the Java∩RE2
+    * dialect so both engines count and redact identically.
+    * `curateFrom` composes the heavy-PII flag (all three classes
+    * present) into the release gate. Output: doc_id, n_emails,
+    * n_phones, n_ips, n_pii, redacted_len, has_pii. */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    val t = piiText
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(IpRe), lit("[IP]"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+        size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("bigint").as("n_ips"),
+        length(redacted).cast("bigint").as("redacted_len"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
+      .withColumn("has_pii", col("n_pii") > 0)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "n_pii", "redacted_len", "has_pii")
+      .orderBy("doc_id")
+  }
+
   /** The composed corpus-curation decision — the artifact an LLM
     * training-data pipeline actually ships: one auditable row per
     * document carrying every gate's verdict and the final keep
@@ -191,7 +299,7 @@ object Text {
     * constituent operators'. Emitting flags for ALL docs (not just
     * survivors) is deliberate: the reasons table is what makes a
     * curation run reviewable. Output: doc_id, heldout, dup_loser,
-    * contaminated, low_quality, kept. */
+    * contaminated, low_quality, pii_heavy, kept. */
   def curate(spark: SparkSession, dir: String): DataFrame =
     curateFrom(spark, dir, Dedup.clusters(spark, dir))
 
@@ -218,17 +326,26 @@ object Text {
       .where(col("n_overlap") >= 64).select(col("doc_id"), lit(true).as("ct"))
     val lowQ = quality(spark, dir)
       .select(col("doc_id"), (col("quality") < 0.35).as("lq"))
+    // PII gate: cut only the heavy case (all three classes present —
+    // a contact block, not an incidental address); has_pii alone is a
+    // review flag in `pii`, not a cut
+    val piiHeavy = pii(spark, dir)
+      .where(col("n_emails") > 0 && col("n_phones") > 0 && col("n_ips") > 0)
+      .select(col("doc_id"), lit(true).as("ph"))
     docs
       .join(losers, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .join(lowQ, Seq("doc_id"), "left")
+      .join(piiHeavy, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("doc_id") % 50 === 0).as("heldout"),
         coalesce(col("dl"), lit(false)).as("dup_loser"),
         coalesce(col("ct"), lit(false)).as("contaminated"),
-        coalesce(col("lq"), lit(false)).as("low_quality"))
+        coalesce(col("lq"), lit(false)).as("low_quality"),
+        coalesce(col("ph"), lit(false)).as("pii_heavy"))
       .withColumn("kept",
-        !col("heldout") && !col("dup_loser") && !col("contaminated") && !col("low_quality"))
+        !col("heldout") && !col("dup_loser") && !col("contaminated") &&
+          !col("low_quality") && !col("pii_heavy"))
       .orderBy("doc_id")
   }
 
@@ -324,12 +441,9 @@ object Text {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .persist()
-    // Materialize before the df-aggregation + score sides fan out. The
-    // cache is NOT unpersisted here — the returned plan still reads it
-    // lazily, so release belongs to the runner: Bench/Verify/the test
-    // base clearCache() between queries (the module-wide convention,
-    // same as every vecs()/bands persist in Similarity/Dedup). A
-    // long-lived session embedding these queries should do the same.
+    // Materialize before the df-aggregation + score sides fan out; the
+    // returned plan reads this cache, so release is the runner's
+    // (graft.CachePolicy — the module-wide convention).
     counts.count()
     val nTok = counts.groupBy("doc_id").agg(sum(col("c")).as("n_tokens"))
     val df = counts.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
@@ -553,6 +667,69 @@ object Text {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(20)
+
+  /** Iterative BPE tokenizer TRAINING — the loop `bpePairs` is one
+    * round of: k = 5 unrolled merge rounds, each electing the
+    * highest-count adjacent symbol pair ((a, b) tiebreak) and merging
+    * it corpus-wide, emitting the learned merge list in order — the
+    * artifact a tokenizer ships. Exactly how distributed BPE trainers
+    * work: train over the DISTINCT-token vocabulary weighted by
+    * occurrence count (symbol statistics are identical by the same
+    * integer identity as `Dedup.simhash64Table`), so per-round cost is
+    * O(vocabulary), not O(corpus), after the one vocabulary aggregate.
+    *
+    * Symbol state rides a wrapper-delimited string (`|a||b||c|`, each
+    * symbol in its own `|…|` wrapper — assumes tokens don't contain
+    * '|', true of whitespace-split text; a binary-safe variant would
+    * use a control char): merging (a, b) is then the engine-portable
+    * leftmost-first `replace(st, '|a||b|', '|ab|')`, which equals
+    * scan-greedy BPE merge order because the merged symbol can never
+    * re-match as `a` within its own round. Per-round state goes
+    * through the same `IterState` parquet seam as the cluster loop and
+    * pagerank (flat per-round cost, recoverable run); the elected pair
+    * rides back as a 1-row broadcast, never a driver collect. The
+    * DuckDB oracle unrolls the identical five rounds as CTEs.
+    * Output: round, a, b, n. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(col("c"), expr(
+        "concat('|', array_join(transform(sequence(1, length(tok)), i -> substring(tok, i, 1)), '||'), '|')")
+        .as("st"))
+    val iterDir = s"${IterState.rootFor(spark)}/bpe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(spark, iterDir)
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/$name")
+      spark.read.parquet(s"$iterDir/$name")
+    }
+    var state = mat(vocab0, "v0")
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to k) {
+      val pairs = state
+        .select(col("c"), expr("split(substring(st, 2, length(st) - 2), '\\\\|\\\\|')").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (x, y) -> struct(x, y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+        .agg(sum(col("c")).as("n"))
+      val best = mat(pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1), s"m$r")
+      merges += best.withColumn("round", lit(r).cast("bigint"))
+      state = mat(state.crossJoin(broadcast(best.select("a", "b")))
+        .select(col("c"),
+          replace(col("st"),
+            concat(lit("|"), col("a"), lit("||"), col("b"), lit("|")),
+            concat(lit("|"), col("a"), col("b"), lit("|"))).as("st")), s"v$r")
+      cleanup.rm(s"$iterDir/v${r - 1}")
+    }
+    cleanup.rm(s"$iterDir/v$k") // merge parquets back the result; state is done
+    merges.result().reduce(_.unionByName(_))
+      .select("round", "a", "b", "n")
+      .orderBy("round")
+  }
 
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to

@@ -243,7 +243,7 @@ object TimeSeries {
     * Output: date, ewma15, n_obs. */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyOrderRevenue(spark, dir).persist()
-    daily.count() // materialize before the anchor + lookup sides fan out
+    daily.count() // materialize before the anchor + lookup sides fan out; released per graft.CachePolicy
     val probes = daily
       .select(col("date"), explode(expr("sequence(0, 29)")).as("k"))
       .select(col("date"), col("k"), expr("date_sub(date, k)").as("b_date"))
@@ -354,7 +354,7 @@ object TimeSeries {
     * plan. Output: name, date, ewma15, n_obs. */
   def ewmaBySegment(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyOrderRevenueBySegment(spark, dir).persist()
-    daily.count() // materialize before the anchor + lookup sides fan out
+    daily.count() // materialize before the anchor + lookup sides fan out; released per graft.CachePolicy
     val probes = daily
       .select(col("name"), col("date"), explode(expr("sequence(0, 29)")).as("k"))
       .select(col("name"), col("date"), col("k"), expr("date_sub(date, k)").as("b_date"))

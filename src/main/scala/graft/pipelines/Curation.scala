@@ -120,6 +120,19 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Stage 2d: the token-budget mixture resample over the CURATED
+    * corpus — the step between the `text_source_mix` report and
+    * `release`: kept docs only, re-weighted to the temperature mixture
+    * and cut to the token budget (`Text.resampleMixFrom`; weights and
+    * budget derive from the curated slice, so the mixture targets what
+    * actually ships). Output: doc_id, source, lang, n_toks. */
+  def resampledCorpus(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = spark.read.parquet(s"$root/curation_decision")
+      .where(col("kept")).select("doc_id")
+    Text.resampleMixFrom(graft.Tables.documents(spark, dir).join(kept, "doc_id"))
+  }
+
   /** The full pipeline: cluster once, land both derived tables.
     * Re-runnable: every stage is a truncate-load, so a re-run
     * reproduces the same state (the reference's idempotency contract

@@ -106,12 +106,24 @@ object EventStreams {
   }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(sessionId: Long, lastTs: Long, count: Long)
-  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+  case class SessionState(sessionId: Long, startTs: Long, lastTs: Long, count: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_us: Long, last_us: Long)
+
+  /** Exact microsecond epoch of a Timestamp — `getTime` alone is
+    * millis and silently truncates the micros the batch sessionizer
+    * compares with (`unix_micros`), which would drift gap decisions
+    * and durations at sub-milli boundaries. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000 + t.getNanos / 1000
 
   /** Gap-based sessionization with explicit keyed state — the
     * streaming twin of `Events.sessionize` (>30 min silence starts a
-    * new session). Emits a row per event with its session id.
+    * new session). Emits a row per event with its session id, the
+    * session's start, and the event's time — so a downstream
+    * aggregation reconstructs the batch sessionizer's exact
+    * (n_events, duration) per session (proven row-identical in
+    * `StreamingSpec`).
     *
     * NoTimeout keeps the demo's micro-batch loop finite (a timeout
     * re-arm schedules batches forever under `processAllAvailable`);
@@ -123,13 +135,13 @@ object EventStreams {
 
     def update(user: Long, batch: Iterator[Ev],
                state: GroupState[SessionState]): Iterator[SessionOut] = {
-      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-      val out = batch.toSeq.sortBy(_.ts.getTime).map { e =>
-        val us = e.ts.getTime * 1000
+      var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, 0L))
+      val out = batch.toSeq.sortBy(e => usOf(e.ts)).map { e =>
+        val us = usOf(e.ts)
         st = if (st.lastTs == Long.MinValue || us - st.lastTs > gapUs)
-          SessionState(st.sessionId + 1, us, 1L)
+          SessionState(st.sessionId + 1, us, us, 1L)
         else st.copy(lastTs = us, count = st.count + 1)
-        SessionOut(user, st.sessionId, st.count)
+        SessionOut(user, st.sessionId, st.count, st.startTs, us)
       }
       state.update(st)
       out.iterator

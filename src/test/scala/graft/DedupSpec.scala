@@ -193,11 +193,21 @@ class DedupSpec extends SparkSpec {
     // kept, some cut (an all-false or all-true kept column is useless)
     assert(cur.where(col("kept")).count() > 0, "curation must keep something")
     assert(cur.where(!col("kept")).count() > 0, "curation must cut something")
+    // the heavy-PII cut is exactly the all-three-classes rows of the
+    // pii audit (has_pii alone is a review flag, not a cut)
+    val piiHeavy = Text.pii(spark, sf)
+      .where(col("n_emails") > 0 && col("n_phones") > 0 && col("n_ips") > 0)
+      .select("doc_id")
+    val flaggedPii = cur.where(col("pii_heavy")).select("doc_id")
+    assert(flaggedPii.exceptAll(piiHeavy).count() === 0)
+    assert(piiHeavy.exceptAll(flaggedPii).count() === 0)
     // kept is exactly the absence of every gate flag
     assert(cur.where(col("kept") &&
-      (col("heldout") || col("dup_loser") || col("contaminated") || col("low_quality"))).count() === 0)
+      (col("heldout") || col("dup_loser") || col("contaminated") ||
+        col("low_quality") || col("pii_heavy"))).count() === 0)
     assert(cur.where(!col("kept") &&
-      !col("heldout") && !col("dup_loser") && !col("contaminated") && !col("low_quality")).count() === 0)
+      !col("heldout") && !col("dup_loser") && !col("contaminated") &&
+      !col("low_quality") && !col("pii_heavy")).count() === 0)
   }
 
   test("applyDedup: exactly one survivor per cluster, all unpaired docs survive") {

@@ -351,6 +351,39 @@ class PipelineSpec extends SparkSpec {
     assert(unpairedMismatch.count() === 0)
   }
 
+  test("release-stage mixture resample: budgeted, deterministic, curated subset") {
+    val root = Files.createTempDirectory("graft_resample").toString
+    graft.pipelines.Curation.run(spark, sf, root)
+    val kept = spark.read.parquet(s"$root/curation_decision")
+      .where(col("kept")).select("doc_id")
+    val curated = Tables.documents(spark, sf).join(kept, "doc_id")
+    val res = graft.pipelines.Curation.resampledCorpus(spark, sf, root)
+    val out = res.collect()
+    assert(out.nonEmpty)
+    // subset of the curated corpus, deterministic across re-runs
+    assert(res.join(kept, "doc_id").count() === out.length)
+    assert(graft.ops.Text.resampleMixFrom(curated).collect().map(_.toSeq).toSeq
+      === out.map(_.toSeq).toSeq)
+    // independent BigInt recompute of the weights, budgets, and the
+    // hash-ordered greedy selection — catches an engine-side overflow
+    // or boundary-compare drift the mirrored plan could not
+    val toks = curated.select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      md5(col("text")).as("h")).collect()
+    val byGrp = toks.groupBy(r => (r.getString(1), r.getString(2)))
+    val b = BigInt(toks.map(_.getLong(3)).sum) / 4
+    val ws = byGrp.view.mapValues(rs => BigInt(math.sqrt(rs.size.toDouble).toLong)).toMap
+    val sumW = ws.values.sum
+    val expected = byGrp.toSeq.flatMap { case (g, rs) =>
+      val budget = (b / sumW) * ws(g) + ((b % sumW) * ws(g)) / sumW
+      var cum = BigInt(0)
+      rs.sortBy(r => (r.getString(4), r.getLong(0))).toSeq
+        .takeWhile { r => val fits = cum < budget; cum += r.getLong(3); fits }
+        .map(_.getLong(0))
+    }.toSet
+    assert(out.map(_.getLong(0)).toSet === expected)
+  }
+
   test("incremental dedup: vN + delta state is row-identical to full recompute") {
     val docs = Tables.documents(spark, sf)
     val vN = docs.where(col("doc_id") % 10 =!= 7)

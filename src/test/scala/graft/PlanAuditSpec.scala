@@ -49,7 +49,9 @@ class PlanAuditSpec extends SparkSpec {
     "ev_funnel_window", "text_lm_score", "sim_rp_audit", "ts_seasonality",
     "rel_benford", "text_collocations", "sim_pagerank",
     "rel_skew_audit", "text_source_mix", "rel_promo_share",
-    "sim_neardup_sweep", "sim_recall")
+    "sim_neardup_sweep", "sim_recall",
+    // 1-row token-budget (b) + weight-sum (sum_w) scalar carriers
+    "text_resample_mix")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

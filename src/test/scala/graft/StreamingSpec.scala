@@ -132,6 +132,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization reconciles row-identical boundaries with batch") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.sessionize(spark, events)
+      .writeStream.format("memory").queryName("sessb").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // fold the per-event emissions back to per-session rows: count at
+      // the session's last event, duration from the carried start — the
+      // invariant is that the streaming path computes THE batch answer
+      // (same n_events AND same duration), not merely the same count
+      val streamSessions = spark.table("sessb")
+        .groupBy("user_id", "session_id")
+        .agg(max("n_events").as("n_events"),
+          (max(col("last_us")) - min(col("start_us"))).as("duration_us"))
+        .select("user_id", "session_id", "n_events", "duration_us")
+      val batch = graft.ops.Events.sessionize(spark, sf)
+        .select("user_id", "session_id", "n_events", "duration_us")
+      assert(streamSessions.count() > 0)
+      assert(streamSessions.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamSessions).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming running totals converge to the batch heavy hitters") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.runningUserTotals(spark, events)
