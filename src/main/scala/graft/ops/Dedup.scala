@@ -315,7 +315,6 @@ object Dedup {
     // the union's two branches are two consumers, and without the cache
     // each would recompute the (expensive) candidate-generation subtree
     val p = pairs.select("doc_a", "doc_b").persist()
-    p.count()
     // Both edge directions, NO self-loops: the hop's left join +
     // coalesce keeps a node's own label when the neighbor min is
     // absent, so self-loop rows would only duplicate that term at the
@@ -330,9 +329,20 @@ object Dedup {
     // (groupBy dst) reuses the cached partitioning: when the label side
     // arrives by broadcast (small-labels tier below), the whole
     // nbr-min derivation runs exchange-free off this cache.
+    // Size-aware partition count for the edge cache: the pair count is
+    // already known (p.count above), and every round's stages inherit
+    // this partitioning — scheduling 32 near-empty tasks per stage per
+    // round dominates small-loop wall time at local[32], while a huge
+    // edge table still spreads across the configured width. Same
+    // principle AQE applies to shuffle coalescing, applied to the one
+    // table AQE can't re-plan (it's cached before the loop).
+    val pairCount = p.count()
+    val session0 = pairs.sparkSession
+    val confPart = session0.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(4, math.min(confPart, (pairCount / 5000L).toInt + 1))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst"))
+      .repartition(nPart, col("dst"))
       .persist()
     edges.count() // materialize: every round joins against this table
     p.unpersist()

@@ -416,10 +416,17 @@ object Similarity {
     // tiny parquet-backed rank/deg sides at this scale; at corpus
     // scale they stay shuffle joins, which is the right plan there)
     val (graph, releaseCells) = knnGraphReleasable(spark, dir)
-    val edges = graph.select(col("vec_id"), col("nbr_id"))
-      .repartition(col("nbr_id"))
-      .persist()
+    val raw = graph.select(col("vec_id"), col("nbr_id")).persist()
+    // size-aware partition width for the iteration edge cache, same
+    // rationale as the cluster loop's (Dedup.clustersFromPairs): five
+    // iterations of near-empty full-width tasks cost more than the
+    // one extra materialization here
+    val nEdges = raw.count()
+    val confPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(4, math.min(confPart, (nEdges / 5000L).toInt + 1))
+    val edges = raw.repartition(nPart, col("nbr_id")).persist()
     edges.count() // materialize: every iteration joins against this table
+    raw.unpersist()
     releaseCells() // the cell cache fed edges exactly once — drop it now
     val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg")).persist()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
