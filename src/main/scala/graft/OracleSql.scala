@@ -1564,6 +1564,31 @@ object OracleSql {
        |)
        |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric containment over the same LSH candidates: |A∩B|/|A|
+    * and |A∩B|/|B|, flagged when either direction >= 0.6 — mirrors
+    * `Dedup.containment`. */
+  val dedupContainment: String =
+    s"""WITH $minhashCtes,
+       |$shingleHashCte,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+       |  FROM cand c
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |co AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         ROUND(CAST(n_int AS DOUBLE) / CAST(ca.n_sh AS DOUBLE), 6) AS cont_a,
+       |         ROUND(CAST(n_int AS DOUBLE) / CAST(cb.n_sh AS DOUBLE), 6) AS cont_b
+       |  FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.doc_a
+       |  JOIN cnt cb ON cb.doc_id = i.doc_b
+       |)
+       |SELECT doc_a, doc_b, cont_a, cont_b FROM co
+       |WHERE GREATEST(cont_a, cont_b) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Estimated Jaccard from signature agreement alone (no re-read of
     * shingles) — (# equal minhash components) / 8 over LSH candidates. */
   val dedupMinhashEst: String = {
@@ -1612,6 +1637,68 @@ object OracleSql {
       |WHERE s.doc_id % 50 <> 0
       |GROUP BY s.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Graded contamination: per candidate doc, the FRACTION of its
+    * distinct shingle hashes shared with the held-out set (LEFT join —
+    * zero-overlap docs score 0), flagged at >= 0.05 on the rounded
+    * fraction — mirrors `Dedup.contaminationScore`. */
+  val textContamination: String =
+    s"""WITH $heldOutCtes
+      |SELECT s.doc_id,
+      |       CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_sh,
+      |       CAST(COUNT(DISTINCT CASE WHEN held.h IS NOT NULL THEN s.h END) AS BIGINT) AS n_overlap,
+      |       ROUND(COUNT(DISTINCT CASE WHEN held.h IS NOT NULL THEN s.h END)
+      |             / CAST(COUNT(DISTINCT s.h) AS DOUBLE), 6) AS frac,
+      |       ROUND(COUNT(DISTINCT CASE WHEN held.h IS NOT NULL THEN s.h END)
+      |             / CAST(COUNT(DISTINCT s.h) AS DOUBLE), 6) >= 0.05 AS flagged
+      |FROM shh s LEFT JOIN held ON s.h = held.h
+      |WHERE s.doc_id % 50 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cross-doc segment dedup: 10-word segments, a segment in >= 2
+    * DISTINCT docs is duplicated; per-doc counts + surviving token
+    * mass — mirrors `Text.segDedup` (slice bounds are 1-based
+    * inclusive in both engines). */
+  val textSegDedup: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         md5(array_to_string(ws[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS h,
+      |         LEAST(10, len(ws) - i*10) AS n_toks
+      |  FROM w, UNNEST(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS u(i)
+      |),
+      |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS docs FROM segs GROUP BY h)
+      |SELECT s.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |       CAST(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(SUM(CASE WHEN c.docs >= 2 THEN 0 ELSE s.n_toks END) AS BIGINT) AS kept_toks,
+      |       ROUND(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+      |FROM segs s JOIN cnt c ON c.h = s.h
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** SCD2 dimension build from the event change log: change-detected
+    * `event_type` states per user with validity intervals — mirrors
+    * `Events.scd2`. */
+  val evScd2: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT user_id, event_id, event_type AS state, ts AS valid_from
+      |  FROM e WHERE prev_state IS NULL OR prev_state <> event_type
+      |)
+      |SELECT user_id,
+      |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version,
+      |       state, valid_from,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+      |FROM c
+      |ORDER BY user_id, version""".stripMargin
 
   /** Shared CTEs: two salted token md5s → 64 bit-sums → the 64-bit
     * simhash — the ONE signature construction, mirrored by

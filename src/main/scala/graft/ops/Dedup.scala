@@ -200,6 +200,22 @@ object Dedup {
     * signature-only `minhashEstJaccard` is the verification path; this
     * exact form is the audit pass. Output: doc_a, doc_b, jac. */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (cands, ab) = candidatePairSets(spark, dir)
+    cands.join(ab._1, "doc_a").join(ab._2, "doc_b")
+      .withColumn("n_int", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
+      .withColumn("jac", round(col("n_int").cast("double") /
+        (col("n_a") + col("n_b") - col("n_int")).cast("double"), 6))
+      .where(col("jac") >= 0.3)
+      .select("doc_a", "doc_b", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared candidate machinery for the set-verification passes
+    * (`jaccard`, `containment`): LSH candidate pairs + both sides'
+    * compact per-doc shingle-hash arrays, ready to join on
+    * doc_a/doc_b. */
+  private def candidatePairSets(spark: SparkSession, dir: String)
+      : (DataFrame, (DataFrame, DataFrame)) = {
     val docArrays = Tables.documents(spark, dir)
       .where(length(col("text")) >= 12) // same short-doc guard as shingleTable
       .repartition(col("doc_id"))
@@ -215,14 +231,30 @@ object Dedup {
     // text→shingle transform concurrently instead of hitting the cache.
     docArrays.count()
     val cands = candidatesFrom(docArrays.select(col("doc_id"), explode(col("arr")).as("sh")))
-    cands
-      .join(docArrays.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(docArrays.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+    (cands,
+      (docArrays.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")),
+        docArrays.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))))
+  }
+
+  /** CONTAINMENT verification over the same LSH candidates — the
+    * asymmetric companion to `jaccard`: cont_a = |A∩B| / |A| is the
+    * fraction of doc_a's shingle set that doc_b carries (and vice
+    * versa), which catches subset/quotation relationships a symmetric
+    * Jaccard misses entirely (a doc fully embedded in a 10×-longer doc
+    * has jac ≈ 0.09 but cont_a = 1.0 — exactly the pairs a curation
+    * pass wants to collapse). Flagged when EITHER direction ≥ 0.6.
+    *
+    * Scale: identical shape to `jaccard` — candidates only, compact
+    * hash arrays shipped once; nothing new shuffles.
+    * Output: doc_a, doc_b, cont_a, cont_b. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val (cands, ab) = candidatePairSets(spark, dir)
+    cands.join(ab._1, "doc_a").join(ab._2, "doc_b")
       .withColumn("n_int", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
-      .withColumn("jac", round(col("n_int").cast("double") /
-        (col("n_a") + col("n_b") - col("n_int")).cast("double"), 6))
-      .where(col("jac") >= 0.3)
-      .select("doc_a", "doc_b", "jac")
+      .withColumn("cont_a", round(col("n_int").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("cont_b", round(col("n_int").cast("double") / col("n_b").cast("double"), 6))
+      .where(greatest(col("cont_a"), col("cont_b")) >= 0.6)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -530,6 +562,40 @@ object Dedup {
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= 10)
+      .orderBy("doc_id")
+  }
+
+  /** GRADED contamination scoring — `decontaminate` reports absolute
+    * overlap counts for docs that hit the held-out set at all; this
+    * pass scores EVERY candidate doc with its overlap FRACTION
+    * (distinct shared shingles / distinct shingles), the
+    * length-normalized form eval-decontamination papers threshold on
+    * (a 50-shingle doc sharing 10 is far dirtier than a 5000-shingle
+    * doc sharing 10). Zero-overlap docs appear with frac = 0 — the
+    * output is a per-doc score column, not a hit list.
+    *
+    * Scale: same shape as `decontaminate` — the held-out distinct-hash
+    * table broadcasts (eval sets are tiny vs the corpus), the probe is
+    * a map-side broadcast LEFT join, and the score is one
+    * groupBy(doc_id). Output: doc_id, n_sh, n_overlap, frac,
+    * flagged. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 14), 16, 10) as bigint)").as("h"))
+      .persist()
+    sh.count() // materialize before the held-out + candidate sides fan out
+    val held = sh.where(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(held), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_sh"),
+        countDistinct(when(col("hit").isNotNull, col("h"))).as("n_overlap"))
+      .withColumn("frac", round(col("n_overlap").cast("double") / col("n_sh").cast("double"), 6))
+      .withColumn("flagged", col("frac") >= 0.05)
+      .select("doc_id", "n_sh", "n_overlap", "frac", "flagged")
       .orderBy("doc_id")
   }
 

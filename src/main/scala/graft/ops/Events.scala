@@ -333,4 +333,34 @@ object Events {
       .select(col("name"), col("date"), col("tvl"), col("n_asof"))
       .orderBy("name", "date")
   }
+
+  /** Slowly-changing-dimension (type 2) build from a change log — the
+    * standard warehouse pass that turns an event stream into validity
+    * intervals: per user, `event_type` is the tracked state; only
+    * rows where the state CHANGES survive (change detection via LAG),
+    * and each surviving row becomes one SCD2 version with
+    * `valid_from` = its event time and `valid_to` = the next
+    * version's start (NULL on the open current version). This is the
+    * reference's UPDATE-summary-row posture (SURVEY §2 S11)
+    * generalized to full history retention.
+    *
+    * Scale: both windows partition by `user_id` — one shuffle, then
+    * two bounded per-user window passes; no global window, no join.
+    * 1000× more users is the same plan with more window partitions.
+    * Output: user_id, version, state, valid_from, valid_to,
+    * is_current. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val wAll  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wKept = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(wAll))
+      .where(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"))
+      .withColumn("version", row_number().over(wKept))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wKept))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "state", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "version")
+  }
 }

@@ -731,6 +731,44 @@ object Text {
       .orderBy("round")
   }
 
+  /** Cross-document SEGMENT-level dedup — the line-dedup pass of
+    * CCNet/RefinedWeb-style curation adapted to this corpus' shape
+    * (single-line docs → fixed 10-word segments stand in for lines):
+    * a segment that appears verbatim in ≥ 2 DISTINCT documents is
+    * boilerplate and is dropped from every doc that carries it;
+    * per doc we report segment counts, the duplicated-segment count,
+    * the token mass that survives, and the duplicated fraction.
+    * Within-doc repeats do NOT count as duplication (doc-distinct
+    * counting), matching the cross-doc semantics of line dedup.
+    *
+    * Scale (100 TB): segmentation is a map-side explode (~1 row per
+    * 10 tokens); the global segment-frequency table is one
+    * groupBy(segment hash) — the same single-shuffle shape as exact
+    * dedup, just at segment grain; the join back to segment rows is a
+    * hash equi-join on that key, and the per-doc rollup is the second
+    * and last shuffle. No text is shipped after hashing.
+    * Output: doc_id, n_segs, n_dup, kept_toks, dup_frac. */
+  def segDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1)," +
+            " i -> md5(array_join(slice(ws, i*10+1, 10), ' ')))")).as(Seq("seg_idx", "h")))
+      .withColumn("n_toks", least(lit(10), col("nw") - col("seg_idx") * 10))
+    val freq = segs.groupBy("h").agg(countDistinct(col("doc_id")).as("docs"))
+    segs.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("docs") >= 2, 0L).otherwise(col("n_toks"))).as("kept_toks"),
+        round(sum(when(col("docs") >= 2, 1).otherwise(0)) / count(lit(1)).cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

@@ -220,4 +220,53 @@ class DedupSpec extends SparkSpec {
     // survivors of paired clusters are exactly the keepers
     assert(out.join(cl.where(!col("keep")), "doc_id").count() === 0L)
   }
+
+  test("containment: embedded doc scores cont_a = 1.0 where jaccard cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november whiskey xray yankee zulu"
+    val extra = " oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, base + extra, "en", "web", (base + extra).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    // doc 1's rolling shingle set is a strict subset of doc 2's, so
+    // containment is exactly 1.0 in the a→b direction while the
+    // symmetric jaccard is strictly below 1 — the asymmetry this
+    // operator exists to expose
+    val cont = Dedup.containment(spark, dir).collect()
+    assert(cont.length === 1)
+    assert(cont(0).getLong(0) === 1L && cont(0).getLong(1) === 2L)
+    assert(cont(0).getDouble(2) === 1.0, "cont_a must be exactly 1.0 for a subset doc")
+    assert(cont(0).getDouble(3) < 1.0)
+    val jac = Dedup.jaccard(spark, dir).collect()
+    assert(jac.length === 1 && jac(0).getDouble(2) < 1.0)
+  }
+
+  test("containment dominates jaccard on every shared candidate pair") {
+    val cont = Dedup.containment(spark, sf)
+      .select(col("doc_a"), col("doc_b"), greatest(col("cont_a"), col("cont_b")).as("mc"))
+    val jac = Dedup.jaccard(spark, sf).select("doc_a", "doc_b", "jac")
+    // max-direction containment = n_int/min(n_a,n_b) >= jaccard, always
+    val joined = cont.join(jac, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getAs[Double]("mc") >= r.getAs[Double]("jac") - 1e-9))
+  }
+
+  test("contamination score agrees with decontaminate counts and covers all candidates") {
+    val score = Dedup.contaminationScore(spark, sf)
+    val hits = Dedup.decontaminate(spark, sf).select(col("doc_id"), col("n_overlap").as("n_ref"))
+    // on docs decontaminate reports, the graded score sees the same
+    // distinct-overlap count
+    val joined = score.join(hits, "doc_id")
+    assert(joined.count() === hits.count())
+    assert(joined.where(col("n_overlap") =!= col("n_ref")).count() === 0)
+    // zero-overlap candidates appear too (frac = 0), and fractions are
+    // well-formed
+    assert(score.count() > hits.count())
+    assert(score.where(col("frac") < 0.0 || col("frac") > 1.0).count() === 0)
+    assert(score.where(col("n_overlap") === 0 && col("frac") =!= 0.0).count() === 0)
+  }
 }

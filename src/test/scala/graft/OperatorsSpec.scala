@@ -946,4 +946,50 @@ class OperatorsSpec extends SparkSpec {
     assert(vals.sameElements(vals.sortBy(-_)))
     t.unpersist()
   }
+
+  test("scd2: consecutive versions, adjacent states differ, one open interval per user") {
+    val s = Events.scd2(spark, sf).persist()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    // every user has a history, exactly one open (current) version
+    assert(s.select("user_id").distinct().count() === users)
+    assert(s.where(col("is_current")).count() === users)
+    assert(s.where(col("valid_to").isNull && !col("is_current")).count() === 0)
+    // versions are 1..n dense per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val chained = s
+      .withColumn("prev_v", lag(col("version"), 1).over(w))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+    assert(chained.where(col("prev_v").isNotNull &&
+      col("version") =!= col("prev_v") + 1).count() === 0)
+    // change detection: adjacent versions never carry the same state,
+    // and intervals tile exactly (no gap, no overlap)
+    assert(chained.where(col("prev_state").isNotNull &&
+      col("state") === col("prev_state")).count() === 0)
+    assert(chained.where(col("prev_to").isNotNull &&
+      col("prev_to") =!= col("valid_from")).count() === 0)
+    s.unpersist()
+  }
+
+  test("seg dedup: exact-duplicate docs are fully duplicated, token mass conserved") {
+    val sd = Text.segDedup(spark, sf).persist()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    assert(sd.count() === docs.count())
+    // kept token mass never exceeds the doc's token count; fractions well-formed
+    val j = sd.join(docs, "doc_id")
+    assert(j.where(col("kept_toks") > col("n_toks")).count() === 0)
+    assert(j.where(col("n_dup") > col("n_segs")).count() === 0)
+    assert(j.where(col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() === 0)
+    // a doc with a verbatim twin (exact dedup group of >= 2) has every
+    // segment duplicated: dup_frac = 1 and nothing survives
+    val twins = Dedup.exact(spark, sf).where(!col("keep")).select("doc_id")
+    val twinRows = sd.join(twins, "doc_id")
+    if (twinRows.count() > 0) {
+      assert(twinRows.where(col("dup_frac") =!= 1.0).count() === 0)
+      assert(twinRows.where(col("kept_toks") =!= 0L).count() === 0)
+    }
+    sd.unpersist()
+  }
 }
