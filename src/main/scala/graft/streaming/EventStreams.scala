@@ -152,6 +152,49 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class Scd2State(version: Long, state: String, validFromUs: Long)
+  case class Scd2Change(user_id: Long, version: Long, state: String, valid_from_us: Long)
+
+  /** Streaming SCD2 maintenance — the streaming twin of
+    * `Events.scd2`: per-user keyed state carries the OPEN dimension
+    * version (state, valid_from, version counter); each event whose
+    * `event_type` differs from the open version closes it and emits
+    * the new version's change row. Downstream, `valid_to` of version
+    * k is by construction `valid_from` of version k+1 — exactly the
+    * batch builder's LEAD — so a consumer (or the parity test)
+    * reconstructs the full interval table from the change stream.
+    * This is how a warehouse keeps an SCD2 dimension CURRENT from a
+    * live feed instead of rebuilding history nightly.
+    *
+    * State is one (version, state, valid_from) triple per user,
+    * sharded by the groupBy key. Events inside a micro-batch are
+    * ordered by (event time, event_id) — the batch builder's exact
+    * tiebreak. NoTimeout for the same finite-micro-batch reason as
+    * `sessionize`. */
+  def scd2Changes(spark: SparkSession, events: DataFrame): Dataset[Scd2Change] = {
+    import spark.implicits._
+
+    def update(user: Long, batch: Iterator[EvT],
+               state: GroupState[Scd2State]): Iterator[Scd2Change] = {
+      var cur = state.getOption.orNull
+      val out = Seq.newBuilder[Scd2Change]
+      batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+        if (cur == null || cur.state != e.event_type) {
+          cur = Scd2State(if (cur == null) 1L else cur.version + 1L,
+            e.event_type, usOf(e.ts))
+          out += Scd2Change(user, cur.version, cur.state, cur.validFromUs)
+        }
+      }
+      if (cur != null) state.update(cur)
+      out.result().iterator
+    }
+
+    events.select(col("user_id"), col("event_id"), col("ts"), col("event_type")).as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class UserTotal(user_id: Long, total: Double, n: Long)
 
   /** Streaming heavy hitters — the streaming twin of

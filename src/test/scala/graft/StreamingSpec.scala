@@ -155,6 +155,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scd2 change stream reconstructs the batch dimension table") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val q = EventStreams.scd2Changes(spark, events)
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // valid_to of version k is valid_from of version k+1 (LEAD) —
+      // reconstructing the interval table from the change stream must
+      // give the batch SCD2 builder's exact rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("version")
+      val rebuilt = spark.table("scd2s")
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .select("user_id", "version", "state", "valid_from_us", "valid_to_us")
+      val batch = graft.ops.Events.scd2(spark, sf)
+        .select(col("user_id"), col("version").cast("long").as("version"), col("state"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"))
+      assert(rebuilt.count() > 0)
+      assert(rebuilt.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(rebuilt).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming running totals converge to the batch heavy hitters") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.runningUserTotals(spark, events)
