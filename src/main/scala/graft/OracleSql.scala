@@ -925,6 +925,35 @@ object OracleSql {
       |ORDER BY total_value DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** RFM segmentation: per-user rollup, recency against the global
+    * max date, NTILE(5) quintiles on pinned (metric, user_id) total
+    * orders, coarse lifecycle label — mirroring `Events.rfm`. */
+  val evRfm: String =
+    """WITH u AS (
+      |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_date, COUNT(*) AS frequency,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', last_date, MAX(last_date) OVER ()) AS BIGINT) AS r_days,
+      |         frequency, monetary
+      |  FROM u
+      |),
+      |s AS (
+      |  SELECT user_id, r_days, frequency, monetary,
+      |         CAST(NTILE(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_score,
+      |         CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+      |         CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+      |  FROM r
+      |)
+      |SELECT user_id, r_days, frequency, monetary, r_score, f_score, m_score,
+      |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |            WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+      |            ELSE 'regular' END AS segment
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Markov transitions: lead over the per-user ordered stream
     * (event_id ties), normalized within from_type. */
   val evMarkov: String =
@@ -1087,6 +1116,23 @@ object OracleSql {
        |  quality
        |FROM q ORDER BY doc_id""".stripMargin
 
+  /** Quality-threshold retention sweep: the 10-row threshold dim
+    * LEFT-joined against per-doc quality (the `simNearDupSweep`
+    * shape), so zero-survivor thresholds survive with 0 counts. */
+  val textQualitySweep: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $qualityScoreExpr AS quality
+       |  FROM documents
+       |),
+       |t AS (SELECT UNNEST([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+       |SELECT t.threshold,
+       |       CAST(COUNT(q.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(SUM(q.n_tokens), 0) AS BIGINT) AS n_tokens
+       |FROM t LEFT JOIN q ON q.quality >= t.threshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared CTE: (doc_id, h) — distinct 56-bit md5 shingle hashes per
     * doc, the ONE compact shingle-set representation every consumer
     * (`dedupJaccard`, `textDecontaminate`, `textCurate`) intersects
@@ -1206,6 +1252,61 @@ object OracleSql {
        |       NOT heldout AND NOT dup_loser AND NOT contaminated
        |       AND NOT low_quality AND NOT pii_heavy AS kept
        |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Curation waterfall: per-doc FIRST failing gate (held-out, exact
+    * dup, contamination, quality, PII — `Text.curationFunnel`'s
+    * order), then survivor doc/token counts per stage via the bounded
+    * stage-dim non-equi join. */
+  val textFunnel: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |xd AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS k FROM documents
+       |  ) t WHERE doc_id <> k
+       |),
+       |$heldOutCtes,
+       |cont AS (
+       |  SELECT s.doc_id FROM shh s JOIN held ON s.h = held.h
+       |  WHERE s.doc_id % 50 <> 0
+       |  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.h) >= 64
+       |),
+       |q AS (
+       |  SELECT doc_id, $qualityScoreExpr AS quality
+       |  FROM documents
+       |),
+       |$piiTextCte,
+       |ph AS (
+       |  SELECT doc_id FROM pt
+       |  WHERE len(regexp_extract_all(t, '${ops.Text.EmailRe}')) > 0
+       |    AND len(regexp_extract_all(t, '${ops.Text.PhoneRe}')) > 0
+       |    AND len(regexp_extract_all(t, '${ops.Text.IpRe}')) > 0
+       |),
+       |cut AS (
+       |  SELECT d.doc_id, d.n_tokens,
+       |         CASE WHEN d.doc_id % 50 = 0 THEN 1
+       |              WHEN xd.doc_id IS NOT NULL THEN 2
+       |              WHEN cont.doc_id IS NOT NULL THEN 3
+       |              WHEN q.quality < 0.35 THEN 4
+       |              WHEN ph.doc_id IS NOT NULL THEN 5
+       |              ELSE 99 END AS cut
+       |  FROM d
+       |  LEFT JOIN xd ON xd.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN ph ON ph.doc_id = d.doc_id
+       |),
+       |stages AS (
+       |  SELECT * FROM (VALUES (0, 'total'), (1, 'heldout'), (2, 'exact_dup'),
+       |    (3, 'contaminated'), (4, 'low_quality'), (5, 'pii_heavy')) AS t(stage, gate)
+       |)
+       |SELECT CAST(s.stage AS BIGINT) AS stage, s.gate,
+       |       CAST(COUNT(c.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(SUM(c.n_tokens), 0) AS BIGINT) AS n_tokens
+       |FROM stages s LEFT JOIN cut c ON c.cut > s.stage
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   val textVocab: String =
     """WITH t AS (
@@ -1998,7 +2099,10 @@ object OracleSql {
     * deterministic. Distances use the positional-sum form (same as
     * `simCentroids`); ROUND(dist, 6) before the argmin pins the
     * cluster choice across engines, with the centroid-id tiebreak. */
-  val simKmeans: String = {
+  /** The k-means CTE chain (ends in `a3(vec_id, cid, dist)`, the
+    * final assignment) — shared by `simKmeans` and `simSemdedup` so
+    * both queries see the identical clustering. */
+  private lazy val kmeansCtes: String = {
     def assign(i: Int, cPrev: String) =
       s"""d$i AS (
          |  SELECT e.vec_id, c.cid,
@@ -2019,7 +2123,7 @@ object OracleSql {
          |  FROM a$i a JOIN e USING (vec_id)
          |  GROUP BY 1, 2
          |)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
        |         UNNEST(embedding)::DOUBLE AS x
        |  FROM embeddings
@@ -2029,9 +2133,28 @@ object OracleSql {
        |${update(1)},
        |${assign(2, "c1")},
        |${update(2)},
-       |${assign(3, "c2")}
-       |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+       |${assign(3, "c2")}""".stripMargin
   }
+
+  val simKmeans: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup: the k-means chain + the loose banded near-dup pairs;
+    * a pair counts only when both ends share a cluster, and the drop
+    * rule is the greedy keep-first (smallest lower-id witness in
+    * `dup_of`) — the identical construction as `Similarity.semDedup`. */
+  val simSemdedup: String =
+    s"""WITH $kmeansCtes,
+       |${simNearDupCtes(ops.Similarity.LooseThreshold)},
+       |sp AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN a3 x ON x.vec_id = c.doc_a
+       |  JOIN a3 y ON y.vec_id = c.doc_b AND x.cid = y.cid
+       |),
+       |dup AS (SELECT doc_b AS vec_id, MIN(doc_a) AS dup_of FROM sp GROUP BY 1)
+       |SELECT a.vec_id, a.cid AS cluster, d.dup_of IS NULL AS keep, d.dup_of
+       |FROM a3 a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id""".stripMargin
 
   /** In-cell kNN graph: per-cell self-join (the IVF-cell containment
     * bound), exact top-3 by 6-dp cosine with neighbor-id tiebreak.

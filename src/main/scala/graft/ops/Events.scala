@@ -363,4 +363,42 @@ object Events {
       .select("user_id", "version", "state", "valid_from", "valid_to", "is_current")
       .orderBy("user_id", "version")
   }
+
+  /** RFM segmentation — the classic recency/frequency/monetary user
+    * scoring: per user, days since last event (relative to the
+    * stream's max date), event count, and exact decimal value sum;
+    * each dimension quintile-scored with NTILE(5) on a pinned total
+    * order (metric, then user_id) so bucket assignment is
+    * engine-deterministic, then a coarse lifecycle label.
+    *
+    * Scale: one user-keyed aggregation shuffle; the NTILE windows are
+    * unpartitioned but run over the per-USER rollup (the bounded
+    * entity dim, same posture as `ev_cumulative_users`' day rollup),
+    * never the raw event stream. Output: user_id, r_days, frequency,
+    * monetary, r_score, f_score, m_score, segment. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
+    perUser
+      .withColumn("r_days",
+        datediff(max(col("last_date")).over(Window.partitionBy()), col("last_date"))
+          .cast("bigint"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("user_id"))).cast("bigint"))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))).cast("bigint"))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))).cast("bigint"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "dormant")
+          .otherwise("regular"))
+      .select("user_id", "r_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "segment")
+      .orderBy("user_id")
+  }
 }

@@ -592,4 +592,39 @@ object Similarity {
         col("rank").cast("bigint").as("rank"))
       .orderBy("vec_id", "rank")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters the embedding space, then
+    * near-identical pairs are pruned WITHIN each cluster — the
+    * semantic partition is what makes the pairwise step tractable and
+    * meaningful (cross-topic false positives never become candidates).
+    * Here the within-cluster candidate generation reuses the banded
+    * sign-LSH equi-join (`cosineNearDupFrom`, loose threshold so the
+    * gate SFs are non-empty) rather than a per-cluster all-pairs: a
+    * pair must share an LSH band AND a k-means cluster. Keeper
+    * election is the deterministic greedy keep-first: a vector is
+    * dropped iff a lower-id near-identical same-cluster vector exists;
+    * `dup_of` names the smallest such witness.
+    *
+    * Scale (100 TB): the kmeans assignment is a broadcast-centroid
+    * pass (k rows), candidates come from the banded equi-join — never
+    * O(cluster²) — and the cluster-agreement filter is two hash joins
+    * on vec_id. Output: vec_id, cluster, keep, dup_of. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before the assignment + band sides fan out
+    val asg = kmeansFrom(spark, v).select("vec_id", "cluster").persist()
+    asg.count() // materialize: read by both pair sides and the output spine
+    val pairs = cosineNearDupFrom(spark, v, threshold = LooseThreshold)
+    val sameCluster = pairs
+      .join(asg.select(col("vec_id").as("doc_a"), col("cluster").as("ca")), "doc_a")
+      .join(asg.select(col("vec_id").as("doc_b"), col("cluster").as("cb")), "doc_b")
+      .where(col("ca") === col("cb"))
+    val dup = sameCluster.groupBy(col("doc_b").as("vec_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    asg.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
 }

@@ -785,4 +785,75 @@ object Text {
         expr("size(array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))))")
           .cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Quality-threshold retention sweep: for each candidate quality
+    * cut, how many documents and tokens would survive — the tuning
+    * curve that picks a production threshold (the `nearDupSweep`
+    * discipline, applied to the quality gate). One quality pass; the
+    * 10-row threshold dim then non-equi-joins as a bounded broadcast,
+    * so zero-survivor thresholds still appear in the curve.
+    * Output: threshold, n_docs, n_tokens. */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"), col("n_tokens"), col("quality"))
+    val thresholds = spark.sql(
+      "SELECT explode(array(0.0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)) AS threshold")
+    broadcast(thresholds)
+      .join(q, col("quality") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(count(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .orderBy("threshold")
+  }
+
+  /** Curation waterfall: document and token survivor counts after each
+    * successive gate — the report every corpus release publishes (how
+    * much each stage cost). Stages apply in realistic pipeline order:
+    * held-out carve-out, exact dedup (hash losers), decontamination,
+    * quality, PII. Per-doc the FIRST failing gate is charged (a doc
+    * both low-quality and contaminated counts against the earlier
+    * stage), so stage counts are monotone non-increasing. The
+    * near-dup-cluster stage deliberately isn't re-run here: in the
+    * production topology it reads the materialized cluster decision
+    * (`pipelines.Curation`), and the independent-query contract would
+    * otherwise force a third cluster-loop recompute per bench run —
+    * `text_curate` already measures that composition.
+    *
+    * Scale: all gates are map-side or broadcast probes over doc_id;
+    * the 6-row stage dim is the bounded-broadcast non-equi join
+    * (`ev_range_join` pattern). Output: stage, gate, n_docs, n_tokens. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val exactLosers = Dedup.exact(spark, dir).where(!col("keep"))
+      .select(col("doc_id"), lit(true).as("xd"))
+    val cont = Dedup.decontaminate(spark, dir).where(col("n_overlap") >= 64)
+      .select(col("doc_id"), lit(true).as("ct"))
+    val lowQ = quality(spark, dir).select(col("doc_id"), (col("quality") < 0.35).as("lq"))
+    val piiHeavy = pii(spark, dir)
+      .where(col("n_emails") > 0 && col("n_phones") > 0 && col("n_ips") > 0)
+      .select(col("doc_id"), lit(true).as("ph"))
+    val cut = docs
+      .join(exactLosers, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(lowQ, Seq("doc_id"), "left")
+      .join(piiHeavy, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("doc_id") % 50 === 0, 1)
+          .when(coalesce(col("xd"), lit(false)), 2)
+          .when(coalesce(col("ct"), lit(false)), 3)
+          .when(coalesce(col("lq"), lit(false)), 4)
+          .when(coalesce(col("ph"), lit(false)), 5)
+          .otherwise(99).as("cut"))
+    val stages = spark.sql(
+      "SELECT posexplode(array('total', 'heldout', 'exact_dup', 'contaminated', " +
+        "'low_quality', 'pii_heavy')) AS (stage, gate)")
+    broadcast(stages)
+      .join(cut, col("cut") > col("stage"), "left")
+      .groupBy("stage", "gate")
+      .agg(count(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(col("stage").cast("bigint").as("stage"), col("gate"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("stage")
+  }
 }

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     * constituent operators instead. */
   private val executesAtConstruction = Set(
     "dedup_clusters", "dedup_apply", "text_curate",
-    "sim_clusters", "sim_clusters_loose",
+    "sim_clusters", "sim_clusters_loose", "sim_semdedup",
     "ts_drawdown", "ts_drawdown_by_segment")
 
   /** Bounded-broadcast nested loops, each justified at the operator:
@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     "rel_skew_audit", "text_source_mix", "rel_promo_share",
     "sim_neardup_sweep", "sim_recall",
     // 1-row token-budget (b) + weight-sum (sum_w) scalar carriers
-    "text_resample_mix")
+    "text_resample_mix",
+    // 10-row threshold dim / 6-row stage dim (the ev_range_join pattern)
+    "text_quality_sweep", "text_funnel")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
