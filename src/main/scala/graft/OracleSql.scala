@@ -58,6 +58,28 @@ object OracleSql {
        |)
        |SELECT date, p10, p50, p90 FROM b WHERE rn >= 31 ORDER BY date""".stripMargin
 
+  /** Theil–Sen robust trend over the trailing 31 revenue days: 465
+    * pairwise slopes and 31 residuals — both odd counts, so each
+    * quantile_cont picks an exact element (bit-identical across
+    * engines), mirroring `TimeSeries.theilSen`. */
+  val tsTheilsen: String =
+    s"""WITH $dailyOrders,
+       |sl AS (SELECT date, tvl, ROW_NUMBER() OVER (ORDER BY date DESC) AS rn FROM daily),
+       |s AS (
+       |  SELECT tvl, CAST(date_diff('day', MIN(date) OVER (), date) AS DOUBLE) AS x
+       |  FROM sl WHERE rn <= 31
+       |),
+       |p AS (
+       |  SELECT (b.tvl - a.tvl) / (b.x - a.x) AS slope
+       |  FROM s a JOIN s b ON b.x > a.x
+       |),
+       |m AS (SELECT quantile_cont(slope, 0.5) AS mslope, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+       |SELECT ROUND(m.mslope, 6) AS slope,
+       |       ROUND(quantile_cont(s.tvl - m.mslope * s.x, 0.5), 6) AS intercept,
+       |       CAST(COUNT(*) AS BIGINT) AS n_days, m.n_pairs
+       |FROM s CROSS JOIN m
+       |GROUP BY m.mslope, m.n_pairs""".stripMargin
+
   /** Weekly OHLC resample: argmin/argmax elections are tie-free
     * (dates unique within a week). */
   val tsResample: String =
@@ -954,6 +976,40 @@ object OracleSql {
       |            ELSE 'regular' END AS segment
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** Daily lifecycle accounting: per-user lag/lead over distinct
+    * active days; churn charged to the first inactive day, bounded by
+    * the stream's max date — mirroring `Events.lifecycle`. */
+  val evLifecycle: String =
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |st AS (
+      |  SELECT user_id, d,
+      |         MAX(d) OVER () AS maxd,
+      |         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+      |         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      |  FROM uw
+      |),
+      |states AS (
+      |  SELECT d AS date,
+      |         CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |         CAST(SUM(CASE WHEN prev = d - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_resurrected
+      |  FROM st GROUP BY 1
+      |),
+      |churn AS (
+      |  SELECT d + 1 AS date, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM st
+      |  WHERE (nxt IS NULL OR nxt > d + 1) AND d + 1 <= maxd
+      |  GROUP BY 1
+      |)
+      |SELECT COALESCE(s.date, c.date) AS date,
+      |       COALESCE(s.n_new, 0) AS n_new,
+      |       COALESCE(s.n_retained, 0) AS n_retained,
+      |       COALESCE(s.n_resurrected, 0) AS n_resurrected,
+      |       COALESCE(c.n_churned, 0) AS n_churned
+      |FROM states s FULL OUTER JOIN churn c ON s.date = c.date
+      |ORDER BY 1""".stripMargin
+
   /** Markov transitions: lead over the per-user ordered stream
     * (event_id ties), normalized within from_type. */
   val evMarkov: String =
@@ -1605,6 +1661,16 @@ object OracleSql {
     """SELECT md5(substr(text, 1, 40)) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
 
+  /** Cross-source duplication matrix over the prefix fingerprint. */
+  val dedupCrossSource: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT md5(substr(text, 1, 40)) AS h, source FROM documents
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Shared CTEs: distinct 12-char shingles → 8 salted-md5 minhashes →
     * 4 LSH bands → bucket-width cap → candidate pairs. The `bands`
     * QUALIFY mirrors `Dedup.pairsFromBands`' MaxBucket cap exactly
@@ -2067,6 +2133,25 @@ object OracleSql {
       |       CAST(SUM(CASE WHEN abs(qv) = 127.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
       |       ROUND(sqrt(SUM((x - qv * mx / 127.0) * (x - qv * mx / 127.0))), 6) AS recon_err
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Per-label diversity: 6-dp-rounded squared L2 to the positional
+    * centroid (the `simKmeans` distance form), then mean/max. */
+  val simDiversity: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         UNNEST(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |),
+      |c AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |         ROUND(SUM(e.x * e.x) - 2 * SUM(e.x * c.cx) + SUM(c.cx * c.cx), 6) AS d2
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY 1, 2
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |       ROUND(AVG(d2), 6) AS dispersion, MAX(d2) AS radius
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   val simCentroids: String =
     """WITH e AS (

@@ -51,6 +51,28 @@ object Dedup {
       .where(col("n_dups") > 1)
       .orderBy("h")
 
+  /** Cross-source duplication matrix — which source pairs ship the
+    * same content: per unordered source pair, the number of distinct
+    * prefix fingerprints (the `prefix` 40-char hash) present in BOTH.
+    * The provenance forensics a mixture designer runs before setting
+    * weights: a source whose content is largely a copy of another
+    * shouldn't be up-weighted as if independent.
+    *
+    * Scale: distinct (h, source) is one map-side-combined shuffle;
+    * the self-join key is the fingerprint (equi-join, bucket width
+    * bounded by #sources); output is O(#sources²).
+    * Output: source_a, source_b, n_shared. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.documents(spark, dir)
+      .select(md5(substring(col("text"), 1, 40)).as("h"), col("source")).distinct()
+    hs.select(col("h"), col("source").as("source_a"))
+      .join(hs.select(col("h"), col("source").as("source_b")), "h")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** (doc_id, shingle) — distinct 12-char rolling shingles per doc.
     *
     * The input table is a single small parquet file (one scan

@@ -401,4 +401,43 @@ object Events {
         "r_score", "f_score", "m_score", "segment")
       .orderBy("user_id")
   }
+
+  /** Daily growth accounting — the new / retained / resurrected /
+    * churned lifecycle decomposition every growth dashboard runs: per
+    * day, users active for the first time, users also active the
+    * previous day, users returning after a gap, and users whose
+    * activity LAPSED that day (active the day before, not that day —
+    * charged to the first inactive day, bounded by the stream's max
+    * date so the open end never fabricates churn).
+    *
+    * Scale: one distinct (user, day) shuffle; both windows partition
+    * by user; the day-level joins run on the O(#days) rollup. The
+    * global max date rides a window over the bounded per-user rollup,
+    * not a driver collect. Output: date, n_new, n_retained,
+    * n_resurrected, n_churned. */
+  def lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("d")
+    val st = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      .withColumn("maxd", max(col("d")).over(Window.partitionBy()))
+      .withColumn("prev", lag(col("d"), 1).over(wU))
+      .withColumn("nxt", lead(col("d"), 1).over(wU))
+    val states = st.groupBy(col("d").as("date")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === date_add(col("d"), -1), 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < date_add(col("d"), -1), 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = st
+      .where((col("nxt").isNull || col("nxt") > date_add(col("d"), 1)) &&
+        date_add(col("d"), 1) <= col("maxd"))
+      .groupBy(date_add(col("d"), 1).as("date"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("date"), "full_outer")
+      .select(col("date"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("date")
+  }
 }

@@ -610,6 +610,34 @@ object Similarity {
     * pass (k rows), candidates come from the banded equi-join — never
     * O(cluster²) — and the cluster-agreement filter is two hash joins
     * on vec_id. Output: vec_id, cluster, keep, dup_of. */
+  /** Per-label embedding diversity audit: cluster population, mean
+    * and max squared L2 distance to the label centroid — dispersion
+    * is the trace of the within-cluster covariance, the number that
+    * says whether a cluster is a tight near-dup clump (candidate for
+    * aggressive `semDedup`) or genuinely diverse content worth
+    * keeping. Per-row distances are 6-dp rounded (the `kmeansAssign`
+    * discipline) so the averages are cross-engine exact.
+    *
+    * Scale: one centroid aggregation (map-side partial over (label,
+    * pos)), then a broadcast of k centroid rows and a map-side
+    * distance pass — no self-join anywhere.
+    * Output: label, n, dispersion, radius. */
+  def diversity(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before the centroid + distance consumers fan out
+    val cent = centroidTable(spark, v.select(col("label"), col("v")))
+    v.join(broadcast(cent), "label")
+      .withColumn("d2",
+        round(d(col("v"), col("v")) - lit(2.0) * d(col("v"), col("centroid"))
+          + d(col("centroid"), col("centroid")), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("d2")), 6).as("dispersion"),
+        max(col("d2")).as("radius"))
+      .orderBy("label")
+  }
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir).persist()
     v.count() // materialize before the assignment + band sides fan out

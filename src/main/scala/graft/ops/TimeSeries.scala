@@ -501,4 +501,37 @@ object TimeSeries {
       .select(col("date"), round(col("v"), 6).as("v"), col("v_interp"))
       .orderBy("date")
   }
+
+  /** Theil–Sen robust trend over the trailing 31 observations of the
+    * revenue series: slope = median of all pairwise slopes, intercept
+    * = median residual at that slope — the outlier-immune alternative
+    * to the OLS the `risk` family runs (a single flash-crash day
+    * drags OLS, not the pairwise-slope median). 31 rows → 465 pairs
+    * and 31 residuals, both ODD counts, so each median is an exact
+    * element (no interpolation) and the picked double is bit-identical
+    * across engines — the `ts_bands` integral-position discipline.
+    *
+    * Scale: the pairwise self-join is O(31²) on the trailing slice of
+    * the O(#days) rollup — bounded by the calendar, independent of
+    * input scale; the median-slope scalar rides a 1-row broadcast
+    * carrier. Output: slope, intercept, n_days, n_pairs. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.orderBy(col("date").desc)
+    val s = dailyOrderRevenue(spark, dir)
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") <= 31)
+      .withColumn("x",
+        datediff(col("date"), min(col("date")).over(Window.partitionBy())).cast("double"))
+      .select(col("x"), col("tvl"))
+    val slopes = s.select(col("x").as("xa"), col("tvl").as("ya"))
+      .join(s.select(col("x").as("xb"), col("tvl").as("yb")), col("xb") > col("xa"))
+      .select(((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
+    val m = slopes.agg(expr("percentile(slope, 0.5)").as("mslope"),
+      count(lit(1)).as("n_pairs"))
+    s.crossJoin(broadcast(m))
+      .agg(round(first(col("mslope")), 6).as("slope"),
+        round(expr("percentile(tvl - mslope * x, 0.5)"), 6).as("intercept"),
+        count(lit(1)).as("n_days"),
+        first(col("n_pairs")).as("n_pairs"))
+  }
 }

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     * constituent operators instead. */
   private val executesAtConstruction = Set(
     "dedup_clusters", "dedup_apply", "text_curate",
-    "sim_clusters", "sim_clusters_loose", "sim_semdedup",
+    "sim_clusters", "sim_clusters_loose",
     "ts_drawdown", "ts_drawdown_by_segment")
 
   /** Bounded-broadcast nested loops, each justified at the operator:
@@ -53,7 +53,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row token-budget (b) + weight-sum (sum_w) scalar carriers
     "text_resample_mix",
     // 10-row threshold dim / 6-row stage dim (the ev_range_join pattern)
-    "text_quality_sweep", "text_funnel")
+    "text_quality_sweep", "text_funnel",
+    // 31-row trailing-slice pairwise join + 1-row median-slope carrier
+    "ts_theilsen",
+    // k-row broadcast centroid table (inherited from sim_kmeans' assignment)
+    "sim_semdedup")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
