@@ -58,6 +58,29 @@ object OracleSql {
        |)
        |SELECT date, p10, p50, p90 FROM b WHERE rn >= 31 ORDER BY date""".stripMargin
 
+  /** Change-point: one cumulative pass, min segment 8, argmax on the
+    * 6-dp shift with earliest-date tiebreak (`TimeSeries.changePoint`). */
+  val tsChangepoint: String =
+    s"""WITH $dailyOrders,
+       |c AS (
+       |  SELECT date, tvl,
+       |         ROW_NUMBER() OVER (ORDER BY date) AS rn,
+       |         SUM(tvl) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         COUNT(*) OVER () AS n,
+       |         SUM(tvl) OVER () AS total
+       |  FROM daily
+       |),
+       |s AS (
+       |  SELECT date, n, cum / rn AS mean_before,
+       |         (total - cum) / (n - rn) AS mean_after,
+       |         ROUND(abs(cum / rn - (total - cum) / (n - rn)), 6) AS shift
+       |  FROM c WHERE rn >= 8 AND n - rn >= 8
+       |)
+       |SELECT date AS split_date, CAST(n AS BIGINT) AS n_days,
+       |       ROUND(mean_before, 6) AS mean_before,
+       |       ROUND(mean_after, 6) AS mean_after, shift
+       |FROM s ORDER BY shift DESC, date LIMIT 1""".stripMargin
+
   /** Theil–Sen robust trend over the trailing 31 revenue days: 465
     * pairwise slopes and 31 residuals — both odd counts, so each
     * quantile_cont picks an exact element (bit-identical across
@@ -976,6 +999,45 @@ object OracleSql {
       |            ELSE 'regular' END AS segment
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** Top 3-step event-type paths: lead ×2 over the per-user ordered
+    * stream, count-desc/path top-10. */
+  val evPaths: String =
+    """WITH p AS (
+      |  SELECT event_type || '>' ||
+      |         LEAD(event_type, 1) OVER w || '>' ||
+      |         LEAD(event_type, 2) OVER w AS path,
+      |         LEAD(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT path, COUNT(*) AS n FROM p WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  /** Cohort LTV: first-event cohorts, exact DECIMAL day values,
+    * cumulative over age within cohort, per-user LTV. */
+  val evCohortLtv: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+      |),
+      |sized AS (SELECT cohort_date, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+      |dv AS (
+      |  SELECT f.cohort_date,
+      |         CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS age,
+      |         SUM(CAST(e.value AS DECIMAL(18,2))) AS day_value
+      |  FROM events e JOIN f ON f.user_id = e.user_id
+      |  GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT cohort_date, age,
+      |         CAST(SUM(day_value) OVER (PARTITION BY cohort_date ORDER BY age
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+      |  FROM dv
+      |)
+      |SELECT c.cohort_date, c.age, s.cohort_users, c.cum_value,
+      |       ROUND(c.cum_value / s.cohort_users, 6) AS ltv
+      |FROM c JOIN sized s USING (cohort_date)
+      |ORDER BY c.cohort_date, c.age""".stripMargin
+
   /** Daily lifecycle accounting: per-user lag/lead over distinct
     * active days; churn charged to the first inactive day, bounded by
     * the stream's max date — mirroring `Events.lifecycle`. */
@@ -1661,6 +1723,27 @@ object OracleSql {
     """SELECT md5(substr(text, 1, 40)) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
 
+  /** Per-source duplication inflation: global keep-first on the
+    * prefix fingerprint, then a source rollup (`Dedup.dupInflation`). */
+  val dedupInflation: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         doc_id = MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40))) AS keeper
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(CASE WHEN keeper THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      |  FROM k GROUP BY 1
+      |)
+      |SELECT source, n_docs, n_kept, n_tokens, kept_tokens,
+      |       ROUND(CAST(n_docs AS DOUBLE) / NULLIF(n_kept, 0), 6) AS doc_inflation,
+      |       ROUND(CAST(n_tokens AS DOUBLE) / NULLIF(kept_tokens, 0), 6) AS token_inflation
+      |FROM s ORDER BY source""".stripMargin
+
   /** Cross-source duplication matrix over the prefix fingerprint. */
   val dedupCrossSource: String =
     """WITH hs AS (
@@ -2133,6 +2216,28 @@ object OracleSql {
       |       CAST(SUM(CASE WHEN abs(qv) = 127.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
       |       ROUND(sqrt(SUM((x - qv * mx / 127.0) * (x - qv * mx / 127.0))), 6) AS recon_err
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Embedding outliers: 6-dp d2 to label centroid, per-label mean
+    * dispersion, top-10 by 6-dp dispersion-relative ratio with vec_id
+    * tiebreak — mirroring `Similarity.outliers`. */
+  val simOutliers: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         UNNEST(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |),
+      |c AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |         ROUND(SUM(e.x * e.x) - 2 * SUM(e.x * c.cx) + SUM(c.cx * c.cx), 6) AS d2
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY 1, 2
+      |),
+      |disp AS (SELECT label, ROUND(AVG(d2), 6) AS dispersion FROM d GROUP BY 1)
+      |SELECT d.vec_id, d.label, d.d2, disp.dispersion,
+      |       ROUND(d.d2 / disp.dispersion, 6) AS ratio
+      |FROM d JOIN disp USING (label)
+      |ORDER BY ratio DESC, d.vec_id LIMIT 10""".stripMargin
 
   /** Per-label diversity: 6-dp-rounded squared L2 to the positional
     * centroid (the `simKmeans` distance form), then mean/max. */

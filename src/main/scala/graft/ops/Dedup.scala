@@ -62,6 +62,35 @@ object Dedup {
     * the self-join key is the fingerprint (equi-join, bucket width
     * bounded by #sources); output is O(#sources²).
     * Output: source_a, source_b, n_shared. */
+  /** Per-source duplication inflation: how much of a source's volume
+    * is duplicate weight — docs and tokens versus what survives
+    * keep-first dedup on the prefix fingerprint (keeper = global min
+    * doc_id per fingerprint, so a source that only mirrors another
+    * source's content keeps ~nothing). The number that deflates a
+    * source's weight in mixture design before `resampleMix` trusts
+    * raw volume. One fingerprint shuffle + one source rollup.
+    * Output: source, n_docs, n_kept, n_tokens, kept_tokens,
+    * doc_inflation, token_inflation (null when the source keeps no
+    * tokens). */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(substring(col("text"), 1, 40)).as("h"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keeper"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("keeper"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("doc_inflation",
+        round(col("n_docs").cast("double") / nullif(col("n_kept"), lit(0L)), 6))
+      .withColumn("token_inflation",
+        round(col("n_tokens").cast("double") / nullif(col("kept_tokens"), lit(0L)), 6))
+      .orderBy("source")
+  }
+
   def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
     val hs = Tables.documents(spark, dir)
       .select(md5(substring(col("text"), 1, 40)).as("h"), col("source")).distinct()

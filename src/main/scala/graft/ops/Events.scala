@@ -402,6 +402,53 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Top event-type paths: the 10 most frequent 3-step sequences
+    * (trigrams over each user's time-ordered stream, event_id
+    * tiebreak) — the path-mining rollup behind every Sankey/flow
+    * visualization, and the sequence analogue of the 1-step
+    * `transitions` matrix. One user-partitioned window pass, then a
+    * count shuffle and a distributed TakeOrdered (count desc, path
+    * tiebreak). Output: path, n. */
+  def paths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  /** Cohort LTV curves: users cohorted by first-event date; per
+    * (cohort, day age), the cohort's cumulative event value and the
+    * per-user LTV — the revenue twin of the `retention` matrix
+    * (retention counts who came back; this accumulates what they were
+    * worth). Value sums are exact DECIMAL before the double cast; the
+    * cumulative window partitions by cohort over O(#days) ages.
+    * Scale: two user-keyed shuffles (cohort assignment join, cohort
+    * rollup); the window runs on the O(#cohorts × #ages) rollup.
+    * Output: cohort_date, age, cohort_users, cum_value, ltv. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(col("ts").cast("date")).as("cohort_date"))
+    val sized = firsts.groupBy("cohort_date").agg(count(lit(1)).as("cohort_users"))
+    val wAge = Window.partitionBy("cohort_date").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .join(firsts, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("ts").cast("date"), col("cohort_date")).cast("bigint").as("age"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+      .withColumn("cum_value", sum(col("day_value")).over(wAge).cast("double"))
+      .join(sized, "cohort_date")
+      .select(col("cohort_date"), col("age"), col("cohort_users"),
+        col("cum_value"),
+        round(col("cum_value") / col("cohort_users"), 6).as("ltv"))
+      .orderBy("cohort_date", "age")
+  }
+
   /** Daily growth accounting — the new / retained / resurrected /
     * churned lifecycle decomposition every growth dashboard runs: per
     * day, users active for the first time, users also active the

@@ -638,6 +638,35 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding outlier audit: the 10 vectors farthest from their
+    * label centroid RELATIVE to the label's own dispersion (squared
+    * distance over mean squared distance) — the mislabeled/garbage-
+    * vector review queue (a corrupt embedding or a wrong label lands
+    * far outside its cluster's spread; dividing by dispersion keeps a
+    * naturally-wide cluster from hogging the list). Rank-based rather
+    * than a fixed ratio cut so the report is non-degenerate on any
+    * corpus geometry. Same centroid-broadcast construction as
+    * `diversity`; the top-k is a distributed TakeOrdered on the
+    * 6-dp ratio with vec_id tiebreak.
+    * Output: vec_id, label, d2, dispersion, ratio. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val v = vecs(spark, dir).persist()
+    v.count() // materialize before the centroid + distance consumers fan out
+    val cent = centroidTable(spark, v.select(col("label"), col("v")))
+    val d2 = v.join(broadcast(cent), "label")
+      .withColumn("d2",
+        round(d(col("v"), col("v")) - lit(2.0) * d(col("v"), col("centroid"))
+          + d(col("centroid"), col("centroid")), 6))
+      .select("vec_id", "label", "d2")
+    val disp = d2.groupBy("label").agg(round(avg(col("d2")), 6).as("dispersion"))
+    d2.join(broadcast(disp), "label")
+      .withColumn("ratio", round(col("d2") / col("dispersion"), 6))
+      .select("vec_id", "label", "d2", "dispersion", "ratio")
+      .orderBy(col("ratio").desc, col("vec_id"))
+      .limit(10)
+  }
+
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir).persist()
     v.count() // materialize before the assignment + band sides fan out

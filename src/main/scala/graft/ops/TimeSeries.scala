@@ -515,6 +515,32 @@ object TimeSeries {
     * the O(#days) rollup — bounded by the calendar, independent of
     * input scale; the median-slope scalar rides a 1-row broadcast
     * carrier. Output: slope, intercept, n_days, n_pairs. */
+  /** Single change-point detection over the revenue series: the split
+    * date maximizing |mean(before) − mean(after)| with both segments
+    * at least 8 observations — the binary-segmentation base step
+    * (CUSUM family). Means come from one cumulative-sum pass over the
+    * O(#days) rollup (no per-split rescan); the argmax is pinned on
+    * the 6-dp-rounded shift with earliest-date tiebreak so both
+    * engines elect the same split. Output: split_date, n_days,
+    * mean_before, mean_after, shift. */
+  def changePoint(spark: SparkSession, dir: String): DataFrame = {
+    val wPick = Window.orderBy(col("shift").desc, col("date"))
+    dailyOrderRevenue(spark, dir)
+      .withColumn("rn", row_number().over(wDate))
+      .withColumn("cum", sum(col("tvl")).over(wCum))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("tvl")).over(Window.partitionBy()))
+      .where(col("rn") >= 8 && col("n") - col("rn") >= 8)
+      .withColumn("mean_before", col("cum") / col("rn"))
+      .withColumn("mean_after", (col("total") - col("cum")) / (col("n") - col("rn")))
+      .withColumn("shift", round(abs(col("mean_before") - col("mean_after")), 6))
+      .withColumn("pick", row_number().over(wPick))
+      .where(col("pick") === 1)
+      .select(col("date").as("split_date"), col("n").as("n_days"),
+        round(col("mean_before"), 6).as("mean_before"),
+        round(col("mean_after"), 6).as("mean_after"), col("shift"))
+  }
+
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     val wDesc = Window.orderBy(col("date").desc)
     val s = dailyOrderRevenue(spark, dir)
