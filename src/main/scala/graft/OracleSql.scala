@@ -999,6 +999,28 @@ object OracleSql {
       |            ELSE 'regular' END AS segment
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** DAU/WAU/MAU: (user, day) rollup exploded to the ≤30 trailing
+    * target days (integer offsets), filtered count-distincts per
+    * target day, open end bounded by max date. */
+  val evActiveUsers: String =
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |mx AS (SELECT MAX(d) AS maxd FROM uw),
+      |ex AS (
+      |  SELECT user_id, off, d + CAST(off AS INT) AS t
+      |  FROM uw, UNNEST(range(0, 30)) AS u(off)
+      |),
+      |a AS (
+      |  SELECT t AS date,
+      |         CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT) AS dau,
+      |         CAST(COUNT(DISTINCT CASE WHEN off <= 6 THEN user_id END) AS BIGINT) AS wau,
+      |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM ex WHERE t <= (SELECT maxd FROM mx)
+      |  GROUP BY 1
+      |)
+      |SELECT date, dau, wau, mau,
+      |       ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+      |FROM a ORDER BY date""".stripMargin
+
   /** Top 3-step event-type paths: lead ×2 over the per-user ordered
     * stream, count-desc/path top-10. */
   val evPaths: String =
@@ -1703,6 +1725,40 @@ object OracleSql {
       |       COUNT(*) AS n_bigrams
       |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** CCNet tertile bucketing: the LM-score query nested, per-lang
+    * quantile_cont cutoffs (identical positional interpolation to
+    * Spark's `percentile`), head/middle/tail by comparison. */
+  val textCcnet: String =
+    s"""WITH s AS ($textLmScore),
+       |sc AS (
+       |  SELECT s.doc_id, d.lang, s.lm_score
+       |  FROM s JOIN documents d ON d.doc_id = s.doc_id
+       |),
+       |cut AS (
+       |  SELECT lang, quantile_cont(lm_score, 1.0/3) AS q33,
+       |         quantile_cont(lm_score, 2.0/3) AS q66
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT sc.doc_id, sc.lang, sc.lm_score,
+       |       CASE WHEN sc.lm_score >= cut.q66 THEN 'head'
+       |            WHEN sc.lm_score >= cut.q33 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM sc JOIN cut USING (lang) ORDER BY sc.doc_id""".stripMargin
+
+  /** Tokenizer OOV audit vs the corpus top-50 vocabulary. */
+  val textOov: String =
+    s"""WITH v AS ($textVocab),
+       |t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |a AS (
+       |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens
+       |  FROM t LEFT JOIN v ON v.tok = t.tok
+       |  GROUP BY 1
+       |)
+       |SELECT source, n_tokens, oov_tokens,
+       |       ROUND(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) AS oov_rate
+       |FROM a ORDER BY source""".stripMargin
 
   val textFingerprint: String =
     """SELECT doc_id,

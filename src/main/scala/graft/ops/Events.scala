@@ -402,6 +402,36 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Rolling active users — DAU / WAU (7-day) / MAU (30-day) plus the
+    * DAU/MAU stickiness ratio, the canonical engagement dashboard.
+    * Construction: each distinct (user, active-day) row fans out to
+    * the ≤30 target days whose trailing window it can serve (an
+    * integer-offset explode, map-side), then one count-distinct per
+    * target day — no rolling count-distinct window, which Spark can't
+    * do incrementally anyway. Open end bounded by the stream's max
+    * date so no partial-window days are fabricated.
+    *
+    * Scale: the explode multiplies the (user, day) ROLLUP (bounded by
+    * #users × #days), never the raw event stream; the count-distinct
+    * shuffles on the target day. Output: date, dau, wau, mau,
+    * stickiness. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      .withColumn("maxd", max(col("d")).over(Window.partitionBy()))
+    uw.select(col("user_id"), col("d"), col("maxd"),
+        explode(expr("sequence(0, 29)")).as("off"))
+      .withColumn("t", date_add(col("d"), col("off")))
+      .where(col("t") <= col("maxd"))
+      .groupBy(col("t").as("date"))
+      .agg(
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("off") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .withColumn("stickiness", round(col("dau").cast("double") / col("mau"), 6))
+      .orderBy("date")
+  }
+
   /** Top event-type paths: the 10 most frequent 3-step sequences
     * (trigrams over each user's time-ordered stream, event_id
     * tiebreak) — the path-mining rollup behind every Sankey/flow

@@ -786,6 +786,52 @@ object Text {
           .cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per language, documents split into
+    * head/middle/tail tertiles by LM score (head = most fluent) — the
+    * standard coarse quality stratification a curation pipeline
+    * samples differently per bucket. Tertile CUTOFFS are per-lang
+    * aggregates joined back as a bounded broadcast, NOT a corpus-wide
+    * NTILE window — at 100 TB a per-lang global window would funnel
+    * each language through one partition; two quantile scalars per
+    * lang don't. Cutoff interpolation runs on 6-dp-rounded scores
+    * with the identical positional formula in both engines.
+    * Output: doc_id, lang, lm_score, bucket. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = lmScore(spark, dir).select("doc_id", "lm_score")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val scored = docs.join(s, "doc_id")
+    val cuts = scored.groupBy("lang").agg(
+      expr("percentile(lm_score, 1.0D/3)").as("q33"),
+      expr("percentile(lm_score, 2.0D/3)").as("q66"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("lm_score") >= col("q66"), "head")
+          .when(col("lm_score") >= col("q33"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "lm_score", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer OOV audit: per source, the share of whitespace tokens
+    * NOT covered by the corpus top-50 vocabulary (`vocab`) — the
+    * coverage number tokenizer planning reads before sizing a vocab
+    * (a source with high OOV against the shared vocabulary will
+    * fragment into long byte-level sequences). One token-explode
+    * shuffle; the 50-row vocab is a broadcast probe.
+    * Output: source, n_tokens, oov_tokens, oov_rate. */
+  def oov(spark: SparkSession, dir: String): DataFrame = {
+    val v50 = vocab(spark, dir).select(col("tok"), lit(true).as("inv"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(v50), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate", round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
   /** Quality-threshold retention sweep: for each candidate quality
     * cut, how many documents and tokens would survive — the tuning
     * curve that picks a production threshold (the `nearDupSweep`

@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     // 31-row trailing-slice pairwise join + 1-row median-slope carrier
     "ts_theilsen",
     // k-row broadcast centroid table (inherited from sim_kmeans' assignment)
-    "sim_semdedup")
+    "sim_semdedup",
+    // 1-row vocabulary-size carrier (inherited from text_lm_score)
+    "text_ccnet")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
