@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document-ingest operators — the streaming twins of
+  * `graft.ops.Dedup`'s batch gates. A live corpus drop zone never
+  * re-runs batch dedup over the whole corpus per arrival; it keeps
+  * per-fingerprint keyed state and decides each document as it lands
+  * (the micro-batch mirror of `Dedup.incrementalClusters`' probe-the-
+  * materialized-state posture, at exact-hash granularity).
+  */
+object DocStreams {
+
+  /** Streaming file source over a directory of document parquet
+    * files (the drop zone). */
+  def readDocuments(spark: SparkSession, docsDir: String, schemaSource: String): DataFrame = {
+    val schema = spark.read.parquet(schemaSource).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+  }
+
+  case class DocIn(doc_id: Long, h: String)
+  case class DedupDecision(doc_id: Long, h: String, keep: Boolean)
+
+  /** Streaming exact-dedup gate — keep-first per content hash: the
+    * first arrival of a fingerprint is kept, every later arrival is
+    * flagged a duplicate. State is ONE long (the kept doc_id) per
+    * distinct fingerprint, sharded by the groupBy key — the smallest
+    * possible dedup state, and the reason this scales: a 100 TB
+    * corpus holds state proportional to DISTINCT content, not
+    * arrivals. Within a micro-batch, ties resolve by doc_id (the
+    * batch builder's min-doc_id election), so when arrivals respect
+    * doc_id order the decision stream is row-identical to
+    * `Dedup.exact` — the parity `StreamingSpec` asserts. NoTimeout:
+    * dedup state must outlive any gap (a duplicate can arrive months
+    * later); production would swap in a TTL matched to the corpus
+    * release cadence. */
+  def dedupGate(spark: SparkSession, docs: DataFrame): Dataset[DedupDecision] = {
+    import spark.implicits._
+
+    def update(h: String, batch: Iterator[DocIn],
+               state: GroupState[Long]): Iterator[DedupDecision] = {
+      var kept = state.getOption.getOrElse(-1L)
+      val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+        if (kept < 0) { kept = d.doc_id; DedupDecision(d.doc_id, h, keep = true) }
+        else DedupDecision(d.doc_id, h, keep = false)
+      }
+      state.update(kept)
+      out.iterator
+    }
+
+    docs.select(col("doc_id"), md5(col("text")).as("h")).as[DocIn]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -203,4 +203,26 @@ class StreamingSpec extends SparkSpec {
       assert(batchTop.exceptAll(streamTop).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming dedup gate decisions match the batch exact dedup") {
+    import graft.streaming.DocStreams
+    // stage the corpus as two doc_id-ordered halves — two drop-zone
+    // files, arrivals respecting ingest order
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+    val d = java.nio.file.Files.createTempDirectory("graft_docs_stream").toString
+    docs.where(col("doc_id") <= half).coalesce(1).write.parquet(s"$d/h1")
+    docs.where(col("doc_id") > half).coalesce(1).write.parquet(s"$d/h2")
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.dedupGate(spark, stream)
+      .writeStream.format("memory").queryName("ddg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ddg").select("doc_id", "h", "keep")
+      val batch = graft.ops.Dedup.exact(spark, sf).select("doc_id", "h", "keep")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
