@@ -549,6 +549,10 @@ object TimeSeries {
       .withColumn("x",
         datediff(col("date"), min(col("date")).over(Window.partitionBy())).cast("double"))
       .select(col("x"), col("tvl"))
+      .persist()
+    s.count() // 31 rows; without this the three consumers (two pair
+    // sides + the residual pass) each re-run the full-corpus rollup —
+    // measured 7× at 10× input, 2.6× with the slice cached
     val slopes = s.select(col("x").as("xa"), col("tvl").as("ya"))
       .join(s.select(col("x").as("xb"), col("tvl").as("yb")), col("xb") > col("xa"))
       .select(((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("slope"))
