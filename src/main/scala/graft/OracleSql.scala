@@ -58,6 +58,30 @@ object OracleSql {
        |)
        |SELECT date, p10, p50, p90 FROM b WHERE rn >= 31 ORDER BY date""".stripMargin
 
+  /** Historical VaR/CVaR: k = ceil(0.05·n) exact order statistic with
+    * date tiebreak, tail mean — mirroring `TimeSeries.valueAtRisk`. */
+  val tsVar: String =
+    s"""WITH $dailyPct,
+       |r AS (SELECT date, pct AS r FROM p WHERE pct IS NOT NULL),
+       |k AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         GREATEST(1, CAST(CEIL(COUNT(*) * 0.05) AS BIGINT)) AS kk
+       |  FROM r
+       |),
+       |rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, date) AS rn FROM r)
+       |SELECT k.n AS n_days, ROUND(MAX(rk.r), 6) AS var95, ROUND(AVG(rk.r), 6) AS cvar95
+       |FROM rk CROSS JOIN k WHERE rk.rn <= k.kk GROUP BY k.n""".stripMargin
+
+  /** Naive-seasonal (lag-7) forecast backtest scores. */
+  val tsForecast: String =
+    s"""WITH $dailyOrders,
+       |f AS (SELECT date, tvl, LAG(tvl, 7) OVER (ORDER BY date) AS pred FROM daily)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |       ROUND(AVG(ABS(tvl - pred)), 6) AS mae,
+       |       ROUND(SQRT(AVG((tvl - pred) * (tvl - pred))), 6) AS rmse,
+       |       ROUND(AVG(ABS(tvl - pred) / ABS(tvl)), 6) AS mape
+       |FROM f WHERE pred IS NOT NULL""".stripMargin
+
   /** Change-point: one cumulative pass, min segment 8, argmax on the
     * 6-dp shift with earliest-date tiebreak (`TimeSeries.changePoint`). */
   val tsChangepoint: String =
@@ -998,6 +1022,36 @@ object OracleSql {
       |            WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
       |            ELSE 'regular' END AS segment
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** A/B readout: above-mean-purchase-count conversion (integer-exact
+    * `np·nu > tot`), conditional one-row rollup, pooled two-proportion
+    * z NULL-guarded at pp∈{0,1} — mirroring `Events.abTest`. */
+  val evAbtest: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM events GROUP BY 1
+      |),
+      |t0 AS (SELECT CAST(SUM(np) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nu FROM u),
+      |c AS (
+      |  SELECT u.user_id,
+      |         CASE WHEN u.np * t0.nu > t0.tot THEN 1 ELSE 0 END AS conv
+      |  FROM u CROSS JOIN t0
+      |),
+      |a AS (
+      |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM c
+      |),
+      |t AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp FROM a)
+      |SELECT n_a, conv_a, ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |       n_b, conv_b, ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |       CASE WHEN pp = 0 OR pp = 1 THEN NULL
+      |            ELSE ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      |                       / SQRT(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+      |FROM t""".stripMargin
 
   /** DAU/WAU/MAU: (user, day) rollup exploded to the ≤30 trailing
     * target days (integer offsets), filtered count-distincts per

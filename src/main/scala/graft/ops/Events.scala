@@ -402,6 +402,45 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** A/B experiment readout: users hash-split into two arms (the
+    * deterministic `user_id % 2` stand-in for an assignment table),
+    * conversion = above-mean purchase count, compared integer-exactly
+    * (`np · n_users > total_purchases` — no float boundary, so the
+    * flag is bit-identical across engines and has variance at every
+    * SF, unlike "any purchase" which saturates); per-arm sizes and
+    * rates plus the pooled two-proportion z-score — the statistic an
+    * experiment platform computes before calling a winner. One user
+    * rollup, corpus totals on a 1-row broadcast carrier, then a
+    * single conditional aggregate to one row. The z is NULL-guarded
+    * for degenerate pools (0% / 100% conversion).
+    * Output: n_a, conv_a, rate_a, n_b, conv_b, rate_b, z. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val totals = perUser.agg(sum(col("np")).as("tot"), count(lit(1)).as("nu"))
+    val arms = perUser.crossJoin(totals)
+      .withColumn("conv", when(col("np") * col("nu") > col("tot"), 1L).otherwise(0L))
+      .withColumn("b", col("user_id") % 2)
+      .agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("b") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val denom = sqrt(col("p") * (lit(1.0) - col("p")) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    arms
+      .withColumn("rate_a", round(col("conv_a").cast("double") / col("n_a"), 6))
+      .withColumn("rate_b", round(col("conv_b").cast("double") / col("n_b"), 6))
+      .withColumn("p", p)
+      .withColumn("z", when(col("p") === 0.0 || col("p") === 1.0, lit(null).cast("double"))
+        .otherwise(round(
+          (col("conv_a").cast("double") / col("n_a") -
+            col("conv_b").cast("double") / col("n_b")) / denom, 6)))
+      .select("n_a", "conv_a", "rate_a", "n_b", "conv_b", "rate_b", "z")
+  }
+
   /** Rolling active users — DAU / WAU (7-day) / MAU (30-day) plus the
     * DAU/MAU stickiness ratio, the canonical engagement dashboard.
     * Construction: each distinct (user, active-day) row fans out to

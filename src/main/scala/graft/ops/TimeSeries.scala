@@ -502,19 +502,45 @@ object TimeSeries {
       .orderBy("date")
   }
 
-  /** Theil–Sen robust trend over the trailing 31 observations of the
-    * revenue series: slope = median of all pairwise slopes, intercept
-    * = median residual at that slope — the outlier-immune alternative
-    * to the OLS the `risk` family runs (a single flash-crash day
-    * drags OLS, not the pairwise-slope median). 31 rows → 465 pairs
-    * and 31 residuals, both ODD counts, so each median is an exact
-    * element (no interpolation) and the picked double is bit-identical
-    * across engines — the `ts_bands` integral-position discipline.
-    *
-    * Scale: the pairwise self-join is O(31²) on the trailing slice of
-    * the O(#days) rollup — bounded by the calendar, independent of
-    * input scale; the median-slope scalar rides a 1-row broadcast
-    * carrier. Output: slope, intercept, n_days, n_pairs. */
+  /** Historical Value-at-Risk over daily returns: the 95% VaR is the
+    * k-th SMALLEST return with k = ceil(0.05·n) — an exact order
+    * statistic (row_number with date tiebreak), not an interpolated
+    * quantile, so the picked double is bit-identical across engines —
+    * and CVaR/expected shortfall is the mean of the tail at or below
+    * it. The risk twin of `drawdown`: drawdown measures the worst
+    * realized path, VaR the return distribution's tail. One window
+    * pass over the O(#days) rollup. Output: n_days, var95, cvar95. */
+  def valueAtRisk(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.orderBy(col("r"), col("date"))
+    dailyOrderRevenue(spark, dir)
+      .withColumn("r", pctChange(col("tvl")))
+      .where(col("r").isNotNull)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("k", greatest(lit(1L), ceil(col("n") * 0.05)))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= col("k"))
+      .agg(first(col("n")).as("n_days"),
+        round(max(col("r")), 6).as("var95"),
+        round(avg(col("r")), 6).as("cvar95"))
+  }
+
+  /** Naive-seasonal forecast backtest: predict each day's revenue
+    * with the same-weekday value one week earlier (lag 7), then score
+    * MAE / RMSE / MAPE over the overlap — the baseline every real
+    * forecasting model must beat, and the backtest harness shape
+    * (prediction column + error rollup) a fancier model would reuse.
+    * One lag window over the O(#days) rollup.
+    * Output: n_obs, mae, rmse, mape. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    dailyOrderRevenue(spark, dir)
+      .withColumn("pred", lag(col("tvl"), 7).over(wDate))
+      .where(col("pred").isNotNull)
+      .withColumn("err", col("tvl") - col("pred"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(avg(abs(col("err"))), 6).as("mae"),
+        round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"),
+        round(avg(abs(col("err")) / abs(col("tvl"))), 6).as("mape"))
+
   /** Single change-point detection over the revenue series: the split
     * date maximizing |mean(before) − mean(after)| with both segments
     * at least 8 observations — the binary-segmentation base step
@@ -541,6 +567,19 @@ object TimeSeries {
         round(col("mean_after"), 6).as("mean_after"), col("shift"))
   }
 
+  /** Theil–Sen robust trend over the trailing 31 observations of the
+    * revenue series: slope = median of all pairwise slopes, intercept
+    * = median residual at that slope — the outlier-immune alternative
+    * to the OLS the `risk` family runs (a single flash-crash day
+    * drags OLS, not the pairwise-slope median). 31 rows → 465 pairs
+    * and 31 residuals, both ODD counts, so each median is an exact
+    * element (no interpolation) and the picked double is bit-identical
+    * across engines — the `ts_bands` integral-position discipline.
+    *
+    * Scale: the pairwise self-join is O(31²) on the trailing slice of
+    * the O(#days) rollup — bounded by the calendar, independent of
+    * input scale; the median-slope scalar rides a 1-row broadcast
+    * carrier. Output: slope, intercept, n_days, n_pairs. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     val wDesc = Window.orderBy(col("date").desc)
     val s = dailyOrderRevenue(spark, dir)

@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // k-row broadcast centroid table (inherited from sim_kmeans' assignment)
     "sim_semdedup",
     // 1-row vocabulary-size carrier (inherited from text_lm_score)
-    "text_ccnet")
+    "text_ccnet",
+    // 1-row purchase-total/user-count carrier (conversion threshold)
+    "ev_abtest")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
