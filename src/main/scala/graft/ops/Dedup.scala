@@ -421,6 +421,58 @@ object Dedup {
     // table AQE can't re-plan (it's cached before the loop).
     val pairCount = p.count()
     val session0 = pairs.sparkSession
+    // Driver union-find tier: below the threshold the edge list is
+    // collected and the components are solved in one O(E·α) pass on
+    // the driver — the SAME driver-side cost a broadcast hash join
+    // pays to build its relation (collect ≤ threshold rows, ship a
+    // table back out), spent once instead of O(log diameter) rounds
+    // of distributed joins with a parquet barrier each. The edge list
+    // is the DEDUP CANDIDATE set — LSH-banded and bucket-capped, so
+    // it is already orders of magnitude smaller than the corpus; a
+    // 100 TB corpus whose candidate graph exceeds the threshold takes
+    // the distributed loop below, which is the right plan there.
+    // Labels are min-id-per-component in both tiers (union always
+    // roots at the smaller id), so the output is tier-invariant.
+    val collectMax = session0.conf.getOption("graft.cluster.collectEdgesMax")
+      .map(_.toLong).getOrElse(1000000L)
+    if (pairCount <= collectMax) {
+      val it = p.select(col("doc_a"), col("doc_b")).toLocalIterator()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        math.min(math.max(16L, pairCount * 2L), Int.MaxValue / 2L).toInt)
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.get(x).longValue()
+        while (px != x) { // path halving
+          val g = parent.get(px).longValue()
+          parent.put(x, g)
+          x = g
+          px = parent.get(x).longValue()
+        }
+        x
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      p.unpersist()
+      val labels = new Array[(Long, Long, Boolean)](parent.size())
+      val keys = parent.keySet().iterator()
+      var i = 0
+      while (keys.hasNext) {
+        val id = keys.next().longValue()
+        val root = find(id)
+        labels(i) = (id, root, id == root)
+        i += 1
+      }
+      import session0.implicits._
+      val out = labels.toSeq.toDF("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id")
+      return (out, IterState.noop(session0))
+    }
     val confPart = session0.conf.get("spark.sql.shuffle.partitions").toInt
     val nPart = math.max(4, math.min(confPart, (pairCount / 5000L).toInt + 1))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -973,6 +1025,14 @@ private[graft] object IterState {
       deleteAll()
     }
   }
+
+  /** Handle for runs that kept NO on-storage state (the driver
+    * union-find tier returns a LocalRelation): release/rm are valid
+    * no-ops — the path is never created, and deleting a nonexistent
+    * path through the FileSystem API is defined to return false. */
+  def noop(session: SparkSession): Handle =
+    new Handle(s"$localTempRoot/noop_${java.util.UUID.randomUUID().toString.take(8)}",
+      session.sparkContext.hadoopConfiguration)
 
   private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Handle]()
 

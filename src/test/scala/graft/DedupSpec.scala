@@ -12,6 +12,15 @@ import graft.ops._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Pin the DISTRIBUTED loop tier: small edge lists otherwise take
+    * the driver union-find tier (`graft.cluster.collectEdgesMax`),
+    * and the loop's storage/convergence seams must stay tested. -1
+    * (not 0) so the empty-pairs edge also routes to the loop. */
+  private def forceLoopTier[A](body: => A): A = {
+    spark.conf.set("graft.cluster.collectEdgesMax", "-1")
+    try body finally spark.conf.unset("graft.cluster.collectEdgesMax")
+  }
+
   test("bucket-width cap keeps the lowest MaxBucket doc_ids per bucket") {
     val cap = Dedup.MaxBucket
     // one viral bucket of cap+6 docs, one small independent bucket
@@ -57,7 +66,7 @@ class DedupSpec extends SparkSpec {
     // O(log diameter) work
     val n = 200
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
-    val out = Dedup.clustersFromPairs(pairs)
+    val out = forceLoopTier(Dedup.clustersFromPairs(pairs))
     assert(out.count() === (n + 1).toLong)
     assert(out.where(col("cluster_id") =!= 0L).count() === 0)
     assert(out.where(col("keep")).count() === 1L)
@@ -110,9 +119,14 @@ class DedupSpec extends SparkSpec {
       edges.foreach { case (a, b) => union(a, b) }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v)).toMap
-      val got = Dedup.clustersFromPairs(edges.toDF("doc_a", "doc_b"))
+      // BOTH tiers must agree with the reference: the default path
+      // (driver union-find at these sizes) and the distributed loop
+      val gotCollect = Dedup.clustersFromPairs(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"mismatch on ${edges.size}-edge graph")
+      assert(gotCollect === expected, s"collect tier mismatch on ${edges.size}-edge graph")
+      val gotLoop = forceLoopTier(Dedup.clustersFromPairs(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(gotLoop === expected, s"loop tier mismatch on ${edges.size}-edge graph")
       spark.sharedState.cacheManager.clearCache()
     }
   }
@@ -123,7 +137,7 @@ class DedupSpec extends SparkSpec {
     // nowhere else (a driver-local temp default cannot work multi-node)
     val root = java.nio.file.Files.createTempDirectory("graft_iterdir_test").toString
     spark.conf.set("graft.cluster.iterDir", root)
-    try {
+    try forceLoopTier {
       val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
       val out = Dedup.clustersFromPairs(pairs)
       assert(out.count() === 5L)
@@ -147,7 +161,7 @@ class DedupSpec extends SparkSpec {
     // to reclaim iteration storage NOW, not at JVM exit
     val root = java.nio.file.Files.createTempDirectory("graft_release_test").toString
     spark.conf.set("graft.cluster.iterDir", root)
-    try {
+    try forceLoopTier {
       val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
       val (out, handle) = Dedup.clustersFromPairsReleasable(pairs)
       assert(out.count() === 3L) // fully consume before releasing
@@ -162,7 +176,7 @@ class DedupSpec extends SparkSpec {
   test("clusters: checkpoint dir is used when no iterDir conf is set") {
     val cp = java.nio.file.Files.createTempDirectory("graft_cp_test").toString
     spark.sparkContext.setCheckpointDir(cp)
-    try {
+    try forceLoopTier {
       assert(Dedup.clustersFromPairs(Seq((5L, 6L)).toDF("doc_a", "doc_b")).count() === 2L)
       // Spark creates a UUID subdir under the configured checkpoint
       // dir; our run dirs land inside it
