@@ -1053,6 +1053,107 @@ object OracleSql {
       |                       / SQRT(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
       |FROM t""".stripMargin
 
+  /** Power-of-2 length buckets with padding waste — mirroring
+    * `Text.lengthBuckets`' 21-row range-join dim. */
+  val textLengthBuckets: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents
+      |),
+      |dim AS (
+      |  SELECT CAST(POWER(2, k) AS BIGINT) AS bucket_lo,
+      |         CAST(POWER(2, k) AS BIGINT) * 2 - 1 AS bucket_hi
+      |  FROM (SELECT unnest(generate_series(0, 20)) AS k)
+      |),
+      |j AS (
+      |  SELECT bucket_lo, bucket_hi, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(tok) AS BIGINT) AS n_tokens
+      |  FROM toks JOIN dim ON tok >= bucket_lo AND tok <= bucket_hi
+      |  GROUP BY 1, 2
+      |)
+      |SELECT bucket_lo, bucket_hi, n_docs, n_tokens,
+      |       ROUND(CAST(n_docs * (bucket_hi + 1) - n_tokens AS DOUBLE)
+      |             / (n_docs * (bucket_hi + 1)), 6) AS pad_waste
+      |FROM j ORDER BY bucket_lo""".stripMargin
+
+  /** Integerized temperature rebalancing: epochs = min(4, ⌈Tmax/Ts⌉)
+    * fanout per doc — mirroring `Text.epochMix`. */
+  val textEpochMix: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |),
+      |s AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS t FROM d GROUP BY 1),
+      |mx AS (SELECT MAX(t) AS tm FROM s),
+      |e AS (SELECT source, LEAST(4, (tm + t - 1) // t) AS epochs FROM s CROSS JOIN mx)
+      |SELECT d.doc_id, d.source, CAST(u.epoch AS BIGINT) AS epoch
+      |FROM d JOIN e USING (source), UNNEST(generate_series(1, e.epochs)) AS u(epoch)
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  /** Top-20 brand pairs by lift with min support 3, order-key
+    * self-join pair enumeration — mirroring `Relational.basket`. */
+  val relBasket: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob),
+      |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM ob GROUP BY 1),
+      |p2 AS (
+      |  SELECT a.b AS brand_a, b2.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM ob a JOIN ob b2 ON a.o = b2.o AND a.b < b2.b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT brand_a, brand_b, n_ab,
+      |       ROUND(CAST(n_ab AS DOUBLE) * n.n / (ca.cb * cb2.cb), 6) AS lift
+      |FROM p2
+      |JOIN c ca ON p2.brand_a = ca.b
+      |JOIN c cb2 ON p2.brand_b = cb2.b
+      |CROSS JOIN n
+      |WHERE n_ab >= 3
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
+  /** Gini + top-decile share on the GROUPED activity distribution
+    * (rank-sum per tie-group: m·below + m(m+1)/2), HUGEINT exact —
+    * mirroring `Events.gini`'s DECIMAL accumulation. */
+  val evGini: String =
+    """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |bc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+      |cum AS (
+      |  SELECT c, m,
+      |         CAST(COALESCE(SUM(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+      |         CAST(SUM(m) OVER () AS BIGINT) AS n,
+      |         CAST(SUM(c * m) OVER () AS BIGINT) AS t
+      |  FROM bc
+      |),
+      |ext AS (SELECT *, (n + 9) // 10 AS k, n - below - m AS above FROM cum),
+      |agg AS (
+      |  SELECT MAX(n) AS n_users, MAX(t) AS total_events, MAX(k) AS top10_users,
+      |         SUM(CAST(c AS HUGEINT) * (CAST(m AS HUGEINT) * below + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS s,
+      |         SUM(CAST(GREATEST(0, LEAST(m, k - above)) AS HUGEINT) * c) AS top_ev
+      |  FROM ext
+      |)
+      |SELECT n_users, total_events,
+      |       ROUND(CAST(2 * s - (CAST(n_users AS HUGEINT) + 1) * total_events AS DOUBLE)
+      |             / CAST(CAST(n_users AS HUGEINT) * total_events AS DOUBLE), 6) AS gini,
+      |       top10_users,
+      |       ROUND(CAST(top_ev AS DOUBLE) / total_events, 6) AS top10_share
+      |FROM agg""".stripMargin
+
+  /** Peak trailing-1h event rate per user, top-5 — integer-micros
+    * RANGE frame mirroring `Events.burst`. */
+  val evBurst: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS in_hour
+      |  FROM e
+      |),
+      |a AS (SELECT user_id, MAX(in_hour) AS burst_1h, CAST(COUNT(*) AS BIGINT) AS n_events
+      |      FROM w GROUP BY 1)
+      |SELECT user_id, burst_1h, n_events FROM a
+      |ORDER BY burst_1h DESC, user_id LIMIT 5""".stripMargin
+
   /** DAU/WAU/MAU: (user, day) rollup exploded to the ≤30 trailing
     * target days (integer offsets), filtered count-distincts per
     * target day, open end bounded by max date. */

@@ -556,4 +556,65 @@ object Events {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("date")
   }
+
+  /** Activity-concentration audit: Gini coefficient of per-user event
+    * counts plus the top-decile share — "do 10% of users generate 90%
+    * of the traffic", the skew number capacity planning and abuse
+    * detection both start from.
+    *
+    * Scale shape: the rank-weighted sum Σ rank·c is computed on the
+    * GROUPED distribution (one row per distinct activity level, with
+    * multiplicity) — ranks within a tie-group are consecutive, so the
+    * group contributes m·below + m(m+1)/2 ranks exactly, and the only
+    * window runs over O(#distinct activity levels) rows, never
+    * O(#users). Tie order cannot affect the sum (c is constant within
+    * a group), so no per-user tiebreak is needed at all. Accumulation
+    * in DECIMAL(38,0) — Σ rank·c overflows BIGINT near 10^9 users ×
+    * 10^2 events (the ADVICE-r6 checksum lesson).
+    * Output: n_users, total_events, gini, top10_users, top10_share. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val byCount = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+    val wAsc = Window.orderBy("c")
+    val cum = byCount
+      .withColumn("below",
+        coalesce(sum(col("m")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy()))
+      .withColumn("t", sum(col("c") * col("m")).over(Window.partitionBy()))
+      .withColumn("k", expr("(n + 9) div 10"))
+      .withColumn("above", col("n") - col("below") - col("m"))
+      .withColumn("take", greatest(lit(0L), least(col("m"), col("k") - col("above"))))
+    cum.agg(
+        first(col("n")).as("n_users"),
+        first(col("t")).as("total_events"),
+        first(col("k")).as("top10_users"),
+        sum(expr("cast(c as decimal(20,0)) * (cast(m as decimal(20,0)) * cast(below as decimal(20,0))" +
+          " + cast(m * (m + 1) div 2 as decimal(20,0)))")).as("s"),
+        sum(expr("cast(take as decimal(20,0)) * cast(c as decimal(20,0))")).as("top_ev"))
+      .select(col("n_users"), col("total_events"),
+        round(expr("cast(2 * s - (cast(n_users as decimal(20,0)) + 1) * cast(total_events as decimal(20,0)) as double)" +
+          " / cast(cast(n_users as decimal(20,0)) * cast(total_events as decimal(20,0)) as double)"), 6).as("gini"),
+        col("top10_users"),
+        round(expr("cast(top_ev as double) / cast(total_events as double)"), 6).as("top10_share"))
+  }
+
+  /** Burst detection: each user's peak event rate — the maximum event
+    * count inside any trailing 1-hour window — surfaced as the top-5
+    * burstiest users. The per-user RANGE window on microsecond epochs
+    * is bounded by that user's events (never global), and the window
+    * bound is integer micros so both engines see the identical frame
+    * (epoch seconds would disagree on sub-second truncation).
+    * Output: user_id, burst_1h, n_events. */
+  def burst(spark: SparkSession, dir: String): DataFrame = {
+    val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-(3600L * 1000000 - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("in_hour", count(lit(1)).over(wRange))
+      .groupBy("user_id")
+      .agg(max(col("in_hour")).as("burst_1h"), count(lit(1)).as("n_events"))
+      .orderBy(col("burst_1h").desc, col("user_id"))
+      .limit(5)
+  }
 }

@@ -536,4 +536,38 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("start")
   }
+
+  /** Market-basket affinity: top-20 brand pairs by lift =
+    * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
+    * association-mining readout behind "bought together" views. The
+    * pair enumeration is a self-join ON THE ORDER KEY, so fanout per
+    * order is C(k,2) with k = distinct brands in that order — bounded
+    * by basket size, never O(#brands²) globally; brand totals join
+    * back on the small brand dim and the order count rides a 1-row
+    * broadcast carrier. All lift inputs are exact longs < 2^53, so
+    * the rounded double is bit-identical across engines.
+    * Output: brand_a, brand_b, n_ab, lift. */
+  def basket(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+      .persist() // three consumers: order count, brand totals, pair join
+    val nOrders = ob.agg(count_distinct(col("o")).as("n"))
+    val brandC = ob.groupBy("b").agg(count(lit(1)).as("cb"))
+    ob.select(col("o"), col("b").as("brand_a"))
+      .join(ob.select(col("o"), col("b").as("brand_b")), "o")
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+      .join(broadcast(brandC.select(col("b").as("brand_a"), col("cb").as("ca"))), "brand_a")
+      .join(broadcast(brandC.select(col("b").as("brand_b"), col("cb").as("cb"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        round(col("n_ab").cast("double") * col("n") / (col("ca") * col("cb")), 6))
+      .select("brand_a", "brand_b", "n_ab", "lift")
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
 }

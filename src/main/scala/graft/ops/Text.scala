@@ -902,4 +902,54 @@ object Text {
         col("n_docs"), col("n_tokens"))
       .orderBy("stage")
   }
+
+  /** Length-bucketed batching audit: docs binned to power-of-2 token
+    * buckets [2^k, 2^(k+1)), with the padding waste a batcher padding
+    * every doc to the bucket's upper bound would pay — the number
+    * serving/training batch planners use to pick bucket boundaries.
+    * The bucket dim is 21 broadcast rows (2^0..2^20) range-joined to
+    * the token counts; `pow(2,k)` is double-exact at these magnitudes
+    * so the bounds are integer-identical across engines. Waste inputs
+    * are exact longs < 2^53 → the rounded ratio is bit-identical.
+    * Output: bucket_lo, bucket_hi, n_docs, n_tokens, pad_waste. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("tok"))
+    val dim = spark.sql("SELECT explode(sequence(0, 20)) AS k")
+      .select(expr("cast(pow(2, k) as bigint)").as("bucket_lo"))
+      .withColumn("bucket_hi", col("bucket_lo") * 2 - 1)
+    toks.join(broadcast(dim),
+        col("tok") >= col("bucket_lo") && col("tok") <= col("bucket_hi"))
+      .groupBy("bucket_lo", "bucket_hi")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("pad_waste", round(
+        (col("n_docs") * (col("bucket_hi") + 1) - col("n_tokens")).cast("double") /
+          (col("n_docs") * (col("bucket_hi") + 1)), 6))
+      .orderBy("bucket_lo")
+  }
+
+  /** Temperature-style source rebalancing, integerized: each source
+    * repeats for epochs = min(4, ⌈T_max / T_s⌉) passes (small sources
+    * up-sampled toward the largest source's token count — the mT5
+    * temperature-sampling idea with exact integer arithmetic, no float
+    * boundary), and every doc fans out to its source's epoch indexes.
+    * The complement of `text_resample_mix` (which down-samples to a
+    * budget): together they are the mixture-rebalancing pair a
+    * training-data pipeline runs before packing. Source totals are a
+    * 20-row broadcast; the fanout is explode(sequence(1, epochs)) —
+    * bounded ×4, map-side. Output: doc_id, source, epoch. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+    val srcTot = d.groupBy("source").agg(sum(col("n_toks")).as("t"))
+    val tMax = srcTot.agg(max(col("t")).as("tm"))
+    val epochs = srcTot.crossJoin(broadcast(tMax))
+      .select(col("source"),
+        least(lit(4L), expr("(tm + t - 1) div t")).as("epochs"))
+    d.join(broadcast(epochs), "source")
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
 }

@@ -61,7 +61,13 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row vocabulary-size carrier (inherited from text_lm_score)
     "text_ccnet",
     // 1-row purchase-total/user-count carrier (conversion threshold)
-    "ev_abtest")
+    "ev_abtest",
+    // 1-row order-count carrier (lift denominator)
+    "rel_basket",
+    // 21-row power-of-2 bucket dim range join
+    "text_length_buckets",
+    // 1-row max-source-tokens carrier (epoch factor)
+    "text_epoch_mix")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
