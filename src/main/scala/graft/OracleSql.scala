@@ -82,6 +82,36 @@ object OracleSql {
        |       ROUND(AVG(ABS(tvl - pred) / ABS(tvl)), 6) AS mape
        |FROM f WHERE pred IS NOT NULL""".stripMargin
 
+  /** STL-shaped decomposition in integer cents: exact window sums,
+    * float only in final divisions — mirroring `TimeSeries.stl`. */
+  val tsStl: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT date, c,
+      |         CAST(COUNT(*) OVER f AS BIGINT) AS nw,
+      |         CAST(SUM(c) OVER f AS BIGINT) AS s7
+      |  FROM daily
+      |  WINDOW f AS (ORDER BY date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |),
+      |b AS (SELECT *, 7 * c - s7 AS detr7 FROM w WHERE nw = 7),
+      |d AS (
+      |  SELECT *,
+      |         CAST(SUM(detr7) OVER dw AS BIGINT) AS sdow,
+      |         CAST(COUNT(*) OVER dw AS BIGINT) AS cnt
+      |  FROM b
+      |  WINDOW dw AS (PARTITION BY date_part('dow', date))
+      |)
+      |SELECT date,
+      |       ROUND(CAST(c AS DOUBLE) / 100, 6) AS tvl,
+      |       ROUND(CAST(s7 AS DOUBLE) / 700, 6) AS trend,
+      |       ROUND(CAST(sdow AS DOUBLE) / (700 * cnt), 6) AS seasonal,
+      |       ROUND(CAST(detr7 AS DOUBLE) / 700 - CAST(sdow AS DOUBLE) / (700 * cnt), 6) AS resid
+      |FROM d ORDER BY date""".stripMargin
+
   /** Change-point: one cumulative pass, min segment 8, argmax on the
     * 6-dp shift with earliest-date tiebreak (`TimeSeries.changePoint`). */
   val tsChangepoint: String =
@@ -2593,6 +2623,30 @@ object OracleSql {
     s"""WITH $knnGraphCtes
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  /** Leave-one-out kNN majority-vote accuracy per label over the
+    * shared kNN-graph edge set — mirroring `Similarity.knnClassify`. */
+  val simKnnClassify: String =
+    s"""WITH $knnGraphCtes,
+       |g AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+       |nb AS (
+       |  SELECT g.vec_id, CAST(e.label AS BIGINT) AS nbr_label,
+       |         CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM g JOIN embeddings e ON g.nbr_id = e.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |pred AS (
+       |  SELECT vec_id, nbr_label AS pred
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                    ORDER BY votes DESC, nbr_label) AS rn FROM nb)
+       |  WHERE rn = 1
+       |)
+       |SELECT CAST(e.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       |       ROUND(CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*), 6) AS acc
+       |FROM pred p JOIN embeddings e USING (vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** PageRank over the kNN graph: five unrolled synchronous damped
     * iterations with the dangling-mass term, the identical arithmetic

@@ -684,4 +684,31 @@ object Similarity {
         col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy("vec_id")
   }
+
+  /** Leave-one-out kNN label accuracy — the standard embedding-quality
+    * eval: predict each vector's label by majority vote of its 3
+    * nearest in-cell neighbors (`knnGraph`'s edge set), tiebreak on
+    * the smaller label, and score accuracy per true label. A vector
+    * whose cell holds no other member gets no prediction and drops
+    * from the denominator (the classifiable subset, stated in the
+    * output's n). Costs are the knn graph's (per-cell self-join,
+    * width-capped) plus two label-dim hash joins — nothing beyond the
+    * graph build. Output: label, n, correct, acc. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val wVote = Window.partitionBy("vec_id").orderBy(col("votes").desc, col("nbr_label"))
+    val pred = knnGraph(spark, dir)
+      .join(labels.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")), "nbr_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wVote))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("nbr_label").as("pred"))
+    pred.join(labels, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .withColumn("acc", round(col("correct").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
 }

@@ -541,6 +541,41 @@ object TimeSeries {
         round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"),
         round(avg(abs(col("err")) / abs(col("tvl"))), 6).as("mape"))
 
+  /** Additive seasonal decomposition (STL-shaped): trend = centered
+    * 7-day moving mean (full-window gated), seasonal = per-day-of-week
+    * mean of the detrended series, residual = the rest — the classic
+    * trend/seasonal/remainder split a forecaster inspects before
+    * modeling. ALL aggregation runs in integer CENTS (the 2-dp revenue
+    * is exact in cents), so every sum is order-insensitive and exact
+    * regardless of Spark's frame recompute vs DuckDB's segment tree —
+    * the `ts_moving_avg` association problem engineered away rather
+    * than rounded away (it had to coarsen to 2 dp; this stays at 6).
+    * The only float ops are final divisions of exact integers < 2^53,
+    * identical IEEE in both engines. The day-of-week window partitions
+    * the O(#days) rollup 7 ways. Output: date, tvl, trend, seasonal,
+    * resid. */
+  def stl(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("date"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")).as("c"))
+    val w7 = Window.orderBy("date").rowsBetween(-3, 3)
+    val wDow = Window.partitionBy(dayofweek(col("date")))
+    val seasonalCol = col("sdow").cast("double") / (lit(700L) * col("cnt"))
+    daily
+      .withColumn("nw", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("c")).over(w7))
+      .where(col("nw") === 7)
+      .withColumn("detr7", lit(7L) * col("c") - col("s7"))
+      .withColumn("sdow", sum(col("detr7")).over(wDow))
+      .withColumn("cnt", count(lit(1)).over(wDow))
+      .select(col("date"),
+        round(col("c").cast("double") / 100, 6).as("tvl"),
+        round(col("s7").cast("double") / 700, 6).as("trend"),
+        round(seasonalCol, 6).as("seasonal"),
+        round(col("detr7").cast("double") / 700 - seasonalCol, 6).as("resid"))
+      .orderBy("date")
+  }
+
   /** Single change-point detection over the revenue series: the split
     * date maximizing |mean(before) − mean(after)| with both segments
     * at least 8 observations — the binary-segmentation base step
