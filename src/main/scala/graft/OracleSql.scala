@@ -1119,6 +1119,54 @@ object OracleSql {
       |FROM d JOIN e USING (source), UNNEST(generate_series(1, e.epochs)) AS u(epoch)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** ABC/Pareto classification in integer ten-thousandths with
+    * integer threshold compares — mirroring `Relational.abcPareto`. */
+  val relAbcPareto: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS r4
+      |  FROM lineitem GROUP BY 1
+      |),
+      |t AS (SELECT CAST(SUM(r4) AS BIGINT) AS t FROM pp),
+      |c AS (
+      |  SELECT l_partkey, r4, t.t,
+      |         CAST(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM pp CROSS JOIN t
+      |),
+      |k AS (
+      |  SELECT *, CASE WHEN cum * 5 <= t * 4 THEN 'A'
+      |                 WHEN cum * 20 <= t * 19 THEN 'B'
+      |                 ELSE 'C' END AS abc_class
+      |  FROM c
+      |)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |       ROUND(CAST(SUM(r4) AS DOUBLE) / 10000, 6) AS revenue,
+      |       ROUND(CAST(SUM(r4) AS DOUBLE) / t, 6) AS share
+      |FROM k GROUP BY abc_class, t ORDER BY abc_class""".stripMargin
+
+  /** p-chart daily error-rate control limits with pooled center —
+    * mirroring `Events.errorSpc`. */
+  val evErrorSpc: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+      |  FROM events GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_err) AS BIGINT) AS te FROM daily),
+      |x AS (
+      |  SELECT d.*, CAST(te AS DOUBLE) / tn AS pbar,
+      |         SQRT((CAST(te AS DOUBLE) / tn) * (1 - CAST(te AS DOUBLE) / tn) / d.n) AS se,
+      |         CAST(n_err AS DOUBLE) / d.n AS rate
+      |  FROM daily d CROSS JOIN tot
+      |)
+      |SELECT date, n, n_err, ROUND(rate, 6) AS rate,
+      |       ROUND(pbar + 3.0 * se, 6) AS ucl,
+      |       ROUND(GREATEST(0.0, pbar - 3.0 * se), 6) AS lcl,
+      |       (rate > pbar + 3.0 * se OR rate < GREATEST(0.0, pbar - 3.0 * se)) AS oob
+      |FROM x ORDER BY date""".stripMargin
+
   /** Top-20 brand pairs by lift with min support 3, order-key
     * self-join pair enumeration — mirroring `Relational.basket`. */
   val relBasket: String =
@@ -2311,6 +2359,43 @@ object OracleSql {
        |)
        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |FROM hm WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Applied pHash dedup decision over media: Hamming≤2 pairs through
+    * the same recursive component fixpoint as `dedupApply` —
+    * mirroring `Multimodal.dedupApply`. */
+  val mmDedupApply: String = {
+    val ham = "bit_count(xor(CAST(a.sig64 AS BIT), CAST(b.sig64 AS BIT)))"
+    s"""WITH RECURSIVE $mmPhashCtes,
+       |bands0 AS (
+       |  SELECT doc_id, 0 AS b, substr(sig64, 1, 22) AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, substr(sig64, 23, 21) FROM sig
+       |  UNION ALL SELECT doc_id, 2, substr(sig64, 44, 21) FROM sig
+       |),
+       |bands AS (
+       |  SELECT doc_id, b, key FROM bands0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b, key ORDER BY doc_id) <= ${ops.Dedup.MaxBucket}
+       |),
+       |cand0 AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |cand AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand0 c
+       |  JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b
+       |  WHERE ($ham) <= 2
+       |),
+       |$clusterCtes,
+       |cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |  FROM reach GROUP BY id
+       |)
+       |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       |       CAST(octet_length(from_hex(md5(d.text))) AS BIGINT) AS n_bytes
+       |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |WHERE COALESCE(cl.keep, TRUE)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------- similarity

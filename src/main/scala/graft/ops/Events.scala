@@ -599,6 +599,33 @@ object Events {
         round(expr("cast(top_ev as double) / cast(total_events as double)"), 6).as("top10_share"))
   }
 
+  /** p-chart statistical process control over the daily error rate:
+    * center line p̄ = Σerr/Σn (pooled), limits p̄ ± 3·√(p̄(1−p̄)/n_t)
+    * per day (variable subgroup size), out-of-control flag on the RAW
+    * comparison (both engines compute the identical doubles from
+    * exact integer counts, so the flag cannot flap across engines) —
+    * the standard ops-monitoring chart for a proportion metric. One
+    * day rollup; the pooled center rides a 1-row broadcast carrier.
+    * Output: date, n, n_err, rate, ucl, lcl, oob. */
+  def errorSpc(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("date"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val tot = daily.agg(sum(col("n")).as("tn"), sum(col("n_err")).as("te"))
+    val pbar = col("te").cast("double") / col("tn")
+    val se = sqrt(pbar * (lit(1.0) - pbar) / col("n"))
+    val rate = col("n_err").cast("double") / col("n")
+    daily.crossJoin(broadcast(tot))
+      .select(col("date"), col("n"), col("n_err"),
+        round(rate, 6).as("rate"),
+        round(pbar + lit(3.0) * se, 6).as("ucl"),
+        round(greatest(lit(0.0), pbar - lit(3.0) * se), 6).as("lcl"),
+        (rate > pbar + lit(3.0) * se ||
+          rate < greatest(lit(0.0), pbar - lit(3.0) * se)).as("oob"))
+      .orderBy("date")
+  }
+
   /** Burst detection: each user's peak event rate — the maximum event
     * count inside any trailing 1-hour window — surfaced as the top-5
     * burstiest users. The per-user RANGE window on microsecond epochs

@@ -177,4 +177,23 @@ object Multimodal {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The deduplicated MEDIA corpus — pHash near-dup pairs fed through
+    * the identical component/keeper machinery as text near-dup
+    * (`Dedup.clustersFromPairs`, driver union-find tier included):
+    * media in no pair survive as their own cluster, paired media
+    * survive only as the min-id keeper. This closes the multimodal
+    * loop: signature → banded pairing → clusters → applied decision,
+    * all shared with the text path. Output: doc_id, cluster_id,
+    * n_bytes (stub payload size, as in `mm_meta`). */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Dedup.clustersFromPairs(phashPairs(spark, dir).select("doc_a", "doc_b"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"))
+      .join(cl.select("doc_id", "cluster_id", "keep"), Seq("doc_id"), "left")
+      .where(coalesce(col("keep"), lit(true)))
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
 }

@@ -537,6 +537,40 @@ object Relational {
       .orderBy("start")
   }
 
+  /** ABC / Pareto inventory classification: parts ranked by revenue,
+    * class A = parts covering the first 80% of cumulative revenue,
+    * B = next 15%, C = the tail — the 80/20 analysis behind stocking
+    * and curation priority calls. Revenue is carried as INTEGER
+    * ten-thousandths (the decimal(·,4) revenue is exact there), so
+    * the cumulative sum is order-insensitive-exact and the class
+    * thresholds are integer comparisons (5·cum ≤ 4·total), never a
+    * float share boundary; headroom to ~4.6e13 revenue units before
+    * the ×20 compare would need a DECIMAL widening. The rank window
+    * runs over the O(#parts) DIM rollup (bounded), not lineitem.
+    * Output: abc_class, n_parts, revenue, share. */
+  def abcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg((sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        * lit(10000)).cast("bigint").as("r4"))
+    val tot = perPart.agg(sum(col("r4")).as("t"))
+    val wCum = Window.orderBy(col("r4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("r4")).over(wCum))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("t") * 4, "A")
+          .when(col("cum") * 20 <= col("t") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("r4")).as("rr"), first(col("t")).as("t"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("rr").cast("double") / 10000, 6).as("revenue"),
+        round(col("rr").cast("double") / col("t"), 6).as("share"))
+      .orderBy("abc_class")
+  }
+
   /** Market-basket affinity: top-20 brand pairs by lift =
     * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
     * association-mining readout behind "bought together" views. The

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     * constituent operators instead. */
   private val executesAtConstruction = Set(
     "dedup_clusters", "dedup_apply", "text_curate",
-    "sim_clusters", "sim_clusters_loose",
+    "sim_clusters", "sim_clusters_loose", "mm_dedup_apply",
     "ts_drawdown", "ts_drawdown_by_segment")
 
   /** Bounded-broadcast nested loops, each justified at the operator:
@@ -67,7 +67,11 @@ class PlanAuditSpec extends SparkSpec {
     // 21-row power-of-2 bucket dim range join
     "text_length_buckets",
     // 1-row max-source-tokens carrier (epoch factor)
-    "text_epoch_mix")
+    "text_epoch_mix",
+    // 1-row pooled-rate carrier (p-chart center line)
+    "ev_error_spc",
+    // 1-row total-revenue carrier (ABC thresholds)
+    "rel_abc_pareto")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
