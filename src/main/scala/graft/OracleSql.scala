@@ -1146,6 +1146,55 @@ object OracleSql {
       |       ROUND(CAST(SUM(r4) AS DOUBLE) / t, 6) AS share
       |FROM k GROUP BY abc_class, t ORDER BY abc_class""".stripMargin
 
+  /** Wilson-lower-bound supplier return-rate ranking (z = 1.96 as a
+    * runtime product in BOTH engines) — mirroring
+    * `Relational.supplierScore`. */
+  val relSupplierScore: String =
+    """WITH s AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+      |  FROM lineitem GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT l_suppkey, n_items, n_returns,
+      |         CAST(n_returns AS DOUBLE) / n_items AS p,
+      |         CAST(n_items AS DOUBLE) AS nd
+      |  FROM s
+      |)
+      |SELECT w.l_suppkey AS s_suppkey, sup.s_name, n_items, n_returns,
+      |       ROUND(p, 6) AS return_rate,
+      |       ROUND((p + (1.96 * 1.96) / (2.0 * nd)
+      |              - 1.96 * SQRT(p * (1 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd)))
+      |             / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_low
+      |FROM w JOIN supplier sup ON w.l_suppkey = sup.s_suppkey
+      |ORDER BY wilson_low DESC, s_suppkey LIMIT 10""".stripMargin
+
+  /** First-signup → first-subsequent-purchase gap: exact
+    * integral-position order statistics + integer-sum mean —
+    * mirroring `Events.timeToConvert`. */
+  val evTtc: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |g AS (
+      |  SELECT e.user_id, CAST(MIN(epoch_us(e.ts) - su.t0) AS BIGINT) AS gap
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.t0
+      |  GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT gap,
+      |         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |         ROW_NUMBER() OVER (ORDER BY gap, user_id) AS rn
+      |  FROM g
+      |)
+      |SELECT MAX(n) AS n_users,
+      |       ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) / 1e6, 6) AS median_s,
+      |       ROUND(MAX(CASE WHEN rn = GREATEST(1, (9 * n) // 10) THEN gap END) / 1e6, 6) AS p90_s,
+      |       ROUND(CAST(SUM(gap) AS DOUBLE) / MAX(n) / 1e6, 6) AS mean_s
+      |FROM r""".stripMargin
+
   /** p-chart daily error-rate control limits with pooled center —
     * mirroring `Events.errorSpc`. */
   val evErrorSpc: String =

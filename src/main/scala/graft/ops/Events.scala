@@ -626,6 +626,37 @@ object Events {
       .orderBy("date")
   }
 
+  /** Time-to-convert: per user, the gap from first signup to the
+    * first purchase AT OR AFTER it, summarized as lower median / p90
+    * / mean seconds. Both quantiles are EXACT order statistics at
+    * integral positions by construction — lower median = element
+    * (n+1) div 2, p90 = element max(1, (9n) div 10) in (gap, user_id)
+    * order — so no interpolation and no float position, the
+    * `ts_bands` discipline applied to a data-dependent n. The mean
+    * divides an exact integer micros sum. Per-user mins are one
+    * keyed rollup; the rank window runs over the O(#converting-users)
+    * gap rollup. Output: n_users, median_s, p90_s, mean_s. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+    val gaps = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      .join(su, "user_id")
+      .where(col("tp") >= col("t0"))
+      .groupBy("user_id").agg((min(col("tp") - col("t0"))).as("gap"))
+    val wRank = Window.orderBy(col("gap"), col("user_id"))
+    gaps
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("med_pos", expr("(n + 1) div 2"))
+      .withColumn("p90_pos", greatest(lit(1L), expr("(9 * n) div 10")))
+      .agg(first(col("n")).as("n_users"),
+        round(max(when(col("rn") === col("med_pos"), col("gap"))) / 1e6, 6).as("median_s"),
+        round(max(when(col("rn") === col("p90_pos"), col("gap"))) / 1e6, 6).as("p90_s"),
+        round(sum(col("gap")).cast("double") / first(col("n")) / 1e6, 6).as("mean_s"))
+  }
+
   /** Burst detection: each user's peak event rate — the maximum event
     * count inside any trailing 1-hour window — surfaced as the top-5
     * burstiest users. The per-user RANGE window on microsecond epochs

@@ -571,6 +571,42 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  /** Supplier quality scorecard: return rate per supplier ranked by
+    * the WILSON LOWER BOUND (z = 1.96) rather than the raw rate — the
+    * small-sample-honest ranking (a 2/2 supplier must not outrank a
+    * 90/100 one), the same statistic review-sorting uses. All inputs
+    * to the float expression are exact integer counts, so the bound
+    * is bit-identical across engines; ranking pins on the 6-dp bound
+    * with supplier-key tiebreak. One lineitem rollup keyed by
+    * supplier; no joins beyond the final name lookup on the supplier
+    * dim (broadcast). Output: s_suppkey, s_name, n_items, n_returns,
+    * return_rate, wilson_low. */
+  def supplierScore(spark: SparkSession, dir: String): DataFrame = {
+    // z² as a RUNTIME column op (1.96 * 1.96), not a Scala constant:
+    // the oracle writes the same product, so both engines evaluate
+    // the identical IEEE multiply instead of comparing a compile-time
+    // constant against a parsed decimal literal
+    val z = lit(1.96)
+    val z2 = z * z
+    val p = col("n_returns").cast("double") / col("n_items")
+    val nD = col("n_items").cast("double")
+    val low = (p + z2 / (lit(2.0) * nD) -
+      z * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))) / (lit(1.0) + z2 / nD)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
+      .withColumn("return_rate", round(p, 6))
+      .withColumn("wilson_low", round(low, 6))
+      .join(broadcast(Tables.supplier(spark, dir).select(
+        col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("n_items"), col("n_returns"), col("return_rate"), col("wilson_low"))
+      .orderBy(col("wilson_low").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
   /** Market-basket affinity: top-20 brand pairs by lift =
     * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
     * association-mining readout behind "bought together" views. The
