@@ -1195,6 +1195,34 @@ object OracleSql {
       |       ROUND(CAST(SUM(gap) AS DOUBLE) / MAX(n) / 1e6, 6) AS mean_s
       |FROM r""".stripMargin
 
+  /** Q4-shaped EXISTS-over-fact late-order tally — mirroring
+    * `Relational.lateOrders`. */
+  val relLateOrders: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+      |)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Days-since-last-activity buckets off a 1-row max-date carrier —
+    * mirroring `Events.dormancy`. */
+  val evDormancy: String =
+    """WITH la AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d FROM events GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS max_d FROM la),
+      |g AS (SELECT user_id, date_diff('day', last_d, max_d) AS gap FROM la CROSS JOIN mx),
+      |b AS (
+      |  SELECT CASE WHEN gap = 0 THEN '0_today' WHEN gap <= 7 THEN '1_week'
+      |              WHEN gap <= 30 THEN '2_month' ELSE '3_dormant' END AS bucket,
+      |         CASE WHEN gap = 0 THEN 0 WHEN gap <= 7 THEN 1
+      |              WHEN gap <= 30 THEN 8 ELSE 31 END AS lo_days
+      |  FROM g
+      |)
+      |SELECT bucket, CAST(lo_days AS BIGINT) AS lo_days, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM b GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   /** p-chart daily error-rate control limits with pooled center —
     * mirroring `Events.errorSpc`. */
   val evErrorSpc: String =
@@ -2454,6 +2482,23 @@ object OracleSql {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))"
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+  }
+
+  /** Per-label norm audit with a decimal-exact mean of 6-dp-rounded
+    * norms — mirroring `Similarity.normAudit`. */
+  val simNormAudit: String = {
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
+    s"""WITH n AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         ROUND(SQRT($dotSelf), 6) AS n6
+       |  FROM embeddings
+       |)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(n6) AS min_norm, MAX(n6) AS max_norm,
+       |       ROUND(CAST(SUM(CAST(n6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val simTopK: String =

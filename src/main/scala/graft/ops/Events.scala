@@ -626,6 +626,31 @@ object Events {
       .orderBy("date")
   }
 
+  /** Dormancy distribution: users bucketed by days since their last
+    * activity, as of the corpus max date — the re-engagement
+    * segmentation (active / lapsing / dormant / churned) a lifecycle
+    * campaign keys on. Integer day arithmetic only; the max date
+    * rides a 1-row broadcast carrier (never a window over the user
+    * rollup). Output: bucket, lo_days, n_users. */
+  def dormancy(spark: SparkSession, dir: String): DataFrame = {
+    val lastAct = Tables.events(spark, dir)
+      .groupBy("user_id").agg(max(col("ts").cast("date")).as("last_d"))
+    val maxD = lastAct.agg(max(col("last_d")).as("max_d"))
+    lastAct.crossJoin(broadcast(maxD))
+      .withColumn("gap", datediff(col("max_d"), col("last_d")))
+      .withColumn("bucket",
+        when(col("gap") === 0, "0_today")
+          .when(col("gap") <= 7, "1_week")
+          .when(col("gap") <= 30, "2_month")
+          .otherwise("3_dormant"))
+      .withColumn("lo_days",
+        when(col("gap") === 0, 0L).when(col("gap") <= 7, 1L)
+          .when(col("gap") <= 30, 8L).otherwise(31L))
+      .groupBy("bucket", "lo_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("bucket")
+  }
+
   /** Time-to-convert: per user, the gap from first signup to the
     * first purchase AT OR AFTER it, summarized as lower median / p90
     * / mean seconds. Both quantiles are EXACT order statistics at

@@ -571,6 +571,24 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  /** TPC-H Q4-shaped priority tally: orders with at least one LATE
+    * line item (shipped > 90 days after the order date), counted by
+    * priority — the EXISTS-over-fact semi-join shape (the dim-side
+    * semi join is `rel_semi_join`; this one's probe side is lineitem,
+    * so it shuffles both facts on the order key once, exactly the
+    * plan Q4 wants at scale). Output: o_orderpriority, n_late. */
+  def lateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val late = Tables.lineitem(spark, dir)
+      .join(o.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .where(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Supplier quality scorecard: return rate per supplier ranked by
     * the WILSON LOWER BOUND (z = 1.96) rather than the raw rate — the
     * small-sample-honest ranking (a 2/2 supplier must not outrank a

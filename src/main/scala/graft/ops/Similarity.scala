@@ -685,6 +685,27 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding norm audit per label: count, min/max norm, and the
+    * mean — the sanity pass before any cosine machinery (a label with
+    * collapsed or exploding norms poisons similarity downstream). The
+    * mean is order-insensitive-exact: norms are rounded to 6 dp (a
+    * 6-dp-rounded double is within ~1e-16 of k/1e6, so the decimal
+    * cast lands on the same k in both engines), summed as
+    * DECIMAL(18,6), and divided once. Min/max need no such care.
+    * One label-keyed rollup. Output: label, n, min_norm, max_norm,
+    * mean_norm. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label").cast("bigint").as("label"),
+        round(col("norm"), 6).as("n6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("n6")).as("min_norm"),
+        max(col("n6")).as("max_norm"),
+        round(sum(col("n6").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_norm"))
+      .orderBy("label")
+
   /** Leave-one-out kNN label accuracy — the standard embedding-quality
     * eval: predict each vector's label by majority vote of its 3
     * nearest in-cell neighbors (`knnGraph`'s edge set), tiebreak on

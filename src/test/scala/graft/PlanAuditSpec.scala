@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row pooled-rate carrier (p-chart center line)
     "ev_error_spc",
     // 1-row total-revenue carrier (ABC thresholds)
-    "rel_abc_pareto")
+    "rel_abc_pareto",
+    // 1-row max-date carrier (dormancy reference point)
+    "ev_dormancy")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
