@@ -3173,4 +3173,99 @@ object OracleSql {
        |SELECT doc_id, frame_idx, CAST(frame_sum AS BIGINT) AS frame_sum
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
+
+  val relMarketShare: String =
+    """WITH asia_cust AS (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |),
+      |vol AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |         n2.n_name AS supp_nation,
+      |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS r4
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey IN (SELECT c_custkey FROM asia_cust)
+      |)
+      |SELECT yr,
+      |       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN r4 ELSE 0 END) AS DOUBLE)
+      |             / SUM(r4), 6) AS mkt_share
+      |FROM vol GROUP BY yr ORDER BY yr""".stripMargin
+
+  val relNationProfit: String =
+    """WITH li AS (
+      |  SELECT n2.n_name AS nation,
+      |         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS r4
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT nation, yr, ROUND(CAST(SUM(r4) AS DOUBLE) / 10000, 2) AS revenue
+      |FROM li GROUP BY nation, yr ORDER BY nation, yr""".stripMargin
+
+  val riskRatios: String =
+    """WITH sd0 AS (
+      |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |),
+      |sp AS (
+      |  SELECT name, date,
+      |         (tvl - LAG(tvl) OVER (PARTITION BY name ORDER BY date))
+      |           / LAG(tvl) OVER (PARTITION BY name ORDER BY date) AS s_pct
+      |  FROM sd0
+      |),
+      |bd AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS date,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bench
+      |  FROM lineitem GROUP BY 1
+      |),
+      |bp AS (SELECT date, (bench - LAG(bench) OVER (ORDER BY date)) / LAG(bench) OVER (ORDER BY date) AS b_pct FROM bd),
+      |a AS (SELECT name, MAX(date) AS ds, CAST(MAX(date) - INTERVAL 12 MONTH AS DATE) AS start FROM sd0 GROUP BY name),
+      |j AS (
+      |  SELECT sp.name, sp.date, sp.s_pct, bp.b_pct
+      |  FROM sp JOIN bp ON sp.date = bp.date JOIN a ON a.name = sp.name
+      |  WHERE sp.date > a.start AND sp.date <= a.ds
+      |    AND sp.s_pct IS NOT NULL AND bp.b_pct IS NOT NULL
+      |),
+      |stats AS (
+      |  SELECT name,
+      |    ROUND(EXP(SUM(LN(1.0 + s_pct))) - 1.0, 6) AS ann_return,
+      |    ROUND(stddev_samp(s_pct) * sqrt(365.0), 6) AS ann_vol,
+      |    ROUND(avg(s_pct) / stddev_samp(s_pct) * sqrt(365.0), 6) AS sharpe,
+      |    ROUND(avg(s_pct) / sqrt(avg(power(least(s_pct, 0.0), 2))) * sqrt(365.0), 6) AS sortino,
+      |    ROUND(stddev_samp(s_pct - b_pct) * sqrt(365.0), 6) AS tracking_err,
+      |    ROUND(avg(s_pct - b_pct) / stddev_samp(s_pct - b_pct) * sqrt(365.0), 6) AS info_ratio,
+      |    EXP(SUM(LN(1.0 + s_pct))) - 1.0 AS ar_raw
+      |  FROM j GROUP BY name
+      |),
+      |w1 AS (
+      |  SELECT name, date,
+      |         SUM(s_pct) OVER (PARTITION BY name ORDER BY date
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM j
+      |),
+      |w2 AS (
+      |  SELECT name, cum,
+      |         MAX(cum) OVER (PARTITION BY name ORDER BY date
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+      |  FROM w1
+      |),
+      |dd AS (SELECT name, MIN(cum - cummax) AS min_dd FROM w2 GROUP BY name)
+      |SELECT s.name, s.ann_return, s.ann_vol, s.sharpe, s.sortino,
+      |       CASE WHEN d.min_dd < 0 THEN ROUND(s.ar_raw / -d.min_dd, 6) END AS calmar,
+      |       s.tracking_err, s.info_ratio, ROUND(d.min_dd, 6) AS max_drawdown
+      |FROM stats s JOIN dd d ON s.name = d.name
+      |ORDER BY s.name""".stripMargin
 }

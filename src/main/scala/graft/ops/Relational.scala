@@ -625,6 +625,80 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q8-shaped national market share: within the ECONOMY-part
+    * market bought by ASIA-region customers, the revenue share
+    * supplied by NATION_7, per order year. The canonical snowflake
+    * probe: every dimension (part filter, supplier→nation,
+    * customer→nation→region) reaches the fact side as a BROADCAST
+    * (the part/customer gates as broadcast semi-joins, so the fact
+    * rows never widen), and the one genuinely large join —
+    * lineitem⋈orders — is the single fact-fact shuffle on the order
+    * key. Revenue is summed in exact integer ten-thousandths
+    * (decimal multiply → bigint) so the share division is the only
+    * float op, bit-identical across engines at 6 dp.
+    * Output: yr, mkt_share. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val nat = Tables.nation(spark, dir)
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("yr"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .select(col("l_orderkey"), col("supp_nation"),
+        ((dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          * lit(10000)).cast("bigint").as("r4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("yr")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("r4")).otherwise(0L)).as("nr4"),
+        sum(col("r4")).as("tr4"))
+      .select(col("yr"),
+        round(col("nr4").cast("double") / col("tr4"), 6).as("mkt_share"))
+      .orderBy("yr")
+  }
+
+  /** TPC-H Q9-shaped national revenue: revenue by SUPPLIER nation ×
+    * order year for parts whose name contains "red" — the
+    * profit-by-origin rollup. Same snowflake posture as
+    * `marketShare`: the part-name gate and supplier→nation lookup
+    * broadcast onto lineitem, orders joins on the order key (the one
+    * shuffle), and the revenue rides exact integer ten-thousandths
+    * until the final 2-dp readout. Output: nation, yr, revenue. */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_name").contains("red")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))), "s_nationkey")
+      .select(col("l_orderkey"), col("nation"),
+        ((dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          * lit(10000)).cast("bigint").as("r4"))
+    li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "yr")
+      .agg(sum(col("r4")).as("r4"))
+      .select(col("nation"), col("yr"),
+        round(col("r4").cast("double") / 10000, 2).as("revenue"))
+      .orderBy("nation", "yr")
+  }
+
   /** Market-basket affinity: top-20 brand pairs by lift =
     * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
     * association-mining readout behind "bought together" views. The

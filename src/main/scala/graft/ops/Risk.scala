@@ -131,6 +131,70 @@ object Risk {
       .orderBy("name")
   }
 
+  /** Portfolio-ratio scorecard per segment over the trailing 1y
+    * window — the risk-adjusted readouts a strategy dashboard ranks
+    * by, beyond `riskBySegment`'s OLS panel: annualized return and
+    * volatility, Sharpe, SORTINO (downside deviation: only negative
+    * days penalize, sqrt(mean(min(pct,0)²))), CALMAR (annual return
+    * over peak-to-valley drawdown magnitude), and the
+    * benchmark-relative pair TRACKING ERROR / INFORMATION RATIO over
+    * the active return (s_pct − b_pct). Same deterministic posture as
+    * `riskBySegment`: the series is the O(#days × #segments) daily
+    * rollup, every statistic a native aggregate over it, windows
+    * partitioned by segment — 1000 strategies is the same plan.
+    * Output: name, ann_return, ann_vol, sharpe, sortino, calmar,
+    * tracking_err, info_ratio, max_drawdown. */
+  def ratios(spark: SparkSession, dir: String): DataFrame = {
+    val wName = Window.partitionBy("name").orderBy("date")
+    val strat = TimeSeries.dailyOrderRevenueBySegment(spark, dir)
+      .withColumn("s_pct",
+        (col("tvl") - lag(col("tvl"), 1).over(wName)) / lag(col("tvl"), 1).over(wName))
+      .select("name", "date", "s_pct")
+    val wDate = Window.orderBy("date")
+    val bench = TimeSeries.dailyBenchmark(spark, dir)
+      .withColumn("b_pct",
+        (col("bench") - lag(col("bench"), 1).over(wDate)) / lag(col("bench"), 1).over(wDate))
+      .select("date", "b_pct")
+    strat.persist().count() // feeds asOf and the bench join (repo idiom)
+    val asOf = strat.groupBy("name")
+      .agg(max(col("date")).as("ds"), add_months(max(col("date")), -12).as("start"))
+    val joined = strat.join(broadcast(bench), Seq("date"))
+      .join(broadcast(asOf), Seq("name"))
+      .where(col("date") > col("start") && col("date") <= col("ds"))
+      .where(col("s_pct").isNotNull && col("b_pct").isNotNull)
+    joined.persist().count() // feeds stats and the drawdown window
+
+    val ann = sqrt(lit(365.0))
+    val stats = joined.groupBy("name").agg(
+      round(exp(sum(log(lit(1.0) + col("s_pct")))) - lit(1.0), 6).as("ann_return"),
+      round(stddev_samp(col("s_pct")) * ann, 6).as("ann_vol"),
+      round(avg(col("s_pct")) / stddev_samp(col("s_pct")) * ann, 6).as("sharpe"),
+      round(avg(col("s_pct")) / sqrt(avg(pow(least(col("s_pct"), lit(0.0)), 2))) * ann, 6)
+        .as("sortino"),
+      round(stddev_samp(col("s_pct") - col("b_pct")) * ann, 6).as("tracking_err"),
+      round(avg(col("s_pct") - col("b_pct")) /
+        stddev_samp(col("s_pct") - col("b_pct")) * ann, 6).as("info_ratio"),
+      // calmar's numerator: the un-rounded annual return recomputed
+      // inline so both engines divide identical IEEE values
+      (exp(sum(log(lit(1.0) + col("s_pct")))) - lit(1.0)).as("ar_raw"))
+
+    val wCum = wName.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = joined
+      .withColumn("cum", sum(col("s_pct")).over(wCum))
+      .withColumn("cummax", max(col("cum")).over(wCum))
+      .groupBy("name")
+      .agg(min(col("cum") - col("cummax")).as("min_dd"))
+
+    val released = stats.join(dd, Seq("name"))
+    released
+      .select(col("name"), col("ann_return"), col("ann_vol"), col("sharpe"),
+        col("sortino"),
+        when(col("min_dd") < 0, round(col("ar_raw") / -col("min_dd"), 6)).as("calmar"),
+        col("tracking_err"), col("info_ratio"),
+        round(col("min_dd"), 6).as("max_drawdown"))
+      .orderBy("name")
+  }
+
   /** Core risk computation over explicit series: `strat` = (date, tvl),
     * `bench` = (date, bench). Split out so tests can drive constructed
     * series (e.g. a 1y return of exactly 0.0 exercising the ytd
