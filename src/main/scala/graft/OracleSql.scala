@@ -3174,6 +3174,33 @@ object OracleSql {
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** Synchronous label propagation, 3 unrolled rounds, mirroring
+    * `Similarity.labelProp`: undirected kNN edges, majority neighbor
+    * label with (votes DESC, label ASC) tie-break each round. */
+  val simLabelProp: String = {
+    def iter(k: Int): String =
+      s"""l$k AS (
+         |  SELECT l.vec_id, COALESCE(w.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT v, lab FROM (
+         |      SELECT u.v, p.lab,
+         |             ROW_NUMBER() OVER (PARTITION BY u.v
+         |               ORDER BY COUNT(*) DESC, p.lab) AS rn
+         |      FROM u JOIN l${k - 1} p ON u.n = p.vec_id
+         |      GROUP BY u.v, p.lab) x WHERE rn = 1) w
+         |    ON w.v = l.vec_id
+         |)""".stripMargin
+    val iters = (1 to 3).map(iter).mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges0 AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+       |e AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+       |             GREATEST(vec_id, nbr_id) AS b FROM edges0),
+       |u AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT vec_id, vec_id AS lab FROM embeddings),
+       |$iters
+       |SELECT vec_id, lab AS community FROM l3 ORDER BY vec_id""".stripMargin
+  }
+
   val relMarketShare: String =
     """WITH asia_cust AS (
       |  SELECT c_custkey FROM customer

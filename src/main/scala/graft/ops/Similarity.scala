@@ -466,6 +466,63 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION over the
+    * symmetrized kNN graph — the lightweight community signal (topic
+    * clusters in embedding space) that needs no target cluster count,
+    * complementing `kmeans` (fixed k) and `clusters` (threshold
+    * components). THREE unrolled synchronous rounds from
+    * label = own id; each round every node adopts its neighbors'
+    * majority label with the deterministic (votes DESC, label ASC)
+    * tie-break, so both engines propagate identically — the classic
+    * async/random-order LPA is unreproducible across engines by
+    * construction, and the synchronized variant is the one a
+    * distributed engine would run anyway (one join + count + argmax
+    * per round over the edge table, the pregel superstep shape).
+    * Iteration state goes through the `IterState` parquet seam like
+    * `pagerank` (measured there: per-round persist lineage escalates;
+    * the out-of-JVM break keeps rounds flat). Per-round cost is one
+    * edge-keyed join + one (node,label) aggregate + one O(V) argmax
+    * window partitioned by node — linear in edges at any graph size.
+    * Output: vec_id, community. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (graph, releaseCells) = knnGraphReleasable(spark, dir)
+    val und = graph.select(
+        least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+      .persist()
+    edges.count() // materialize: every round joins against this table
+    releaseCells()
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
+    nodes.count()
+    val iterDir = s"${IterState.rootFor(spark)}/labelprop_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(spark, iterDir)
+    def materialize(df: DataFrame, i: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/lab_$i")
+      spark.read.parquet(s"$iterDir/lab_$i")
+    }
+    var labels = materialize(nodes.select(col("vec_id"), col("vec_id").as("lab")), 0)
+    val wV = Window.partitionBy("v").orderBy(col("votes").desc, col("lab"))
+    for (i <- 1 to 3) {
+      val winner = edges
+        .join(labels.select(col("vec_id").as("n"), col("lab")), "n")
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(wV)).where(col("rn") === 1)
+        .select(col("v").as("vec_id"), col("lab").as("new_lab"))
+      // left join + coalesce: a node with no neighbors keeps its label
+      // (cannot occur on a kNN graph — every node has out-degree k —
+      // but the general-graph form is what this operator contracts to)
+      val next = labels.join(winner, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      labels = materialize(next, i)
+      cleanup.rm(s"$iterDir/lab_${i - 1}")
+    }
+    edges.unpersist(); nodes.unpersist()
+    labels.select(col("vec_id"), col("lab").as("community")).orderBy("vec_id")
+  }
+
   /** Per-node triangle counts on the kNN graph — the local clustering
     * signal that separates docs inside dense semantic neighborhoods
     * from bridge/outlier docs (a triangle-rich node's neighbors agree
