@@ -3201,6 +3201,96 @@ object OracleSql {
        |SELECT vec_id, lab AS community FROM l3 ORDER BY vec_id""".stripMargin
   }
 
+  /** KMV distinct sketch vs exact, mirroring `Events.kmvDistinct`:
+    * 52-bit md5 hashes, k-th smallest via row_number, integer-exact
+    * until the single estimate division. */
+  val evKmv: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h
+      |),
+      |k AS (
+      |  SELECT event_type, MAX(CASE WHEN rn = 32 THEN h END) AS hk,
+      |         COUNT(*) AS n_exact
+      |  FROM r GROUP BY 1
+      |),
+      |e AS (
+      |  SELECT event_type, n_exact,
+      |         CASE WHEN hk IS NOT NULL
+      |              THEN ROUND(31.0 * CAST(4503599627370496 AS DOUBLE) / hk, 2)
+      |              ELSE CAST(n_exact AS DOUBLE) END AS n_est
+      |  FROM k
+      |)
+      |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact, n_est,
+      |       ROUND((n_est - n_exact) / n_exact * 100, 4) AS err_pct
+      |FROM e ORDER BY event_type""".stripMargin
+
+  /** Efraimidis–Spirakis weighted sample, mirroring
+    * `Text.weightedSample`: ln(u)/sqrt(n_chars) keys rounded to 6 dp,
+    * top-15 per language. */
+  val textWeightedSample: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    ROUND(LN((CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) + 1.0)
+      |              / 4503599627370497.0)
+      |          / sqrt(CAST(n_chars AS DOUBLE)), 6) AS w6
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT lang, doc_id, w6,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY w6 DESC, doc_id) AS rank
+      |  FROM d
+      |)
+      |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank, w6
+      |FROM r WHERE rank <= 15 ORDER BY lang, rank""".stripMargin
+
+  /** Z-order layout audit, mirroring `Relational.zorderAudit`:
+    * 16-bit Morton interleave, 64 equal files per layout by exact
+    * integer arithmetic, min/max file-skipping probes. */
+  val relZorder: String =
+    """WITH b0 AS (
+      |  SELECT o_orderkey, o_custkey AS cust,
+      |         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders
+      |),
+      |base AS (
+      |  SELECT o_orderkey, cust, day,
+      |         list_sum(list_transform(range(0, 16), i ->
+      |           (((cust >> i) & 1) << (2 * i)) + (((day >> i) & 1) << (2 * i + 1)))) AS z
+      |  FROM b0
+      |),
+      |n AS (SELECT COUNT(*) AS n FROM base),
+      |u AS (
+      |  SELECT 'zorder' AS layout, cust, day,
+      |         ((ROW_NUMBER() OVER (ORDER BY z, o_orderkey) - 1) * 64) // n.n AS bucket
+      |  FROM base CROSS JOIN n
+      |  UNION ALL
+      |  SELECT 'custkey', cust, day,
+      |         ((ROW_NUMBER() OVER (ORDER BY cust, o_orderkey) - 1) * 64) // n.n
+      |  FROM base CROSS JOIN n
+      |  UNION ALL
+      |  SELECT 'orderdate', cust, day,
+      |         ((ROW_NUMBER() OVER (ORDER BY day, o_orderkey) - 1) * 64) // n.n
+      |  FROM base CROSS JOIN n
+      |),
+      |f AS (
+      |  SELECT layout, bucket, MIN(cust) AS min_c, MAX(cust) AS max_c,
+      |         MIN(day) AS min_d, MAX(day) AS max_d
+      |  FROM u GROUP BY 1, 2
+      |)
+      |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |       CAST(SUM(CASE WHEN max_c >= 100 AND min_c <= 199 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS scan_cust_probe,
+      |       CAST(SUM(CASE WHEN max_d >= 365 AND min_d <= 729 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS scan_date_probe
+      |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+
   val relMarketShare: String =
     """WITH asia_cust AS (
       |  SELECT c_custkey FROM customer

@@ -700,4 +700,44 @@ object Events {
       .orderBy(col("burst_1h").desc, col("user_id"))
       .limit(5)
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per event type,
+    * k = 32, CHECKED AGAINST THE EXACT COUNT — the deterministic
+    * companion to `ev_approx`'s HLL: the sketch value is a pure
+    * function of md5, so unlike engine-internal HLL registers both
+    * engines compute the identical estimate and the oracle
+    * hash-matches it. Estimator: with h(u) uniform on [0,1) from the
+    * top 52 bits of md5(user_id), est = (k−1)/h_(k) where h_(k) is
+    * the k-th smallest distinct hash. Everything stays INTEGER until
+    * the single final division ((k−1)·2^52 / h4 with h4 the raw
+    * 52-bit value), so parity is exact. The sketch is MERGEABLE —
+    * the min-k of a union is the min-k of pooled min-k sets — which
+    * is what makes it the 100-TB shape: per-partition min-k partial
+    * aggregation, one tiny shuffle of k values per group, no
+    * distinct-shuffle of raw user ids at estimate time (the exact
+    * branch here exists only for the audit readout). Groups with
+    * < k distinct hashes report the exact count as the estimate (the
+    * standard small-set exact regime). Output: event_type, n_exact,
+    * n_est, err_pct. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct() // (type, h): the KMV state space
+    val wT = Window.partitionBy("event_type").orderBy("h")
+    val kth = hashed
+      .withColumn("rn", row_number().over(wT))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("n_exact"))
+    kth.select(col("event_type"), col("n_exact"),
+        when(col("hk").isNotNull,
+          round(lit((k - 1).toDouble * 4503599627370496.0) / col("hk"), 2))
+          .otherwise(col("n_exact").cast("double")).as("n_est"))
+      .withColumn("err_pct",
+        round((col("n_est") - col("n_exact")) / col("n_exact") * 100, 4))
+      .orderBy("event_type")
+  }
 }

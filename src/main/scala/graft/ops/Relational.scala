@@ -699,6 +699,53 @@ object Relational {
       .orderBy("nation", "yr")
   }
 
+  /** Z-ORDER layout audit — the lakehouse data-skipping readout: how
+    * many simulated files a (customer-range | date-range) probe must
+    * scan under three physical layouts of `orders` — Morton z-order
+    * on (custkey, day), custkey-sorted, and date-sorted. The z-value
+    * interleaves the low 16 bits of each key (one `aggregate` HOF,
+    * map-side); each layout is globally ranked WITHOUT a
+    * single-partition window (`withGlobalRank`: range exchange +
+    * per-partition row_number + O(#partitions) offset join) and cut
+    * into 64 equal "files" by exact integer arithmetic
+    * ((rank−1)·64 div n); per-file min/max stats then answer both
+    * probes the way parquet/Delta file-skipping does. The expected
+    * shape — and what makes this worth asserting at 100 TB — is that
+    * single-key sorts skip perfectly on their own key and barely at
+    * all on the other, while z-order skips WELL ON BOTH.
+    * Output: layout, n_files, scan_cust_probe, scan_date_probe. */
+  def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_custkey").as("cust"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("day"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(cust, i) & 1, 2 * i)
+          |      + shiftleft(shiftright(day, i) & 1, 2 * i + 1))""".stripMargin))
+      .persist() // three layout rankings scan it
+    base.count()
+    val n = base.agg(count(lit(1)).as("n"))
+    def layout(name: String, order: Column*): DataFrame =
+      withGlobalRank(base, "rk", order: _*)
+        .crossJoin(broadcast(n))
+        .withColumn("bucket", expr("(rk - 1) * 64 div n"))
+        .groupBy("bucket")
+        .agg(min(col("cust")).as("min_c"), max(col("cust")).as("max_c"),
+          min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("max_c") >= 100 && col("min_c") <= 199, 1L).otherwise(0L))
+            .as("scan_cust_probe"),
+          sum(when(col("max_d") >= 365 && col("min_d") <= 729, 1L).otherwise(0L))
+            .as("scan_date_probe"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("scan_cust_probe"), col("scan_date_probe"))
+    layout("zorder", col("z"), col("o_orderkey"))
+      .unionAll(layout("custkey", col("cust"), col("o_orderkey")))
+      .unionAll(layout("orderdate", col("day"), col("o_orderkey")))
+      .orderBy("layout")
+  }
+
   /** Market-basket affinity: top-20 brand pairs by lift =
     * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
     * association-mining readout behind "bought together" views. The

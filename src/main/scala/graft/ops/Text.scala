@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -951,5 +952,33 @@ object Text {
       .select(col("doc_id"), col("source"),
         explode(expr("sequence(1L, epochs)")).as("epoch"))
       .orderBy("doc_id", "epoch")
+  }
+
+  /** Quality-WEIGHTED sample without replacement — Efraimidis–Spirakis
+    * exponential-key sampling (the distributed weighted-reservoir
+    * standard): each doc draws a deterministic uniform u from the top
+    * 52 md5 bits and competes on key = ln(u)/w (monotone transform of
+    * u^(1/w)); the top-15 keys per language are EXACTLY a weighted
+    * sample without replacement with inclusion probability
+    * proportional to w. Weight here is sqrt(n_chars) — longer docs
+    * favored sublinearly, the common token-budget-aware choice. Fully
+    * deterministic (md5-derived u, no rand()), so re-runs, partition
+    * layouts, and engines agree; keys are ROUNDED to 6 dp with doc_id
+    * tie-break before ranking so a last-ulp libm difference cannot
+    * flip an ordering. One window per language partition — the same
+    * single-shuffle shape as `sampleStratified`; at corpus scale the
+    * per-partition top-k runs as a bounded heap before the stratum
+    * shuffle. Output: lang, doc_id, rank, w6 (the sort key). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 13), 16, 10).cast("double") + lit(1.0)) /
+      lit(4503599627370497.0) // (h+1)/(2^52+1): u in (0,1], ln defined
+    val key = round(log(u) / sqrt(col("n_chars").cast("double")), 6)
+    val w = Window.partitionBy("lang").orderBy(col("w6").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("w6", key)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= 15)
+      .select(col("lang"), col("doc_id"), col("rank"), col("w6"))
+      .orderBy("lang", "rank")
   }
 }

@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row total-revenue carrier (ABC thresholds)
     "rel_abc_pareto",
     // 1-row max-date carrier (dormancy reference point)
-    "ev_dormancy")
+    "ev_dormancy",
+    // 1-row row-count carrier (file-cut arithmetic) + O(#partitions)
+    // offset join inside withGlobalRank (the rel_ntile pattern)
+    "rel_zorder")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
