@@ -3330,6 +3330,21 @@ object OracleSql {
       |SELECT nation, yr, ROUND(CAST(SUM(r4) AS DOUBLE) / 10000, 2) AS revenue
       |FROM li GROUP BY nation, yr ORDER BY nation, yr""".stripMargin
 
+  /** Plain-join mirror of `Relational.skewJoin`: the salted execution
+    * must hash-match the unsalted logical join. */
+  val relSkewJoin: String =
+    """WITH li AS (
+      |  SELECT n_name AS nation,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS r4
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |)
+      |SELECT nation, COUNT(*) AS n_items,
+      |       ROUND(CAST(SUM(r4) AS DOUBLE) / 10000, 2) AS revenue
+      |FROM li GROUP BY nation ORDER BY nation""".stripMargin
+
   val riskRatios: String =
     """WITH sd0 AS (
       |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,

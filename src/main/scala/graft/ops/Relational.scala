@@ -779,4 +779,37 @@ object Relational {
       .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
       .limit(20)
   }
+
+  /** Salted skew-join audit — `Skew.saltedJoin` promoted to an
+    * oracle-checked query: supplier-nation revenue from the
+    * lineitem ⋈ supplier join executed through the salting helper
+    * (large side fanned over 8 salt buckets, small side replicated
+    * once per bucket, SHUFFLE_HASH-hinted so the query exercises the
+    * shuffled-join shape the helper exists for instead of
+    * degenerating to a broadcast at test scale). The oracle is the
+    * PLAIN join — equal hashes prove the salt fan-out/replication
+    * changes only the physical distribution, never the result. At
+    * 100 TB this is the shape for a suppkey hot enough to blow a
+    * single reducer when the dim side cannot broadcast; revenue
+    * rides exact integer ten-thousandths so the 8-way salt-split sum
+    * re-associates without float drift.
+    * Output: nation, n_items, revenue. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        ((dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+          * lit(10000)).cast("bigint").as("r4"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))),
+        "s_nationkey")
+      .select(col("s_suppkey").as("suppkey"), col("nation"))
+    Skew.saltedJoin(li, supp.hint("shuffle_hash"), "suppkey", 8)
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_items"), sum(col("r4")).as("r4"))
+      .select(col("nation"), col("n_items"),
+        round(col("r4").cast("double") / 10000, 2).as("revenue"))
+      .orderBy("nation")
+  }
 }
