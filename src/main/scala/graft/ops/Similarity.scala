@@ -430,33 +430,54 @@ object Similarity {
     releaseCells() // the cell cache fed edges exactly once — drop it now
     val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("deg")).persist()
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id")).persist()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // the two loop scalars that are CONSTANT across iterations are
+    // resolved to driver literals up front instead of riding 1-row
+    // broadcast carriers through every round: n_nodes is an exact
+    // O(1) count (documented-legitimate driver scalar, same class as
+    // the drawdown partition merge), and the DANGLING NODE SET is
+    // fixed by the graph — when it is empty (every kNN node has
+    // out-degree >= 1, the common case) the per-iteration dangling
+    // branch is exactly 0.0 and both its anti-join and its broadcast
+    // exchange are dropped from every round. Measured: the five
+    // rounds were paying 2 broadcast-exchange jobs each for values
+    // known before the loop starts.
+    val nNodes = nodes.count().toDouble
+    val danglingNodes = nodes.join(deg, Seq("vec_id"), "left_anti").persist()
+    val nDangling = danglingNodes.count()
     val iterDir = s"${IterState.rootFor(spark)}/pagerank_${java.util.UUID.randomUUID().toString.take(8)}"
     val cleanup = IterState.register(spark, iterDir)
     def materialize(df: DataFrame, i: Int): DataFrame = {
       df.write.mode("overwrite").parquet(s"$iterDir/rank_$i")
       spark.read.parquet(s"$iterDir/rank_$i")
     }
-    var rank = materialize(nodes.crossJoin(broadcast(nRow))
-      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("r")), 0)
+    var rank = materialize(nodes.select(col("vec_id"), lit(1.0 / nNodes).as("r")), 0)
     for (i <- 1 to 5) {
       val contrib = edges
         .join(rank, "vec_id").join(deg, "vec_id")
         .groupBy(col("nbr_id").as("vec_id"))
         .agg(sum(col("r") / col("deg")).as("contrib"))
-      val dangling = rank.join(deg, Seq("vec_id"), "left")
-        .where(col("deg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
-      val next = nodes
-        .join(contrib, Seq("vec_id"), "left")
-        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nRow))
-        .select(col("vec_id"),
-          (lit(0.15) / col("n_nodes") +
-            lit(0.85) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / col("n_nodes")))
-            .as("r"))
+      // adding the dangling term only when dangling nodes exist is
+      // float-exact, not an approximation: coalesce(c,0)+0.0/n == c
+      // for every non-negative c, so the dropped-branch plan and the
+      // general plan emit bit-identical ranks on dangling-free graphs
+      val withC = nodes.join(contrib, Seq("vec_id"), "left")
+      val next = (if (nDangling == 0L) {
+        withC.select(col("vec_id"),
+          (lit(0.15 / nNodes) +
+            lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
+      } else {
+        val dangling = rank.join(danglingNodes, Seq("vec_id"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("dmass"))
+        withC.crossJoin(broadcast(dangling))
+          .select(col("vec_id"),
+            (lit(0.15 / nNodes) +
+              lit(0.85) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / lit(nNodes)))
+              .as("r"))
+      })
       rank = materialize(next, i)
       cleanup.rm(s"$iterDir/rank_${i - 1}")
     }
+    danglingNodes.unpersist()
     // the final rank is parquet-backed — nothing downstream reads the
     // caches, so release them here rather than leaning on the runner's
     // clearCache() (a long-lived session composing several graph
