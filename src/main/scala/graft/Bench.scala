@@ -74,6 +74,15 @@ object Bench {
     val top10 = results.sortBy(-_._2.min).take(10).map { case (k, v) =>
       s"\"" + k + "\":[" + v.map(dp3).mkString(",") + "]" }.mkString("{", ",", "}")
     println(s"""{"metric":"top10_reps","unit":"sec","reps":$top10}""")
+    // Family subtotals (one compact line, ~10 families): a contaminated
+    // run inflates EVERY family roughly uniformly, while a plan
+    // regression concentrates in one — this makes a bad total
+    // self-diagnosing from the captured tail without per-query data.
+    val fams = results.groupBy { case (k, _) =>
+      k.split("_", 2)(0) }.toSeq.sortBy(_._1)
+      .map { case (f, qs) => s"\"" + f + "\":" + dp3(qs.map(_._2.min).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"family_totals","unit":"sec","families":$fams}""")
     val nfPost = noiseProbe()
     println(s"""{"metric":"noise_floor","unit":"sec","pre":[${nfPre.map(dp3).mkString(",")}],"post":[${nfPost.map(dp3).mkString(",")}]}""")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0

@@ -3204,6 +3204,52 @@ object OracleSql {
   /** KMV distinct sketch vs exact, mirroring `Events.kmvDistinct`:
     * 52-bit md5 hashes, k-th smallest via row_number, integer-exact
     * until the single estimate division. */
+  /** Mirrors `Events.approxSketches`: KMV k=128 distinct estimate
+    * (exact below k) + fixed-resolution (2-dp bucket) median — both
+    * deterministic functions of the data, so hash-exact across
+    * engines. */
+  val evApprox: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h
+      |),
+      |k AS (
+      |  SELECT event_type, MAX(CASE WHEN rn = 128 THEN h END) AS hk,
+      |         COUNT(*) AS nd
+      |  FROM r GROUP BY 1
+      |),
+      |u AS (
+      |  SELECT event_type,
+      |         CASE WHEN hk IS NOT NULL
+      |              THEN ROUND(127.0 * CAST(4503599627370496 AS DOUBLE) / hk, 2)
+      |              ELSE CAST(nd AS DOUBLE) END AS approx_users
+      |  FROM k
+      |),
+      |b AS (
+      |  SELECT event_type, ROUND(value, 2) AS v2, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |),
+      |cm AS (
+      |  SELECT event_type, v2,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY v2
+      |                      ROWS UNBOUNDED PRECEDING) AS cum,
+      |         SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b
+      |),
+      |m AS (
+      |  SELECT event_type, MIN(v2) AS p50_value
+      |  FROM cm WHERE cum >= FLOOR((n + 1) / 2.0) GROUP BY 1
+      |)
+      |SELECT u.event_type, u.approx_users, m.p50_value
+      |FROM u JOIN m ON u.event_type = m.event_type
+      |ORDER BY u.event_type""".stripMargin
+
   val evKmv: String =
     """WITH h AS (
       |  SELECT DISTINCT event_type,

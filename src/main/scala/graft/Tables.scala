@@ -21,15 +21,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read the nanos as raw longs (legacy conf)
-    * and truncate to microsecond timestamps — the same truncation DuckDB
-    * applies when it coerces nanos to its micros TIMESTAMP, so both
-    * engines see identical values. */
+  /** `events.parquet` has shipped `ts` in two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only surfaces as raw longs via the legacy conf) and native
+    * TIMESTAMP(MICROS). Branch on the actual column type so both read
+    * identically: longs get the nanos→micros truncation (the same
+    * truncation DuckDB applies coercing nanos to its micros TIMESTAMP);
+    * native timestamps are cast to the session-TZ timestamp (UTC is
+    * pinned, so NTZ and session-TZ values coincide). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = load(s, d, "events")
+    normalizeEventTs(raw)
+  }
+
+  /** Normalize an events frame's `ts` to session-TZ TimestampType,
+    * whatever the physical parquet encoding produced. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -154,16 +154,57 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(10)
 
-  /** Approximate sketches (rows-only: HLL/quantile sketch internals are
-    * engine-specific, so no oracle): distinct users and value quantiles
-    * per event type. Output: event_type, approx_users, p50_value. */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
+  /** Approximate sketches per event type, built from DETERMINISTIC
+    * cross-engine primitives so the result is oracle-checkable (unlike
+    * engine-internal HLL/GK sketches, whose state is unreproducible
+    * across engines):
+    *
+    *   - approx_users: KMV distinct estimate over the md5 hash space
+    *     (k=128 → ~9% expected error; groups with < k distinct hashes
+    *     report the exact count — the standard small-set exact regime).
+    *     Same mechanism `kmvDistinct` audits in exact-vs-estimate form.
+    *   - p50_value: fixed-resolution quantile — exact order statistic
+    *     at the median rank over 2-dp value buckets. The bucket
+    *     rollup is a map-side-combined hash agg (stream-size work);
+    *     the rank scan runs over the BOUNDED bucket set (≤ value
+    *     range × 100 rows per type), not the event stream, so the
+    *     per-type cumsum window is O(buckets) at any stream size —
+    *     the distributed shape a t-digest/GK sketch collapses to at
+    *     fixed resolution, with ≤ 0.005 absolute error by
+    *     construction.
+    *
+    * Output: event_type, approx_users, p50_value. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val ev = Tables.events(spark, dir)
+    val hashed = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val wT = Window.partitionBy("event_type").orderBy("h")
+    val users = hashed
+      .withColumn("rn", row_number().over(wT))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        when(col("hk").isNotNull,
+          round(lit((k - 1).toDouble * 4503599627370496.0) / col("hk"), 2))
+          .otherwise(col("nd").cast("double")).as("approx_users"))
+    val buckets = ev.select(col("event_type"), round(col("value"), 2).as("v2"))
+      .groupBy("event_type", "v2").agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy("event_type").orderBy("v2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("event_type")
+    val med = buckets
+      .withColumn("cum", sum(col("c")).over(wC))
+      .withColumn("mr", floor((sum(col("c")).over(wN) + 1) / 2))
+      .where(col("cum") >= col("mr"))
+      .groupBy("event_type").agg(min(col("v2")).as("p50_value"))
+    users.join(med, "event_type")
+      .select(col("event_type"), col("approx_users"), col("p50_value"))
       .orderBy("event_type")
+  }
 
   /** Ordered conversion funnel over the event stream: signup →
     * click → purchase, where each stage must happen STRICTLY AFTER the

@@ -347,40 +347,56 @@ object Similarity {
     * any SF — the same proven-in-the-oracle cap pattern as the LSH
     * bucket cap in `Dedup`. Output: vec_id, nbr_id, cos, rank.
     *
-    * As a standalone query the persisted cell table is reclaimed by
-    * the runner's clearCache() convention; composing consumers
-    * (`pagerank`, `triangles`) use `knnGraphReleasable` and unpersist
-    * it as soon as their own derived cache is materialized. */
+    * Every consumer reads the materialized parquet index (below), so
+    * the cell cache is always released eagerly right after the index
+    * lands — no consumer holds it. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraphShared(spark, dir).orderBy("vec_id", "rank")
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus
-    * dir: the first caller builds the graph and lands it as parquet
-    * under the iteration root (`IterState`); every later caller — the
-    * whole graph family: `pagerank`, `labelProp`, `triangles`,
-    * `knnClassify`, and the `sim_knn_graph` query itself — reads the
-    * same files. This is the production posture, not a bench trick: a
-    * kNN graph is an INDEX ARTIFACT, built once per corpus version and
-    * consumed by every downstream graph pass; rebuilding the per-cell
-    * self-join five times for five consumers is the thing no real
-    * pipeline does. A new corpus version is a new dir (the testdata
-    * and pipeline layout convention), so the key never goes stale
-    * within a process; `graft.sim.knnIndexReuse=false` opts out (each
-    * caller then re-derives the graph plan as before). Files are
+    * dir + a cheap data fingerprint (embeddings file length/mtime, so
+    * an in-place regeneration of the same dir is a new key rather than
+    * a silently stale index): the first caller builds the graph and
+    * lands it as parquet under the iteration root (`IterState`); every
+    * later caller — the whole graph family: `pagerank`, `labelProp`,
+    * `triangles`, `knnClassify`, and the `sim_knn_graph` query itself —
+    * reads the same files. This is the production posture, not a bench
+    * trick: a kNN graph is an INDEX ARTIFACT, built once per corpus
+    * version and consumed by every downstream graph pass; rebuilding
+    * the per-cell self-join five times for five consumers is the thing
+    * no real pipeline does. `graft.sim.knnIndexReuse=false` opts out
+    * of the cross-call memo: each call then builds and lands its OWN
+    * index copy (still parquet-backed, so the cell cache is still
+    * released eagerly — returning the lazy plan here would leak the
+    * cell persist to consumers with no release handle). Files are
     * swept at JVM exit via the `IterState` registry. */
   private val knnIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cheap corpus fingerprint for the memo key: length + mtime of the
+    * embeddings file/dir footprint. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
+  }
+
+  private def buildKnnIndex(spark: SparkSession, dir: String): String = {
+    val (g, releaseCells) = knnGraphReleasable(spark, dir)
+    val p = s"${IterState.rootFor(spark)}/knn_index_${java.util.UUID.randomUUID().toString.take(8)}"
+    IterState.register(spark, p)
+    g.write.mode("overwrite").parquet(p)
+    releaseCells()
+    p
+  }
+
   private[graft] def knnGraphShared(spark: SparkSession, dir: String): DataFrame = {
     val reuse = spark.conf.getOption("graft.sim.knnIndexReuse").forall(_.toBoolean)
-    if (!reuse) return knnGraphReleasable(spark, dir)._1
-    val path = knnIndexPaths.computeIfAbsent(dir, _ => {
-      val (g, releaseCells) = knnGraphReleasable(spark, dir)
-      val p = s"${IterState.rootFor(spark)}/knn_index_${java.util.UUID.randomUUID().toString.take(8)}"
-      IterState.register(spark, p)
-      g.write.mode("overwrite").parquet(p)
-      releaseCells()
-      p
-    })
+    val path =
+      if (reuse)
+        knnIndexPaths.computeIfAbsent(s"$dir@${corpusFingerprint(spark, dir)}",
+          _ => buildKnnIndex(spark, dir))
+      else buildKnnIndex(spark, dir)
     spark.read.parquet(path)
   }
 
@@ -448,8 +464,10 @@ object Similarity {
     * on a KB-sized rank table. Above the threshold the distributed
     * loop below is the right plan and unchanged. Ranks are 6-dp
     * rounded in both tiers (the established cross-engine float
-    * discipline), so the tiers agree bit-for-bit on the output —
-    * pinned by a both-tiers test. Output: vec_id, pagerank (6 dp). */
+    * discipline); the tiers agree at that 6-dp contract — the
+    * distributed sum's aggregation order is nondeterministic, so
+    * pre-rounding bit-identity is NOT claimed — pinned by
+    * `SimilarityTierSpec`. Output: vec_id, pagerank (6 dp). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val graph = knnGraphShared(spark, dir)
     val nodesDf = Tables.embeddings(spark, dir).select(col("vec_id"))
@@ -483,10 +501,19 @@ object Similarity {
       var e = 0
       while (it.hasNext) {
         val r = it.next()
-        srcA(e) = idx.get(r.getLong(0)).intValue()
-        dstA(e) = idx.get(r.getLong(1)).intValue()
-        deg(srcA(e)) += 1
-        e += 1
+        // off-spine endpoints mirror the distributed tier's join
+        // semantics instead of NPEing: an off-spine SOURCE carries no
+        // rank (its edges vanish entirely); an off-spine DEST still
+        // counts in its source's out-degree but receives no mass
+        // (contrib rows to it are dropped by the nodes left-join)
+        val si = idx.get(r.getLong(0))
+        val di = idx.get(r.getLong(1))
+        if (si != null) {
+          deg(si.intValue()) += 1
+          if (di != null) {
+            srcA(e) = si.intValue(); dstA(e) = di.intValue(); e += 1
+          }
+        }
       }
       raw.unpersist()
       val n = nodeIds.length
@@ -609,8 +636,8 @@ object Similarity {
     * threshold conf as `pagerank`): at most `graft.graph.collectEdgesMax`
     * undirected edges collect once and the 3 synchronous rounds run
     * over CSR adjacency arrays on the driver — integer vote counting,
-    * so the tiers are trivially bit-identical (pinned by a both-tiers
-    * test). At sf0.1 the rounds are pure fixed overhead (KB label
+    * so the tiers are trivially bit-identical (pinned by
+    * `SimilarityTierSpec`). At sf0.1 the rounds are pure fixed overhead (KB label
     * tables through a parquet barrier each); above the threshold the
     * pregel-shaped loop below is the right plan and unchanged.
     * Output: vec_id, community. */
@@ -646,10 +673,17 @@ object Similarity {
       var e = 0
       while (it.hasNext) {
         val r = it.next()
-        ea(e) = idx.get(r.getLong(0)).intValue()
-        eb(e) = idx.get(r.getLong(1)).intValue()
-        degree(ea(e)) += 1; degree(eb(e)) += 1
-        e += 1
+        // off-spine endpoints: the distributed tier drops any edge
+        // direction touching a node outside the spine (the label join
+        // + spine left-join), so an edge with either endpoint missing
+        // contributes no votes — skip it here instead of NPEing
+        val ai = idx.get(r.getLong(0))
+        val bi = idx.get(r.getLong(1))
+        if (ai != null && bi != null) {
+          ea(e) = ai.intValue(); eb(e) = bi.intValue()
+          degree(ea(e)) += 1; degree(eb(e)) += 1
+          e += 1
+        }
       }
       und0.unpersist()
       val start = new Array[Int](n + 1)

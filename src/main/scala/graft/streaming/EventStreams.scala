@@ -19,14 +19,14 @@ object EventStreams {
 
   /** Streaming file source over a directory of event parquet files
     * (the file source tails a directory; point it at the drop zone).
-    * The driver data carries TIMESTAMP(NANOS) (rejected by Spark's
-    * reader), so the stream reads nanos as longs and truncates to
-    * micros — same convention as `Tables.events`. */
+    * `ts` has shipped as TIMESTAMP(NANOS) (readable only as raw longs
+    * via the legacy conf) or native TIMESTAMP(MICROS) across testdata
+    * generations; normalize either to session-TZ timestamps — same
+    * convention as `Tables.events`. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   /** Watermarked 1h tumbling-window rollup (streaming twin of

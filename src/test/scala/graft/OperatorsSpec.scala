@@ -268,7 +268,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("approx sketches stay within tolerance of exact answers") {
     val approx = Events.approxSketches(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("u"),
