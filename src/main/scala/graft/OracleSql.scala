@@ -2295,6 +2295,45 @@ object OracleSql {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Mirrors `Text.substrDedup`: rolling 10-token shingles at every
+    * offset, cross-doc-duplicated starts merged into maximal spans
+    * per doc (interval union via the gap/island window). */
+  val textSubstrDedup: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, len(ws) AS nw, i AS start,
+      |         md5(array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')) AS h
+      |  FROM w, UNNEST(range(GREATEST(len(ws) - 10, 0) + 1)) AS u(i)
+      |),
+      |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS docs FROM sh GROUP BY h),
+      |d AS (
+      |  SELECT s.doc_id, s.nw, s.start,
+      |         CASE WHEN s.start - LAG(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start) <= 10
+      |              THEN 0 ELSE 1 END AS gap
+      |  FROM sh s JOIN cnt c ON c.h = s.h WHERE c.docs >= 2
+      |),
+      |sp AS (
+      |  SELECT doc_id, nw, start,
+      |         SUM(gap) OVER (PARTITION BY doc_id ORDER BY start
+      |                        ROWS UNBOUNDED PRECEDING) AS span
+      |  FROM d
+      |),
+      |agg AS (
+      |  SELECT doc_id, span,
+      |         LEAST(MAX(start) + 10, ANY_VALUE(nw)) - MIN(start) AS covered
+      |  FROM sp GROUP BY doc_id, span
+      |),
+      |pd AS (
+      |  SELECT doc_id, COUNT(*) AS n_spans, SUM(covered) AS dup_toks
+      |  FROM agg GROUP BY doc_id
+      |)
+      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_toks,
+      |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(COALESCE(pd.dup_toks, 0) AS BIGINT) AS dup_toks,
+      |       ROUND(COALESCE(pd.dup_toks, 0) / CAST(len(w.ws) AS DOUBLE), 6) AS dup_frac
+      |FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   /** SCD2 dimension build from the event change log: change-detected
     * `event_type` states per user with validity intervals — mirrors
     * `Events.scd2`. */

@@ -770,6 +770,63 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** SUBSTRING-grain exact dedup — the unaligned complement of
+    * `segDedup`'s fixed 10-word grid: a rolling 10-token shingle at
+    * EVERY token offset detects a verbatim cross-document substring of
+    * ≥ 10 tokens at ANY alignment (the grid misses a copied span that
+    * straddles segment boundaries). Duplicated shingle starts are then
+    * merged per doc into MAXIMAL duplicated spans (interval union —
+    * consecutive starts ≤ 10 apart cover contiguously), reporting per
+    * doc the maximal-span count, the token mass those spans cover, and
+    * the covered fraction. Docs shorter than 10 tokens contribute one
+    * whole-doc shingle, so short exact dups still pair.
+    *
+    * Scale (100 TB): the shingle explode is map-side, ~1 row per
+    * token (10× `segDedup`'s mass — the honest price of unaligned
+    * grain; nothing but the 16-byte hash + two ints ships). The
+    * frequency table is one groupBy(h) with map-side combine; the
+    * join back is a hash equi-join on h; span merging is a per-doc
+    * window (partitioned by doc_id, no global sort). Same
+    * single-shuffle-per-stage shape as `segDedup` throughout.
+    * Output: doc_id, n_toks, n_spans, dup_toks, dup_frac. */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrDedupFrom(Tables.documents(spark, dir))
+
+  /** Core over an explicit (doc_id, text) table — split out so tests
+    * can pin the span-merge semantics on constructed overlaps. */
+  private[graft] def substrDedupFrom(docs: DataFrame): DataFrame = {
+    val k = 10
+    val sh = docs
+      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(size(ws) - $k, 0))," +
+            s" i -> md5(array_join(slice(ws, i + 1, $k), ' ')))")).as(Seq("start", "h")))
+    val freq = sh.groupBy("h").agg(countDistinct(col("doc_id")).as("docs"))
+    val wD = Window.partitionBy("doc_id").orderBy("start")
+    val perSpan = sh.join(freq, "h")
+      .where(col("docs") >= 2)
+      .withColumn("gap",
+        when(col("start") - lag(col("start"), 1).over(wD) <= k, 0L).otherwise(1L))
+      .withColumn("span", sum(col("gap")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(first(col("nw")).as("nw"),
+        (least(max(col("start")) + k, first(col("nw"))) - min(col("start"))).as("covered"))
+    val perDoc = perSpan.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_toks"))
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        round(coalesce(col("dup_toks"), lit(0L)) / col("n_toks").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.

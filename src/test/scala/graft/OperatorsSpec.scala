@@ -992,4 +992,35 @@ class OperatorsSpec extends SparkSpec {
     }
     sd.unpersist()
   }
+
+  test("substr dedup merges unaligned shared substrings into maximal spans") {
+    import spark.implicits._
+    val S = (1 to 15).map(i => s"s$i").mkString(" ")   // 15-token shared span
+    val T = (1 to 12).map(i => s"t$i").mkString(" ")   // 12-token shared span
+    val docs = Seq(
+      // S at offset 8 (unaligned vs doc 2's offset 7)
+      (1L, (1 to 8).map(i => s"a$i").mkString(" ") + " " + S + " " +
+        (1 to 9).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"c$i").mkString(" ") + " " + S + " " +
+        (1 to 4).map(i => s"d$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"e$i").mkString(" ")),  // fully unique
+      (4L, "p q r s t"),                               // short exact twins
+      (5L, "p q r s t"),
+      // two DISJOINT shared spans -> two maximal spans, not one
+      (6L, S + " " + (1 to 20).map(i => s"f$i").mkString(" ") + " " + T),
+      (7L, (1 to 5).map(i => s"g$i").mkString(" ") + " " + T)
+    ).toDF("doc_id", "text")
+    val out = Text.substrDedupFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 15-token span at any alignment: one maximal span covering 15 tokens
+    assert(out(1L) === ((32L, 1L, 15L, 15.0 / 32)))
+    assert(out(2L) === ((26L, 1L, 15L, math.rint(15.0 / 26 * 1e6) / 1e6)))
+    assert(out(3L) === ((12L, 0L, 0L, 0.0)))
+    // sub-10-token exact twins pair through the whole-doc shingle
+    assert(out(4L) === ((5L, 1L, 5L, 1.0)))
+    assert(out(5L) === ((5L, 1L, 5L, 1.0)))
+    // disjoint S and T stay two spans; covered mass is their sum
+    assert(out(6L) === ((47L, 2L, 27L, math.rint(27.0 / 47 * 1e6) / 1e6)))
+    assert(out(7L) === ((17L, 1L, 12L, math.rint(12.0 / 17 * 1e6) / 1e6)))
+  }
 }
