@@ -36,8 +36,14 @@ object Similarity {
     * and persisted: every caller feeds this table to both sides of a
     * self-join, and the cache turns 2–3 parquet scans + norm passes
     * into one. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    vecsOf(spark, Tables.embeddings(spark, dir))
+
+  /** Same derivation over an EXPLICIT embeddings-format table
+    * (vec_id, embedding, label) — the seam the incremental ANN index
+    * (`pipelines.AnnIndex`) feeds corpus slices through. */
+  private[graft] def vecsOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val v = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
     v.withColumn("norm", sqrt(VectorFunctions.dot(spark, col("v"), col("v"))))
   }
@@ -404,32 +410,51 @@ object Similarity {
     * call the handle once every consumer of the returned plan has
     * materialized (the plan reads the cache, so releasing earlier
     * would silently recompute). */
-  def knnGraphReleasable(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val v0 = vecs(spark, dir)
-    val widths = v0.groupBy("label").agg(count(lit(1)).as("cn"))
+  /** The IVF re-tune ladder: sign-bit split depth for a cell/label of
+    * width cn (doc at `knnGraph`). Deterministic in cn, so any engine
+    * (and any incremental maintenance pass) derives the same tiers. */
+  private[graft] def bitsFor(cn: Column): Column =
+    when(cn > 32000, 9).when(cn > 4000, 6).when(cn > 500, 3).otherwise(0)
+
+  /** Cell assignment for vectors against an explicit per-label width
+    * table: cell = label + first-`bits` hyperplane-sign characters.
+    * Split out of `knnGraphReleasable` so the incremental index
+    * assigns delta vectors (and re-assigns tier-crossing labels) with
+    * EXACTLY the rule the full build uses. */
+  private[graft] def assignCells(v0: DataFrame, widths: DataFrame): DataFrame = {
     val sig9 = concat((1 to 9).map(i =>
       when(element_at(col("v"), i) >= 0, "1").otherwise("0")): _*)
-    val v = v0.join(broadcast(widths), "label")
-      .withColumn("bits",
-        when(col("cn") > 32000, 9).when(col("cn") > 4000, 6)
-          .when(col("cn") > 500, 3).otherwise(0))
+    v0.join(broadcast(widths.select(col("label"), col("cn"))), "label")
+      .withColumn("bits", bitsFor(col("cn")))
       .withColumn("cell",
         concat(col("label"), lit("_"), sig9.substr(lit(1), col("bits"))))
-      .persist()
-    v.count() // materialize before both self-join sides fan out
+  }
+
+  /** The per-cell self-join → top-3-per-vector edge derivation over an
+    * already-materialized cell table (cell, vec_id, v, norm).
+    * Deterministic given cell membership (6-dp cos, nbr_id tiebreak),
+    * which is what makes incremental re-pairing of ONLY touched cells
+    * row-identical to a full rebuild. */
+  private[graft] def pairCells(spark: SparkSession, v: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val a = v.select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val b = v.select(col("cell"), col("vec_id").as("nbr_id"),
       col("v").as("w"), col("norm").as("nbr_norm"))
     val wR = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-    val graph = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos", round(d(col("v"), col("w")) / (col("norm") * col("nbr_norm")), 6))
       .withColumn("rank", row_number().over(wR))
       .where(col("rank") <= 3)
       .select(col("vec_id"), col("nbr_id"), col("cos"), col("rank").cast("bigint").as("rank"))
-      .orderBy("vec_id", "rank")
-    (graph, () => { v.unpersist(); () })
+  }
+
+  def knnGraphReleasable(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val v0 = vecs(spark, dir)
+    val widths = v0.groupBy("label").agg(count(lit(1)).as("cn"))
+    val v = assignCells(v0, widths).persist()
+    v.count() // materialize before both self-join sides fan out
+    (pairCells(spark, v).orderBy("vec_id", "rank"), () => { v.unpersist(); () })
   }
 
   /** PageRank over the kNN graph — graph-centrality quality

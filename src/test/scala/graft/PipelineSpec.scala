@@ -502,6 +502,58 @@ class PipelineSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("incremental ANN index: vN + delta state is row-identical to full rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val vN = emb.where(col("vec_id") % 7 =!= 3)
+    val delta = emb.where(col("vec_id") % 7 === 3)
+    val rootA = Files.createTempDirectory("graft_ann_vn").toString
+    val rootB = Files.createTempDirectory("graft_ann_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_ann_full").toString
+    graft.pipelines.AnnIndex.buildState(spark, vN, rootA)
+    graft.pipelines.AnnIndex.incrementState(spark, delta, rootA, rootB)
+    graft.pipelines.AnnIndex.buildState(spark, emb, rootFull)
+    for (path <- Seq(graft.pipelines.AnnIndex.graphPath _,
+        graft.pipelines.AnnIndex.cellsPath _,
+        graft.pipelines.AnnIndex.widthsPath _)) {
+      val incr = spark.read.parquet(path(rootB))
+      val full = spark.read.parquet(path(rootFull))
+      assert(incr.exceptAll(full).count() === 0, path(rootB))
+      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    }
+    // non-vacuous: the delta actually added graph state
+    assert(spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootB)).count() >
+      spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootA)).count())
+  }
+
+  test("incremental ANN index: a width-tier crossing re-cells the label exactly") {
+    // label 7: 496 vN + 10 delta vectors crosses the 500-width rung
+    // (bits 0 -> 3), so ALL its vectors re-cell on increment — the
+    // case where carrying prior cells forward would silently diverge
+    // from a full rebuild. label 8 stays under the rung as control.
+    import spark.implicits._
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(16)(i => (((id * 31 + i * 7) % 17) - 8).toFloat)
+    val vN = ((0L until 496L).map(i => (i, vec(i), 7)) ++
+      (1000L until 1020L).map(i => (i, vec(i), 8)))
+      .toDF("vec_id", "embedding", "label")
+    val delta = (496L until 506L).map(i => (i, vec(i), 7))
+      .toDF("vec_id", "embedding", "label")
+    val rootA = Files.createTempDirectory("graft_ann_tier_vn").toString
+    val rootB = Files.createTempDirectory("graft_ann_tier_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_ann_tier_full").toString
+    graft.pipelines.AnnIndex.buildState(spark, vN, rootA)
+    graft.pipelines.AnnIndex.incrementState(spark, delta, rootA, rootB)
+    graft.pipelines.AnnIndex.buildState(spark, vN.unionByName(delta), rootFull)
+    val incr = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootB))
+    val full = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootFull))
+    assert(incr.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incr).count() === 0)
+    // the crossing actually happened: label 7 cells are now split
+    val cellsB = spark.read.parquet(graft.pipelines.AnnIndex.cellsPath(rootB))
+    assert(cellsB.where(col("label") === 7).select("cell").distinct().count() > 1)
+    assert(cellsB.where(col("label") === 8).select("cell").distinct().count() === 1)
+  }
+
   test("csv interchange round-trips with declared schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString
