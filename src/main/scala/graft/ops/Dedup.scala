@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{ArtifactCache, Tables}
 
 /** Deduplication operators for LLM training-data pipelines over the
   * `documents` table: exact (hash-groupBy), prefix near-exact,
@@ -180,14 +180,55 @@ object Dedup {
       .drop("_rn")
   }
 
-  private[graft] def pairsFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame = {
-    val capped = cappedBands(bands, cap)
+  private[graft] def pairsFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame =
+    pairsFromCapped(cappedBands(bands, cap))
+
+  /** The pair join over an ALREADY-capped band table — the form the
+    * materialized band artifact feeds. */
+  private def pairsFromCapped(capped: DataFrame): DataFrame = {
     val a = capped.select(col("doc_id").as("doc_a"), col("b"), col("key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("b"), col("key"))
     a.join(b, Seq("b", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  // ---- shared dedup-index artifacts (ArtifactCache): the
+  // shingle→signature→band→cluster chain is built ONCE per corpus
+  // version and every consumer reads the landed parquet — the same
+  // production posture as the kNN index (`Similarity.knnGraphShared`)
+  // and the explicit versioned form in `pipelines.Curation`. Each
+  // artifact chains off the previous one, so the first touch of any
+  // consumer pays only the missing links. ----
+
+  /** (doc_id, mh0..mh7) minhash signature artifact. */
+  private def sigArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.table(spark, "dedup_sigs", dir)(sigsFrom(shingleTable(spark, dir)))
+
+  /** (doc_id, b, key) bucket-capped LSH band artifact. */
+  private[graft] def cappedBandArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.table(spark, "dedup_capped_bands", dir)(
+      cappedBands(bandsOf(sigArtifact(spark, dir)), MaxBucket))
+
+  /** (doc_id, hs, n_sh) per-doc 56-bit shingle-hash set artifact. */
+  private def setArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.table(spark, "dedup_sets", dir)(
+      Tables.documents(spark, dir)
+        .where(length(col("text")) >= 12) // same short-doc guard as shingleTable
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
+        .select(col("doc_id"),
+          expr("array_distinct(transform(arr, s -> cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)))").as("hs"))
+        .withColumn("n_sh", size(col("hs")).cast("bigint")))
+
+  /** (doc_id, cluster_id, keep) near-dup cluster decision artifact. */
+  private[graft] def clusterArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.tableReleasable(spark, "dedup_cluster_decision", dir) {
+      val (df, h) =
+        clustersFromPairsReleasable(starEdgesFromCapped(cappedBandArtifact(spark, dir)))
+      (df, () => h.release())
+    }
 
   /** Star-contracted edges from the capped band table: each (band,
     * key) bucket — a CLIQUE in the candidate-pair graph — contributes
@@ -198,13 +239,11 @@ object Dedup {
     * cliques enter the loop as depth-1 stars. Every star edge IS a
     * candidate pair (the bucket min is a bucket member), so the
     * components equal those of `pairsFromBands` exactly — the cluster
-    * oracle stays the reachability fixpoint over the pair list. */
-  private def starEdgesFromBands(bands: DataFrame, cap: Int = MaxBucket): DataFrame =
-    starEdgesFromCapped(cappedBands(bands, cap))
-
-  /** Star edges from an ALREADY-capped (doc_id, b, key) table — the
-    * form incremental dedup needs, where cap semantics were resolved
-    * against the union of prior and delta bands before this point. */
+    * oracle stays the reachability fixpoint over the pair list.
+    * Input is an ALREADY-capped (doc_id, b, key) table — the landed
+    * band artifact, or (for incremental dedup) bands whose cap
+    * semantics were resolved against the union of prior and delta
+    * bands before this point. */
   private def starEdgesFromCapped(capped: DataFrame): DataFrame = {
     val wB = Window.partitionBy("b", "key")
     capped
@@ -214,22 +253,9 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs sharing at least one band bucket. The band table
-    * is persisted AND materialized (count) before the self-join:
-    * `persist()` alone is lazy, so the two join sides would otherwise
-    * race to compute the whole shingle→signature subtree concurrently
-    * — Spark's cache does not block a second stage on a partition a
-    * first stage is still computing, it recomputes it. The extra
-    * count() job is O(4 rows/doc) against the already-cached data. */
-  private def candidatesFrom(sh: DataFrame): DataFrame = {
-    val bands = bandsFrom(sh).persist()
-    bands.count()
-    pairsFromBands(bands)
-  }
-
   /** MinHash + LSH band candidate generation. Output: doc_a, doc_b. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
-    candidatesFrom(shingleTable(spark, dir)).orderBy("doc_a", "doc_b")
+    pairsFromCapped(cappedBandArtifact(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** Exact n-gram Jaccard over MinHash candidates: |A∩B| / |A∪B| on
     * distinct 12-char shingle sets, thresholded at 0.3. The sets are
@@ -267,24 +293,15 @@ object Dedup {
     * doc_a/doc_b. */
   private def candidatePairSets(spark: SparkSession, dir: String)
       : (DataFrame, (DataFrame, DataFrame)) = {
-    val docArrays = Tables.documents(spark, dir)
-      .where(length(col("text")) >= 12) // same short-doc guard as shingleTable
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
-      .withColumn("hs",
-        expr("array_distinct(transform(arr, s -> cast(conv(substring(md5(s), 1, 14), 16, 10) as bigint)))"))
-      .withColumn("n_sh", size(col("hs")).cast("bigint"))
-      .persist()
-    // Materialize the shingle-array cache before anything fans out:
-    // three consumers read it (band derivation + both join sides), and
-    // an unmaterialized persist lets them all recompute the expensive
-    // text→shingle transform concurrently instead of hitting the cache.
-    docArrays.count()
-    val cands = candidatesFrom(docArrays.select(col("doc_id"), explode(col("arr")).as("sh")))
+    // both sides are parquet-backed artifacts — no persist/count
+    // choreography: the set table and the capped band table land once
+    // per corpus version and every consumer (including the band
+    // derivation that used to race the join sides) reads files
+    val sets = setArtifact(spark, dir)
+    val cands = pairsFromCapped(cappedBandArtifact(spark, dir))
     (cands,
-      (docArrays.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")),
-        docArrays.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))))
+      (sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")),
+        sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))))
   }
 
   /** CONTAINMENT verification over the same LSH candidates — the
@@ -318,9 +335,8 @@ object Dedup {
     * the one signature aggregation is O(candidates) over tiny rows.
     * Output: doc_a, doc_b, est_jac. */
   def minhashEstJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = sigsFrom(shingleTable(spark, dir)).persist()
-    sigs.count() // materialize before the band derivation + two join sides fan out
-    val cand = pairsFromBands(bandsOf(sigs))
+    val sigs = sigArtifact(spark, dir) // parquet-backed: no persist choreography
+    val cand = pairsFromCapped(cappedBandArtifact(spark, dir))
     val eq = (0 until 8).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
     cand
@@ -340,21 +356,12 @@ object Dedup {
     * at the near-dup level. Output (docs in >= 1 pair): doc_id,
     * cluster_id (= the component's min doc_id = the keeper), keep. */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersReleasable(spark, dir)._1
-
-  /** `clusters` plus the iteration-storage handle (see
-    * [[clustersFromPairsReleasable]]) for callers that materialize the
-    * result and can reclaim the run dir immediately. */
-  private[graft] def clustersReleasable(spark: SparkSession, dir: String): (DataFrame, IterState.Handle) = {
-    // star-contracted edges, not the pair list: identical components
-    // (see starEdgesFromBands) without materializing O(bucket²)
-    // candidate pairs first. Trade measured at sf0.1: +3 convergence
-    // rounds (weaker intra-bucket connectivity) vs no pair
-    // join/distinct — a wash locally, strictly less shuffle at scale.
-    val bands = bandsFrom(shingleTable(spark, dir)).persist()
-    bands.count()
-    clustersFromPairsReleasable(starEdgesFromBands(bands))
-  }
+    // the decision artifact: star-contracted edges from the landed
+    // capped band table (identical components to the pair list — see
+    // starEdgesFromCapped) through the component loop, built once per
+    // corpus version; the iteration run dir is reclaimed as soon as
+    // the artifact parquet lands
+    clusterArtifact(spark, dir).orderBy("doc_id")
 
   /** Connected components over an undirected pair list via iterative
     * min-label propagation WITH pointer jumping: each hop,
@@ -621,7 +628,7 @@ object Dedup {
     * is a plain hash equi-join on doc_id; no full-text shuffle beyond
     * the corpus' own scan. Output: doc_id, cluster_id, h = md5(text). */
   def applyDedup(spark: SparkSession, dir: String): DataFrame =
-    applyFrom(spark, dir, clusters(spark, dir))
+    applyFrom(spark, dir, clusterArtifact(spark, dir))
 
   /** The same decision applied from an EXPLICIT cluster table — the
     * seam `pipelines.Curation` uses to apply a once-materialized
@@ -654,11 +661,10 @@ object Dedup {
     * count is one groupBy(doc_id). Output: doc_id, n_overlap,
     * contaminated. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir)
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 14), 16, 10) as bigint)").as("h"))
-      .persist()
-    sh.count() // materialize before the held-out + candidate sides fan out
+    // the per-doc distinct-hash rows come from the landed set artifact
+    // (one explode over parquet) instead of re-running text→shingle→md5
+    val sh = setArtifact(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val held = sh.where(col("doc_id") % 50 === 0).select(col("h")).distinct()
     sh.where(col("doc_id") % 50 =!= 0)
       .join(broadcast(held), "h")
@@ -683,11 +689,9 @@ object Dedup {
     * groupBy(doc_id). Output: doc_id, n_sh, n_overlap, frac,
     * flagged. */
   def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir)
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 14), 16, 10) as bigint)").as("h"))
-      .persist()
-    sh.count() // materialize before the held-out + candidate sides fan out
+    // same artifact-backed derivation as `decontaminate`
+    val sh = setArtifact(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val held = sh.where(col("doc_id") % 50 === 0).select(col("h")).distinct()
       .withColumn("hit", lit(1L))
     sh.where(col("doc_id") % 50 =!= 0)

@@ -160,23 +160,31 @@ object Multimodal {
     * codegen. This makes multimodal a first-class DEDUP citizen: the
     * pair list feeds the identical component/keeper machinery as text
     * near-dup. Output: doc_a, doc_b, hamming. */
-  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = phash64Table(spark, dir).persist()
-    sig.count() // materialize before the band + two join sides fan out
-    val pieces = array(
-      substring(col("sig64"), 1, 22),
-      substring(col("sig64"), 23, 21),
-      substring(col("sig64"), 44, 21))
-    val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
-    Dedup.pairsFromBands(bands)
-      .join(sig.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "doc_b")
-      .withColumn("hamming",
-        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"))
-      .where(col("hamming") <= 2)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
-  }
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairArtifact(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The pHash near-dup pair table as a landed artifact — the media
+    * dedup index, built once per corpus version and read by both the
+    * pair query and the cluster/apply pass (`ArtifactCache`, same
+    * posture as the text-side band/cluster artifacts). */
+  private def phashPairArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "mm_phash_pairs", dir) {
+      val sig = phash64Table(spark, dir).persist()
+      sig.count() // materialize before the band + two join sides fan out
+      val pieces = array(
+        substring(col("sig64"), 1, 22),
+        substring(col("sig64"), 23, 21),
+        substring(col("sig64"), 44, 21))
+      val bands = sig.select(col("doc_id"), posexplode(pieces).as(Seq("b", "key")))
+      val pairs = Dedup.pairsFromBands(bands)
+        .join(sig.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "doc_b")
+        .withColumn("hamming",
+          expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("bigint"))
+        .where(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+      (pairs, () => { sig.unpersist(); () })
+    }
 
   /** The deduplicated MEDIA corpus — pHash near-dup pairs fed through
     * the identical component/keeper machinery as text near-dup
@@ -187,7 +195,11 @@ object Multimodal {
     * all shared with the text path. Output: doc_id, cluster_id,
     * n_bytes (stub payload size, as in `mm_meta`). */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val cl = Dedup.clustersFromPairs(phashPairs(spark, dir).select("doc_a", "doc_b"))
+    val cl = graft.ArtifactCache.tableReleasable(spark, "mm_cluster_decision", dir) {
+      val (df, h) =
+        Dedup.clustersFromPairsReleasable(phashPairArtifact(spark, dir).select("doc_a", "doc_b"))
+      (df, () => h.release())
+    }
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"))
       .join(cl.select("doc_id", "cluster_id", "keep"), Seq("doc_id"), "left")

@@ -302,7 +302,7 @@ object Text {
     * curation run reviewable. Output: doc_id, heldout, dup_loser,
     * contaminated, low_quality, pii_heavy, kept. */
   def curate(spark: SparkSession, dir: String): DataFrame =
-    curateFrom(spark, dir, Dedup.clusters(spark, dir))
+    curateFrom(spark, dir, Dedup.clusterArtifact(spark, dir))
 
   /** The same decision composed from an EXPLICIT cluster table — the
     * seam `pipelines.Curation` uses so a materialized cluster run is
