@@ -29,7 +29,20 @@ import graft.ops.IterState
   * Files are swept at JVM exit via the `IterState` registry. */
 object ArtifactCache {
 
-  private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // plain map + reentrant lock, NOT ConcurrentHashMap.computeIfAbsent:
+  // artifact builders call back into the cache for their dependencies
+  // (cluster decision -> capped bands -> signatures), and a nested
+  // computeIfAbsent on the same map throws "Recursive update" whenever
+  // the keys land in one bin. synchronized is reentrant for the
+  // building thread; concurrent builders serialize, which is the
+  // behavior a shared index build wants anyway.
+  private val paths = new java.util.HashMap[String, String]()
+
+  private def memo(key: String)(run: => String): String = paths.synchronized {
+    val hit = paths.get(key)
+    if (hit != null) hit
+    else { val p = run; paths.put(key, p); p }
+  }
 
   private def dirFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -65,8 +78,7 @@ object ArtifactCache {
       p
     }
     val path =
-      if (reuse)
-        paths.computeIfAbsent(s"$kind|$dir|${dirFingerprint(spark, dir)}", _ => run())
+      if (reuse) memo(s"$kind|$dir|${dirFingerprint(spark, dir)}")(run())
       else run()
     spark.read.parquet(path)
   }

@@ -54,4 +54,30 @@ object DocStreams {
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming MinHash NEAR-dup gate — the LSH companion to
+    * `dedupGate`'s exact-hash gate: each arriving document derives its
+    * 4 LSH band keys MAP-SIDE (`Dedup.mapSideBands` — no stateful
+    * aggregate, so the query stays in append mode) and probes the
+    * corpus' materialized bucket-capped band INDEX (the same landed
+    * state `Curation.incrementState` probes in batch) by stream-static
+    * equi-join on (b, key). A bucket collision is a near-dup candidate
+    * pair; `dropDuplicates` collapses multi-band collisions of the
+    * same pair (keyed state per distinct pair — production would bound
+    * it with `dropDuplicatesWithinWatermark` at the release cadence).
+    *
+    * Against the index of its own corpus this reproduces the batch
+    * `minhashCandidates` pair list exactly wherever the bucket cap
+    * never fired (`StreamingSpec` asserts parity); an arriving doc cut
+    * from a capped bucket in batch still flags here — the probe side
+    * is uncapped by design, since a live gate must judge every
+    * arrival. Output: doc_a, doc_b (candidate pair, doc_a < doc_b). */
+  def nearDupGate(spark: SparkSession, docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    graft.ops.Dedup.mapSideBands(docs)
+      .join(bandIndex.select(col("doc_id").as("partner"), col("b"), col("key")),
+        Seq("b", "key"))
+      .where(col("doc_id") =!= col("partner"))
+      .select(least(col("doc_id"), col("partner")).as("doc_a"),
+        greatest(col("doc_id"), col("partner")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
 }

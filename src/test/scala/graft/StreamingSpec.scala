@@ -225,4 +225,37 @@ class StreamingSpec extends SparkSpec {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming near-dup gate candidates match the batch minhash candidates") {
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+    val d = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    docs.where(col("doc_id") <= half).coalesce(1).write.parquet(s"$d/h1")
+    docs.where(col("doc_id") > half).coalesce(1).write.parquet(s"$d/h2")
+    // a genuinely NEW near-dup arrival: a verbatim copy of the lowest
+    // doc under a fresh id — the gate must pair it with the original
+    val src = docs.orderBy("doc_id").limit(1)
+      .select(lit(999999L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    src.coalesce(1).write.parquet(s"$d/h3")
+    val index = graft.ops.Dedup.cappedBandArtifact(spark, sf)
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.nearDupGate(spark, stream, index)
+      .writeStream.format("memory").queryName("ndg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ndg").where(col("doc_b") =!= 999999L)
+      val batch = graft.ops.Dedup.minhashCandidates(spark, sf).select("doc_a", "doc_b")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // the new arrival collided with its original (it may also pair
+      // with the original's own bucket-mates — that's correct gate
+      // behavior, not noise)
+      val novel = spark.table("ndg").where(col("doc_b") === 999999L)
+        .collect().map(_.getLong(0)).toSet
+      assert(novel.contains(docs.orderBy("doc_id").limit(1).collect().head.getLong(0)))
+    } finally q.stop()
+  }
 }
