@@ -3319,6 +3319,39 @@ object OracleSql {
   /** Efraimidis–Spirakis weighted sample, mirroring
     * `Text.weightedSample`: ln(u)/sqrt(n_chars) keys rounded to 6 dp,
     * top-15 per language. */
+  /** Mirrors `Text.dsirResample`: hashed-unigram importance weights
+    * (add-1-smoothed log ratio, 1024 buckets, 6-dp) + the
+    * Efraimidis–Spirakis top-100 cut. */
+  val textDsir: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(u.tok), 1, 14) AS BIGINT) % 1024 AS bkt
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+      |),
+      |tgt AS (SELECT bkt FROM tok WHERE doc_id % 10 = 0),
+      |rawd AS (SELECT doc_id, bkt FROM tok WHERE doc_id % 10 <> 0),
+      |tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS tt,
+      |               (SELECT COUNT(*) FROM rawd) AS tr),
+      |ct AS (SELECT bkt, COUNT(*) AS ct FROM tgt GROUP BY 1),
+      |cr AS (SELECT bkt, COUNT(*) AS cr FROM rawd GROUP BY 1),
+      |lr AS (
+      |  SELECT COALESCE(ct.bkt, cr.bkt) AS bkt,
+      |         ROUND(LN((COALESCE(ct.ct, 0) + 1) / CAST(tot.tt + 1024 AS DOUBLE))
+      |             - LN((COALESCE(cr.cr, 0) + 1) / CAST(tot.tr + 1024 AS DOUBLE)), 6) AS lr
+      |  FROM ct FULL JOIN cr ON ct.bkt = cr.bkt CROSS JOIN tot
+      |),
+      |doc AS (
+      |  SELECT r.doc_id, COUNT(*) AS n_tok,
+      |         ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS lw
+      |  FROM rawd r JOIN lr ON lr.bkt = r.bkt GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, lw,
+      |       ROUND(LN((CAST('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+      |             / 4503599627370496.0) / EXP(lw), 6) AS key
+      |FROM doc
+      |ORDER BY key DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   val textWeightedSample: String =
     """WITH d AS (
       |  SELECT lang, doc_id,

@@ -827,6 +827,65 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw documents whose hashed-unigram
+    * distribution looks like a TARGET domain. Target here is the
+    * deterministic 10% slice doc_id % 10 == 0 (the stand-in for an
+    * external target corpus, same convention as the decontamination
+    * held-out set); candidates are the remaining 90%.
+    *
+    *   1. Hashed bag-of-unigrams: token → 56-bit md5 → bucket mod 1024.
+    *   2. Per-bucket add-1-smoothed log importance ratio
+    *      lr = ln(p̂_target) − ln(p̂_raw) over the bucket vocabulary.
+    *   3. Per-doc weight: average lr over its token OCCURRENCES
+    *      (length-normalized, so long docs aren't favored), 6-dp.
+    *   4. Without-replacement importance resampling via the
+    *      Efraimidis–Spirakis key ln(u)/w with w = exp(lw) and u a
+    *      deterministic md5-derived uniform — the same sampling
+    *      machinery as `weightedSample`, so both engines cut the
+    *      identical top-100.
+    *
+    * Scale (100 TB): the bucket-stat table is ≤ 1024 rows → broadcast;
+    * the per-token probe is map-side; one groupBy(doc_id) + a global
+    * top-k (TakeOrdered, no sort of the corpus). The target-side
+    * aggregate reads the target slice only.
+    * Output: doc_id, n_tok, lw, key (top-100 by key desc). */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val toks = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        pmod(expr("cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"), lit(B)))
+      .select("doc_id", "bkt")
+    val target = toks.where(col("doc_id") % 10 === 0)
+    val raw = toks.where(col("doc_id") % 10 =!= 0)
+    val totals = target.agg(count(lit(1)).as("tt"))
+      .crossJoin(raw.agg(count(lit(1)).as("tr"))) // 1-row scalar carrier
+    val lr = target.groupBy("bkt").agg(count(lit(1)).as("ct"))
+      .join(raw.groupBy("bkt").agg(count(lit(1)).as("cr")), Seq("bkt"), "full")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"), round(
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("tt") + B).cast("double")) -
+        log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+          (col("tr") + B).cast("double")), 6).as("lr"))
+    raw.join(broadcast(lr), "bkt")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        // 6-dp decimal sum: order-independent, so the length-normalized
+        // weight is bit-identical across engines
+        round(sum(col("lr").cast("decimal(28,6)")).cast("double") / count(lit(1)), 6)
+          .as("lw"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(concat('dsir|', cast(doc_id as string))), 1, 13), 16, 10) as bigint)") + 1)
+          .cast("double") / lit(4503599627370496.0))
+      .withColumn("key", round(log(col("u")) / exp(col("lw")), 6))
+      .select("doc_id", "n_tok", "lw", "key")
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Document fingerprinting: minimum md5 over all 8-char rolling
     * shingles (winnowing-style content fingerprint, robust to
     * reordering of large blocks) + distinct-shingle cardinality.
