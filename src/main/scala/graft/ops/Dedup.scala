@@ -741,7 +741,7 @@ object Dedup {
     * high bit over the doc's whitespace tokens is positive.
     * Output: doc_id, simhash (64-char '0'/'1' string). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhash64Table(spark, dir)
+    simhashArtifact(spark, dir)
       .select(col("doc_id"), col("sig64").as("simhash"))
       .orderBy("doc_id")
 
@@ -788,6 +788,11 @@ object Dedup {
     * 5-bit pieces (32 buckets) would go quadratic — generally, k+1
     * pieces of a signature sized to the corpus for distance ≤ k.
     * Output: doc_a, doc_b, hamming. */
+  /** (doc_id, sig64) simhash signature artifact — shared by the
+    * signature query and the pairing pass (`ArtifactCache`). */
+  private def simhashArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.table(spark, "dedup_simhash64", dir)(simhash64Table(spark, dir))
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // the signature is packed to two BIGINTs once per doc (conv is
     // pre-join, O(docs)); per-candidate Hamming is then two XORs + two
@@ -795,12 +800,12 @@ object Dedup {
     // 64-term substring-comparison chain, and the verify join ships 16
     // bytes per side instead of a 64-char string. The oracle computes
     // the same distance as bit_count(xor(sig64::BIT)) — engine-native
-    // popcount on both sides.
-    val sig = simhash64Table(spark, dir)
+    // popcount on both sides. The signature table is the landed
+    // artifact (parquet-backed, so the band + two join sides read
+    // files — no persist choreography).
+    val sig = simhashArtifact(spark, dir)
       .withColumn("hi", expr("cast(conv(substring(sig64, 1, 32), 2, 10) as bigint)"))
       .withColumn("lo", expr("cast(conv(substring(sig64, 33, 32), 2, 10) as bigint)"))
-      .persist()
-    sig.count() // materialize before the band + two join sides fan out
     val pieces = array(
       substring(col("sig64"), 1, 22),
       substring(col("sig64"), 23, 21),

@@ -40,13 +40,20 @@ object TimeSeries {
       .agg(sum(col(amtCol).cast("decimal(18,2)")).cast("double").as(outCol))
 
   /** Daily order revenue — the engine's "TVL" series. */
+  // The three daily rollups are the shared input of the whole ts_* /
+  // risk family (20+ consumers): landed once per corpus version as
+  // O(#days)-row artifacts (`ArtifactCache` — the same posture as the
+  // dedup/kNN index artifacts), read by every consumer instead of
+  // re-running the fact scan + rollup per query.
   def dailyOrderRevenue(spark: SparkSession, dir: String): DataFrame =
-    dailySeries(Tables.orders(spark, dir), "o_orderdate", "o_totalprice", "tvl")
+    graft.ArtifactCache.table(spark, "ts_daily_tvl", dir)(
+      dailySeries(Tables.orders(spark, dir), "o_orderdate", "o_totalprice", "tvl"))
 
   /** Daily lineitem revenue — the "benchmark" series (reference's
     * wbtc buy-and-hold analogue, `aave_transform.py:41-90`). */
   def dailyBenchmark(spark: SparkSession, dir: String): DataFrame =
-    dailySeries(Tables.lineitem(spark, dir), "l_shipdate", "l_extendedprice", "bench")
+    graft.ArtifactCache.table(spark, "ts_daily_bench", dir)(
+      dailySeries(Tables.lineitem(spark, dir), "l_shipdate", "l_extendedprice", "bench"))
 
   private val wDate    = Window.orderBy("date")
   private val wCum     = wDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -374,10 +381,11 @@ object TimeSeries {
     * key; every multi-series operator partitions its windows on `name`
     * from here. */
   private[ops] def dailyOrderRevenueBySegment(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"))
+    graft.ArtifactCache.table(spark, "ts_daily_tvl_seg", dir)(
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl")))
 
   /** Multi-series gotk: one growth index per customer market segment,
     * every window `partitionBy("name")` — the shape the reference's

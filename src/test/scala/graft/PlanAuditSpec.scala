@@ -76,7 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     "ev_dormancy",
     // 1-row row-count carrier (file-cut arithmetic) + O(#partitions)
     // offset join inside withGlobalRank (the rel_ntile pattern)
-    "rel_zorder")
+    "rel_zorder",
+    // 1-row token-total carrier (smoothing denominators) onto the
+    // <=1024-row bucket-stat table
+    "text_dsir")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
