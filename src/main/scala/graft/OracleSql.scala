@@ -2017,6 +2017,60 @@ object OracleSql {
        |) ORDER BY round""".stripMargin
   }
 
+  /** Mirrors `Text.bpeApply`: the train CTE chain re-derives the same
+    * 5 merges, then each doc's token symbol-strings run them in order
+    * and the doc rolls up pre/post symbol counts. */
+  val textBpeApply: String = {
+    val k = 5
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         |         CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (SELECT c, string_split(substr(st, 2, length(st) - 2), '||') AS syms
+         |        FROM v${i - 1}) s,
+         |       UNNEST(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |v$i AS (
+         |  SELECT c, replace(st, '|' || b$i.a || '||' || b$i.b || '|',
+         |                        '|' || b$i.a || b$i.b || '|') AS st
+         |  FROM v${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val docRounds = (1 to k).map { i =>
+      s"""d$i AS (
+         |  SELECT doc_id, n0, replace(st, '|' || b$i.a || '||' || b$i.b || '|',
+         |                                 '|' || b$i.a || b$i.b || '|') AS st
+         |  FROM d${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT COUNT(*) AS c,
+       |         '|' || array_to_string(list_transform(range(1, length(tok) + 1),
+       |           i -> substr(tok, CAST(i AS INT), 1)), '||') || '|' AS st
+       |  FROM (SELECT u.tok FROM (SELECT string_split(text, ' ') AS t FROM documents) s,
+       |        UNNEST(s.t) AS u(tok) WHERE length(u.tok) >= 1) toks
+       |  GROUP BY tok
+       |),
+       |$rounds,
+       |d0 AS (
+       |  SELECT doc_id, length(u.tok) AS n0,
+       |         '|' || array_to_string(list_transform(range(1, length(u.tok) + 1),
+       |           i -> substr(u.tok, CAST(i AS INT), 1)), '||') || '|' AS st
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+       |       UNNEST(s.t) AS u(tok)
+       |  WHERE length(u.tok) >= 1
+       |),
+       |$docRounds
+       |SELECT doc_id,
+       |       CAST(SUM(n0) AS BIGINT) AS n_chars,
+       |       CAST(SUM(len(string_split(substr(st, 2, length(st) - 2), '||'))) AS BIGINT) AS n_tokens,
+       |       ROUND(SUM(len(string_split(substr(st, 2, length(st) - 2), '||')))
+       |             / CAST(SUM(n0) AS DOUBLE), 6) AS ratio
+       |FROM d$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
     * per-doc mean's summation order differs, absorbed by 6 dp. */

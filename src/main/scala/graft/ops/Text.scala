@@ -694,8 +694,19 @@ object Text {
     * pagerank (flat per-round cost, recoverable run); the elected pair
     * rides back as a 1-row broadcast, never a driver collect. The
     * DuckDB oracle unrolls the identical five rounds as CTEs.
+    * The trained merge table is itself a release artifact (a
+    * tokenizer is trained once per corpus and shipped) — landed via
+    * `ArtifactCache`, read by this query and by `bpeApply`.
     * Output: round, a, b, n. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesArtifact(spark, dir).orderBy("round")
+
+  /** (round, a, b, n) trained merge-table artifact. */
+  private def bpeMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "text_bpe_merges", dir)(
+      bpeTrainDerive(spark, dir))
+
+  private def bpeTrainDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val k = 5
     val vocab0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -731,9 +742,48 @@ object Text {
       cleanup.rm(s"$iterDir/v${r - 1}")
     }
     cleanup.rm(s"$iterDir/v$k") // merge parquets back the result; state is done
-    merges.result().reduce(_.unionByName(_))
+    val out = merges.result().reduce(_.unionByName(_))
       .select("round", "a", "b", "n")
       .orderBy("round")
+    // the artifact write fully consumes the m$r parquets; release the
+    // run dir then instead of parking it until JVM exit
+    (out, () => cleanup.release())
+  }
+
+  /** Apply the trained BPE merges — the ENCODE side that closes the
+    * tokenizer loop (`bpeTrain` learns the merges; this measures what
+    * they do to the corpus): every token's character-symbol string
+    * runs the 5 learned merges in training order, and each document
+    * reports its pre-merge symbol count (= characters in tokens),
+    * post-merge symbol count (= tokens under the learned vocab), and
+    * the compression ratio. The merge table is 5 rows read from the
+    * landed artifact and folded into the plan as literal replace()
+    * steps (the same bounded driver-side resolution a broadcast pays,
+    * and exactly how a shipped tokenizer embeds its merge list);
+    * everything else is map-side per token + one doc rollup.
+    * Output: doc_id, n_chars, n_tokens, ratio. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesArtifact(spark, dir)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val st0 = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .select(col("doc_id"), length(col("tok")).as("n0"), expr(
+        "concat('|', array_join(transform(sequence(1, length(tok)), i -> substring(tok, i, 1)), '||'), '|')")
+        .as("st"))
+    val encoded = merges.foldLeft(st0) { case (df, (a, b)) =>
+      df.withColumn("st",
+        replace(col("st"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+    }
+    encoded
+      .withColumn("n_sym",
+        size(expr("split(substring(st, 2, length(st) - 2), '\\\\|\\\\|')")))
+      .groupBy("doc_id")
+      .agg(sum(col("n0")).as("n_chars"), sum(col("n_sym")).as("n_tokens"))
+      .withColumn("ratio", round(col("n_tokens") / col("n_chars"), 6))
+      .orderBy("doc_id")
   }
 
   /** Cross-document SEGMENT-level dedup — the line-dedup pass of
