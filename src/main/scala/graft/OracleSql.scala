@@ -3343,6 +3343,34 @@ object OracleSql {
       |FROM u JOIN m ON u.event_type = m.event_type
       |ORDER BY u.event_type""".stripMargin
 
+  /** Mirrors `Events.cmsUsers`: d=4 × w=512 count-min counters from
+    * salted md5 buckets; estimate = min over row counters for the
+    * exact top-10 users. */
+  val evCms: String = {
+    val buckets = (0 until 4).map(r =>
+      s"CAST('0x' || substr(md5('cms$r|' || CAST(user_id AS VARCHAR)), 1, 14) AS BIGINT) % 512")
+    val cellRows = (0 until 4).map(r =>
+      s"SELECT user_id, $r AS r, ${buckets(r)} AS bkt FROM events").mkString("\n  UNION ALL ")
+    s"""WITH cells AS (
+       |  $cellRows
+       |),
+       |counters AS (SELECT r, bkt, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, COUNT(*) AS n_exact FROM events
+       |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10
+       |),
+       |probe AS (
+       |  SELECT t.user_id, t.n_exact, c2.r, c2.bkt
+       |  FROM top t JOIN cells c2 ON c2.user_id = t.user_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT p.user_id, p.n_exact, MIN(co.c) AS n_est,
+       |       MIN(co.c) - p.n_exact AS err
+       |FROM probe p JOIN counters co ON co.r = p.r AND co.bkt = p.bkt
+       |GROUP BY 1, 2
+       |ORDER BY n_exact DESC, user_id""".stripMargin
+  }
+
   val evKmv: String =
     """WITH h AS (
       |  SELECT DISTINCT event_type,

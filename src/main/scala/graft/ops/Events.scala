@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -760,6 +760,39 @@ object Events {
     * < k distinct hashes report the exact count as the estimate (the
     * standard small-set exact regime). Output: event_type, n_exact,
     * n_est, err_pct. */
+  /** Count-min sketch audit — the mergeable heavy-hitter counter a
+    * streaming pipeline keeps where exact per-key counts don't fit:
+    * d=4 salted-md5 hash rows × w=512 counters; a key's estimate is
+    * the MIN over its 4 row counters (always ≥ exact — the one-sided
+    * CMS error). Like `kmvDistinct`, the sketch is a pure
+    * deterministic function of the data (no RNG), so the whole thing
+    * is oracle-checkable: the 2048-cell counter table is one
+    * groupBy over the map-side (row, bucket) explode, the probe side
+    * is the exact top-10 (TakeOrdered), and the counter table
+    * broadcasts. Output: user_id, n_exact, n_est, err (est − exact,
+    * ≥ 0). */
+  def cmsUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = 512
+    val rows = 0 until 4
+    def bkt(r: Int): Column =
+      pmod(expr(s"cast(conv(substring(md5(concat('cms$r|', cast(user_id as string))), 1, 14), 16, 10) as bigint)"),
+        lit(w))
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val counters = ev
+      .select(col("user_id"), posexplode(array(rows.map(bkt): _*)).as(Seq("r", "bkt")))
+      .groupBy("r", "bkt").agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    top
+      .select(col("user_id"), col("n_exact"),
+        posexplode(array(rows.map(bkt): _*)).as(Seq("r", "bkt")))
+      .join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("c")).as("n_est"))
+      .withColumn("err", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 32
     val hashed = Tables.events(spark, dir)
