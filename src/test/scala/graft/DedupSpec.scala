@@ -21,6 +21,19 @@ class DedupSpec extends SparkSpec {
     try body finally spark.conf.unset("graft.cluster.collectEdgesMax")
   }
 
+  test("map-side band derivation matches the batch signature chain") {
+    // the streaming gate derives band keys per row (array HOFs, no
+    // groupBy); on a corpus where the bucket cap never fires (sf0.001)
+    // the batch capped-band artifact IS the full band table, so the
+    // two derivations must agree row-for-row
+    val mapSide = Dedup.mapSideBands(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val batch = Dedup.cappedBandArtifact(spark, sf)
+    assert(mapSide.count() > 0)
+    assert(mapSide.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(mapSide).count() === 0)
+  }
+
   test("bucket-width cap keeps the lowest MaxBucket doc_ids per bucket") {
     val cap = Dedup.MaxBucket
     // one viral bucket of cap+6 docs, one small independent bucket
