@@ -2920,6 +2920,40 @@ object OracleSql {
        |FROM pred p JOIN embeddings e USING (vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 2-core of the mutual kNN graph: the same reciprocal-edge
+    * derivation and five unrolled peeling rounds as
+    * `Similarity.kcore`. */
+  val simKcore: String = {
+    // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // an unrolled peeling chain whose each level references the
+    // previous one several times would otherwise expand exponentially
+    // (observed as thousands of parquet re-opens)
+    val rounds = (1 to 5).map { i =>
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT v, COUNT(*) AS d
+         |  FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1
+         |),
+         |kp$i AS MATERIALIZED (SELECT v FROM dg$i WHERE d >= 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN kp$i ka ON ka.v = e.a JOIN kp$i kb ON kb.v = e.b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |g AS MATERIALIZED (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+       |e0 AS MATERIALIZED (
+       |  SELECT g1.vec_id AS a, g1.nbr_id AS b
+       |  FROM g g1 JOIN g g2
+       |    ON g2.vec_id = g1.nbr_id AND g2.nbr_id = g1.vec_id
+       |  WHERE g1.vec_id < g1.nbr_id
+       |),
+       |$rounds
+       |SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** PageRank over the kNN graph: five unrolled synchronous damped
     * iterations with the dangling-mass term, the identical arithmetic
     * shape as the Spark loop (0.15/N + 0.85*(contrib + dmass/N)). */

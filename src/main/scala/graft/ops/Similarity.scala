@@ -791,6 +791,64 @@ object Similarity {
     labels.select(col("vec_id"), col("lab").as("community")).orderBy("vec_id")
   }
 
+  /** 2-core of the MUTUAL kNN graph — FIVE unrolled peeling rounds
+    * over the reciprocal-edge backbone: an edge survives only when
+    * BOTH endpoints rank each other in their top-3 (the mutual-kNN
+    * graph standard in density clustering — one-sided edges from hubs
+    * carry no reciprocity signal; note the plain symmetrized k=3
+    * graph is degenerate for cores: every node has degree ≥ 3 there,
+    * so its 3-core is everything and its 4-core peels to empty).
+    * Each round drops nodes with mutual degree < 2 and recomputes
+    * degrees over the induced subgraph — peeling off reciprocal-pair
+    * "whiskers" until only cyclically-connected dense regions remain,
+    * the backbone a curation pass treats as topic cores. A fixed
+    * round count keeps the result a pure deterministic function both
+    * engines evaluate identically (the oracle unrolls the same five
+    * rounds); mutual-kNN peeling converges in 2–3 rounds, so round 5
+    * is already the fixpoint in practice. Per round: one degree
+    * aggregate + two semi-joins — O(edges) at any graph size, each
+    * round persisted (tiny O(E) table) so the unrolled lineage stays
+    * linear. Output: vec_id, deg (nodes surviving all peels, with
+    * their in-core mutual degree). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 2
+    val g = knnGraphShared(spark, dir).select(col("vec_id"), col("nbr_id"))
+    // each round references the previous edge set three times (degree
+    // union twice + the induced-subgraph join), so the unrolled
+    // lineage grows 3^rounds without a hard break — the same
+    // nested-plan pathology as the cluster loop; iteration state goes
+    // through the IterState parquet seam (flat per-round plans)
+    val iterDir = s"${IterState.rootFor(spark)}/kcore_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(spark, iterDir)
+    def mat(df: DataFrame, i: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/e_$i")
+      spark.read.parquet(s"$iterDir/e_$i")
+    }
+    var edges = mat(
+      g.as("g1")
+        .join(g.as("g2"),
+          col("g2.vec_id") === col("g1.nbr_id") && col("g2.nbr_id") === col("g1.vec_id"))
+        .where(col("g1.vec_id") < col("g1.nbr_id"))
+        .select(col("g1.vec_id").as("a"), col("g1.nbr_id").as("b")),
+      0)
+    for (i <- 1 to 5) {
+      val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("v")
+      edges = mat(
+        edges
+          .join(keep.select(col("v").as("a")), "a")
+          .join(keep.select(col("v").as("b")), "b")
+          .select("a", "b"),
+        i)
+      cleanup.rm(s"$iterDir/e_${i - 1}")
+    }
+    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .select(col("v").as("vec_id"), col("deg"))
+      .orderBy("vec_id")
+  }
+
   /** Per-node triangle counts on the kNN graph — the local clustering
     * signal that separates docs inside dense semantic neighborhoods
     * from bridge/outlier docs (a triangle-rich node's neighbors agree

@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkSpec {
   private val executesAtConstruction = Set(
     "dedup_clusters", "dedup_apply", "text_curate",
     "sim_clusters", "sim_clusters_loose", "mm_dedup_apply",
-    "ts_drawdown", "ts_drawdown_by_segment")
+    "ts_drawdown", "ts_drawdown_by_segment",
+    // sim_kcore's peeling rounds and bpe's merge table materialize
+    // through IterState/ArtifactCache during construction
+    "sim_kcore", "text_bpe_apply", "text_bpe_train")
 
   /** Bounded-broadcast nested loops, each justified at the operator:
     * ev_range_join = broadcast interval dim; rel_ntile / risk /
