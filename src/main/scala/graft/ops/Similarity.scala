@@ -811,8 +811,20 @@ object Similarity {
     * linear. Output: vec_id, deg (nodes surviving all peels, with
     * their in-core mutual degree). */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val k = 2
     val g = knnGraphShared(spark, dir).select(col("vec_id"), col("nbr_id"))
+    val mutual = g.as("g1")
+      .join(g.as("g2"),
+        col("g2.vec_id") === col("g1.nbr_id") && col("g2.nbr_id") === col("g1.vec_id"))
+      .where(col("g1.vec_id") < col("g1.nbr_id"))
+      .select(col("g1.vec_id").as("a"), col("g1.nbr_id").as("b"))
+    kcoreFrom(spark, mutual)
+  }
+
+  /** The peel over an explicit undirected (a, b) edge list — split
+    * out so the property test drives constructed graphs through the
+    * distributed rounds against a reference peel. */
+  private[graft] def kcoreFrom(spark: SparkSession, und: DataFrame): DataFrame = {
+    val k = 2
     // each round references the previous edge set three times (degree
     // union twice + the induced-subgraph join), so the unrolled
     // lineage grows 3^rounds without a hard break — the same
@@ -835,13 +847,7 @@ object Similarity {
       val n = obs.get.get("n").flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
       (spark.read.parquet(path), n)
     }
-    var (edges, nEdges) = mat(
-      g.as("g1")
-        .join(g.as("g2"),
-          col("g2.vec_id") === col("g1.nbr_id") && col("g2.nbr_id") === col("g1.vec_id"))
-        .where(col("g1.vec_id") < col("g1.nbr_id"))
-        .select(col("g1.vec_id").as("a"), col("g1.nbr_id").as("b")),
-      0)
+    var (edges, nEdges) = mat(und.select("a", "b"), 0)
     var i = 1
     var converged = false
     while (i <= 5 && !converged) {

@@ -25,6 +25,37 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
     samples(g, n).foreach(body)
 
+  test("kcore peel matches a reference 5-round peel on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+      } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    def referencePeel(edges0: Set[(Long, Long)]): Map[Long, Int] = {
+      var edges = edges0
+      var rounds = 0
+      var removedSomething = true
+      while (rounds < 5 && removedSomething) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 2).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        removedSomething = next != edges
+        edges = next
+        rounds += 1
+      }
+      edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    forAll(edgeGen, n = 4) { es =>
+      import spark.implicits._
+      val und = es.toDF("a", "b")
+      val got = graft.ops.Similarity.kcoreFrom(spark, und).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === referencePeel(es.toSet))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("gotk telescopes: product of (1+pct) equals end/principal ratio") {
     forAll(pctSeries) { pcts =>
       import spark.implicits._
