@@ -98,6 +98,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("artifact-backed consumers read the landed parquet, not the derivation") {
+    // the round-9 perf posture: minhash candidates and the dedup
+    // decision must be file reads over ArtifactCache parquet (under
+    // the iteration root), with NO shingle/signature derivation left
+    // in the consumer's plan — re-deriving per query is exactly what
+    // the artifacts exist to stop. The leaves being artifact files is
+    // the structural proof.
+    ops.Dedup.clusters(spark, sf).queryExecution // force artifact builds
+    val cand = ops.Dedup.minhashCandidates(spark, sf).inputFiles
+    assert(cand.nonEmpty && cand.forall(_.contains("art_dedup_capped_bands")),
+      s"minhash candidates don't read (only) the band artifact: ${cand.mkString(",")}")
+    val cl = ops.Dedup.clusters(spark, sf).inputFiles
+    assert(cl.nonEmpty && cl.forall(_.contains("art_dedup_cluster_decision")),
+      s"clusters don't read (only) the decision artifact: ${cl.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("scan-level predicate pushdown holds for the scan+filter contract") {
     // rel_scan_filter (S1/P2): the date-range + flag predicates must
     // reach the parquet source as PushedFilters, not a post-scan
