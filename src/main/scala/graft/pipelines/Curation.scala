@@ -133,6 +133,41 @@ object Curation {
     Text.resampleMixFrom(graft.Tables.documents(spark, dir).join(kept, "doc_id"))
   }
 
+  /** Release-to-release corpus AUDIT — the diff a data lead reads
+    * before shipping vN+1: per document, whether it was added,
+    * removed, changed (same id, different content hash), or carried
+    * unchanged, rolled up per source with character-mass deltas. One
+    * full-outer hash equi-join on doc_id over (id, md5, n_chars)
+    * projections — the corpus text itself never ships — plus a
+    * source-keyed rollup; at 100 TB both sides scan only three
+    * narrow columns and the join shuffles hashes, not documents.
+    * Output: source, n_added, n_removed, n_changed, n_unchanged,
+    * chars_delta. */
+  def releaseDiff(spark: SparkSession, priorDocs: DataFrame, nextDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def slim(df: DataFrame, suffix: String) =
+      df.select(col("doc_id"),
+        col("source").as(s"source_$suffix"),
+        md5(col("text")).as(s"h_$suffix"),
+        col("n_chars").cast("long").as(s"chars_$suffix"))
+    slim(priorDocs, "a").join(slim(nextDocs, "b"), Seq("doc_id"), "full")
+      .select(
+        coalesce(col("source_b"), col("source_a")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("chars_b"), lit(0L)) - coalesce(col("chars_a"), lit(0L))).as("cd"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("cd")).as("chars_delta"))
+      .orderBy("source")
+  }
+
   /** The full pipeline: cluster once, land both derived tables.
     * Re-runnable: every stage is a truncate-load, so a re-run
     * reproduces the same state (the reference's idempotency contract

@@ -502,6 +502,29 @@ class PipelineSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("release diff classifies added/removed/changed/unchanged per source") {
+    import spark.implicits._
+    val prior = Seq(
+      (1L, "alpha text", "s1", 10L),   // unchanged
+      (2L, "beta text", "s1", 9L),     // changed in vN+1
+      (3L, "gamma text", "s2", 10L)    // removed in vN+1
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val next = Seq(
+      (1L, "alpha text", "s1", 10L),
+      (2L, "beta text v2", "s1", 12L),
+      (4L, "delta text", "s2", 10L)    // added
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val d = graft.pipelines.Curation.releaseDiff(spark, prior, next)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(d("s1") === ((0L, 0L, 1L, 1L, 3L)))  // changed doc 2: +3 chars
+    assert(d("s2") === ((1L, 1L, 0L, 0L, 0L)))  // doc 3 out (-10), doc 4 in (+10)
+    // self-diff is all-unchanged, zero delta
+    val self = graft.pipelines.Curation.releaseDiff(spark, prior, prior).collect()
+    assert(self.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0 && r.getLong(5) == 0))
+  }
+
   test("incremental ANN index: vN + delta state is row-identical to full rebuild") {
     val emb = Tables.embeddings(spark, sf)
     val vN = emb.where(col("vec_id") % 7 =!= 3)
