@@ -2349,6 +2349,61 @@ object OracleSql {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Mirrors `Text.winnow`: 8-char shingle hashes, min per sliding
+    * window of 16 with rightmost tie-break encoded in the compared
+    * string (hash || lpad(10^6 - pos)), distinct selections. */
+  val textWinnow: String =
+    """WITH hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) - 7 + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), 8)) ||
+      |           lpad(CAST(1000000 - i AS VARCHAR), 7, '0')) AS hs
+      |  FROM documents WHERE length(text) >= 23
+      |),
+      |sel AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(hs) - 15 + 1),
+      |      s -> list_min(list_slice(hs, CAST(s AS INT), CAST(s + 15 AS INT)))))) AS v
+      |  FROM hs
+      |)
+      |SELECT doc_id,
+      |  CAST(1000000 - CAST(substr(v, 33) AS INT) AS BIGINT) AS pos,
+      |  substr(v, 1, 32) AS fp
+      |FROM sel ORDER BY doc_id, pos""".stripMargin
+
+  /** Mirrors `Text.winnowOverlap`: posting-list join of the winnow
+    * fingerprints (fp frequency capped at 8 docs), pairs sharing ≥ 2,
+    * containment = shared / min fp-set size. */
+  val textWinnowOverlap: String =
+    """WITH hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) - 7 + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), 8)) ||
+      |           lpad(CAST(1000000 - i AS VARCHAR), 7, '0')) AS hs
+      |  FROM documents WHERE length(text) >= 23
+      |),
+      |sel AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(hs) - 15 + 1),
+      |      s -> list_min(list_slice(hs, CAST(s AS INT), CAST(s + 15 AS INT)))))) AS v
+      |  FROM hs
+      |),
+      |fps AS (SELECT DISTINCT doc_id, substr(v, 1, 32) AS fp FROM sel),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+      |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 8),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+      |  FROM fps a JOIN fps b USING (fp) JOIN keep k USING (fp)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |)
+      |SELECT doc_a, doc_b, shared_fps,
+      |  ROUND(shared_fps / LEAST(sa.n_fp, sb.n_fp), 6) AS containment
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Mirrors `Text.substrDedup`: rolling 10-token shingles at every
     * offset, cross-doc-duplicated starts merged into maximal spans
     * per doc (interval union via the gap/island window). */

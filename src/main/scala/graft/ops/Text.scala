@@ -957,6 +957,81 @@ object Text {
           .cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003: "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): over the doc's 8-char shingle hashes, each
+    * sliding window of 16 consecutive hashes selects its minimum
+    * (rightmost position on ties — the paper's robust-winnowing
+    * rule), and the distinct selected (hash, position) pairs are the
+    * doc's fingerprints. Guarantee: any substring match of length
+    * ≥ k + w - 1 = 23 chars yields a shared fingerprint, so
+    * `winnowOverlap` detects partial copies `fingerprint`'s single
+    * whole-doc min cannot localize.
+    *
+    * Shape: ENTIRELY map-side — the shingle-hash array and the
+    * per-window minima are nested array transforms inside one
+    * projection, so there is no explode→window shuffle; cost is
+    * O(len·w) comparisons per doc with each md5 computed once. The
+    * rightmost tie-break rides the compared string itself:
+    * v_i = md5(shingle_i) || lpad(10^6 - i), so a larger position
+    * sorts smaller and array_min picks it — no struct comparison,
+    * hence the identical expression runs in DuckDB. (The 10^6 offset
+    * caps winnowed docs at 1M chars; longer docs would winnow a
+    * prefix — lift the pad width with the corpus.)
+    * Output: doc_id, pos (1-based shingle start), fp. */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFrom(Tables.documents(spark, dir))
+
+  private[graft] def winnowFrom(docs: DataFrame): DataFrame =
+    docs
+      // need ≥ one full window of 16 8-char shingles: len ≥ 8+16-1
+      .where(length(col("text")) >= 23)
+      .withColumn("hs",
+        expr("transform(sequence(1, length(text) - 7), i -> " +
+          "md5(substring(text, i, 8)) || lpad(cast(1000000 - i as string), 7, '0'))"))
+      .select(col("doc_id"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, size(hs) - 15), s -> array_min(slice(hs, s, 16))))"))
+          .as("v"))
+      .select(col("doc_id"),
+        expr("cast(1000000 - cast(substring(v, 33) as int) as bigint)").as("pos"),
+        expr("substring(v, 1, 32)").as("fp"))
+      .orderBy("doc_id", "pos")
+
+  /** Partial-copy pair detection over the winnowing fingerprints:
+    * docs sharing ≥ 2 selected fingerprints, scored by containment
+    * (shared / min(|fp set|)). The join is posting-list shaped — an
+    * fp equi-join, never all-pairs — and fps appearing in > 8 docs
+    * (boilerplate) are dropped before pairing, the same
+    * bucket-width cap that bounds every LSH family here; the cap is
+    * deterministic (a frequency filter), so the oracle applies it
+    * identically. Output: doc_a, doc_b, shared_fps, containment. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapFrom(Tables.documents(spark, dir))
+
+  private[graft] def winnowOverlapFrom(docs: DataFrame): DataFrame = {
+    val fps = winnowFrom(docs)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val shared = fps.groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ds"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs").between(2, 8))
+    val pairs = shared
+      .select(explode(expr(
+        "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= 2)
+    // sizes is O(#docs) — NOT broadcast; pairs is the small side and
+    // AQE picks the build side at runtime
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("shared_fps") / least(col("na"), col("nb")), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): per language, documents split into
     * head/middle/tail tertiles by LM score (head = most fluent) — the

@@ -1023,4 +1023,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L) === ((47L, 2L, 27L, math.rint(27.0 / 47 * 1e6) / 1e6)))
     assert(out(7L) === ((17L, 1L, 12L, math.rint(12.0 / 17 * 1e6) / 1e6)))
   }
+
+  test("winnow: match guarantee, rightmost tie-break, boilerplate cap") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again and once more for luck"
+    def pad(c: Char, n: Int) = (0 until n).map(i => ('a' + (i * 7 + c) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, pad('q', 40) + shared + pad('z', 30)),   // shared block, offset 40
+      (2L, pad('k', 17) + shared + pad('m', 55)),   // same block, offset 17
+      (3L, "0123456789" * 6)                         // unique content
+    ).toDF("doc_id", "text")
+    val fps = Text.winnowFrom(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getString(2))).toSet).toMap
+    // winnowing guarantee: a shared substring of length >= k+w-1 = 23
+    // yields >= 1 shared HASH whatever the alignment (positions differ)
+    val sharedHashes = fps(1L).map(_._2) intersect fps(2L).map(_._2)
+    assert(sharedHashes.nonEmpty)
+    assert((fps(3L).map(_._2) intersect fps(1L).map(_._2)).isEmpty)
+    // selection density: winnowing keeps ~2/(w+1) of positions, never
+    // more than one per window — far fewer than the shingle count
+    assert(fps(1L).size < (40 + shared.length + 30 - 7) / 2)
+
+    // rightmost tie-break: all shingles of a constant doc hash equal,
+    // so EVERY window must select its rightmost position -> selected
+    // positions are exactly [w..n_shingles] (leftmost would give [1..8])
+    val const = Seq((9L, "a" * 30)).toDF("doc_id", "text") // 23 shingles, 8 windows
+    val cfps = Text.winnowFrom(const).collect().map(r => r.getLong(1)).sorted
+    assert(cfps.toSeq === (16L to 23L))
+
+    // cap: 10 identical docs put every fp in 10 > 8 postings -> no pairs;
+    // the two genuinely-overlapping docs pair with containment in (0,1]
+    val viral = (10L to 19L).map(i => (i, "x" + shared + shared + "y")).toDF("doc_id", "text")
+    val out = Text.winnowOverlapFrom(docs.union(viral)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall { case (a, b, _, _) => a < 10 && b < 10 })
+    val pair = out.find { case (a, b, _, _) => a == 1L && b == 2L }
+    assert(pair.nonEmpty)
+    assert(pair.get._3 >= 2 && pair.get._4 > 0 && pair.get._4 <= 1.0)
+  }
 }
