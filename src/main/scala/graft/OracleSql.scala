@@ -2767,6 +2767,45 @@ object OracleSql {
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors `Similarity.dbscan`: banded-LSH eps-neighbors at the
+    * loose threshold, degree ≥ 2 cores, core-core components seeded
+    * with ALL cores (isolated cores self-root), min-cluster border
+    * attachment, the rest noise. */
+  val simDbscan: String =
+    s"""WITH RECURSIVE ${simNearDupCtes(ops.Similarity.LooseThreshold)},
+       |adj AS (SELECT doc_a AS id, doc_b AS nbr FROM cand
+       |        UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT id, COUNT(*) AS degree FROM adj GROUP BY id),
+       |cores AS (SELECT id FROM deg WHERE degree >= 2),
+       |cdir AS (
+       |  SELECT c.doc_a AS src, c.doc_b AS dst FROM cand c
+       |  WHERE c.doc_a IN (SELECT id FROM cores) AND c.doc_b IN (SELECT id FROM cores)
+       |  UNION ALL
+       |  SELECT c.doc_b, c.doc_a FROM cand c
+       |  WHERE c.doc_a IN (SELECT id FROM cores) AND c.doc_b IN (SELECT id FROM cores)
+       |),
+       |creach(id, r) AS (
+       |  SELECT id, id FROM cores
+       |  UNION
+       |  SELECT w.id, e.dst FROM creach w JOIN cdir e ON e.src = w.r
+       |),
+       |ccl AS (SELECT id, MIN(r) AS cluster_id FROM creach GROUP BY id),
+       |border AS (
+       |  SELECT a.id, MIN(c.cluster_id) AS cluster_id
+       |  FROM adj a JOIN ccl c ON c.id = a.nbr
+       |  WHERE a.id NOT IN (SELECT id FROM cores)
+       |  GROUP BY a.id
+       |)
+       |SELECT e.vec_id AS doc_id,
+       |  CASE WHEN cc.cluster_id IS NOT NULL THEN 'core'
+       |       WHEN b.cluster_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(cc.cluster_id, b.cluster_id) AS cluster_id
+       |FROM embeddings e
+       |LEFT JOIN ccl cc ON cc.id = e.vec_id
+       |LEFT JOIN border b ON b.id = e.vec_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Int8 scalar-quantization audit: symmetric per-vector scale,
     * saturation count, L2 reconstruction error. */
   val simQuantize: String =

@@ -215,6 +215,58 @@ object Similarity {
     cl
   }
 
+  /** DBSCAN-style density clustering (Ester et al., KDD 1996) over
+    * the banded sign-LSH candidate graph: eps-neighbors are candidate
+    * pairs at cos ≥ `LooseThreshold`, minPts = 3 (a point plus ≥ 2
+    * neighbors), core points cluster as connected components of the
+    * core-core edges (shared `Dedup.clustersFromPairs` machinery,
+    * min-id labels), border points attach to the min cluster_id among
+    * their adjacent cores, everything else is noise. Neighborhood
+    * recall is the LSH family's — banded candidates, never all-pairs;
+    * exact DBSCAN's quadratic eps-scan is precisely what this engine
+    * refuses to run at 100 TB, and density stays honest because the
+    * band collision probability is monotone in cosine. Every
+    * assignment rule is deterministic (min-id), so the oracle replays
+    * the full decision. Output: doc_id, role, cluster_id (null for
+    * noise). */
+  def dbscan(spark: SparkSession, dir: String): DataFrame =
+    dbscanFrom(spark, Tables.embeddings(spark, dir))
+
+  private[graft] def dbscanFrom(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val v = vecsOf(spark, emb).persist()
+    v.count()
+    val pairs = cosineNearDupFrom(spark, v, threshold = LooseThreshold)
+      .select("doc_a", "doc_b").persist()
+    pairs.count()
+    v.unpersist() // dead once the pair cache is materialized (CachePolicy exception)
+    val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("id", "nbr")
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("degree"))
+    val cores = deg.where(col("degree") >= 2).select("id")
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("doc_a")), "doc_a")
+      .join(cores.select(col("id").as("doc_b")), "doc_b")
+      .select("doc_a", "doc_b")
+    val comp = Dedup.clustersFromPairs(coreEdges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    // cores isolated from other cores (all their neighbors are
+    // borders) never enter the edge list — they root their own
+    // singleton cluster, exactly DBSCAN's semantics
+    val coreCl = cores.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderCl = adj
+      .join(coreCl.select(col("id").as("nbr"), col("cluster_id")), "nbr")
+      .join(cores, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+    emb.select(col("vec_id").as("doc_id"))
+      .join(coreCl.select(col("id").as("doc_id"), col("cluster_id").as("ccl")), Seq("doc_id"), "left")
+      .join(borderCl.select(col("id").as("doc_id"), col("cluster_id").as("bcl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ccl").isNotNull, "core")
+          .when(col("bcl").isNotNull, "border").otherwise("noise").as("role"),
+        coalesce(col("ccl"), col("bcl")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Int8 scalar quantization audit — the vector-index compression
     * pass (16→1 bytes/dim for float32 sources): per vector, symmetric
     * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127], and the

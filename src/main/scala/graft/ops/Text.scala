@@ -980,19 +980,24 @@ object Text {
     * prefix — lift the pad width with the corpus.)
     * Output: doc_id, pos (1-based shingle start), fp. */
   def winnow(spark: SparkSession, dir: String): DataFrame =
-    winnowFrom(Tables.documents(spark, dir))
+    winnowTable(spark, dir).orderBy("doc_id", "pos")
+
+  /** The landed winnow-fingerprint artifact (doc_id, pos, fp) — built
+    * once per corpus version, read by `winnow` and `winnowOverlap`
+    * (the release-pipeline posture every index table here follows). */
+  private def winnowTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.table(spark, "text_winnow_fps", dir)(
+      winnowFrom(Tables.documents(spark, dir)))
 
   private[graft] def winnowFrom(docs: DataFrame): DataFrame =
     docs
       // need ≥ one full window of 16 8-char shingles: len ≥ 8+16-1
       .where(length(col("text")) >= 23)
-      .withColumn("hs",
-        expr("transform(sequence(1, length(text) - 7), i -> " +
-          "md5(substring(text, i, 8)) || lpad(cast(1000000 - i as string), 7, '0'))"))
+      // native O(n) deque selection (functions.WinnowSelect); value-
+      // identical to the composable array_min-over-slices form the
+      // oracle runs, ~10× cheaper (PERF.md round 9)
       .select(col("doc_id"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, size(hs) - 15), s -> array_min(slice(hs, s, 16))))"))
-          .as("v"))
+        explode(graft.functions.WinnowSelect.selections(docs.sparkSession, col("text"))).as("v"))
       .select(col("doc_id"),
         expr("cast(1000000 - cast(substring(v, 33) as int) as bigint)").as("pos"),
         expr("substring(v, 1, 32)").as("fp"))
@@ -1007,10 +1012,13 @@ object Text {
     * deterministic (a frequency filter), so the oracle applies it
     * identically. Output: doc_a, doc_b, shared_fps, containment. */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
-    winnowOverlapFrom(Tables.documents(spark, dir))
+    winnowOverlapFromFps(winnowTable(spark, dir))
 
-  private[graft] def winnowOverlapFrom(docs: DataFrame): DataFrame = {
-    val fps = winnowFrom(docs)
+  private[graft] def winnowOverlapFrom(docs: DataFrame): DataFrame =
+    winnowOverlapFromFps(winnowFrom(docs))
+
+  private def winnowOverlapFromFps(winnowed: DataFrame): DataFrame = {
+    val fps = winnowed
       .select(col("doc_id"), col("fp")).distinct()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val shared = fps.groupBy("fp")

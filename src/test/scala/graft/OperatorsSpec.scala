@@ -1024,6 +1024,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L) === ((17L, 1L, 12L, math.rint(12.0 / 17 * 1e6) / 1e6)))
   }
 
+  test("dbscan: cores, chain borders, isolated core, noise") {
+    import spark.implicits._
+    // unit circle in the xy-plane: adjacency (cos >= 0.35 ~ 69.5deg)
+    // forms the chain 1-2-3-4, so 2 and 3 are cores (degree 2) and
+    // 1/4 are borders of cluster 2; hub 6 (z-halfspace, orthogonal to
+    // the chain) has two spokes 5/7 that are NOT adjacent to each
+    // other -> 6 is a core with no core neighbor (singleton cluster),
+    // 5/7 its borders; 8 is anti-parallel to everything -> noise
+    // pad to 32 dims: the band signature reads dims 1..32 (ANSI
+    // element_at), and zero pads leave cosines untouched
+    def pad(v: Seq[Float]) = v ++ Seq.fill(32 - v.length)(0f)
+    def ang(d: Double) = pad(Seq(math.cos(math.toRadians(d)).toFloat, math.sin(math.toRadians(d)).toFloat, 0f))
+    val emb = Seq(
+      (1L, ang(0), 0), (2L, ang(40), 0), (3L, ang(80), 0), (4L, ang(120), 0),
+      (5L, pad(Seq(0f, 0f, 1f)), 0), (6L, pad(Seq(0f, -0.643f, 0.766f)), 0),
+      // noise: orthogonal to the chain plane, anti-parallel to the hub set
+      (7L, pad(Seq(0f, -0.985f, 0.174f)), 0), (8L, pad(Seq(0f, 0f, -1f)), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.dbscanFrom(spark, emb).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(2L) === (("core", 2L)) && out(3L) === (("core", 2L)))
+    assert(out(1L) === (("border", 2L)) && out(4L) === (("border", 2L)))
+    assert(out(6L) === (("core", 6L)))   // isolated core self-roots
+    assert(out(5L) === (("border", 6L)) && out(7L) === (("border", 6L)))
+    assert(out(8L) === (("noise", -1L)))
+  }
+
   test("winnow: match guarantee, rightmost tie-break, boilerplate cap") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again and once more for luck"
