@@ -137,4 +137,36 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(t - expected) < 1e-9)
     }
   }
+
+  test("WinnowSelect deque matches the naive per-window array_min on random text") {
+    import graft.functions.WinnowSelect.{K, W}
+    // small alphabet + duplicated blocks force shingle-hash ties, the
+    // case the rightmost tie-break and deque pop-rule must agree on
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      dup <- Gen.oneOf(true, false)
+      s = cs.mkString
+    } yield if (dup) s + s.take(40) else s
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def naive(text: String): Seq[String] = {
+      val n = text.length - K + 1
+      if (n < W) return Seq.empty
+      val hs = (1 to n).map(i =>
+        md5hex(text.substring(i - 1, i - 1 + K)) + f"${1000000 - i}%07d")
+      (1 to n - W + 1).map(s => hs.slice(s - 1, s - 1 + W).min).distinct
+    }
+    forAll(textGen, n = 40) { text =>
+      val got = graft.functions.WinnowSelect
+        .winnow(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(got === naive(text), s"text=<$text>")
+    }
+  }
 }
