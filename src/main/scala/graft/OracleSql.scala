@@ -2090,6 +2090,28 @@ object OracleSql {
       |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors `Text.knScore`: interpolated Kneser-Ney with d=0.75 over
+    * the corpus bigrams; continuation counts from the bigram-TYPE
+    * table; identical left-assoc double expression tree. */
+  val textKnScore: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |),
+      |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY 1),
+      |n1a AS (SELECT a, COUNT(*) AS n1a FROM cab GROUP BY 1),
+      |n1b AS (SELECT b, COUNT(*) AS n1b FROM cab GROUP BY 1),
+      |n1t AS (SELECT COUNT(*) AS n1tot FROM cab)
+      |SELECT doc_id,
+      |  ROUND(AVG(LN(GREATEST(c_ab - 0.75, 0.0) / c_a
+      |    + (0.75 * n1a / c_a) * (n1b / n1tot))), 6) AS kn_score,
+      |  COUNT(*) AS n_bigrams
+      |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+      |JOIN n1a USING (a) JOIN n1b USING (b) CROSS JOIN n1t
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CCNet tertile bucketing: the LM-score query nested, per-lang
     * quantile_cont cutoffs (identical positional interpolation to
     * Spark's `percentile`), head/middle/tail by comparison. */
@@ -2936,6 +2958,61 @@ object OracleSql {
   val simKmeans: String =
     s"""WITH $kmeansCtes
        |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** Mirrors `Similarity.pq`: per-subspace unrolled Lloyd's (4×16-dim
+    * subspaces, k=8, 3 assigns / 2 updates, 6-dp argmin with cid
+    * tiebreak), codes pivoted + L2 reconstruction error. */
+  val simPq: String = {
+    def assign(i: Int, cPrev: String) =
+      s"""pd$i AS (
+         |  SELECT e.vec_id, e.sub, c.cid,
+         |         ROUND(SUM(e.x * e.x) - 2 * SUM(e.x * c.cx) + SUM(c.cx * c.cx), 6) AS dist
+         |  FROM pe e JOIN $cPrev c ON e.sub = c.sub AND e.pos = c.pos
+         |  GROUP BY 1, 2, 3
+         |),
+         |pa$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |    FROM pd$i) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def update(i: Int) =
+      s"""pc$i AS (
+         |  SELECT e.sub, a.cid, e.pos, AVG(e.x) AS cx
+         |  FROM pa$i a JOIN pe e ON e.vec_id = a.vec_id AND e.sub = a.sub
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
+    s"""WITH pe0 AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
+       |         UNNEST(embedding)::DOUBLE AS x
+       |  FROM embeddings
+       |),
+       |pe AS (SELECT vec_id, (p - 1) // 16 AS sub, (p - 1) % 16 AS pos, x FROM pe0),
+       |pc0 AS (SELECT sub, vec_id AS cid, pos, x AS cx FROM pe WHERE vec_id < 8),
+       |${assign(1, "pc0")},
+       |${update(1)},
+       |${assign(2, "pc1")},
+       |${update(2)},
+       |${assign(3, "pc2")},
+       |perr AS (
+       |  SELECT e.vec_id, ROUND(sqrt(SUM((e.x - c.cx) * (e.x - c.cx))), 6) AS recon_err
+       |  FROM pa3 a
+       |  JOIN pe e ON e.vec_id = a.vec_id AND e.sub = a.sub
+       |  JOIN pc2 c ON c.sub = a.sub AND c.cid = a.cid AND c.pos = e.pos
+       |  GROUP BY 1
+       |),
+       |pcodes AS (
+       |  SELECT vec_id,
+       |         MAX(CASE WHEN sub = 0 THEN cid END) AS code0,
+       |         MAX(CASE WHEN sub = 1 THEN cid END) AS code1,
+       |         MAX(CASE WHEN sub = 2 THEN cid END) AS code2,
+       |         MAX(CASE WHEN sub = 3 THEN cid END) AS code3
+       |  FROM pa3 GROUP BY 1
+       |)
+       |SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3, e2.recon_err
+       |FROM pcodes c JOIN perr e2 USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
 
   /** SemDeDup: the k-means chain + the loose banded near-dup pairs;
     * a pair counts only when both ends share a cluster, and the drop

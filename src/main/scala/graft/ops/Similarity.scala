@@ -215,6 +215,71 @@ object Similarity {
     cl
   }
 
+  /** Product quantization (Jégou, Douze, Schmid, TPAMI 2011): the
+    * 64-dim vectors split into M=4 contiguous 16-dim subspaces, each
+    * with its own k=8 codebook trained by the SAME deterministic
+    * unrolled Lloyd's discipline as `kmeans` (seeds = subvectors of
+    * the 8 lowest vec_ids, 3 assigns / 2 updates, argmin on
+    * 6-dp-rounded squared L2 with cid tiebreak) — so a vector
+    * compresses to 4 codes (12 bits here; 8 bits/subspace at
+    * production k=256) and reconstructs as the concatenation of its
+    * subspace centroids. Reported per vector: the 4 codes + L2
+    * reconstruction error against the final codebook — the
+    * compression-quality table an ANN index build publishes.
+    *
+    * Scale: training aggregates group by (sub, cid, pos) — 4·8·16
+    * cells regardless of corpus size; assignment is one broadcast-
+    * sized codebook join over the exploded scan per iteration. The
+    * M subspaces train in ONE plan (sub is just another grouping
+    * key), not M sequential jobs. Output: vec_id, code0..code3,
+    * recon_err. */
+  def pq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+      .select(col("vec_id"), expr("p div 16").as("sub"), expr("p % 16").as("pos"), col("x"))
+      .persist()
+    e.count() // materialize before the per-iteration scans fan out
+    var cent = e.where(col("vec_id") < 8)
+      .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("x").as("cx"))
+    var asg: DataFrame = null
+    for (i <- 1 to 3) {
+      val d = e.join(cent, Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "cid")
+        .agg(round(sum(col("x") * col("x")) - lit(2) * sum(col("x") * col("cx"))
+          + sum(col("cx") * col("cx")), 6).as("dist"))
+      // argmin as min(struct(dist, cid)) — same (dist, cid) order as a
+      // row_number window, one aggregate instead of a sort-exchange
+      asg = d.groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+      if (i < 3)
+        // cache the (≤ 4·8·16-row) codebook between iterations:
+        // without it each round's plan nests the whole prior chain and
+        // the two final consumers recompute the full 3-iteration tree
+        // (measured 3.7 → 1.5 s at sf0.1). No per-iteration count():
+        // every cache here has a SINGLE consumer chain, so the one
+        // materializing action below fills them in dependency order
+        // with no sibling race. Runner releases per CachePolicy.
+        cent = asg.join(e, Seq("vec_id", "sub"))
+          .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("cx")).persist()
+    }
+    asg = asg.persist() // read twice below (pivot + error); CachePolicy
+    asg.count() // the one materializing action for the whole chain
+    val err = asg.join(e, Seq("vec_id", "sub"))
+      .join(cent, Seq("sub", "cid", "pos"))
+      .groupBy("vec_id")
+      .agg(round(sqrt(sum((col("x") - col("cx")) * (col("x") - col("cx")))), 6).as("recon_err"))
+    asg.groupBy("vec_id")
+      .agg(
+        max(when(col("sub") === 0, col("cid"))).as("code0"),
+        max(when(col("sub") === 1, col("cid"))).as("code1"),
+        max(when(col("sub") === 2, col("cid"))).as("code2"),
+        max(when(col("sub") === 3, col("cid"))).as("code3"))
+      .join(err, "vec_id")
+      .select("vec_id", "code0", "code1", "code2", "code3", "recon_err")
+      .orderBy("vec_id")
+  }
+
   /** DBSCAN-style density clustering (Ester et al., KDD 1996) over
     * the banded sign-LSH candidate graph: eps-neighbors are candidate
     * pairs at cos ≥ `LooseThreshold`, minPts = 3 (a point plus ≥ 2

@@ -564,6 +564,41 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1999's benchmark formulation, fixed discount d=0.75) —
+    * the standard upgrade over `lmScore`'s add-one smoothing, and the
+    * smoothing KenLM-style corpus filters actually ship:
+    * P(b|a) = max(c(a,b)−d, 0)/c(a) + d·N1+(a,·)/c(a) · N1+(·,b)/N1+(·,·),
+    * where the continuation counts N1+ are DISTINCT-neighbor counts —
+    * "how many contexts has this word completed", which scores
+    * boilerplate (frequent but context-poor) below genuinely fluent
+    * text. Scored over the corpus' own bigrams, so every c(a,b) ≥ 1
+    * and the log is total. All counts ride the landed bigram
+    * artifact: three (a[,b])-keyed aggregates + joins back on the
+    * same keys, one 1-row broadcast for N1+(·,·) — the identical
+    * shuffle shape as `lmScore` at any corpus size. Probability
+    * arithmetic is written with the identical expression tree in both
+    * engines (left-assoc double ops), avg rounded at 6 dp.
+    * Output: doc_id, kn_score, n_bigrams. */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = bigramArtifact(spark, dir)
+    val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca  = bigrams.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val n1a = cab.groupBy("a").agg(count(lit(1)).as("n1a"))
+    val n1b = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val n1t = cab.agg(count(lit(1)).as("n1tot"))
+    bigrams
+      .join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .join(n1a, Seq("a")).join(n1b, Seq("b"))
+      .crossJoin(broadcast(n1t))
+      .withColumn("p",
+        greatest(col("c_ab") - lit(0.75), lit(0.0)) / col("c_a")
+          + (lit(0.75) * col("n1a") / col("c_a")) * (col("n1b") / col("n1tot")))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("p"))), 6).as("kn_score"), count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document bigram novelty: the fraction of a doc's DISTINCT
     * bigrams that no earlier document (by doc_id, the corpus ingest
     * order) already used — the curve curation pipelines chart to see

@@ -1024,6 +1024,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L) === ((17L, 1L, 12L, math.rint(12.0 / 17 * 1e6) / 1e6)))
   }
 
+  test("pq: codes from the seed lineage, full coverage, nonneg reconstruction") {
+    val out = Similarity.pq(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length === n) // every vector gets a code word
+    out.foreach { r =>
+      // codebooks descend from the 8 lowest-vec_id seeds in every subspace
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) < 8))
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // compression is real: 500 vectors share at most 8^4 code words,
+    // and the codebook actually separates (more than one word used)
+    val words = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).distinct
+    assert(words.length > 1 && words.length <= out.length)
+  }
+
   test("dbscan: cores, chain borders, isolated core, noise") {
     import spark.implicits._
     // unit circle in the xy-plane: adjacency (cos >= 0.35 ~ 69.5deg)

@@ -55,6 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_neardup_sweep", "sim_recall",
     // 1-row token-budget (b) + weight-sum (sum_w) scalar carriers
     "text_resample_mix",
+    // 1-row N1+(·,·) bigram-type-total carrier (the lm_score vocab pattern)
+    "text_kn_score",
     // 10-row threshold dim / 6-row stage dim (the ev_range_join pattern)
     "text_quality_sweep", "text_funnel",
     // 31-row trailing-slice pairwise join + 1-row median-slope carrier
