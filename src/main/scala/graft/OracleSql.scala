@@ -2959,10 +2959,11 @@ object OracleSql {
     s"""WITH $kmeansCtes
        |SELECT vec_id, cid AS cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
 
-  /** Mirrors `Similarity.pq`: per-subspace unrolled Lloyd's (4×16-dim
-    * subspaces, k=8, 3 assigns / 2 updates, 6-dp argmin with cid
-    * tiebreak), codes pivoted + L2 reconstruction error. */
-  val simPq: String = {
+  /** Shared PQ training chain (`pe`, `pc0..pc2`, `pa1..pa3`) —
+    * per-subspace unrolled Lloyd's (4×16-dim subspaces, k=8, 3
+    * assigns / 2 updates, 6-dp argmin with cid tiebreak); consumed by
+    * `simPq` and `simPqTopK` so both see the identical codebook. */
+  private lazy val pqCtes: String = {
     def assign(i: Int, cPrev: String) =
       s"""pd$i AS (
          |  SELECT e.vec_id, e.sub, c.cid,
@@ -2983,7 +2984,7 @@ object OracleSql {
          |  FROM pa$i a JOIN pe e ON e.vec_id = a.vec_id AND e.sub = a.sub
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
-    s"""WITH pe0 AS (
+    s"""pe0 AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS p,
        |         UNNEST(embedding)::DOUBLE AS x
        |  FROM embeddings
@@ -2994,7 +2995,13 @@ object OracleSql {
        |${update(1)},
        |${assign(2, "pc1")},
        |${update(2)},
-       |${assign(3, "pc2")},
+       |${assign(3, "pc2")}""".stripMargin
+  }
+
+  /** Mirrors `Similarity.pq`: the shared PQ chain, codes pivoted + L2
+    * reconstruction error against the final codebook. */
+  val simPq: String =
+    s"""WITH $pqCtes,
        |perr AS (
        |  SELECT e.vec_id, ROUND(sqrt(SUM((e.x - c.cx) * (e.x - c.cx))), 6) AS recon_err
        |  FROM pa3 a
@@ -3012,7 +3019,47 @@ object OracleSql {
        |)
        |SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3, e2.recon_err
        |FROM pcodes c JOIN perr e2 USING (vec_id) ORDER BY vec_id""".stripMargin
-  }
+
+  /** Mirrors `Similarity.pqTopK`: ADC search over the shared PQ
+    * chain — per-query 4×8 distance tables, code-word-lookup sums,
+    * top-3 by (6-dp adist, nbr), exact-L2 top-3 recall flag. */
+  val simPqTopK: String =
+    s"""WITH $pqCtes,
+       |q AS (SELECT vec_id AS qid, sub, pos, x AS qx FROM pe WHERE vec_id < 10),
+       |dt AS (
+       |  SELECT q.qid, c.sub, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d
+       |  FROM q JOIN pc2 c ON c.sub = q.sub AND c.pos = q.pos
+       |  GROUP BY 1, 2, 3
+       |),
+       |ad AS (
+       |  SELECT dt.qid, a.vec_id AS nbr_id, ROUND(SUM(dt.d), 6) AS adist
+       |  FROM pa3 a JOIN dt ON dt.sub = a.sub AND dt.cid = a.cid
+       |  WHERE dt.qid <> a.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |ap AS (
+       |  SELECT qid, nbr_id, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nbr_id) AS rank
+       |  FROM ad
+       |),
+       |exd AS (
+       |  SELECT q.qid, e.vec_id AS nid, ROUND(SUM((q.qx - e.x) * (q.qx - e.x)), 6) AS d2
+       |  FROM q JOIN pe e ON e.sub = q.sub AND e.pos = q.pos
+       |  WHERE e.vec_id <> q.qid
+       |  GROUP BY 1, 2
+       |),
+       |ext AS (
+       |  SELECT qid, nid, true_rank FROM (
+       |    SELECT qid, nid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS true_rank
+       |    FROM exd) t
+       |  WHERE true_rank <= 3
+       |)
+       |SELECT ap.qid AS vec_id, ap.nbr_id, ap.adist,
+       |       ext.true_rank IS NOT NULL AS in_top3, ext.true_rank
+       |FROM ap LEFT JOIN ext ON ext.qid = ap.qid AND ext.nid = ap.nbr_id
+       |WHERE ap.rank <= 3
+       |ORDER BY vec_id, adist, nbr_id""".stripMargin
 
   /** SemDeDup: the k-means chain + the loose banded near-dup pairs;
     * a pair counts only when both ends share a cluster, and the drop

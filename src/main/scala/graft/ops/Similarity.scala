@@ -234,6 +234,28 @@ object Similarity {
     * key), not M sequential jobs. Output: vec_id, code0..code3,
     * recon_err. */
   def pq(spark: SparkSession, dir: String): DataFrame = {
+    val (e, asg, cent) = pqModel(spark, dir)
+    val err = asg.join(e, Seq("vec_id", "sub"))
+      .join(cent, Seq("sub", "cid", "pos"))
+      .groupBy("vec_id")
+      .agg(round(sqrt(sum((col("x") - col("cx")) * (col("x") - col("cx")))), 6).as("recon_err"))
+    asg.groupBy("vec_id")
+      .agg(
+        max(when(col("sub") === 0, col("cid"))).as("code0"),
+        max(when(col("sub") === 1, col("cid"))).as("code1"),
+        max(when(col("sub") === 2, col("cid"))).as("code2"),
+        max(when(col("sub") === 3, col("cid"))).as("code3"))
+      .join(err, "vec_id")
+      .select("vec_id", "code0", "code1", "code2", "code3", "recon_err")
+      .orderBy("vec_id")
+  }
+
+  /** The trained PQ model: (exploded vectors (vec_id, sub, pos, x),
+    * final assignment (vec_id, sub, cid), final codebook (sub, cid,
+    * pos, cx)) — the shared seam of `pq` (codes + reconstruction
+    * report) and `pqTopK` (ADC search). e and the final assignment
+    * are persisted (runner releases per CachePolicy). */
+  private def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
       .select(col("vec_id"), expr("p div 16").as("sub"), expr("p % 16").as("pos"), col("x"))
@@ -255,29 +277,56 @@ object Similarity {
       if (i < 3)
         // cache the (≤ 4·8·16-row) codebook between iterations:
         // without it each round's plan nests the whole prior chain and
-        // the two final consumers recompute the full 3-iteration tree
-        // (measured 3.7 → 1.5 s at sf0.1). No per-iteration count():
+        // the final consumers recompute the full 3-iteration tree
+        // (measured 3.7 → 2.6 s at sf0.1). No per-iteration count():
         // every cache here has a SINGLE consumer chain, so the one
         // materializing action below fills them in dependency order
         // with no sibling race. Runner releases per CachePolicy.
         cent = asg.join(e, Seq("vec_id", "sub"))
           .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("cx")).persist()
     }
-    asg = asg.persist() // read twice below (pivot + error); CachePolicy
+    asg = asg.persist() // multiple consumers in both callers; CachePolicy
     asg.count() // the one materializing action for the whole chain
-    val err = asg.join(e, Seq("vec_id", "sub"))
-      .join(cent, Seq("sub", "cid", "pos"))
-      .groupBy("vec_id")
-      .agg(round(sqrt(sum((col("x") - col("cx")) * (col("x") - col("cx")))), 6).as("recon_err"))
-    asg.groupBy("vec_id")
-      .agg(
-        max(when(col("sub") === 0, col("cid"))).as("code0"),
-        max(when(col("sub") === 1, col("cid"))).as("code1"),
-        max(when(col("sub") === 2, col("cid"))).as("code2"),
-        max(when(col("sub") === 3, col("cid"))).as("code3"))
-      .join(err, "vec_id")
-      .select("vec_id", "code0", "code1", "code2", "code3", "recon_err")
-      .orderBy("vec_id")
+    (e, asg, cent)
+  }
+
+  /** ADC top-k over the PQ codes (the search side of `pq`, Jégou et
+    * al.'s asymmetric distance computation): each query precomputes a
+    * 4×8-entry distance table ‖q_sub − c‖² against the codebook, a
+    * candidate's approximate distance is the sum of its 4 code-word
+    * lookups, top-3 per query by (6-dp adist, nbr_id). Flagged
+    * against the EXACT squared-L2 top-3 — the recall audit an index
+    * build publishes (the `annRecall` pattern). Scale: the ADC scan
+    * is one (sub, cid)-keyed join of codes × distance tables —
+    * n_vectors · M rows per query, the linear scan PQ exists to make
+    * cheap; the exact side is the audit and rides the same sampled
+    * 10-query bound as `bruteForceTopK`.
+    * Output: vec_id, nbr_id, adist, in_top3, true_rank. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (e, asg, cent) = pqModel(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sub"), col("pos"), col("x").as("qx"))
+    val dt = q.join(cent, Seq("sub", "pos"))
+      .groupBy("qid", "sub", "cid")
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d"))
+    val adist = asg.join(dt, Seq("sub", "cid"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("nbr_id"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nbr_id"))
+    val approx = adist.withColumn("rank", row_number().over(wA)).where(col("rank") <= 3)
+    val ex = q.join(e.select(col("vec_id").as("nid"), col("sub"), col("pos"), col("x")),
+        Seq("sub", "pos"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(round(sum((col("qx") - col("x")) * (col("qx") - col("x"))), 6).as("d2"))
+    val wE = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val exact = ex.withColumn("true_rank", row_number().over(wE)).where(col("true_rank") <= 3)
+      .select(col("qid"), col("nid").as("nbr_id"), col("true_rank"))
+    approx.join(exact, Seq("qid", "nbr_id"), "left")
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("adist"),
+        col("true_rank").isNotNull.as("in_top3"), col("true_rank"))
+      .orderBy("vec_id", "adist", "nbr_id")
   }
 
   /** DBSCAN-style density clustering (Ester et al., KDD 1996) over
