@@ -133,6 +133,22 @@ object Writers {
   def readCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).option("header", "true").csv(path)
 
+  /** JSONL sink/source — the interchange format corpus releases ship
+    * (one JSON object per line; Spark's json source is line-delimited
+    * by default, so each file splits at line grain). Writes land
+    * gzip-compressed and partitioned (a corpus drop is
+    * `source=<s>/part-*.json.gz`); reads take an EXPLICIT schema —
+    * at 100 TB, schema inference is a full extra pass over the data
+    * that a declared contract makes free, and a typo'd field surfaces
+    * as an analysis error instead of a silent null column. */
+  def writeJsonl(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
+  }
+
+  def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
   private implicit class ConfOps(val conf: org.apache.spark.sql.RuntimeConfig) extends AnyVal {
     /** Run `body` with a conf temporarily set, restoring the prior value. */
     def withSqlConf(kv: (String, String))(body: => Unit): Unit = {

@@ -586,4 +586,27 @@ class PipelineSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
       Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
   }
+
+  test("jsonl corpus drop round-trips partitioned+gzipped and prunes on source") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, sf)
+    Writers.writeJsonl(docs, dir, "source")
+    // layout: source=<s>/part-*.json.gz
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("source="))
+    assert(parts.nonEmpty)
+    assert(parts.flatMap(_.listFiles()).exists(_.getName.endsWith(".json.gz")))
+    val back = Writers.readJsonl(spark, dir,
+      "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+    assert(back.count() === docs.count())
+    // text content survives the trip exactly (JSON escaping round-trips)
+    val origSum = docs.agg(sum(length(col("text")))).first().getLong(0)
+    assert(back.agg(sum(length(col("text")))).first().getLong(0) === origSum)
+    // the partition column comes back from the directory name, and a
+    // source predicate prunes to that directory's files at plan time
+    val one = docs.select("source").distinct().orderBy("source").first().getString(0)
+    val pruned = back.where(col("source") === one)
+    assert(pruned.count() === docs.where(col("source") === one).count())
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(source"))
+  }
 }
