@@ -1036,7 +1036,8 @@ object Text {
       .select(col("doc_id"),
         expr("cast(1000000 - cast(substring(v, 33) as int) as bigint)").as("pos"),
         expr("substring(v, 1, 32)").as("fp"))
-      .orderBy("doc_id", "pos")
+      // no orderBy here: `winnow` sorts its own output, and the seam
+      // must stay streaming-legal for `DocStreams.partialCopyGate`
 
   /** Partial-copy pair detection over the winnowing fingerprints:
     * docs sharing ≥ 2 selected fingerprints, scored by containment

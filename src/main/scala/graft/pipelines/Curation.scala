@@ -84,6 +84,28 @@ object Curation {
     st.release()
   }
 
+  def winnowPath(root: String): String = s"$root/winnow_fps"
+
+  /** Landed winnow-fingerprint index (doc_id, pos, fp) — the
+    * versioned-release form of the `text_winnow_fps` artifact; the
+    * streaming partial-copy gate (`DocStreams.partialCopyGate`)
+    * probes exactly this table. */
+  def buildWinnowIndex(spark: SparkSession, docs: DataFrame, root: String): Unit =
+    Writers.truncateLoad(Text.winnowFrom(docs), winnowPath(root))
+
+  /** Release vN → vN+1 for the winnow index. Winnow fingerprints are
+    * PER-DOC independent (no cross-doc state in the selection), so
+    * the increment is exact by construction: winnow ONLY the delta
+    * and append to the prior table under the next versioned root —
+    * delta-proportional cost, row-identical to a full rebuild
+    * (`PipelineSpec` pins it). */
+  def incrementWinnowIndex(spark: SparkSession, newDocs: DataFrame,
+      priorRoot: String, nextRoot: String): Unit =
+    Writers.truncateLoad(
+      spark.read.parquet(winnowPath(priorRoot))
+        .unionByName(Text.winnowFrom(newDocs)),
+      winnowPath(nextRoot))
+
   /** Stage 2a: the deduplicated corpus, derived by READING the
     * materialized cluster table — row-identical to `Dedup.applyDedup`
     * at one-join cost. */

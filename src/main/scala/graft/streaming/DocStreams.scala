@@ -80,4 +80,33 @@ object DocStreams {
       .select(least(col("doc_id"), col("partner")).as("doc_a"),
         greatest(col("doc_id"), col("partner")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+
+  /** Streaming partial-copy gate: arriving docs winnow map-side
+    * (`functions.WinnowSelect` is a pure projection, so the whole
+    * fingerprint derivation is streaming-legal), and the selections
+    * probe the LANDED fp index as a stream-static equi-join —
+    * fingerprints held by > 8 index docs are dropped at gate setup,
+    * the identical boilerplate cap as batch `Text.winnowOverlap`.
+    * Emits fp-grain matches (doc_a, doc_b, fp), deduplicated; the
+    * release decision layer counts ≥ 2 shared fps downstream — the
+    * same two-stage shape as `nearDupGate` → cluster formation.
+    * (A count here would be a streaming aggregation needing
+    * update-mode sinks; fp-grain append keeps the gate composable.) */
+  def partialCopyGate(spark: SparkSession, docs: DataFrame, fpIndex: DataFrame): DataFrame = {
+    val idx = fpIndex.select(col("doc_id"), col("fp")).distinct()
+    // cap is ≤ 8 only (not batch's 2..8): a singleton-index fp can
+    // still legitimately pair with a NEW arrival that shares it — the
+    // batch recompute including that arrival would count it at 2
+    val capped = idx.join(
+      idx.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .where(col("nd") <= 8).select("fp"),
+      "fp") // static side: computed once at gate setup
+    graft.ops.Text.winnowFrom(docs)
+      .select(col("doc_id"), col("fp")).dropDuplicates("doc_id", "fp")
+      .join(capped.select(col("doc_id").as("partner"), col("fp")), "fp")
+      .where(col("doc_id") =!= col("partner"))
+      .select(least(col("doc_id"), col("partner")).as("doc_a"),
+        greatest(col("doc_id"), col("partner")).as("doc_b"), col("fp"))
+      .dropDuplicates("doc_a", "doc_b", "fp")
+}
 }

@@ -587,6 +587,25 @@ class PipelineSpec extends SparkSpec {
       Seq(Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
   }
 
+  test("incremental winnow index: vN + delta is row-identical to full rebuild") {
+    import graft.pipelines.Curation
+    val docs = Tables.documents(spark, sf)
+    val vN = docs.where(col("doc_id") % 10 =!= 7)
+    val delta = docs.where(col("doc_id") % 10 === 7)
+    val rootA = Files.createTempDirectory("graft_winnow_vn").toString
+    val rootB = Files.createTempDirectory("graft_winnow_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_winnow_full").toString
+    Curation.buildWinnowIndex(spark, vN, rootA)
+    Curation.incrementWinnowIndex(spark, delta, rootA, rootB)
+    Curation.buildWinnowIndex(spark, vN.union(delta), rootFull)
+    val inc = spark.read.parquet(Curation.winnowPath(rootB))
+    val full = spark.read.parquet(Curation.winnowPath(rootFull))
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    // non-vacuous: the delta actually contributed fingerprints
+    assert(inc.join(delta.select("doc_id"), "doc_id").count() > 0)
+  }
+
   test("jsonl corpus drop round-trips partitioned+gzipped and prunes on source") {
     val dir = Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(spark, sf)

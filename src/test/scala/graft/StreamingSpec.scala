@@ -258,4 +258,42 @@ class StreamingSpec extends SparkSpec {
       assert(novel.contains(docs.orderBy("doc_id").limit(1).collect().head.getLong(0)))
     } finally q.stop()
   }
+
+  test("streaming partial-copy gate pairs match the batch winnow overlap") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+    val d = java.nio.file.Files.createTempDirectory("graft_winnow_stream").toString
+    docs.where(col("doc_id") <= half).coalesce(1).write.parquet(s"$d/h1")
+    docs.where(col("doc_id") > half).coalesce(1).write.parquet(s"$d/h2")
+    // a new arrival sharing one long block with the lowest doc: a
+    // partial copy the gate must pair with its source
+    val src0 = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).collect().head
+    val novelText = src0.getString(1) + " entirely fresh tail content xyz"
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(999999L, novelText, "en", "novel", novelText.length.toLong)),
+      docs.schema).coalesce(1).write.parquet(s"$d/h3")
+    // fp index = the landed batch winnow artifact for the same corpus
+    val index = Text.winnow(spark, sf)
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.partialCopyGate(spark, stream, index)
+      .writeStream.format("memory").queryName("pcg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // decision layer: >= 2 shared fps, exactly the batch pair rule
+      val streamedPairs = spark.table("pcg").where(col("doc_b") =!= 999999L)
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n")).where(col("n") >= 2)
+        .select("doc_a", "doc_b")
+      val batch = Text.winnowOverlap(spark, sf).select("doc_a", "doc_b")
+      assert(streamedPairs.count() > 0)
+      assert(streamedPairs.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamedPairs).count() === 0)
+      // the partial copy found its source through the shared block
+      val novel = spark.table("pcg").where(col("doc_b") === 999999L)
+        .collect().map(_.getLong(0)).toSet
+      assert(novel.contains(src0.getLong(0)))
+    } finally q.stop()
+  }
 }
