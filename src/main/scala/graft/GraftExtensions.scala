@@ -30,5 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // whole-operator extension: the as-of join planner strategy
+    // (graft.plans.AsOfJoinExec). AsOf.join also self-registers via
+    // spark.experimental.extraStrategies, so in-process callers need
+    // no deployment wiring; this makes the operator available to
+    // spark.sql-only sessions on an extension-configured cluster too.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

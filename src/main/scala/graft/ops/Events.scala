@@ -346,6 +346,42 @@ object Events {
       .orderBy("date")
   }
 
+  /** `asofJoin` through the native whole-operator path
+    * ([[graft.plans.AsOfJoinExec]]): same series, same oracle, but the
+    * plan is the custom sort-merge exec instead of the union+window
+    * composition — one buffered right row per partition instead of a
+    * window over the unioned sides. Keyless, so both sides land in one
+    * partition (`AllTuples`), exactly the shape the keyless window
+    * form pays. Output: date, tvl, qty_asof. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val left = TimeSeries.dailyOrderRevenue(spark, dir)
+    val right = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("rdate"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .where(dayofmonth(col("rdate")) % 3 === 0)
+    graft.plans.AsOf.join(left, right, Nil, Nil, "date", "rdate")
+      .select(col("date"), col("tvl"), col("qty").as("qty_asof"))
+      .orderBy("date")
+  }
+
+  /** `asofJoinByKey` through [[graft.plans.AsOfJoinExec]]: the keyed
+    * form hash-clusters both sides on the segment key (the same single
+    * shuffle the window form's `partitionBy(name)` pays) and merges
+    * each partition in one pass. Output: name, date, tvl, n_asof. */
+  def asofJoinByKeyNative(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("name"), to_date(col("o_orderdate")).as("date"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tvl"),
+        count(lit(1)).as("n"))
+    val left = g.select(col("name"), col("date"), col("tvl"))
+    val right = g.where(dayofmonth(col("date")) % 3 === 0)
+      .select(col("name").as("rname"), col("date").as("rdate"), col("n"))
+    graft.plans.AsOf.join(left, right, Seq("name"), Seq("rname"), "date", "rdate")
+      .select(col("name"), col("date"), col("tvl"), col("n").as("n_asof"))
+      .orderBy("name", "date")
+  }
+
   /** Multi-key as-of join — the scale form of `asofJoin`: one series
     * per customer market segment, the carried-forward window running
     * under `partitionBy(name)` so N series are N independent bounded

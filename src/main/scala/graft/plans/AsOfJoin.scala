@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join — the (c)-tier extension path: a custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` registered through
+  * `SparkSessionExtensions` (`graft.GraftExtensions`) or
+  * `spark.experimental.extraStrategies` (what [[AsOf.join]] does
+  * idempotently, so no deployment wiring is required).
+  *
+  * Semantics (backward as-of, the DuckDB `ASOF LEFT JOIN` contract the
+  * `ev_asof*` oracles already pin): every left row pairs with the
+  * LATEST right row whose key equals the left key and whose time is
+  * `<=` the left time; right columns are null when no such row exists.
+  *
+  * Why a custom operator instead of the union+`last(ignoreNulls)`
+  * window composition (`ops/Events.scala:332`): the window form
+  * carries every left row THROUGH the window state and re-sorts the
+  * union of both sides; this exec declares
+  * `ClusteredDistribution`/sort requirements and lets
+  * `EnsureRequirements` plan the exchanges, then streams BOTH sorted
+  * sides through a single O(|L|+|R|) merge per partition holding ONE
+  * buffered right row — no window buffer, no union blow-up, and the
+  * left side's sort order survives into `outputOrdering` so a
+  * downstream `ORDER BY key, time` is a no-op. At 100 TB both sides
+  * shuffle once on the join key (exactly what sort-merge join would
+  * pay) and the merge is memoryless, so skewed keys cost CPU, not
+  * executor memory.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join. Children are hash-clustered on the
+  * join keys (co-partitioned by `EnsureRequirements`, same machinery
+  * sort-merge join uses) and sorted by (keys…, time), so each
+  * partition is a single forward merge: advance the right cursor while
+  * it is at-or-before the current left row, remembering the last
+  * advanced row as the match candidate. The only retained state is
+  * that one copied right row. Keyless form degrades to `AllTuples`
+  * (one global series — same single-partition shape the window
+  * composition pays). Null times sort first (natural ordering), so a
+  * null-time right row behaves as "before everything".
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // the merge emits left rows in their incoming (keys…, time) order
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (leftKeys.isEmpty) Seq(AllTuples, AllTuples)
+    else Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime; val rTimeExpr = rightTime
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOutput)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rightNulls = new GenericInternalRow(rightOutput.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // head of the right cursor; rows are copied because the
+        // underlying iterator reuses its UnsafeRow buffer
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: UnsafeRow = _
+        advanceRight()
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKey = lKeyProj(l)
+          var scanning = rHead != null
+          while (scanning) {
+            val c = keyOrd.compare(rHeadKey, lKey)
+            if (c < 0 ||
+                (c == 0 && timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0)) {
+              if (c == 0) { lastMatch = rHead; lastMatchKey = rHeadKey }
+              advanceRight()
+              scanning = rHead != null
+            } else scanning = false
+          }
+          val out =
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
+              joined(l, lastMatch)
+            else joined(l, rightNulls)
+          resultProj(out)
+        }
+
+        private def advanceRight(): Unit =
+          if (rIt.hasNext) {
+            rHead = rIt.next().copy()
+            rHeadKey = rKeyProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null }
+      }
+    }
+  }
+}
+
+/** Public DataFrame API for the as-of join. Column references are
+  * resolved by name against each side's analyzed output, so callers
+  * pass plain column names; the node is built already-resolved and the
+  * analyzer passes it through untouched.
+  */
+object AsOf {
+
+  /** Ensure the planner strategy is registered on this session —
+    * `spark.experimental.extraStrategies` is the public, in-process
+    * registration point; `graft.GraftExtensions` injects the same
+    * strategy for `spark-submit --conf spark.sql.extensions=` fleets.
+    */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of join `left` with `right` on equal `keys` and
+    * `right.time <= left.time`, keeping the latest such right row.
+    * Output = all left columns, then all right columns (nullable).
+    * Callers rename ahead of the join if the two sides share names.
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of $side column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _, "left")), rightKeys.map(attr(rPlan, _, "right")),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"))
+    org.apache.spark.sql.graft.GraftSql.ofRows(spark, node)
+  }
+}
