@@ -3595,6 +3595,20 @@ object OracleSql {
       |FROM u JOIN m ON u.event_type = m.event_type
       |ORDER BY u.event_type""".stripMargin
 
+  /** Mirrors `Events.hllSketches`: the DataSketches HLL estimate is
+    * engine-internal, so the exported contract is exact ground truth
+    * plus the two deterministic gates (merge law, 5% accuracy) that
+    * the Spark side must prove by computing them — DuckDB asserts
+    * their expected constant truth. */
+  val evHll: String =
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS merge_consistent,
+      |       TRUE AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Mirrors `Events.cmsUsers`: d=4 × w=512 count-min counters from
     * salted md5 buckets; estimate = min over row counters for the
     * exact top-10 users. */

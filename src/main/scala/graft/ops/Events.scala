@@ -206,6 +206,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Mergeable HyperLogLog sketches (Apache DataSketches via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`) — the production twin of
+    * `approxSketches`: per-(type, day) sketch PARTIALS union into the
+    * per-type rollup, which is exactly how a 100 TB datamart keeps
+    * distinct-user counts re-aggregable across arbitrary date windows
+    * without re-touching the stream (sketch bytes are the stored
+    * partial; map-side combine everywhere). The sketch ESTIMATE is
+    * engine-internal state and cannot be reproduced by another engine,
+    * so the query exports what IS checkable:
+    *
+    *   - exact_users (count distinct) as ground truth,
+    *   - merge_consistent: union-of-daily-partials == whole-stream
+    *     sketch — the merge law (register-wise max) that makes the
+    *     rollup trustworthy; deterministic, so exactly TRUE,
+    *   - within_5pct: |estimate − exact| ≤ 5% · exact; lgK=12 gives
+    *     ~1.6% σ, so the gate is ≈3σ and deterministic on fixed data.
+    *
+    * Output: event_type, exact_users, merge_consistent, within_5pct. */
+  def hllSketches(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("merged_est"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("direct_est"),
+        countDistinct(col("user_id")).as("exact_users"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (col("merged_est") === col("direct_est")).as("merge_consistent"),
+        (abs(col("direct_est") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Ordered conversion funnel over the event stream: signup →
     * click → purchase, where each stage must happen STRICTLY AFTER the
     * user's entry into the previous stage (min qualifying timestamp),

@@ -1103,4 +1103,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pair.nonEmpty)
     assert(pair.get._3 >= 2 && pair.get._4 > 0 && pair.get._4 <= 1.0)
   }
+
+  test("ev_hll: sketch merge law holds for ANY partial split, and 5% gate is met") {
+    import org.apache.spark.sql.functions._
+    val out = ops.Events.hllSketches(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(2)), "union-of-daily-partials != whole-stream sketch")
+    assert(out.forall(_.getBoolean(3)), "estimate drifted past 5% of exact")
+
+    // merge associativity beyond the daily split: partials cut by an
+    // unrelated grouping (user_id % 7) union to the same estimate
+    val ev = Tables.events(spark, sf)
+    val bySeven = ev.groupBy(col("event_type"), (col("user_id") % 7).as("g"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est7"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+    val joined = direct.join(bySeven, "event_type").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(1) == r.getLong(2)),
+      "split-by-7 partials disagree with the direct sketch")
+  }
 }
