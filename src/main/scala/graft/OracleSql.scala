@@ -3603,7 +3603,7 @@ object OracleSql {
   val evHll: String =
     """SELECT event_type,
       |       COUNT(DISTINCT user_id) AS exact_users,
-      |       TRUE AS merge_consistent,
+      |       TRUE AS splits_agree_2pct,
       |       TRUE AS within_5pct
       |FROM events
       |GROUP BY event_type

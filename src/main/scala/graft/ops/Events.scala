@@ -217,26 +217,38 @@ object Events {
     * so the query exports what IS checkable:
     *
     *   - exact_users (count distinct) as ground truth,
-    *   - merge_consistent: union-of-daily-partials == whole-stream
-    *     sketch — the merge law (register-wise max) that makes the
-    *     rollup trustworthy; deterministic, so exactly TRUE,
-    *   - within_5pct: |estimate − exact| ≤ 5% · exact; lgK=12 gives
-    *     ~1.6% σ, so the gate is ≈3σ and deterministic on fixed data.
+    *   - splits_agree_2pct: the union over per-day partials vs the
+    *     union over partials cut by an unrelated key (user_id mod 7)
+    *     agree within 2% of exact. Estimate EQUALITY across splits is
+    *     deliberately not claimed: a sparse (coupon-mode) partial
+    *     carries near-exact hash fragments while a promoted one keeps
+    *     only 6-bit registers, so the union's final estimate depends
+    *     on when each partial crossed sparse→dense — measured at
+    *     sf0.1, daily-split 1488 vs %7-split 1488–1504 against 1500
+    *     exact (direct single-stream HIP: 1494). What production can
+    *     rely on — and what this gates — is that any split's union
+    *     stays inside the sketch's error envelope.
+    *   - within_5pct: |daily-union estimate − exact| ≤ 5% · exact;
+    *     lgK=12 gives ~1.6% σ, so the gate is ≈3σ and deterministic
+    *     on fixed data.
     *
-    * Output: event_type, exact_users, merge_consistent, within_5pct. */
+    * Output: event_type, exact_users, splits_agree_2pct, within_5pct. */
   def hllSketches(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    val merged = daily.groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("merged_est"))
-    val direct = ev.groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("direct_est"),
-        countDistinct(col("user_id")).as("exact_users"))
-    direct.join(merged, "event_type")
+    def unioned(splitKey: org.apache.spark.sql.Column, name: String) =
+      ev.groupBy(col("event_type"), splitKey.as("g"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as(name))
+    val byDay = unioned(to_date(col("ts")), "est_daily")
+    val bySeven = unioned(col("user_id") % 7, "est_by7")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(byDay, "event_type").join(bySeven, "event_type")
       .select(col("event_type"), col("exact_users"),
-        (col("merged_est") === col("direct_est")).as("merge_consistent"),
-        (abs(col("direct_est") - col("exact_users"))
+        (abs(col("est_daily") - col("est_by7"))
+          <= col("exact_users").cast("double") * 0.02).as("splits_agree_2pct"),
+        (abs(col("est_daily") - col("exact_users"))
           <= col("exact_users").cast("double") * 0.05).as("within_5pct"))
       .orderBy("event_type")
   }
