@@ -3811,6 +3811,15 @@ object OracleSql {
       |       ROUND(CAST(SUM(r4) AS DOUBLE) / 10000, 2) AS revenue
       |FROM li GROUP BY nation ORDER BY nation""".stripMargin
 
+  /** Mirrors `Relational.bucketJoin`: the oracle is the plain join —
+    * the bucketed layout must be result-invisible. */
+  val relBucketJoin: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   val riskRatios: String =
     """WITH sd0 AS (
       |  SELECT c_mktsegment AS name, CAST(o_orderdate AS DATE) AS date,

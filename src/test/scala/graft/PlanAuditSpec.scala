@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     "ts_drawdown", "ts_drawdown_by_segment",
     // sim_kcore's peeling rounds and bpe's merge table materialize
     // through IterState/ArtifactCache during construction
-    "sim_kcore", "text_bpe_apply", "text_bpe_train")
+    "sim_kcore", "text_bpe_apply", "text_bpe_train",
+    // bucketed-layout build (saveAsTable) runs at construction;
+    // audited by its dedicated exchange-free test below
+    "rel_bucket_join")
 
   /** Bounded-broadcast nested loops, each justified at the operator:
     * ev_range_join = broadcast interval dim; rel_ntile / risk /
@@ -157,5 +160,27 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "dim join did not broadcast")
+  }
+
+  test("bucketed co-located join: sort-merge with NO exchange below the join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other
+    }
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(subtree)
+    }
+    val df = ops.Relational.bucketJoin(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val nodes = subtree(df.queryExecution.executedPlan)
+    val smj = nodes.find(_.nodeName.contains("SortMergeJoin"))
+    assert(smj.isDefined, s"no SortMergeJoin in: ${nodes.map(_.nodeName)}")
+    val below = smj.get.children.flatMap(subtree).map(_.nodeName)
+    assert(!below.exists(_.contains("Exchange")),
+      s"bucketed join shuffled below the SMJ: $below")
   }
 }
