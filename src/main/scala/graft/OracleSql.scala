@@ -876,6 +876,45 @@ object OracleSql {
       |FROM l ASOF LEFT JOIN r ON l.date >= r.date
       |ORDER BY l.date""".stripMargin
 
+  /** Mirrors `Events.asofJoinForward`: DuckDB ASOF with the
+    * inequality flipped picks the earliest right row at-or-after. */
+  val evAsofForward: String =
+    """WITH l AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT date, qty FROM (
+      |    SELECT CAST(l_shipdate AS DATE) AS date,
+      |           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |    FROM lineitem GROUP BY 1) t
+      |  WHERE day(date) % 3 = 0
+      |)
+      |SELECT l.date, l.tvl, r.qty AS qty_fwd
+      |FROM l ASOF LEFT JOIN r ON l.date <= r.date
+      |ORDER BY l.date""".stripMargin
+
+  /** Mirrors `Events.asofJoinTolerance`: native ASOF exposing the
+    * matched date, then a CASE nulls matches staler than 5 days. */
+  val evAsofTolerance: String =
+    """WITH l AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS date,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tvl
+      |  FROM orders GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT date, qty FROM (
+      |    SELECT CAST(l_shipdate AS DATE) AS date,
+      |           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |    FROM lineitem GROUP BY 1) t
+      |  WHERE day(date) % 3 = 0
+      |)
+      |SELECT l.date, l.tvl,
+      |       CASE WHEN l.date - r.date <= 5 THEN r.qty END AS qty_asof5
+      |FROM l ASOF LEFT JOIN r ON l.date >= r.date
+      |ORDER BY l.date""".stripMargin
+
   /** Multi-key ASOF: DuckDB's native ASOF LEFT JOIN with an extra
     * equality key — one aggregate CTE feeds both series, matching the
     * Spark composition's reused exchange. */

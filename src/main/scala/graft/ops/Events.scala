@@ -411,6 +411,44 @@ object Events {
       .orderBy("date")
   }
 
+  /** Forward as-of join ([[graft.plans.AsOfJoinExec]],
+    * `direction="forward"`): each day of the dense revenue series
+    * pairs with the EARLIEST observation of the sparse quantity series
+    * at-or-after it — the "next scheduled reading" semantics (pandas
+    * `merge_asof(direction="forward")`). Same merge cost as backward;
+    * the head is simply not consumed on match. Oracle: DuckDB ASOF
+    * with the inequality flipped. Output: date, tvl, qty_fwd. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val left = TimeSeries.dailyOrderRevenue(spark, dir)
+    val right = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("rdate"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .where(dayofmonth(col("rdate")) % 3 === 0)
+    graft.plans.AsOf.join(left, right, Nil, Nil, "date", "rdate",
+        direction = "forward")
+      .select(col("date"), col("tvl"), col("qty").as("qty_fwd"))
+      .orderBy("date")
+  }
+
+  /** Backward as-of with a 5-day staleness cap
+    * ([[graft.plans.AsOfJoinExec]] `tolerance`): a carried-forward
+    * observation older than 5 days is treated as missing — pandas
+    * `merge_asof(tolerance=...)`, the guard production joins need so a
+    * long-dead series doesn't keep reporting its last value forever.
+    * Oracle: DuckDB ASOF exposing the matched date, gated by a CASE on
+    * the day gap. Output: date, tvl, qty_asof5. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val left = TimeSeries.dailyOrderRevenue(spark, dir)
+    val right = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("rdate"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .where(dayofmonth(col("rdate")) % 3 === 0)
+    graft.plans.AsOf.join(left, right, Nil, Nil, "date", "rdate",
+        tolerance = Some(5L))
+      .select(col("date"), col("tvl"), col("qty").as("qty_asof5"))
+      .orderBy("date")
+  }
+
   /** `asofJoinByKey` through [[graft.plans.AsOfJoinExec]]: the keyed
     * form hash-clusters both sides on the segment key (the same single
     * shuffle the window form's `partitionBy(name)` pays) and merges

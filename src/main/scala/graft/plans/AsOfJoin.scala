@@ -40,7 +40,9 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryNode {
   require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,28 +54,44 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Sort-merge backward as-of join. Children are hash-clustered on the
+/** Sort-merge as-of join. Children are hash-clustered on the
   * join keys (co-partitioned by `EnsureRequirements`, same machinery
   * sort-merge join uses) and sorted by (keys…, time), so each
-  * partition is a single forward merge: advance the right cursor while
-  * it is at-or-before the current left row, remembering the last
-  * advanced row as the match candidate. The only retained state is
-  * that one copied right row. Keyless form degrades to `AllTuples`
-  * (one global series — same single-partition shape the window
-  * composition pays). Null times sort first (natural ordering), so a
-  * null-time right row behaves as "before everything".
+  * partition is a single merge pass.
+  *
+  * Backward (`forward=false`, the default): advance the right cursor
+  * while it is at-or-before the current left row, remembering the last
+  * advanced row as the match candidate — the only retained state is
+  * that one copied right row. Forward (`forward=true`, pandas
+  * `merge_asof(direction="forward")`): advance the right cursor past
+  * rows strictly before the current left row WITHOUT consuming the
+  * head; the head itself is the match when its key agrees (it may also
+  * serve later left rows). Both directions are tie-inclusive.
+  *
+  * `tolerance` (same integral unit as the time column: days for DATE,
+  * micros for TIMESTAMP) nulls the payload when the matched row is
+  * further than `tolerance` from the left time — `merge_asof`'s
+  * staleness cap. Restricted to integral-backed time types, enforced
+  * at the [[AsOf.join]] API.
+  *
+  * Keyless form degrades to `AllTuples` (one global series — same
+  * single-partition shape the window composition pays). Null times
+  * sort first (natural ordering), so a null-time right row behaves as
+  * "before everything" (and never survives a tolerance gate).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -104,6 +122,8 @@ case class AsOfJoinExec(
     val rightOutput = right.output
     val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
     val lTimeExpr = leftTime; val rTimeExpr = rightTime
+    val fwd = forward
+    val tol = tolerance
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
@@ -116,6 +136,23 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rightNulls = new GenericInternalRow(rightOutput.length)
       val joined = new JoinedRow
+      // tolerance needs the time VALUES, not just their order — the
+      // API layer guarantees an integral-backed time type here
+      def timeVal(r: InternalRow): Long = timeType match {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.IntegerType => r.getInt(0).toLong
+        case _ => r.getLong(0)
+      }
+      def withinTol(l: InternalRow, m: InternalRow): Boolean = tol match {
+        case None => true
+        case Some(t) =>
+          val lt = lTimeProj(l); val rt = rTimeProj(m) // distinct buffers
+          if (lt.isNullAt(0) || rt.isNullAt(0)) false
+          else {
+            val lv = timeVal(lt); val rv = timeVal(rt)
+            (if (fwd) rv - lv else lv - rv) <= t
+          }
+      }
 
       new Iterator[InternalRow] {
         // head of the right cursor; rows are copied because the
@@ -131,19 +168,38 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIt.next()
           val lKey = lKeyProj(l)
-          var scanning = rHead != null
-          while (scanning) {
-            val c = keyOrd.compare(rHeadKey, lKey)
-            if (c < 0 ||
-                (c == 0 && timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0)) {
-              if (c == 0) { lastMatch = rHead; lastMatchKey = rHeadKey }
-              advanceRight()
-              scanning = rHead != null
-            } else scanning = false
-          }
+          val m =
+            if (fwd) {
+              // drop rows strictly before l (key-first order); the
+              // surviving head is l's match iff its key agrees — do
+              // NOT consume it, it may match later left rows too
+              var scanning = rHead != null
+              while (scanning) {
+                val c = keyOrd.compare(rHeadKey, lKey)
+                if (c < 0 ||
+                    (c == 0 && timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) < 0)) {
+                  advanceRight()
+                  scanning = rHead != null
+                } else scanning = false
+              }
+              if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0) rHead else null
+            } else {
+              var scanning = rHead != null
+              while (scanning) {
+                val c = keyOrd.compare(rHeadKey, lKey)
+                if (c < 0 ||
+                    (c == 0 && timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0)) {
+                  if (c == 0) { lastMatch = rHead; lastMatchKey = rHeadKey }
+                  advanceRight()
+                  scanning = rHead != null
+                } else scanning = false
+              }
+              if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
+                lastMatch
+              else null
+            }
           val out =
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
-              joined(l, lastMatch)
+            if (m != null && withinTol(l, m)) joined(l, m)
             else joined(l, rightNulls)
           resultProj(out)
         }
@@ -175,25 +231,47 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-  /** Backward as-of join `left` with `right` on equal `keys` and
-    * `right.time <= left.time`, keeping the latest such right row.
+  /** As-of join `left` with `right` on equal `keys`. `direction`
+    * "backward" (default) keeps the LATEST right row with
+    * `right.time <= left.time`; "forward" keeps the EARLIEST with
+    * `right.time >= left.time` (pandas `merge_asof` directions).
+    * `tolerance` (in the time column's integral unit — days for DATE,
+    * micros for TIMESTAMP) nulls matches staler than the cap.
     * Output = all left columns, then all right columns (nullable).
     * Callers rename ahead of the join if the two sides share names.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    val forward = direction match {
+      case "backward" => false
+      case "forward"  => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward|forward, got '$other'")
+    }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"as-of $side column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    val lt = attr(lPlan, leftTime, "left")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val ok = lt.dataType match {
+        case DateType | IntegerType | TimestampType | TimestampNTZType | LongType => true
+        case _ => false
+      }
+      require(ok, s"as-of tolerance needs an integral-backed time type, got ${lt.dataType}")
+      require(tolerance.get >= 0, "as-of tolerance must be >= 0")
+    }
     val node = AsOfJoinPlan(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _, "left")), rightKeys.map(attr(rPlan, _, "right")),
-      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"))
+      lt, attr(rPlan, rightTime, "right"), forward, tolerance)
     org.apache.spark.sql.graft.GraftSql.ofRows(spark, node)
   }
 }

@@ -85,6 +85,65 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("random forward as-of graphs: exec agrees with a brute-force scan") {
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    for (trial <- 0 until 3) {
+      val lRows = Seq.tabulate(200) { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }
+      val rRows = Seq.tabulate(120) { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, (1000 + i).toLong)
+      }.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val l = lRows.toDF("k", "t", "lid")
+      val r = rRows.toDF("rk", "rt", "rid")
+      val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", direction = "forward")
+        .select($"k", $"t", $"lid", $"rid")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))
+        .sortBy(x => (x._1, x._2, x._3))
+      // earliest rt >= t with equal key (tie-inclusive)
+      val rSorted = rRows.sortBy(x => (x._1, x._2))
+      val want = lRows.map { case (k, t, lid) =>
+        val m = rSorted.find(x => x._1 == k && x._2 >= t)
+        (k, t, lid, m.map(_._3).getOrElse(-1L))
+      }.sortBy(x => (x._1, x._2, x._3))
+      assert(got.toSeq === want, s"forward trial $trial mismatch")
+    }
+  }
+
+  test("tolerance nulls stale matches in both directions, keeps in-range ones") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 14L), (1L, 30L)).toDF("k", "t")
+    val r = Seq((1L, 9L, 100L), (1L, 40L, 200L)).toDF("rk", "rt", "p")
+    // backward, tol=5: t=10 matches rt=9 (gap 1); t=14 matches rt=9
+    // (gap 5, inclusive); t=30's best is rt=9 (gap 21) -> null
+    val back = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(5L))
+      .orderBy("t").collect()
+    assert(back(0).getLong(4) === 100L)
+    assert(back(1).getLong(4) === 100L)
+    assert(back(2).isNullAt(4))
+    // forward, tol=10: t=30 matches rt=40 at gap 10 (inclusive);
+    // t=10/14's next is rt=40 (gap 30/26) -> null
+    val fwd = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward", tolerance = Some(10L))
+      .orderBy("t").collect()
+    assert(fwd(0).isNullAt(4))
+    assert(fwd(1).isNullAt(4))
+    assert(fwd(2).getLong(4) === 200L)
+  }
+
+  test("tolerance rejects non-integral time types at the API") {
+    import spark.implicits._
+    val l = Seq(("a", 1.5)).toDF("k", "t")
+    val r = Seq(("a", 1.0, 9L)).toDF("rk", "rt", "p")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(1L))
+    }
+  }
+
   test("keyless as-of with an empty right side yields all-null payload") {
     import spark.implicits._
     val l = Seq((1L, 10L), (2L, 20L)).toDF("t", "v")
