@@ -537,6 +537,40 @@ object Relational {
       .orderBy("start")
   }
 
+  /** The FACT-FACT scale form of `rangeJoin`: both sides bucket to
+    * equi-join keys — events map to their 7-day bin, each interval
+    * explodes to the (≤2, since intervals span 4 days < 7) bins it
+    * overlaps, the join is a plain hash equi-join on `bin`, and the
+    * original inequality survives only as a residual filter on the
+    * matched pairs. No nested loop anywhere (pinned by the
+    * PlanAuditSpec sweep — this query is deliberately NOT on the
+    * nested-loop whitelist), so the plan holds when the interval side
+    * is too big to broadcast: both sides shuffle once on the bin key,
+    * candidate pairs are bounded by bin co-residency, and a skewed
+    * bin is AQE's skew-join case, not a replicated cross product.
+    * Same oracle as `ev_range_join` — the binning must be
+    * result-invisible. Output: start, n, total_value. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val w = 7
+    val ev = Tables.events(spark, dir)
+      .withColumn("bin", floor(unix_date(to_date(col("ts"))) / w))
+    val bounds = Tables.events(spark, dir).agg(
+      to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    val intervals = bounds.select(
+      explode(expr("sequence(lo, hi, interval 11 days)")).as("start"))
+      .withColumn("end", date_add(col("start"), 3))
+      .withColumn("bin", explode(expr(
+        s"sequence(CAST(FLOOR(unix_date(start) / $w) AS BIGINT), " +
+          s"CAST(FLOOR(unix_date(end) / $w) AS BIGINT))")))
+    ev.join(intervals, Seq("bin"))
+      .where(col("ts") >= col("start").cast("timestamp") &&
+        col("ts") < col("end").cast("timestamp"))
+      .groupBy(col("start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("start")
+  }
+
   /** ABC / Pareto inventory classification: parts ranked by revenue,
     * class A = parts covering the first 80% of cumulative revenue,
     * B = next 15%, C = the tail — the 80/20 analysis behind stocking
