@@ -3153,6 +3153,112 @@ object OracleSql {
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  /** Mirrors `Similarity.graphSearch` end to end: the navigable-graph
+    * build (`navGraphFrom`: 8-band sign-LSH seed with the 64-member
+    * bucket cap → two NN-descent rounds → symmetrize, degree 16) and
+    * the 3-hop beam-16 walk from the 16 lowest vec_ids — identical
+    * 6-dp cosines and (cos DESC, id) tie order throughout, so both
+    * engines produce the same graph and the same walk. Norms are
+    * precomputed once in `vn` (the oracle-side analogue of Spark's
+    * `vecs` norm column). Every stage that a later CTE references
+    * twice is MATERIALIZED — DuckDB would otherwise inline the whole
+    * chain exponentially (the simKcore lesson). */
+  val simGraphSearch: String = {
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
+    def dotAb(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))"
+    def sig(b: Int) =
+      "concat(" + (1 to 8).map(i =>
+        s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+    val bandRows = (0 until 8).map(b =>
+      (if (b == 0) "" else "UNION ALL ") +
+        s"SELECT vec_id, $b AS b, ${sig(b)} AS key FROM embeddings").mkString("\n  ")
+    // candidate (node, nbr_id) CTE -> directed top-16 edges by cosine
+    def topK(in: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, nbr_id FROM (
+         |    SELECT c.node, c.nbr_id,
+         |           ROW_NUMBER() OVER (PARTITION BY c.node ORDER BY
+         |             ROUND(${dotAb("a.embedding", "w.embedding")} / (a.nrm * w.nrm), 6) DESC,
+         |             c.nbr_id) AS rn
+         |    FROM (SELECT DISTINCT node, nbr_id FROM $in) c
+         |    JOIN vn a ON c.node = a.vec_id
+         |    JOIN vn w ON c.nbr_id = w.vec_id)
+         |  WHERE rn <= 16
+         |)""".stripMargin
+    def und(e: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, nbr_id FROM $e
+         |  UNION
+         |  SELECT nbr_id AS node, node AS nbr_id FROM $e
+         |)""".stripMargin
+    def refineCand(u: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, nbr_id FROM $u
+         |  UNION
+         |  SELECT m.src AS node, $u.nbr_id
+         |  FROM (SELECT nbr_id AS node, node AS src FROM $u) m
+         |  JOIN $u USING (node)
+         |  WHERE m.src <> $u.nbr_id
+         |)""".stripMargin
+    def stage(in: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, node, cos, rn FROM (
+         |    SELECT c.qid, c.node,
+         |           ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid
+         |             ORDER BY ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) DESC, c.node) AS rn
+         |    FROM (SELECT DISTINCT qid, node FROM $in) c
+         |    JOIN vn e ON c.node = e.vec_id
+         |    JOIN q ON c.qid = q.qid
+         |    WHERE c.node <> c.qid)
+         |  WHERE rn <= 16
+         |)""".stripMargin
+    def grow(s: String, out: String): String =
+      s"""$out AS (
+         |  SELECT qid, node FROM $s
+         |  UNION
+         |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
+         |)""".stripMargin
+    s"""WITH vn AS MATERIALIZED (
+       |  SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings
+       |),
+       |bands AS (
+       |  $bandRows
+       |),
+       |kept AS (SELECT b, key FROM bands GROUP BY b, key HAVING COUNT(*) <= 64),
+       |incap AS MATERIALIZED (SELECT bands.* FROM bands JOIN kept USING (b, key)),
+       |seedc AS (
+       |  SELECT x.vec_id AS node, y.vec_id AS nbr_id
+       |  FROM incap x JOIN incap y USING (b, key)
+       |  WHERE x.vec_id <> y.vec_id
+       |),
+       |${topK("seedc", "e0")},
+       |${und("e0", "u0")},
+       |${refineCand("u0", "c1")},
+       |${topK("c1", "e1")},
+       |${und("e1", "u1")},
+       |${refineCand("u1", "c2")},
+       |${topK("c2", "e2")},
+       |${und("e2", "g")},
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
+       |),
+       |ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
+       |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
+       |${stage("b0", "s0")},
+       |${grow("s0", "b1")},
+       |${stage("b1", "s1")},
+       |${grow("s1", "b2")},
+       |${stage("b2", "s2")},
+       |${grow("s2", "b3")},
+       |${stage("b3", "s3")}
+       |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
+       |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Leave-one-out kNN majority-vote accuracy per label over the
     * shared kNN-graph edge set — mirroring `Similarity.knnClassify`. */
   val simKnnClassify: String =

@@ -545,6 +545,160 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraphShared(spark, dir).orderBy("vec_id", "rank")
 
+  /** Navigable-graph degree: 16, the HNSW-M-for-high-dim guidance.
+    * Measured on the testdata embeddings (near-isotropic 64-dim, the
+    * hard case for graph ANN): degree 3 navigates at 4/30 recall,
+    * degree 16 at 27–28/30. Shared with the oracle. */
+  private[graft] val NavDegree = 16
+
+  /** The NAVIGABLE graph artifact for `graphSearch`: a degree-16
+    * undirected proximity graph built LSH-seed + NN-descent, landed
+    * once per corpus version (the HNSW-index analogue as a dataflow
+    * artifact).
+    *
+    * Why not reuse the kNN index (`knnGraphShared`)? That graph's
+    * candidates are label-cell-partitioned — and on this corpus labels
+    * carry NO geometry (measured: same-label mean cos 0.002 vs
+    * cross-label 0.000; only 1/30 exact top-3 neighbors share the
+    * query's label), so a cell-local graph is navigationally blind
+    * (beam recall 1–4/30 however many hops). A navigable graph must be
+    * GLOBAL and geometric:
+    *
+    *   1. SEED — banded sign-LSH over all 64 dims (8 bands × 8
+    *      hyperplane signs); candidates are band mates, buckets
+    *      capped at [[NavBucketCap]] members (skew guard: an
+    *      oversized bucket is dropped, NN-descent recovers its edges);
+    *      keep the top-16 per node by 6-dp cosine.
+    *   2. REFINE ×2 — NN-descent (Dong et al., WWW'11): each round,
+    *      a node's candidates are its undirected neighborhood plus
+    *      that neighborhood's undirected neighborhood (≤ 2·deg +
+    *      (2·deg)² rows per node — bounded fan-out, never all-pairs),
+    *      re-ranked to top-16. Measured edge recall vs the exact
+    *      16-NN graph: 0.13 (seed) → 0.43 → 0.85.
+    *   3. SYMMETRIZE — publish E ∪ reverse(E): reverse links are what
+    *      let the beam enter a neighborhood its directed top-16
+    *      doesn't point into (HNSW keeps them for the same reason).
+    *
+    * Every step is an equi-join (band key, then node id) + a
+    * per-node window top-k — each round shuffles O(deg²·n) rows on
+    * the node key, so the build is linear in corpus size with a
+    * constant governed by the degree, and AQE handles residual
+    * bucket skew. Output: node, nbr_id (undirected edge list). */
+  private[graft] def navGraphShared(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.table(spark, "sim_nav_graph", dir) {
+      val v = vecs(spark, dir).persist()
+      v.count() // materialize before the band + scoring sides fan out
+      val e = navGraphFrom(spark, v)
+      v.unpersist()
+      e
+    }
+
+  /** Seed-bucket cap, shared with the oracle. */
+  private[graft] val NavBucketCap = 64
+
+  /** Navigable-graph construction over an explicit (vec_id, v, norm)
+    * table — see [[navGraphShared]] for the design. */
+  private[graft] def navGraphFrom(spark: SparkSession, v: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    def sig(b: Int) = concat((0 until 8).map(i =>
+      when(element_at(col("v"), 8 * b + i + 1) >= 0, "1").otherwise("0")): _*)
+    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
+    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
+    // candidate (node, nbr_id) set -> directed top-NavDegree edges
+    def topK(cand: DataFrame): DataFrame =
+      cand.distinct()
+        .join(nodes, "node").join(nbrs, "nbr_id")
+        .withColumn("cos", round(d(col("nv"), col("wv")) / (col("nn") * col("wn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= NavDegree)
+        .select("node", "nbr_id")
+    def und(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("nbr_id").as("node"), col("node").as("nbr_id")))
+        .distinct()
+
+    val bands = v.select(col("vec_id"),
+      posexplode(array((0 until 8).map(sig): _*)).as(Seq("b", "key")))
+    val kept = bands.groupBy("b", "key").count()
+      .where(col("count") <= NavBucketCap).select("b", "key")
+    val inCap = bands.join(kept, Seq("b", "key"))
+    val seedCand = inCap.select(col("vec_id").as("node"), col("b"), col("key"))
+      .join(inCap.select(col("vec_id").as("nbr_id"), col("b"), col("key")), Seq("b", "key"))
+      .where(col("node") =!= col("nbr_id"))
+      .select("node", "nbr_id")
+
+    var edges = topK(seedCand)
+    for (_ <- 1 to 2) {
+      val a = und(edges).persist()
+      a.count() // materialize: the 2-hop self-join reads it twice
+      // 2-hop via an alias-safe self-join on the shared middle node
+      val mid = a.select(col("nbr_id").as("node"), col("node").as("src"))
+      val hop2 = mid.join(a, "node")
+        .select(col("src").as("node"), col("nbr_id"))
+        .where(col("node") =!= col("nbr_id"))
+      edges = topK(a.unionByName(hop2))
+      a.unpersist()
+    }
+    und(edges)
+  }
+
+  /** Graph-based ANN search — the HNSW-family retrieval pattern as
+    * batched dataflow — over the navigable-graph artifact
+    * ([[navGraphShared]]). Entry points are the 16 lowest vec_ids (a
+    * fixed, geometry-free entry set: on this corpus labels carry no
+    * geometry, so "one hub per label" buys nothing — see the artifact
+    * doc). Then 3 synchronous beam hops: each hop grows the beam with
+    * the undirected graph neighbors of the current beam, scores
+    * candidates by cosine to the query, and keeps the best 16 per
+    * query (6-dp cosines, node-id tiebreak, so both engines rank
+    * identically). Output is the final beam's top-3. Measured recall
+    * vs exact brute force: 27–29/30 (vs 4/30 over the cell-local kNN
+    * graph this replaced).
+    *
+    * Scale shape: the graph is an artifact (built once per corpus
+    * version, read here); per hop the beam is Q×16 rows — a
+    * broadcast-sized probe hash-joined against the edge list and the
+    * vector table, so each hop costs two bounded equi-joins and
+    * NOTHING is quadratic in the corpus. This is how navigable-graph
+    * ANN degrades gracefully to dataflow: the walk is batched
+    * (synchronous hops) instead of pointer-chasing.
+    * Output: vec_id, nbr_id, cos, rank. */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val base = vecs(spark, dir).persist()
+    base.count() // materialize before the beam fans out over it
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val entries = base.select(col("vec_id").as("node"))
+      .orderBy("node").limit(16)
+    val edges = navGraphShared(spark, dir)
+
+    // score a candidate (qid, node) set and keep the best b per query
+    def beam(c: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+      c.distinct()
+        .join(base.select(col("vec_id").as("node"),
+          col("v").as("nv"), col("norm").as("nnorm")), "node")
+        .join(broadcast(q), "qid")
+        .where(col("node") =!= col("qid"))
+        .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= b)
+        .select(col("qid"), col("node"), col("cos"), col("rn"))
+    }
+    def hop(s: DataFrame): DataFrame = beam(
+      s.select("qid", "node").unionByName(
+        s.select("qid", "node").join(edges, "node")
+          .select(col("qid"), col("nbr_id").as("node"))), 16)
+
+    val s0 = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
+    hop(hop(hop(s0)))
+      .where(col("rn") <= 3)
+      .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
+        col("cos"), col("rn").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus
     * dir + a cheap data fingerprint (embeddings file length/mtime, so
     * an in-place regeneration of the same dir is a new key rather than

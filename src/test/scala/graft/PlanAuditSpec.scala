@@ -87,7 +87,9 @@ class PlanAuditSpec extends SparkSpec {
     "rel_zorder",
     // 1-row token-total carrier (smoothing denominators) onto the
     // <=1024-row bucket-stat table
-    "text_dsir")
+    "text_dsir",
+    // 16-row entry dim × 10-row query broadcast (the sim_topk pattern)
+    "sim_graph_search")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Pins for the navigable-graph ANN pair: the graph artifact's
+  * structural invariants and the beam search's measured recall vs the
+  * exact brute force — the quality claim the operator exists for (a
+  * deterministic walk that returned junk would still hash-match its
+  * oracle, so the recall floor has to be pinned here). */
+class SimilaritySearchSpec extends SparkSpec {
+
+  test("nav graph is undirected, self-loop-free, and within degree bounds") {
+    val g = Similarity.navGraphShared(spark, sf)
+      .select(col("node"), col("nbr_id")).persist()
+    assert(g.count() > 0)
+    assert(g.where(col("node") === col("nbr_id")).count() === 0)
+    // symmetry: every edge's reverse is present
+    val rev = g.select(col("nbr_id").as("node"), col("node").as("nbr_id"))
+    assert(g.exceptAll(rev).count() === 0)
+    // symmetrized degree is bounded by 2x the directed degree cap
+    val maxDeg = g.groupBy("node").count().agg(max("count")).head.getLong(0)
+    assert(maxDeg <= 2L * Similarity.NavDegree)
+    g.unpersist()
+  }
+
+  test("beam search recovers most of the exact top-3 (recall floor)") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.graphSearch(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === exact.size) // 3 per query on both sides
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"beam recall $recall below the 0.8 floor " +
+      s"(${(got intersect exact).size}/${exact.size})")
+  }
+
+  test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
+    val out = Similarity.graphSearch(spark, sf).persist()
+    val perQ = out.groupBy("vec_id").agg(
+      count("*").as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(perQ.where(col("n") =!= 3 || col("lo") =!= 1 || col("hi") =!= 3).count() === 0)
+    assert(out.where(col("cos") < -1 || col("cos") > 1).count() === 0)
+    out.unpersist()
+  }
+}
