@@ -585,20 +585,28 @@ object Similarity {
     * constant governed by the degree, and AQE handles residual
     * bucket skew. Output: node, nbr_id (undirected edge list). */
   private[graft] def navGraphShared(spark: SparkSession, dir: String): DataFrame =
-    graft.ArtifactCache.table(spark, "sim_nav_graph", dir) {
+    graft.ArtifactCache.tableReleasable(spark, "sim_nav_graph", dir) {
       val v = vecs(spark, dir).persist()
       v.count() // materialize before the band + scoring sides fan out
-      val e = navGraphFrom(spark, v)
-      v.unpersist()
-      e
+      val (e, release) = navGraphFrom(spark, v)
+      (e, () => { release(); v.unpersist(); () })
     }
 
   /** Seed-bucket cap, shared with the oracle. */
   private[graft] val NavBucketCap = 64
 
   /** Navigable-graph construction over an explicit (vec_id, v, norm)
-    * table — see [[navGraphShared]] for the design. */
-  private[graft] def navGraphFrom(spark: SparkSession, v: DataFrame): DataFrame = {
+    * table — see [[navGraphShared]] for the design. Each round's edge
+    * list lands through the `IterState` parquet seam (the BPE-training
+    * pattern), NOT persist(): `und` references its input in both union
+    * branches, so the logical plan doubles per level and Catalyst
+    * re-analysis of the unrolled tree goes exponential — measured
+    * 153 s to plan the final symmetrize over a 37k-row cached edge
+    * list at sf0.1 vs ~1 s execution. Parquet rounds truncate the
+    * lineage so every stage plans against a flat scan. Returns the
+    * edge plan plus the handle that reclaims the round dir once the
+    * artifact parquet has consumed it. */
+  private[graft] def navGraphFrom(spark: SparkSession, v: DataFrame): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     def sig(b: Int) = concat((0 until 8).map(i =>
       when(element_at(col("v"), 8 * b + i + 1) >= 0, "1").otherwise("0")): _*)
@@ -627,19 +635,26 @@ object Similarity {
       .where(col("node") =!= col("nbr_id"))
       .select("node", "nbr_id")
 
-    var edges = topK(seedCand)
-    for (_ <- 1 to 2) {
-      val a = und(edges).persist()
-      a.count() // materialize: the 2-hop self-join reads it twice
+    val iterDir = s"${graft.ops.IterState.rootFor(spark)}/nav_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = graft.ops.IterState.register(spark, iterDir)
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/$name")
+      spark.read.parquet(s"$iterDir/$name")
+    }
+
+    var edges = mat(topK(seedCand), "e0")
+    for (r <- 1 to 2) {
+      val a = mat(und(edges), s"u$r")
       // 2-hop via an alias-safe self-join on the shared middle node
       val mid = a.select(col("nbr_id").as("node"), col("node").as("src"))
       val hop2 = mid.join(a, "node")
         .select(col("src").as("node"), col("nbr_id"))
         .where(col("node") =!= col("nbr_id"))
-      edges = topK(a.unionByName(hop2))
-      a.unpersist()
+      edges = mat(topK(a.unionByName(hop2)), s"e$r")
+      cleanup.rm(s"$iterDir/e${r - 1}")
+      cleanup.rm(s"$iterDir/u$r")
     }
-    und(edges)
+    (und(edges), () => cleanup.release())
   }
 
   /** Graph-based ANN search — the HNSW-family retrieval pattern as
@@ -691,8 +706,20 @@ object Similarity {
         s.select("qid", "node").join(edges, "node")
           .select(col("qid"), col("nbr_id").as("node"))), 16)
 
-    val s0 = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
-    hop(hop(hop(s0)))
+    // each hop references its input twice (beam keep + expansion), so
+    // stages are persisted eagerly — Q×16 rows each — or the plan and
+    // recompute double per hop (the navGraphFrom lesson at beam scale)
+    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16).persist()
+    s.count()
+    var prev = s
+    for (_ <- 1 to 3) {
+      s = hop(s).persist()
+      s.count()
+      prev.unpersist()
+      prev = s
+    }
+    val out = s
+    out
       .where(col("rn") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rn").cast("bigint").as("rank"))
