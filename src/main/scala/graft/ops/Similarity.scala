@@ -606,34 +606,64 @@ object Similarity {
     * lineage so every stage plans against a flat scan. Returns the
     * edge plan plus the handle that reclaims the round dir once the
     * artifact parquet has consumed it. */
-  private[graft] def navGraphFrom(spark: SparkSession, v: DataFrame): (DataFrame, () => Unit) = {
-    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+  /** Per-node band rows (vec_id, b, key) for the navigable-graph
+    * seed: 8 bands × 8 hyperplane signs over the 64 dims. */
+  private[graft] def navBands(v: DataFrame): DataFrame = {
     def sig(b: Int) = concat((0 until 8).map(i =>
       when(element_at(col("v"), 8 * b + i + 1) >= 0, "1").otherwise("0")): _*)
-    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
-    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
-    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
-    // candidate (node, nbr_id) set -> directed top-NavDegree edges
-    def topK(cand: DataFrame): DataFrame =
-      cand.distinct()
-        .join(nodes, "node").join(nbrs, "nbr_id")
-        .withColumn("cos", round(d(col("nv"), col("wv")) / (col("nn") * col("wn")), 6))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= NavDegree)
-        .select("node", "nbr_id")
-    def und(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("nbr_id").as("node"), col("node").as("nbr_id")))
-        .distinct()
-
-    val bands = v.select(col("vec_id"),
+    v.select(col("vec_id"),
       posexplode(array((0 until 8).map(sig): _*)).as(Seq("b", "key")))
+  }
+
+  /** Seed candidates from cap-filtered band buckets: (node, nbr_id)
+    * pairs sharing a kept bucket. */
+  private[graft] def navSeedCand(v: DataFrame): DataFrame = {
+    val bands = navBands(v)
     val kept = bands.groupBy("b", "key").count()
       .where(col("count") <= NavBucketCap).select("b", "key")
     val inCap = bands.join(kept, Seq("b", "key"))
-    val seedCand = inCap.select(col("vec_id").as("node"), col("b"), col("key"))
+    inCap.select(col("vec_id").as("node"), col("b"), col("key"))
       .join(inCap.select(col("vec_id").as("nbr_id"), col("b"), col("key")), Seq("b", "key"))
       .where(col("node") =!= col("nbr_id"))
       .select("node", "nbr_id")
+  }
+
+  /** Rank a candidate (node, nbr_id) set to the directed
+    * top-[[NavDegree]] per node by 6-dp cosine (nbr-id tiebreak) —
+    * the one scoring rule every nav-graph stage shares. */
+  private[graft] def navTopK(spark: SparkSession, v: DataFrame, cand: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
+    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
+    cand.distinct()
+      .join(nodes, "node").join(nbrs, "nbr_id")
+      .withColumn("cos", round(d(col("nv"), col("wv")) / (col("nn") * col("wn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= NavDegree)
+      .select("node", "nbr_id")
+  }
+
+  /** Symmetrize a directed edge list. */
+  private[graft] def navUnd(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("nbr_id").as("node"), col("node").as("nbr_id")))
+      .distinct()
+
+  /** One NN-descent candidate expansion over an undirected adjacency:
+    * each node's neighborhood plus that neighborhood's neighborhood. */
+  private[graft] def navRefineCand(a: DataFrame): DataFrame = {
+    // 2-hop via an alias-safe self-join on the shared middle node
+    val mid = a.select(col("nbr_id").as("node"), col("node").as("src"))
+    val hop2 = mid.join(a, "node")
+      .select(col("src").as("node"), col("nbr_id"))
+      .where(col("node") =!= col("nbr_id"))
+    a.unionByName(hop2)
+  }
+
+  private[graft] def navGraphFrom(spark: SparkSession, v: DataFrame): (DataFrame, () => Unit) = {
+    def topK(cand: DataFrame): DataFrame = navTopK(spark, v, cand)
+    def und(e: DataFrame): DataFrame = navUnd(e)
+    val seedCand = navSeedCand(v)
 
     val iterDir = s"${graft.ops.IterState.rootFor(spark)}/nav_${java.util.UUID.randomUUID().toString.take(8)}"
     val cleanup = graft.ops.IterState.register(spark, iterDir)
@@ -645,12 +675,7 @@ object Similarity {
     var edges = mat(topK(seedCand), "e0")
     for (r <- 1 to 2) {
       val a = mat(und(edges), s"u$r")
-      // 2-hop via an alias-safe self-join on the shared middle node
-      val mid = a.select(col("nbr_id").as("node"), col("node").as("src"))
-      val hop2 = mid.join(a, "node")
-        .select(col("src").as("node"), col("nbr_id"))
-        .where(col("node") =!= col("nbr_id"))
-      edges = mat(topK(a.unionByName(hop2)), s"e$r")
+      edges = mat(topK(navRefineCand(a)), s"e$r")
       cleanup.rm(s"$iterDir/e${r - 1}")
       cleanup.rm(s"$iterDir/u$r")
     }

@@ -1,0 +1,169 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Writers
+import graft.ops.Similarity
+
+/** Incrementally-maintained NAVIGABLE-graph index — the release-
+  * pipeline form of `Similarity.navGraphShared` (the HNSW-analogue
+  * artifact `sim_graph_search` walks), maintained the way `AnnIndex`
+  * maintains the cell kNN index: release vN lands the graph state,
+  * release vN+1 costs the DELTA.
+  *
+  * NN-descent is an iterative GLOBAL fixpoint, so "re-pair the
+  * touched buckets" (the `AnnIndex` recipe) is not enough: a new
+  * vector can evict an edge, and that eviction can change a third
+  * node's candidate set two rounds later. The increment is instead a
+  * CHANGE-FRONTIER propagation — self-adjusting computation over the
+  * unrolled rounds, exact by construction:
+  *
+  *   - SEED: only nodes sharing a band bucket with a delta vector can
+  *     see a different capped-bucket candidate set (a bucket no delta
+  *     vector lands in keeps its members and its cap verdict).
+  *     Re-rank exactly those; splice every other node's round-0 edges
+  *     from the prior release verbatim.
+  *   - ROUND r: a node's NN-descent candidates are its undirected
+  *     neighborhood plus that neighborhood's neighborhoods, so its
+  *     round-r edges can change only if it IS an endpoint of a
+  *     round-(r-1) changed edge or is adjacent to one in the old∪new
+  *     adjacency. Re-rank that affected set against the FULL new
+  *     round-(r-1) state; splice the rest. The frontier is DIFFED
+  *     (nodes re-ranked to an identical list leave it), so a delta
+  *     that perturbs nothing propagates nothing.
+  *
+  * Exactness: an unaffected node has a bit-identical candidate set by
+  * the containment argument above, vectors are immutable, and the
+  * ranking rule is deterministic (6-dp cosine, id tiebreak) — so the
+  * spliced state equals the full rebuild row-for-row at every round
+  * (`PipelineSpec` pins it, including across a bucket-cap flip, the
+  * one discontinuous knob).
+  *
+  * Scale (100 TB): every step is an equi-join against the landed
+  * state; the recomputed set is |delta-touched buckets| then the
+  * graph-distance-≤2 frontier per round — delta-proportional while
+  * the graph's degree is capped (deg ≤ 16 directed, measured und
+  * degree ≤ ~35), never a corpus-wide re-pair. Prior state is read,
+  * never recomputed.
+  */
+object NavIndex {
+
+  def vecsPath(root: String): String       = s"$root/nav_vecs"
+  def roundPath(root: String, r: Int): String = s"$root/nav_e$r"
+  def graphPath(root: String): String      = s"$root/nav_graph"
+
+  /** Number of NN-descent refinement rounds (after the seed round) —
+    * must match `Similarity.navGraphFrom`. */
+  private val Rounds = 2
+
+  /** The vN full build: land vectors, the three directed round edge
+    * lists, and the final symmetrized graph. `emb` is an
+    * embeddings-format table (vec_id, embedding, label). */
+  def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
+    Writers.truncateLoad(
+      Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm"), vecsPath(root))
+    val v = spark.read.parquet(vecsPath(root))
+    Writers.truncateLoad(
+      Similarity.navTopK(spark, v, Similarity.navSeedCand(v)), roundPath(root, 0))
+    for (r <- 1 to Rounds) {
+      val u = Similarity.navUnd(spark.read.parquet(roundPath(root, r - 1)))
+      Writers.truncateLoad(
+        Similarity.navTopK(spark, v, Similarity.navRefineCand(u)), roundPath(root, r))
+    }
+    Writers.truncateLoad(
+      Similarity.navUnd(spark.read.parquet(roundPath(root, Rounds))), graphPath(root))
+  }
+
+  /** Release vN → vN+1: absorb `deltaEmb` (new vectors only; ids must
+    * be disjoint from vN) against the state under `priorRoot`, land
+    * the refreshed state under `nextRoot`. Only the change frontier
+    * re-ranks; everything else is carried forward by read. */
+  def incrementState(spark: SparkSession, deltaEmb: DataFrame,
+      priorRoot: String, nextRoot: String): Unit = {
+    val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
+    Writers.truncateLoad(
+      spark.read.parquet(vecsPath(priorRoot)).unionByName(dv), vecsPath(nextRoot))
+    val v = spark.read.parquet(vecsPath(nextRoot))
+
+    // frontier tables (changed edges, affected node sets) are small —
+    // delta-proportional — but each is READ several times per round
+    // (candidate build + three splice joins + next round's frontier),
+    // and they chain exceptAll plans; land each through the IterState
+    // seam so every consumer plans against a flat scan (measured 180 s
+    // → delta-scaled without it; the navGraphFrom lesson again)
+    val iterDir = s"${graft.ops.IterState.rootFor(spark)}/navinc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = graft.ops.IterState.register(spark, iterDir)
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/$name")
+      spark.read.parquet(s"$iterDir/$name")
+    }
+
+    // ---- seed round: re-rank members of delta-touched buckets
+    val bands = Similarity.navBands(v)
+    val deltaIds = dv.select(col("vec_id"))
+    val touchedBuckets = bands.join(broadcast(deltaIds), "vec_id")
+      .select("b", "key").distinct()
+    val affected0 = mat(
+      bands.join(touchedBuckets, Seq("b", "key"))
+        .select(col("vec_id").as("node")).distinct(), "aff0")
+    // exact same kept-bucket verdicts as a full build: counts over the
+    // full next-release band table
+    val kept = bands.groupBy("b", "key").count()
+      .where(col("count") <= Similarity.NavBucketCap).select("b", "key")
+    val inCap = bands.join(kept, Seq("b", "key"))
+    val seedCandAff = inCap
+      .join(affected0.select(col("node").as("vec_id")), "vec_id")
+      .select(col("vec_id").as("node"), col("b"), col("key"))
+      .join(inCap.select(col("vec_id").as("nbr_id"), col("b"), col("key")), Seq("b", "key"))
+      .where(col("node") =!= col("nbr_id"))
+      .select("node", "nbr_id")
+    var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
+      affected0, Similarity.navTopK(spark, v, seedCandAff)), "chg0")
+
+    // ---- refinement rounds: frontier = changed endpoints + their
+    // old∪new neighbors; re-rank against the full new prior-round state
+    for (r <- 1 to Rounds) {
+      val uPrior = Similarity.navUnd(spark.read.parquet(roundPath(priorRoot, r - 1)))
+      val uNext  = mat(Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, r - 1))), s"unext$r")
+      val m = changed.select(col("node"))
+        .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
+      val affected = mat(m.unionByName(
+          uPrior.unionByName(uNext).join(m, "node")
+            .select(col("nbr_id").as("node")))
+        .distinct(), s"aff$r")
+      val aAff = uNext.join(affected, "node")
+      val mid = aAff.select(col("nbr_id").as("node"), col("node").as("src"))
+      val hop2 = mid.join(uNext, "node")
+        .select(col("src").as("node"), col("nbr_id"))
+        .where(col("node") =!= col("nbr_id"))
+      val candAff = aAff.unionByName(hop2)
+      changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
+        affected, Similarity.navTopK(spark, v, candAff)), s"chg$r")
+    }
+    Writers.truncateLoad(
+      Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
+    cleanup.release()
+  }
+
+  /** Land round `r` of the next release: prior edges for nodes
+    * outside `affected` (column `node`), the re-ranked `recomputed`
+    * for those inside; return the edge-level symmetric difference —
+    * the change set the next round's frontier grows from. */
+  private def spliceRound(spark: SparkSession, v: DataFrame,
+      priorRoot: String, nextRoot: String, r: Int,
+      affected: DataFrame, recomputed: DataFrame): DataFrame = {
+    val prior = spark.read.parquet(roundPath(priorRoot, r))
+    val oldAff = prior.join(affected, Seq("node"), "left_semi")
+    val keep = prior.join(affected, Seq("node"), "left_anti")
+    Writers.truncateLoad(keep.unionByName(recomputed), roundPath(nextRoot, r))
+    val newAff = spark.read.parquet(roundPath(nextRoot, r))
+      .join(affected, Seq("node"), "left_semi")
+    oldAff.exceptAll(newAff).unionByName(newAff.exceptAll(oldAff))
+  }
+
+  /** The landed navigable graph — the same edge set
+    * `Similarity.navGraphShared` derives, here versioned per release. */
+  def graph(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(graphPath(root))
+}

@@ -577,6 +577,67 @@ class PipelineSpec extends SparkSpec {
     assert(cellsB.where(col("label") === 8).select("cell").distinct().count() === 1)
   }
 
+  test("incremental nav graph: vN + delta state is row-identical to full rebuild") {
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf)
+    val vN = emb.where(col("vec_id") % 7 =!= 3)
+    val delta = emb.where(col("vec_id") % 7 === 3)
+    val rootA = Files.createTempDirectory("graft_nav_vn").toString
+    val rootB = Files.createTempDirectory("graft_nav_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_nav_full").toString
+    NavIndex.buildState(spark, vN, rootA)
+    NavIndex.incrementState(spark, delta, rootA, rootB)
+    NavIndex.buildState(spark, emb, rootFull)
+    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
+      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
+    for (path <- paths) {
+      val incr = spark.read.parquet(path(rootB))
+      val full = spark.read.parquet(path(rootFull))
+      assert(incr.exceptAll(full).count() === 0, path(rootB))
+      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    }
+    // non-vacuous: the delta actually added graph state
+    assert(spark.read.parquet(NavIndex.graphPath(rootB)).count() >
+      spark.read.parquet(NavIndex.graphPath(rootA)).count())
+  }
+
+  test("incremental nav graph: a bucket-cap flip drops the bucket exactly") {
+    // 60 vN clones share every band bucket (identical sign pattern);
+    // 10 delta clones push those buckets 60 -> 70, past the 64 cap, so
+    // a full rebuild DROPS them from candidate generation entirely —
+    // the discontinuous case where carrying prior seed edges forward
+    // would silently diverge. 30 varied-sign background vectors are
+    // the control: their buckets see no delta and must splice verbatim.
+    import spark.implicits._
+    def clone64(id: Long): Array[Double] =
+      Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 13 + i) % 7))
+    def varied(id: Long): Array[Double] =
+      Array.tabulate(64)(i => if (((id * 31 + i * 17) % 11) < 5) -1.0 - 0.01 * i else 1.0 + 0.01 * i)
+    val vN = ((0L until 60L).map(i => (i, clone64(i), 1L)) ++
+      (100L until 130L).map(i => (i, varied(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val delta = (60L until 70L).map(i => (i, clone64(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val rootA = Files.createTempDirectory("graft_nav_cap_vn").toString
+    val rootB = Files.createTempDirectory("graft_nav_cap_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_nav_cap_full").toString
+    import graft.pipelines.NavIndex
+    NavIndex.buildState(spark, vN, rootA)
+    NavIndex.incrementState(spark, delta, rootA, rootB)
+    NavIndex.buildState(spark, vN.unionByName(delta), rootFull)
+    val incr = spark.read.parquet(NavIndex.graphPath(rootB))
+    val full = spark.read.parquet(NavIndex.graphPath(rootFull))
+    assert(incr.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incr).count() === 0)
+    // the flip actually happened: clones had edges in vN, none after
+    assert(spark.read.parquet(NavIndex.graphPath(rootA))
+      .where(col("node") < 100).count() > 0)
+    assert(incr.where(col("node") < 100).count() === 0)
+    // and the background subgraph survived untouched
+    assert(incr.where(col("node") >= 100).count() ===
+      spark.read.parquet(NavIndex.graphPath(rootA)).where(col("node") >= 100).count())
+  }
+
   test("csv interchange round-trips with declared schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString
