@@ -704,20 +704,36 @@ object Similarity {
     * (synchronous hops) instead of pointer-chasing.
     * Output: vec_id, nbr_id, cos, rank. */
   def graphSearch(spark: SparkSession, dir: String): DataFrame = {
-    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before the beam fans out over it
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val entries = base.select(col("vec_id").as("node"))
+    beamSearchFrom(spark, base.select("vec_id", "v", "norm"), q,
+      navGraphShared(spark, dir))
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The beam walk over explicit state — the seam `graphSearch`
+    * (artifact-cached corpus) and the streaming search gate
+    * (`streaming.VecStreams` probing a landed `NavIndex` release)
+    * share. `corpus` is (vec_id, v, norm), `q` is (qid, qv, qnorm) —
+    * query ids live in their own id space; a corpus node equal to a
+    * qid is excluded as a self-match, which is inert for external
+    * queries. `edges` is the undirected navigable graph. Entry set:
+    * the 16 lowest corpus vec_ids. Output: qid, nbr_id, cos, rank
+    * (the final beam's top-3). */
+  private[graft] def beamSearchFrom(spark: SparkSession, corpus: DataFrame,
+      q: DataFrame, edges: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val entries = corpus.select(col("vec_id").as("node"))
       .orderBy("node").limit(16)
-    val edges = navGraphShared(spark, dir)
 
     // score a candidate (qid, node) set and keep the best b per query
     def beam(c: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
       c.distinct()
-        .join(base.select(col("vec_id").as("node"),
+        .join(corpus.select(col("vec_id").as("node"),
           col("v").as("nv"), col("norm").as("nnorm")), "node")
         .join(broadcast(q), "qid")
         .where(col("node") =!= col("qid"))
@@ -743,12 +759,12 @@ object Similarity {
       prev.unpersist()
       prev = s
     }
-    val out = s
-    out
-      .where(col("rn") <= 3)
-      .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
+    // the final stage stays cached (Q×16 rows) — earlier stages are
+    // already unpersisted, so dropping it would re-derive the whole
+    // chain; the runner's clearCache releases it (the repo contract)
+    s.where(col("rn") <= 3)
+      .select(col("qid"), col("node").as("nbr_id"),
         col("cos"), col("rn").cast("bigint").as("rank"))
-      .orderBy("vec_id", "rank")
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Similarity
+import graft.pipelines.NavIndex
+
+/** Streaming vector-search operators — the retrieval twin of
+  * `DocStreams`' ingest gates: query vectors ARRIVE (a file stream of
+  * embedding-format parquet) and are answered against the LANDED
+  * `NavIndex` release (the navigable-graph artifact + its vector
+  * table), the same state batch `sim_graph_search` walks.
+  *
+  * The beam walk is 4 ranked stages — iterative per-query top-k that
+  * append-mode streaming cannot express as stream-static joins alone
+  * (each hop is a window over the previous hop). So the gate runs
+  * `foreachBatch`: every micro-batch of arriving queries runs the
+  * IDENTICAL batch walk (`Similarity.beamSearchFrom`) against the
+  * static index — the standard index-probe posture (micro-batch = a
+  * batch of queries; the index is read-versioned, refreshed by
+  * `NavIndex.incrementState` at release cadence, not per batch).
+  * Per-query independence makes the stream answer equal the batch
+  * answer for the same query set regardless of batching
+  * (`StreamingSpec` asserts it). */
+object VecStreams {
+
+  /** Streaming file source over a directory of embedding parquet
+    * drops, schema declared from an existing embeddings file (a
+    * streaming read cannot infer). */
+  def readQueries(spark: SparkSession, dir: String, schemaSource: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(schemaSource).schema)
+      .parquet(dir)
+
+  /** Answer one micro-batch of queries against the release under
+    * `root`: top-3 graph-search neighbors per query.
+    * Output: qid, nbr_id, cos, rank. */
+  def searchBatch(spark: SparkSession, batch: DataFrame, root: String): DataFrame = {
+    val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
+    corpus.count() // materialize before the beam fans out over it
+    val q = Similarity.vecsOf(spark, batch)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val out = Similarity.beamSearchFrom(spark, corpus, q,
+      spark.read.parquet(NavIndex.graphPath(root)))
+    corpus.unpersist() // out's final stage is cached; safe to drop
+    out
+  }
+
+  /** The running gate: arriving query vectors → top-3 answers landed
+    * as parquet under `outPath` (append; one file set per batch). */
+  def searchGate(spark: SparkSession, queries: DataFrame, root: String,
+      outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        searchBatch(spark, batch, root)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+}

@@ -296,4 +296,29 @@ class StreamingSpec extends SparkSpec {
       assert(novel.contains(src0.getLong(0)))
     } finally q.stop()
   }
+
+  test("streaming vector search matches the batch walk on the same queries") {
+    import graft.streaming.VecStreams
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_vecsearch_idx").toString
+    NavIndex.buildState(spark, emb, root)
+    // query stream: corpus vectors re-badged into the external-query
+    // id space (+1e6), arriving across two drops
+    val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val d = java.nio.file.Files.createTempDirectory("graft_vecsearch_q").toString
+    queries.where(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$d/h1")
+    queries.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$d/h2")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_vecsearch_out").toString + "/ans"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vecsearch_ck").toString
+    val stream = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
+    val q = VecStreams.searchGate(spark, stream, root, outPath, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outPath)
+    val batch = VecStreams.searchBatch(spark, queries, root)
+    assert(streamed.count() === queries.count() * 3)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
