@@ -3259,6 +3259,18 @@ object OracleSql {
        |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
+    * against the exact top-3 (both full oracle queries nested as CTE
+    * bodies — the `simRecall` shape over the navigable graph). */
+  val simGraphRecall: String =
+    s"""WITH g AS ($simGraphSearch),
+       |bf AS ($simTopK)
+       |SELECT g.vec_id, g.nbr_id,
+       |       bf.rank IS NOT NULL AS in_top3,
+       |       bf.rank AS true_rank
+       |FROM g LEFT JOIN bf USING (vec_id, nbr_id)
+       |ORDER BY g.vec_id, g.nbr_id""".stripMargin
+
   /** Leave-one-out kNN majority-vote accuracy per label over the
     * shared kNN-graph edge set — mirroring `Similarity.knnClassify`. */
   val simKnnClassify: String =

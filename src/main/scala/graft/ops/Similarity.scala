@@ -714,6 +714,22 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
+    * against the exact brute-force top-3 — `annRecall`'s discipline
+    * applied to the navigable-graph index, as an ORACLE-CHECKED query
+    * so the cross-engine gate pins the quality metric itself (27/30
+    * at sf0.01), not just the walk's determinism.
+    * Output: vec_id, nbr_id, in_top3, true_rank. */
+  def graphSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir).select(col("vec_id"), col("nbr_id"), col("rank"))
+    val gs = graphSearch(spark, dir).select("vec_id", "nbr_id")
+    gs.join(bf, Seq("vec_id", "nbr_id"), "left")
+      .select(col("vec_id"), col("nbr_id"),
+        col("rank").isNotNull.as("in_top3"),
+        col("rank").as("true_rank"))
+      .orderBy("vec_id", "nbr_id")
+  }
+
   /** The beam walk over explicit state — the seam `graphSearch`
     * (artifact-cached corpus) and the streaming search gate
     * (`streaming.VecStreams` probing a landed `NavIndex` release)

@@ -89,7 +89,9 @@ class PlanAuditSpec extends SparkSpec {
     // <=1024-row bucket-stat table
     "text_dsir",
     // 16-row entry dim × 10-row query broadcast (the sim_topk pattern)
-    "sim_graph_search")
+    "sim_graph_search",
+    // composes sim_graph_search (same bounded entry × query cross)
+    "sim_graph_recall")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
