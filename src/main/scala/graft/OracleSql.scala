@@ -3163,7 +3163,7 @@ object OracleSql {
     * `vecs` norm column). Every stage that a later CTE references
     * twice is MATERIALIZED — DuckDB would otherwise inline the whole
     * chain exponentially (the simKcore lesson). */
-  val simGraphSearch: String = {
+  private def navSearchSql(sharded: Boolean): String = {
     val dotSelf =
       "list_sum(list_transform(range(1, len(embedding) + 1), " +
         "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
@@ -3172,9 +3172,16 @@ object OracleSql {
     def sig(b: Int) =
       "concat(" + (1 to 8).map(i =>
         s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+    // sharded build: the shard (vec_id % 4) joins the bucket key, so
+    // candidates never cross shards; disjoint node sets keep every
+    // later CTE shard-local with no shard column
+    val shardCol = if (sharded) ", vec_id % 4 AS shard" else ""
+    val bucketKey = if (sharded) "shard, b, key" else "b, key"
     val bandRows = (0 until 8).map(b =>
       (if (b == 0) "" else "UNION ALL ") +
-        s"SELECT vec_id, $b AS b, ${sig(b)} AS key FROM embeddings").mkString("\n  ")
+        s"SELECT vec_id, $b AS b, ${sig(b)} AS key$shardCol FROM embeddings").mkString("\n  ")
+    // beam ranking: per query globally, or per (query, shard)
+    val beamPart = if (sharded) "c.qid, c.node % 4" else "c.qid"
     // candidate (node, nbr_id) CTE -> directed top-16 edges by cosine
     def topK(in: String, out: String): String =
       s"""$out AS MATERIALIZED (
@@ -3208,7 +3215,7 @@ object OracleSql {
          |  SELECT qid, node, cos, rn FROM (
          |    SELECT c.qid, c.node,
          |           ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos,
-         |           ROW_NUMBER() OVER (PARTITION BY c.qid
+         |           ROW_NUMBER() OVER (PARTITION BY $beamPart
          |             ORDER BY ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) DESC, c.node) AS rn
          |    FROM (SELECT DISTINCT qid, node FROM $in) c
          |    JOIN vn e ON c.node = e.vec_id
@@ -3222,17 +3229,34 @@ object OracleSql {
          |  UNION
          |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
          |)""".stripMargin
+    val ent =
+      if (sharded)
+        """ent AS (SELECT vec_id AS node FROM (
+          |  SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) AS rs
+          |  FROM embeddings) WHERE rs <= 16)""".stripMargin
+      else
+        "ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16)"
+    // gather: sharded merges the per-shard beams by a global re-rank
+    val finalSel =
+      if (sharded)
+        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+          |  SELECT qid, node, cos,
+          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rg
+          |  FROM s3) WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
+      else
+        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
+          |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
     s"""WITH vn AS MATERIALIZED (
        |  SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings
        |),
        |bands AS (
        |  $bandRows
        |),
-       |kept AS (SELECT b, key FROM bands GROUP BY b, key HAVING COUNT(*) <= 64),
-       |incap AS MATERIALIZED (SELECT bands.* FROM bands JOIN kept USING (b, key)),
+       |kept AS (SELECT $bucketKey FROM bands GROUP BY $bucketKey HAVING COUNT(*) <= 64),
+       |incap AS MATERIALIZED (SELECT bands.* FROM bands JOIN kept USING ($bucketKey)),
        |seedc AS (
        |  SELECT x.vec_id AS node, y.vec_id AS nbr_id
-       |  FROM incap x JOIN incap y USING (b, key)
+       |  FROM incap x JOIN incap y USING ($bucketKey)
        |  WHERE x.vec_id <> y.vec_id
        |),
        |${topK("seedc", "e0")},
@@ -3246,7 +3270,7 @@ object OracleSql {
        |q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
        |),
-       |ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
+       |$ent,
        |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
        |${stage("b0", "s0")},
        |${grow("s0", "b1")},
@@ -3255,9 +3279,15 @@ object OracleSql {
        |${stage("b2", "s2")},
        |${grow("s2", "b3")},
        |${stage("b3", "s3")}
-       |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
-       |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+       |$finalSel""".stripMargin
   }
+
+  val simGraphSearch: String = navSearchSql(sharded = false)
+
+  /** Mirrors `Similarity.shardedSearch`: the same generator with the
+    * shard in the bucket key, per-(query, shard) beam ranking, and a
+    * global top-3 gather. */
+  val simShardedSearch: String = navSearchSql(sharded = true)
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
     * against the exact top-3 (both full oracle queries nested as CTE

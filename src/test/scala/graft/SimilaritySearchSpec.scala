@@ -36,6 +36,20 @@ class SimilaritySearchSpec extends SparkSpec {
       s"(${(got intersect exact).size}/${exact.size})")
   }
 
+  test("sharded graph never crosses shards; sharded search beats the recall floor") {
+    val g = Similarity.navShardGraphShared(spark, sf)
+    assert(g.count() > 0)
+    assert(g.where(pmod(col("node"), lit(Similarity.NavShards)) =!=
+      pmod(col("nbr_id"), lit(Similarity.NavShards))).count() === 0)
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.shardedSearch(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === exact.size)
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sharded recall $recall below the 0.8 floor")
+  }
+
   test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
     val out = Similarity.graphSearch(spark, sf).persist()
     val perQ = out.groupBy("vec_id").agg(
