@@ -3002,7 +3002,12 @@ object OracleSql {
     * per-subspace unrolled Lloyd's (4×16-dim subspaces, k=8, 3
     * assigns / 2 updates, 6-dp argmin with cid tiebreak); consumed by
     * `simPq` and `simPqTopK` so both see the identical codebook. */
-  private lazy val pqCtes: String = {
+  private lazy val pqCtes: String = pqChain(16, 8)
+
+  /** The PQ training chain parameterized by subspace width and
+    * codebook size: `pqCtes` (4×16-dim, k=8 — the storage config) and
+    * `simPqSearch`'s fine search config (32×2-dim, k=16) share it. */
+  private def pqChain(subDim: Int, k: Int): String = {
     def assign(i: Int, cPrev: String) =
       s"""pd$i AS (
          |  SELECT e.vec_id, e.sub, c.cid,
@@ -3028,8 +3033,8 @@ object OracleSql {
        |         UNNEST(embedding)::DOUBLE AS x
        |  FROM embeddings
        |),
-       |pe AS (SELECT vec_id, (p - 1) // 16 AS sub, (p - 1) % 16 AS pos, x FROM pe0),
-       |pc0 AS (SELECT sub, vec_id AS cid, pos, x AS cx FROM pe WHERE vec_id < 8),
+       |pe AS (SELECT vec_id, (p - 1) // $subDim AS sub, (p - 1) % $subDim AS pos, x FROM pe0),
+       |pc0 AS (SELECT sub, vec_id AS cid, pos, x AS cx FROM pe WHERE vec_id < $k),
        |${assign(1, "pc0")},
        |${update(1)},
        |${assign(2, "pc1")},
@@ -3163,12 +3168,18 @@ object OracleSql {
     * `vecs` norm column). Every stage that a later CTE references
     * twice is MATERIALIZED — DuckDB would otherwise inline the whole
     * chain exponentially (the simKcore lesson). */
-  private def navSearchSql(sharded: Boolean): String = {
+  private def navDotAb(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))"
+
+  /** The navigable-graph BUILD as a WITH-body fragment (vn … g):
+    * shared by the cosine walks ([[simGraphSearch]]/
+    * [[simShardedSearch]] via `navSearchSql`) and the ADC walk
+    * ([[simPqSearch]]). */
+  private def navBuildCtes(sharded: Boolean): String = {
     val dotSelf =
       "list_sum(list_transform(range(1, len(embedding) + 1), " +
         "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
-    def dotAb(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE))"
+    def dotAb(a: String, b: String) = navDotAb(a, b)
     def sig(b: Int) =
       "concat(" + (1 to 8).map(i =>
         s"CASE WHEN embedding[${8 * b + i}] >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
@@ -3180,8 +3191,6 @@ object OracleSql {
     val bandRows = (0 until 8).map(b =>
       (if (b == 0) "" else "UNION ALL ") +
         s"SELECT vec_id, $b AS b, ${sig(b)} AS key$shardCol FROM embeddings").mkString("\n  ")
-    // beam ranking: per query globally, or per (query, shard)
-    val beamPart = if (sharded) "c.qid, c.node % 4" else "c.qid"
     // candidate (node, nbr_id) CTE -> directed top-16 edges by cosine
     def topK(in: String, out: String): String =
       s"""$out AS MATERIALIZED (
@@ -3210,43 +3219,7 @@ object OracleSql {
          |  JOIN $u USING (node)
          |  WHERE m.src <> $u.nbr_id
          |)""".stripMargin
-    def stage(in: String, out: String): String =
-      s"""$out AS MATERIALIZED (
-         |  SELECT qid, node, cos, rn FROM (
-         |    SELECT c.qid, c.node,
-         |           ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos,
-         |           ROW_NUMBER() OVER (PARTITION BY $beamPart
-         |             ORDER BY ROUND(${dotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) DESC, c.node) AS rn
-         |    FROM (SELECT DISTINCT qid, node FROM $in) c
-         |    JOIN vn e ON c.node = e.vec_id
-         |    JOIN q ON c.qid = q.qid
-         |    WHERE c.node <> c.qid)
-         |  WHERE rn <= 16
-         |)""".stripMargin
-    def grow(s: String, out: String): String =
-      s"""$out AS (
-         |  SELECT qid, node FROM $s
-         |  UNION
-         |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
-         |)""".stripMargin
-    val ent =
-      if (sharded)
-        """ent AS (SELECT vec_id AS node FROM (
-          |  SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) AS rs
-          |  FROM embeddings) WHERE rs <= 16)""".stripMargin
-      else
-        "ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16)"
-    // gather: sharded merges the per-shard beams by a global re-rank
-    val finalSel =
-      if (sharded)
-        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
-          |  SELECT qid, node, cos,
-          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rg
-          |  FROM s3) WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
-      else
-        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
-          |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
-    s"""WITH vn AS MATERIALIZED (
+    s"""vn AS MATERIALIZED (
        |  SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings
        |),
        |bands AS (
@@ -3266,18 +3239,62 @@ object OracleSql {
        |${und("e1", "u1")},
        |${refineCand("u1", "c2")},
        |${topK("c2", "e2")},
-       |${und("e2", "g")},
+       |${und("e2", "g")}""".stripMargin
+  }
+
+  /** The beam grow step over the symmetrized graph `g`. */
+  private def navGrow(s: String, out: String): String =
+    s"""$out AS (
+       |  SELECT qid, node FROM $s
+       |  UNION
+       |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
+       |)""".stripMargin
+
+  private def navSearchSql(sharded: Boolean): String = {
+    // beam ranking: per query globally, or per (query, shard)
+    val beamPart = if (sharded) "c.qid, c.node % 4" else "c.qid"
+    def stage(in: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, node, cos, rn FROM (
+         |    SELECT c.qid, c.node,
+         |           ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos,
+         |           ROW_NUMBER() OVER (PARTITION BY $beamPart
+         |             ORDER BY ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) DESC, c.node) AS rn
+         |    FROM (SELECT DISTINCT qid, node FROM $in) c
+         |    JOIN vn e ON c.node = e.vec_id
+         |    JOIN q ON c.qid = q.qid
+         |    WHERE c.node <> c.qid)
+         |  WHERE rn <= 16
+         |)""".stripMargin
+    val ent =
+      if (sharded)
+        """ent AS (SELECT vec_id AS node FROM (
+          |  SELECT vec_id, ROW_NUMBER() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) AS rs
+          |  FROM embeddings) WHERE rs <= 16)""".stripMargin
+      else
+        "ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16)"
+    // gather: sharded merges the per-shard beams by a global re-rank
+    val finalSel =
+      if (sharded)
+        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+          |  SELECT qid, node, cos,
+          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rg
+          |  FROM s3) WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
+      else
+        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
+          |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+    s"""WITH ${navBuildCtes(sharded)},
        |q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
        |),
        |$ent,
        |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
        |${stage("b0", "s0")},
-       |${grow("s0", "b1")},
+       |${navGrow("s0", "b1")},
        |${stage("b1", "s1")},
-       |${grow("s1", "b2")},
+       |${navGrow("s1", "b2")},
        |${stage("b2", "s2")},
-       |${grow("s2", "b3")},
+       |${navGrow("s2", "b3")},
        |${stage("b3", "s3")}
        |$finalSel""".stripMargin
   }
@@ -3288,6 +3305,58 @@ object OracleSql {
     * shard in the bucket key, per-(query, shard) beam ranking, and a
     * global top-3 gather. */
   val simShardedSearch: String = navSearchSql(sharded = true)
+
+  /** Mirrors `Similarity.pqSearch`: the navigable-graph build + the
+    * shared PQ training chain; beam stages rank by the precomputed
+    * ADC table (`ad` holds every (query, node) code-lookup sum — the
+    * oracle is a reference implementation, so the full linear table
+    * is fine where Spark scores only beam candidates; values are
+    * identical), final stage exact-cosine-reranks the beam. */
+  val simPqSearch: String = {
+    val w = graft.ops.Similarity.PqBeamWidth
+    def stageAdc(in: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, node FROM (
+         |    SELECT c.qid, c.node,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ad.adist, c.node) AS rn
+         |    FROM (SELECT DISTINCT qid, node FROM $in) c
+         |    JOIN ad ON ad.qid = c.qid AND ad.node = c.node)
+         |  WHERE rn <= $w
+         |)""".stripMargin
+    val cosSel = s"ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6)"
+    s"""WITH ${navBuildCtes(sharded = false)},
+       |${pqChain(2, 16)},
+       |qpe AS (SELECT vec_id AS qid, sub, pos, x AS qx FROM pe WHERE vec_id < 10),
+       |dt AS (
+       |  SELECT q2.qid, c.sub, c.cid, ROUND(SUM((q2.qx - c.cx) * (q2.qx - c.cx)), 6) AS d
+       |  FROM qpe q2 JOIN pc2 c ON c.sub = q2.sub AND c.pos = q2.pos
+       |  GROUP BY 1, 2, 3
+       |),
+       |ad AS MATERIALIZED (
+       |  SELECT dt.qid, a.vec_id AS node,
+       |         CAST(SUM(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM pa3 a JOIN dt ON dt.sub = a.sub AND dt.cid = a.cid
+       |  WHERE dt.qid <> a.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
+       |),
+       |ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
+       |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
+       |${stageAdc("b0", "s0")},
+       |${navGrow("s0", "b1")},
+       |${stageAdc("b1", "s1")},
+       |${navGrow("s1", "b2")},
+       |${stageAdc("b2", "s2")},
+       |${navGrow("s2", "b3")},
+       |${stageAdc("b3", "s3")}
+       |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+       |  SELECT s3.qid, s3.node, $cosSel AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY s3.qid ORDER BY $cosSel DESC, s3.node) AS rg
+       |  FROM s3 JOIN vn e ON s3.node = e.vec_id JOIN q ON s3.qid = q.qid)
+       |WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
     * against the exact top-3 (both full oracle queries nested as CTE

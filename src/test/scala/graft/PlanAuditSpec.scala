@@ -93,7 +93,9 @@ class PlanAuditSpec extends SparkSpec {
     // composes sim_graph_search (same bounded entry × query cross)
     "sim_graph_recall",
     // 64-row per-shard entry dim × 10-row query broadcast
-    "sim_sharded_search")
+    "sim_sharded_search",
+    // 16-row entry dim × 10-row query broadcast (ADC walk)
+    "sim_pq_search")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

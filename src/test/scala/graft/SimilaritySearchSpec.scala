@@ -50,6 +50,16 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.8, s"sharded recall $recall below the 0.8 floor")
   }
 
+  test("pq-accelerated search beats the recall floor (exact rerank over ADC walk)") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.pqSearch(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === exact.size)
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"pq-walk recall $recall below the 0.8 floor")
+  }
+
   test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
     val out = Similarity.graphSearch(spark, sf).persist()
     val perQ = out.groupBy("vec_id").agg(
