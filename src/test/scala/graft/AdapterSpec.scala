@@ -55,4 +55,81 @@ class AdapterSpec extends AnyFunSuite {
     assert(c3.get("wbtc") === "abi-of-wbtc") // disk hit, NO origin fetch
     assert(fetches === 2)
   }
+
+  /** A real in-process HTTP server (JDK built-in) driving the real
+    * `HttpJsonSource` client — S14 as live plumbing, not a seam. */
+  private def withServer(handler: com.sun.net.httpserver.HttpExchange => Unit)(
+      body: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api", ex => handler(ex))
+    srv.start()
+    try body(s"http://127.0.0.1:${srv.getAddress.getPort}/api")
+    finally srv.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+      code: Int, bodyStr: String): Unit = {
+    val b = bodyStr.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, b.length.toLong)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  test("http json source rides out transient failures on the fixed 5s schedule") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      if (hits.incrementAndGet() < 3) respond(ex, 503, "busy")
+      else respond(ex, 200, """{"status":"1","message":"OK","result":"17280123"}""")
+    } { base =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val src = new graft.sources.HttpJsonSource(base, sleep = sleeps += _)
+      assert(src.blockByTimestamp(1700000000L) === 17280123L)
+      assert(hits.get() === 3)
+      assert(sleeps.toSeq === Seq(5000L, 5000L)) // reference: 5 tries, 5 s pause
+    }
+  }
+
+  test("http json source surfaces the last failure after 5 tries") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex => hits.incrementAndGet(); respond(ex, 500, "nope") } { base =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val src = new graft.sources.HttpJsonSource(base, sleep = sleeps += _)
+      val e = intercept[RuntimeException](src.result("?module=block"))
+      assert(e.getMessage.contains("max retry exceeded"))
+      assert(hits.get() === 5)
+      assert(sleeps.length === 4) // no sleep after the final try
+    }
+  }
+
+  test("http json source rejects an API-level error status and parses abi results") {
+    withServer { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      if (q.contains("action=getabi"))
+        respond(ex, 200, """{"status":"1","result":"[{\"type\":\"function\"}]"}""")
+      else respond(ex, 200, """{"status":"0","message":"NOTOK","result":"rate limited"}""")
+    } { base =>
+      val src = new graft.sources.HttpJsonSource(base,
+        maxTries = 1, sleep = _ => ())
+      assert(src.abiByAddress("0xdead") === """[{"type":"function"}]""")
+      val e = intercept[RuntimeException](src.result("?module=block&action=getblocknobytime"))
+      assert(e.getMessage.contains("max retry exceeded"))
+    }
+  }
+
+  test("tiered cache composes over the http origin: one fetch per key lifetime") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      hits.incrementAndGet()
+      respond(ex, 200, """{"status":"1","result":"abi-payload"}""")
+    } { base =>
+      val src = new graft.sources.HttpJsonSource(base, sleep = _ => ())
+      val dir = Files.createTempDirectory("graft_http_cache")
+      val cache = new TieredCache(dir, k => src.abiByAddress(k))
+      assert(cache.get("0xabc") === "abi-payload")
+      assert(cache.get("0xabc") === "abi-payload")
+      assert(new TieredCache(dir, k => src.abiByAddress(k)).get("0xabc") === "abi-payload")
+      assert(hits.get() === 1) // memory + disk tiers absorbed the rest
+    }
+  }
 }
