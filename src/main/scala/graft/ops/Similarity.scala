@@ -964,7 +964,16 @@ object Similarity {
     * the 16 lowest corpus vec_ids. Output: qid, nbr_id, cos, rank
     * (the final beam's top-3). */
   private[graft] def beamSearchFrom(spark: SparkSession, corpus: DataFrame,
-      q: DataFrame, edges: DataFrame): DataFrame = {
+      q: DataFrame, edges: DataFrame): DataFrame =
+    beamSearchReleasable(spark, corpus, q, edges)._1
+
+  /** `beamSearchFrom` with the final beam-stage cache handle — the
+    * streaming gate releases per micro-batch after its sink write
+    * (`CachePolicy` exception: a stream has no between-queries runner
+    * sweep, and per-batch leaks accumulate for the query's lifetime);
+    * batch callers ignore it and lean on the runner contract. */
+  private[graft] def beamSearchReleasable(spark: SparkSession, corpus: DataFrame,
+      q: DataFrame, edges: DataFrame): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val entries = corpus.select(col("vec_id").as("node"))
       .orderBy("node").limit(16)
@@ -1001,10 +1010,13 @@ object Similarity {
     }
     // the final stage stays cached (Q×16 rows) — earlier stages are
     // already unpersisted, so dropping it would re-derive the whole
-    // chain; the runner's clearCache releases it (the repo contract)
-    s.where(col("rn") <= 3)
+    // chain; batch runners clearCache (the repo contract), the
+    // streaming gate calls the handle per batch
+    val out = s
+    (out.where(col("rn") <= 3)
       .select(col("qid"), col("node").as("nbr_id"),
-        col("cos"), col("rn").cast("bigint").as("rank"))
+        col("cos"), col("rn").cast("bigint").as("rank")),
+      () => { out.unpersist(); () })
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

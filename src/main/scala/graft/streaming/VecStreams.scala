@@ -37,15 +37,24 @@ object VecStreams {
   /** Answer one micro-batch of queries against the release under
     * `root`: top-3 graph-search neighbors per query.
     * Output: qid, nbr_id, cos, rank. */
-  def searchBatch(spark: SparkSession, batch: DataFrame, root: String): DataFrame = {
+  def searchBatch(spark: SparkSession, batch: DataFrame, root: String): DataFrame =
+    searchBatchReleasable(spark, batch, root)._1
+
+  /** `searchBatch` plus the beam-cache release handle: a streaming
+    * query has no between-queries runner sweep (`graft.CachePolicy`),
+    * so the gate must release each micro-batch's beam cache itself
+    * once the sink write has consumed it — per-batch leaks otherwise
+    * accumulate for the query's lifetime. */
+  private def searchBatchReleasable(spark: SparkSession, batch: DataFrame,
+      root: String): (DataFrame, () => Unit) = {
     val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
     corpus.count() // materialize before the beam fans out over it
     val q = Similarity.vecsOf(spark, batch)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val out = Similarity.beamSearchFrom(spark, corpus, q,
+    val (out, release) = Similarity.beamSearchReleasable(spark, corpus, q,
       spark.read.parquet(NavIndex.graphPath(root)))
     corpus.unpersist() // out's final stage is cached; safe to drop
-    out
+    (out, release)
   }
 
   /** The running gate: arriving query vectors → top-3 answers landed
@@ -55,8 +64,9 @@ object VecStreams {
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        searchBatch(spark, batch, root)
-          .write.mode("append").parquet(outPath)
+        val (ans, release) = searchBatchReleasable(spark, batch, root)
+        try ans.write.mode("append").parquet(outPath)
+        finally release()
       }
       .start()
 }
