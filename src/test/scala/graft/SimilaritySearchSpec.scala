@@ -50,6 +50,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.8, s"sharded recall $recall below the 0.8 floor")
   }
 
+  test("artifact and pipeline nav-graph builds are edge-identical") {
+    // two IO paths over the same construction (ArtifactCache query
+    // path vs NavIndex release state) must not drift
+    val art = Similarity.navGraphShared(spark, sf).select("node", "nbr_id")
+    val root = java.nio.file.Files.createTempDirectory("graft_nav_parity").toString
+    graft.pipelines.NavIndex.buildState(spark, Tables.embeddings(spark, sf), root)
+    val pipe = graft.pipelines.NavIndex.graph(spark, root).select("node", "nbr_id")
+    assert(art.exceptAll(pipe).count() === 0)
+    assert(pipe.exceptAll(art).count() === 0)
+    assert(art.count() > 0)
+  }
+
   test("pq-accelerated search beats the recall floor (exact rerank over ADC walk)") {
     val exact = Similarity.bruteForceTopK(spark, sf)
       .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
