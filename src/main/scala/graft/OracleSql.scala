@@ -2504,6 +2504,57 @@ object OracleSql {
       |FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  /** Mirrors `Text.substrDedupApply`: the detection chain with the
+    * keep-first shingle owner excluded, spans as (lo, hi) intervals,
+    * token-level anti-join removal, ordered reassembly hashed. */
+  val textSubstrApply: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, len(ws) AS nw, i AS start,
+      |         md5(array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')) AS h
+      |  FROM w, UNNEST(range(GREATEST(len(ws) - 10, 0) + 1)) AS u(i)
+      |),
+      |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS docs, MIN(doc_id) AS keeper
+      |        FROM sh GROUP BY h),
+      |d AS (
+      |  SELECT s.doc_id, s.nw, s.start,
+      |         CASE WHEN s.start - LAG(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start) <= 10
+      |              THEN 0 ELSE 1 END AS gap
+      |  FROM sh s JOIN cnt c ON c.h = s.h
+      |  WHERE c.docs >= 2 AND s.doc_id <> c.keeper
+      |),
+      |sp AS (
+      |  SELECT doc_id, nw, start,
+      |         SUM(gap) OVER (PARTITION BY doc_id ORDER BY start
+      |                        ROWS UNBOUNDED PRECEDING) AS span
+      |  FROM d
+      |),
+      |agg AS (
+      |  SELECT doc_id, span, MIN(start) AS lo,
+      |         LEAST(MAX(start) + 10, ANY_VALUE(nw)) AS hi
+      |  FROM sp GROUP BY doc_id, span
+      |),
+      |toks AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS i, UNNEST(ws) AS tok FROM w
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.i, t.tok
+      |  FROM toks t
+      |  LEFT JOIN agg a ON a.doc_id = t.doc_id AND t.i >= a.lo AND t.i < a.hi
+      |  WHERE a.lo IS NULL
+      |),
+      |cl AS (
+      |  SELECT doc_id, COUNT(*) AS kept_toks,
+      |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_toks,
+      |       CAST(len(w.ws) - COALESCE(cl.kept_toks, 0) AS BIGINT) AS removed_toks,
+      |       CAST(COALESCE(cl.kept_toks, 0) AS BIGINT) AS kept_toks,
+      |       COALESCE(cl.clean_hash, md5('')) AS clean_hash
+      |FROM w LEFT JOIN cl ON cl.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   /** SCD2 dimension build from the event change log: change-detected
     * `event_type` states per user with validity intervals — mirrors
     * `Events.scd2`. */

@@ -916,6 +916,67 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Substring-dedup APPLY — the removal half `substrDedup` detects
+    * (Lee et al. 2022 deduplicate-then-train removes the duplicated
+    * spans, it doesn't just count them): every duplicated ≥ 10-token
+    * shingle keeps exactly ONE copy corpus-wide — its lowest doc_id
+    * (the same keep-first election as `Dedup.clusters` /
+    * `Curation.applyDeduped`, here at shingle grain) — and every
+    * other holder removes its covering maximal span. Cleaned text is
+    * reassembled from the surviving tokens in order; the output
+    * carries its md5 so the cross-engine gate proves byte-identical
+    * reconstruction without hauling full text through the compare.
+    *
+    * Scale (100 TB): everything up to span merge is `substrDedup`'s
+    * plan (map-side rolling shingles, one groupBy(h), per-doc
+    * windows); removal adds one token-level LEFT ANTI hash join on
+    * doc_id (the range predicate rides the join filter — spans per
+    * doc are few and disjoint) and one per-doc reassembly aggregate.
+    * Output: doc_id, n_toks, removed_toks, kept_toks, clean_hash. */
+  def substrDedupApply(spark: SparkSession, dir: String): DataFrame =
+    substrDedupApplyFrom(Tables.documents(spark, dir))
+
+  private[graft] def substrDedupApplyFrom(docs: DataFrame): DataFrame = {
+    val k = 10
+    val base = docs
+      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val sh = base.select(col("doc_id"), col("nw"),
+      posexplode(expr(
+        s"transform(sequence(0, greatest(size(ws) - $k, 0))," +
+          s" i -> md5(array_join(slice(ws, i + 1, $k), ' ')))")).as(Seq("start", "h")))
+    val owners = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("docs"), min(col("doc_id")).as("keeper"))
+    val wD = Window.partitionBy("doc_id").orderBy("start")
+    val spans = sh.join(owners, "h")
+      .where(col("docs") >= 2 && col("doc_id") =!= col("keeper"))
+      .withColumn("gap",
+        when(col("start") - lag(col("start"), 1).over(wD) <= k, 0L).otherwise(1L))
+      .withColumn("span", sum(col("gap")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("start")).as("lo"),
+        least(max(col("start")) + k, first(col("nw"))).as("hi"))
+      .select(col("doc_id").as("sdoc"), col("lo"), col("hi"))
+    val toks = base.select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "tok")))
+    val kept = toks.join(spans,
+      col("doc_id") === col("sdoc") && col("i") >= col("lo") && col("i") < col("hi"),
+      "left_anti")
+    val cleaned = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_toks"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(i, tok))), s -> s.tok), ' '))")
+          .as("clean_hash"))
+    base.select(col("doc_id"), col("nw").cast("bigint").as("n_toks"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("kept_toks"), lit(0L))).as("removed_toks"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        coalesce(col("clean_hash"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("clean_hash")) // md5("")
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw documents whose hashed-unigram
     * distribution looks like a TARGET domain. Target here is the

@@ -1024,6 +1024,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L) === ((17L, 1L, 12L, math.rint(12.0 / 17 * 1e6) / 1e6)))
   }
 
+  test("substr apply keeps one copy per shingle (lowest doc) and removes the rest") {
+    import spark.implicits._
+    val S = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 8).map(i => s"a$i").mkString(" ") + " " + S),  // keeper of S
+      (2L, (1 to 7).map(i => s"c$i").mkString(" ") + " " + S +
+        " " + (1 to 4).map(i => s"d$i").mkString(" ")),         // loses S
+      (3L, (1 to 12).map(i => s"e$i").mkString(" ")),           // untouched
+      (4L, "p q r s t"),                                        // short-twin keeper
+      (5L, "p q r s t")                                         // short twin loses all
+    ).toDF("doc_id", "text")
+    val out = Text.substrDedupApplyFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // keeper docs keep full text: removed 0, hash = md5 of original
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._4 === md5((1 to 8).map(i => s"a$i").mkString(" ") + " " + S))
+    // doc 2 removes exactly the 15-token span, keeping prefix + suffix
+    assert(out(2L) === ((26L, 15L, 11L,
+      md5((1 to 7).map(i => s"c$i").mkString(" ") + " " + (1 to 4).map(i => s"d$i").mkString(" ")))))
+    assert(out(3L)._2 === 0L)
+    assert(out(4L) === ((5L, 0L, 5L, md5("p q r s t"))))
+    // whole-doc twin: everything removed, clean text is empty
+    assert(out(5L) === ((5L, 5L, 0L, md5(""))))
+  }
+
   test("pq: codes from the seed lineage, full coverage, nonneg reconstruction") {
     val out = Similarity.pq(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
