@@ -44,6 +44,24 @@ object ArtifactCache {
     else { val p = run; paths.put(key, p); p }
   }
 
+  // Ledger of every artifact build this process ran: (kind, seconds).
+  // The bench's min-of-3 per-query timing legitimately amortizes these
+  // once-per-corpus-version builds away (they are the release
+  // pipeline's cost, not the query's), but the amortized cost must
+  // stay VISIBLE — graft.Bench prints one summary line from this
+  // ledger so every BENCH capture carries what the min excluded.
+  private val builds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  /** Record a non-ArtifactCache index build (kNN memo, bucketed
+    * layouts) in the same ledger. */
+  def recordBuild(kind: String, sec: Double): Unit =
+    builds.synchronized { builds += ((kind, sec)); () }
+
+  /** Snapshot of all builds so far (kind → summed seconds). */
+  def buildLog: Seq[(String, Double)] = builds.synchronized {
+    builds.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(-_._2)
+  }
+
   private def dirFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,9 +90,11 @@ object ArtifactCache {
       (build: => (DataFrame, () => Unit)): DataFrame = {
     val reuse = spark.conf.getOption("graft.artifactReuse").forall(_.toBoolean)
     def run(): String = {
+      val t0 = System.nanoTime()
       val (df, release) = build
       val p = this.build(spark, kind, df)
       release()
+      recordBuild(kind, (System.nanoTime() - t0) / 1e9)
       p
     }
     val path =

@@ -85,9 +85,24 @@ object Bench {
     println(s"""{"metric":"family_totals","unit":"sec","families":$fams}""")
     val nfPost = noiseProbe()
     println(s"""{"metric":"noise_floor","unit":"sec","pre":[${nfPre.map(dp3).mkString(",")}],"post":[${nfPost.map(dp3).mkString(",")}]}""")
+    // Artifact amortization (VERDICT r9 ask #5): min-of-3 per-query
+    // timing legitimately excludes once-per-corpus-version index
+    // builds (they're the release pipeline's cost), but the excluded
+    // cost must be VISIBLE in every capture. One compact line: every
+    // ArtifactCache/knn-index build this process ran, kind → seconds,
+    // plus their sum. Printed just before the summary so a tail that
+    // has the verdict has the amortization evidence too; the summary
+    // budget below shrinks by this line's length to keep both inside
+    // the 2000-char tail window.
+    val blog = ArtifactCache.buildLog
+    val artifactLine = s"""{"metric":"artifact_build","unit":"sec","total":${dp(blog.map(_._2).sum, 1)},"builds":${
+      blog.map { case (k, v) => s"\"" + k + "\":" + dp(v, 1) }.mkString("{", ",", "}")}}"""
+    println(artifactLine)
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     // Budget: 2000-char tail window minus sbt's trailing "[success]..."
-    // line (~75) and this line's own "[info] " prefix — keep under 1880.
+    // line (~75) and this line's own "[info] " prefix — keep under 1880
+    // minus the artifact_build line just above (plus its "[info] "
+    // prefix and newline), so BOTH survive the captured tail.
     // At ~94 queries the name mass alone overflows that at ANY value
     // precision (1 dp measured 1931 chars), so instead of degrading
     // precision the dict keeps full 3 dp for as many queries as fit IN
@@ -106,8 +121,9 @@ object Bench {
         else s""","omitted":${omitted.size},"omitted_sec":${dp3(omitted.map(_._2.min).sum)}"""
       s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
     }
+    val budget = 1880 - (artifactLine.length + 8)
     println((results.size to 0 by -1).view.map(summaryLine)
-      .find(_.length <= 1880).getOrElse(summaryLine(0)))
+      .find(_.length <= budget).getOrElse(summaryLine(0)))
     spark.stop()
   }
 }

@@ -882,7 +882,17 @@ object Relational {
     * behind `bucketJoin`; returns the catalog table names. */
   private def bucketTables(spark: SparkSession, dir: String): (String, String) =
     Relational.synchronized {
-      val tag = (math.abs(dir.hashCode.toLong) % 100000000L).toString
+      // tag folds a cheap DATA fingerprint (length+mtime of the two
+      // source parquets) in with the dir hash, so an in-place
+      // regeneration of the corpus — or a dir-hash collision — keys a
+      // fresh layout instead of silently serving a stale one (the
+      // kNN-index memo keys the same way for the same reason)
+      val fp = Seq("orders.parquet", "customer.parquet").map { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+        s"${st.getLen}:${st.getModificationTime}"
+      }.mkString("|")
+      val tag = (math.abs((dir + "@" + fp).hashCode.toLong) % 100000000L).toString
       val oTab = s"graft_bkt_orders_$tag"
       val cTab = s"graft_bkt_customer_$tag"
       if (!spark.catalog.tableExists(oTab) || !spark.catalog.tableExists(cTab)) {

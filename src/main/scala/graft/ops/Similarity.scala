@@ -1048,11 +1048,13 @@ object Similarity {
   }
 
   private def buildKnnIndex(spark: SparkSession, dir: String): String = {
+    val t0 = System.nanoTime()
     val (g, releaseCells) = knnGraphReleasable(spark, dir)
     val p = s"${IterState.rootFor(spark)}/knn_index_${java.util.UUID.randomUUID().toString.take(8)}"
     IterState.register(spark, p)
     g.write.mode("overwrite").parquet(p)
     releaseCells()
+    graft.ArtifactCache.recordBuild("knn_index", (System.nanoTime() - t0) / 1e9)
     p
   }
 

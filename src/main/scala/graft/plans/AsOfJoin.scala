@@ -103,9 +103,17 @@ case class AsOfJoinExec(
   // the merge emits left rows in their incoming (keys…, time) order
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // requireAllClusterKeys = true explicitly: zipPartitions pairs the
+  // children positionally, which is only sound when BOTH sides hash on
+  // the full key list with the same function. The session default
+  // (spark.sql.requireAllClusterKeysForCoPartition) happens to be
+  // true, but a deployment that flips it would let a child already
+  // partitioned on a key SUBSET satisfy the distribution and silently
+  // mispair partitions — correctness must not ride on a conf.
   override def requiredChildDistribution: Seq[Distribution] =
     if (leftKeys.isEmpty) Seq(AllTuples, AllTuples)
-    else Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+    else Seq(ClusteredDistribution(leftKeys, requireAllClusterKeys = true),
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
@@ -239,6 +247,14 @@ object AsOf {
     * micros for TIMESTAMP) nulls matches staler than the cap.
     * Output = all left columns, then all right columns (nullable).
     * Callers rename ahead of the join if the two sides share names.
+    *
+    * TIES: if the right side has several rows at the SAME (key, time),
+    * which one's payload is matched is UNSPECIFIED — the merge keeps
+    * whichever tied row the engine's (unstable) sort delivered last,
+    * so it can differ across runs/engines. Callers with non-unique
+    * (key, time) right sides must pre-aggregate to one row per
+    * (key, time) (as every shipped query does) if they need a
+    * deterministic payload.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],

@@ -58,14 +58,22 @@ object VecStreams {
   }
 
   /** The running gate: arriving query vectors → top-3 answers landed
-    * as parquet under `outPath` (append; one file set per batch). */
+    * as parquet under `outPath` (one `batch=<id>` subdirectory per
+    * micro-batch). foreachBatch is AT-LEAST-ONCE: a failure between
+    * the sink write and the checkpoint commit replays the batch, so a
+    * plain append would land its rows twice. Writing each batch under
+    * its batchId with OVERWRITE makes the replay idempotent — the
+    * rerun replaces its own directory bit-for-bit. Readers scan
+    * `outPath` as partitioned parquet; the synthetic `batch` column is
+    * dropped before the write, so it surfaces only as the partition
+    * key (answer schema unchanged plus the provenance column). */
   def searchGate(spark: SparkSession, queries: DataFrame, root: String,
       outPath: String, checkpoint: String): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (ans, release) = searchBatchReleasable(spark, batch, root)
-        try ans.write.mode("append").parquet(outPath)
+        try ans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         finally release()
       }
       .start()

@@ -315,7 +315,9 @@ class StreamingSpec extends SparkSpec {
     val stream = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
     val q = VecStreams.searchGate(spark, stream, root, outPath, ckpt)
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.read.parquet(outPath)
+    // drop the batch=<id> provenance partition column the idempotent
+    // per-batch sink adds; answers themselves must match the batch walk
+    val streamed = spark.read.parquet(outPath).drop("batch")
     val batch = VecStreams.searchBatch(spark, queries, root)
     assert(streamed.count() === queries.count() * 3)
     assert(streamed.exceptAll(batch).count() === 0)
