@@ -2636,19 +2636,20 @@ object OracleSql {
        |FROM hm WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Shared CTEs for the 64-bit perceptual hash: 4 salted digests of
-    * the 40-char visual prefix = 62 pixels + 2 length-bucket pixels;
-    * bit b = pixel_b·64 > Σ pixels (exact-integer aHash threshold) —
-    * mirroring `Multimodal.phash64Table`. */
-  private lazy val mmPhashCtes: String = {
-    val pxCols = ((0 until 62).map(i =>
-      s"CAST('0x' || substr(hx, ${2 * i + 1}, 2) AS INT) AS px$i") ++
-      (62 until 64).map(i =>
-        s"CAST('0x' || substr(lh, ${2 * (i - 62) + 1}, 2) AS INT) AS px$i"))
-      .mkString(",\n    ")
-    val tot = (0 until 64).map(i => s"px$i").mkString(" + ")
-    val bits = (0 until 64).map(i =>
-      s"CASE WHEN px$i * 64 > tot THEN '1' ELSE '0' END").mkString(", ")
+  /** Hex pair of rendered-image pixel i (0-based): 62 pixels from the
+    * 4 salted prefix digests (`hx`), 2 footer pixels from the
+    * length-bucket digest (`lh`) — mirroring `Multimodal.grayPixels`. */
+  private def mmPixHex(i: Int): String =
+    if (i < 62) s"substr(hx, ${2 * i + 1}, 2)"
+    else s"substr(lh, ${2 * (i - 62) + 1}, 2)"
+
+  /** Shared CTEs for the rendered 8×8 gray image: `d` carries the
+    * digest hex, `p` the 64 pixel byte values — the same derivation
+    * `Multimodal.grayPixels` feeds the real BMP encoder with (62
+    * visual-prefix pixels + 2 length-bucket footer pixels). */
+  private lazy val mmPixelCtes: String = {
+    val pxCols = (0 until 64).map(i =>
+      s"CAST('0x' || ${mmPixHex(i)} AS INT) AS px$i").mkString(",\n    ")
     s"""d AS (
        |  SELECT doc_id,
        |    md5('p0|' || substr(text, 1, 40)) || md5('p1|' || substr(text, 1, 40)) ||
@@ -2660,7 +2661,17 @@ object OracleSql {
        |  SELECT doc_id,
        |    $pxCols
        |  FROM d
-       |),
+       |)""".stripMargin
+  }
+
+  /** CTEs for the 64-bit perceptual hash over the decoded grid: bit b
+    * = pixel_b·64 > Σ pixels (exact-integer aHash threshold). Spark
+    * thresholds decoded channel-sum luminance 3p·64 > 3Σ — same bits. */
+  private lazy val mmPhashCtes: String = {
+    val tot = (0 until 64).map(i => s"px$i").mkString(" + ")
+    val bits = (0 until 64).map(i =>
+      s"CASE WHEN px$i * 64 > tot THEN '1' ELSE '0' END").mkString(", ")
+    s"""$mmPixelCtes,
        |q AS (SELECT *, ($tot) AS tot FROM p),
        |sig AS (SELECT doc_id, concat($bits) AS sig64 FROM q)""".stripMargin
   }
@@ -2729,7 +2740,7 @@ object OracleSql {
        |  FROM reach GROUP BY id
        |)
        |SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
-       |       CAST(octet_length(from_hex(md5(d.text))) AS BIGINT) AS n_bytes
+       |       CAST(54 + 3 * 8 * 8 AS BIGINT) AS n_bytes
        |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
        |WHERE COALESCE(cl.keep, TRUE)
        |ORDER BY d.doc_id""".stripMargin
@@ -3787,40 +3798,62 @@ object OracleSql {
 
   // ---------------------------------------------------------- multimodal
 
-  val mmMeta: String =
-    """SELECT doc_id,
-      |       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
-      |       substr(md5(text), 1, 2) AS fmt
-      |FROM documents ORDER BY doc_id""".stripMargin
+  /** The byte-exact reconstruction of `Bmp.encodeGray`'s 8×8 24-bpp
+    * output: 54-byte header (each field derived in the comments
+    * below), then bottom-up rows of BGR triples — gray, so each pixel
+    * hex pair appears 3×; stride 24 needs no padding. Spark md5s the
+    * uppercase hex of the REAL payload; one flipped byte anywhere in
+    * the encoder (or a row-order/stride/channel bug) breaks the md5
+    * match. */
+  val mmMeta: String = {
+    // BITMAPFILEHEADER: 'BM', fileSize=246 (F6), reserved, dataOffset=54 (36)
+    // BITMAPINFOHEADER: size=40 (28), w=8, h=8 (positive: bottom-up),
+    // planes=1, bpp=24 (18), compression=0, imageSize=192 (C0), rest 0
+    val headerHex =
+      "424D" + "F6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+        "00000000" + "C0000000" + "00" * 16
+    // pixel data: rows bottom-up (y = 7..0), BGR = 3× the gray pair
+    val pixHex = (7 to 0 by -1).flatMap(y => (0 until 8).map(x =>
+      s"repeat(${mmPixHex(y * 8 + x)}, 3)")).mkString(" || ")
+    s"""WITH $mmPixelCtes,
+       |f AS (SELECT doc_id, upper('$headerHex' || $pixHex) AS file_hex FROM d)
+       |SELECT doc_id,
+       |       CAST(octet_length(from_hex(file_hex)) AS BIGINT) AS n_bytes,
+       |       'BM' AS fmt,
+       |       CAST(24 AS BIGINT) AS bpp,
+       |       md5(file_hex) AS payload_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
-  /** The stub decoder is a pure function of md5(text): byte i of the
-    * payload is hex pair (2i+1, 2i+2); width = 1 + low nibble of byte
-    * 0; the byte sum over bytes 2..15 is an exact integer in both
-    * engines, so the group average divides once at the end (no
-    * order-dependent double accumulation). */
-  val mmDecode: String =
-    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-      |b AS (
-      |  SELECT doc_id,
-      |    1 + CAST('0x' || substr(h, 2, 1) AS INT) AS width,
-      |    list_sum(list_transform(range(3, 17),
-      |      i -> CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS BIGINT))) AS sum_bytes
-      |  FROM d
-      |)
-      |SELECT width, COUNT(*) AS n,
-      |       ROUND(CAST(SUM(sum_bytes) AS DOUBLE) / (14.0 * COUNT(*)), 6) AS avg_mean_byte
-      |FROM b GROUP BY width ORDER BY width""".stripMargin
+  /** Decoded-image stats: the oracle derives expected pixels straight
+    * from the md5 chain; Spark must reproduce them by round-tripping
+    * real BMP bytes through `javax.imageio`. Channel sums are 3× the
+    * gray bytes; sums are exact integers, the mean divides once. */
+  val mmDecode: String = {
+    val tot = (0 until 64).map(i => s"px$i").mkString(" + ")
+    s"""WITH $mmPixelCtes
+       |SELECT doc_id,
+       |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |       CAST(3 * ($tot) AS BIGINT) AS sum_rgb,
+       |       ROUND(CAST(3 * ($tot) AS DOUBLE) / (3.0 * 8 * 8), 6) AS mean_rgb,
+       |       CAST(3 * px0 AS BIGINT) AS px00_rgb
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 
-  /** Sampled frames 0 and 2 (4 bytes each) of the md5-derived payload:
-    * byte i (0-based) is hex pair (2i+1, 2i+2). */
+  /** Sampled frames 0 and 2 of the 4-BMP container: frame f's 64 gray
+    * pixels are the bytes of digests `f<f>|p<j>|text` (j = 0..3);
+    * decoded channel sum = 3× the byte sum. */
   val mmFrames: String = {
     def frameSum(f: Int) =
-      (0 until 4).map(j => s"CAST('0x' || substr(h, ${2 * (4 * f + j) + 1}, 2) AS BIGINT)").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-       |f AS (
-       |  SELECT doc_id, 0 AS frame_idx, ${frameSum(0)} AS frame_sum FROM d
+      (0 until 4).map(j =>
+        s"list_sum(list_transform(range(0, 16), k -> CAST('0x' || " +
+          s"substr(md5('f$f|p$j|' || text), CAST(2 * k + 1 AS INT), 2) AS BIGINT)))")
+        .mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, 0 AS frame_idx, 3 * (${frameSum(0)}) AS frame_sum FROM documents
        |  UNION ALL
-       |  SELECT doc_id, 2, ${frameSum(2)} FROM d
+       |  SELECT doc_id, 2, 3 * (${frameSum(2)}) FROM documents
        |)
        |SELECT doc_id, frame_idx, CAST(frame_sum AS BIGINT) AS frame_sum
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,49 +11,79 @@ import graft.Tables
   * payloads ride as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs as a partition-batched typed map.
   *
-  * The container has no image/audio codecs, so `decodeBytes` is a
-  * clearly-marked deterministic STUB (it "parses" header bytes); the
-  * Spark-side plumbing — binary column handling, case-class schema,
-  * `mapPartitions` batching, post-decode relational ops — is real and
-  * is exactly what a production decoder (JNI codec, ONNX feature
-  * extractor) would plug into.
+  * The payloads are REAL images: each document renders (at media-table
+  * build time) to an 8×8 grayscale 24-bit BMP emitted by the
+  * hand-written spec encoder ([[Bmp.encodeGray]]), and every consumer
+  * decodes those bytes through `javax.imageio` — the PLATFORM codec,
+  * not our encoder's inverse. The pixel CONTENT is a deterministic
+  * function of the document (salted md5 chain over its 40-char visual
+  * prefix + a length-bucket footer — the testdata ships no media), so
+  * the DuckDB oracle derives the same pixels directly and the
+  * cross-engine compare proves the full encode→container→decode round
+  * trip: a flipped row order, wrong stride, or bad channel packing
+  * anywhere shows up as a hash mismatch. `mm_meta`'s oracle goes
+  * further and reconstructs the FILE BYTES hex-for-hex.
   *
-  * Scale notes: decode is a map-only stage; partition size is governed
-  * by `maxPartitionBytes` against payload size, not row count. Keeping
-  * payloads in a separate column lets Parquet column pruning skip the
-  * bytes entirely for metadata-only queries (see `mediaMeta`, which
-  * never materializes the payload).
+  * Scale notes: render and decode are map-only stages; partition size
+  * is governed by `maxPartitionBytes` against payload size, not row
+  * count. Keeping payloads in a separate column lets Parquet column
+  * pruning skip the bytes entirely for metadata-only queries.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
   case class DecodedMedia(doc_id: Long, width: Int, height: Int,
-                          sum_bytes: Long, mean_byte: Double)
+                          sum_rgb: Long, px00_rgb: Long)
 
-  /** documents + synthesized payload column (md5-derived bytes — the
-    * testdata ships no real media; deterministic by construction). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  /** Image side length (8×8 grid = the aHash geometry, so the
+    * perceptual hash reads the decoded grid directly). */
+  private[graft] val Side = 8
+
+  private def md5Bytes(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+
+  /** The 64-pixel gray grid a document renders to: 62 pixels from 4
+    * salted digests of the 40-char VISUAL PREFIX (trailing-footer
+    * variants of the same image render the same pixels) + 2 pixels
+    * from the coarse length bucket (n_chars div 64) — so a re-render
+    * with slightly different length lands at pHash Hamming 1–2, not
+    * 0. Same derivation as the oracle's `mmPhashCtes`. */
+  private[graft] def grayPixels(text: String, nChars: Long): Array[Int] = {
+    val prefix = text.take(40)
+    val hx = Array.tabulate(4)(j => md5Bytes(s"p$j|" + prefix)).flatten
+    val lh = md5Bytes("L|" + (nChars / 64).toString)
+    Array.tabulate(Side * Side)(i =>
+      if (i < 62) hx(i) & 0xff else lh(i - 62) & 0xff)
+  }
+
+  /** documents + rendered REAL-BMP payload column. The render is the
+    * "media arrives" seam: a production pipeline reads payload bytes
+    * from the lake instead; everything downstream only sees
+    * (doc_id, payload) and decodes with the platform codec. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nc) =>
+        MediaRecord(id, Bmp.encodeGray(grayPixels(text, nc), Side, Side)) }
+      .toDF()
+  }
 
-  /** STUB decoder: a real implementation would hand `r.payload` to an
-    * image/audio library here. This one derives dimensions from the
-    * first two bytes and averages the rest — deterministic, so tests
-    * can golden it. */
+  /** REAL decoder: `javax.imageio` parses the payload; stats come from
+    * the decoded pixel grid (channel sums, so a real RGB source needs
+    * no code change). */
   private def decodeBytes(r: MediaRecord): DecodedMedia = {
-    val b = r.payload
-    val width = 1 + (b(0) & 0x0f)
-    val height = 1 + (b(1) & 0x0f)
-    // sum_bytes kept as an exact integer alongside the double mean so
-    // downstream group averages can divide once (order-free, hence
-    // bit-identical to the SQL oracle's integer-sum formulation).
-    val sum = b.drop(2).map(x => (x & 0xff).toLong).sum
-    DecodedMedia(r.doc_id, width, height, sum, sum.toDouble / (b.length - 2))
+    val (w, h, px) = Bmp.decodeRgb(r.payload)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += Bmp.rgbSum(px(i)); i += 1 }
+    DecodedMedia(r.doc_id, w, h, sum, Bmp.rgbSum(px(0)).toLong)
   }
 
   /** Partition-batched decode: one `decodeBytes` per record, amortized
-    * per-partition setup (a real codec would init once per partition
-    * here, before the iterator map). */
+    * per-partition setup (a JNI codec / ONNX extractor would init once
+    * per partition here, before the iterator map). */
   def decode(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
@@ -61,88 +93,119 @@ object Multimodal {
       }
   }
 
-  /** Decode + aggregate by synthetic dimensions. Oracle-checked: the
-    * stub decode is a pure function of md5(text) bytes, so DuckDB can
-    * reproduce it from hex substrings; the average is computed from the
-    * exact integer byte sums (one division at the end) so the group
-    * aggregate is order-free and bit-identical across engines. */
+  /** Per-document decoded stats — oracle-checked end to end: DuckDB
+    * derives the expected pixels straight from the md5 chain, Spark
+    * gets them by round-tripping real BMP bytes through `javax.imageio`;
+    * equality pins the codec path. `px00_rgb` (channel sum of pixel
+    * (0,0)) catches row-order/stride bugs a global sum would hide; the
+    * mean divides the exact integer sum once (order-free, so
+    * bit-identical across engines). */
   def decodeSummary(spark: SparkSession, dir: String): DataFrame =
     decode(spark, dir)
-      .groupBy(col("width"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("sum_bytes")).cast("double") / (lit(14.0) * count(lit(1))), 6)
-          .as("avg_mean_byte"))
-      .orderBy("width")
+      .withColumn("mean_rgb",
+        round(col("sum_rgb").cast("double") / (lit(3.0) * col("width") * col("height")), 6))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_rgb"), col("mean_rgb"), col("px00_rgb"))
+      .orderBy("doc_id")
 
   case class Frame(doc_id: Long, frame_idx: Int, frame_sum: Long)
 
-  /** Frame sampling — the video-shaped plumbing: the payload is
-    * treated as 4 fixed-size frames and every 2nd frame is decoded
-    * (stub: byte sum per frame). One input row fans out to K sampled
-    * frames via a typed flatMap — exactly where a real container
-    * parser (per-partition codec init, keyframe seek) would plug in;
-    * the fan-out shape, not the stub codec, is what carries to 100 TB
-    * (frame rows inherit the input partitioning, no shuffle).
+  /** The "video" payload: a container of 4 concatenated 8×8 BMP
+    * frames (frame f's pixels from salted digests `f<f>|p<j>|` over
+    * the FULL text — frames are content, not prefix renders). */
+  private[graft] def framePixels(text: String, f: Int): Array[Int] = {
+    val hx = Array.tabulate(4)(j => md5Bytes(s"f$f|p$j|" + text)).flatten
+    Array.tabulate(Side * Side)(i => hx(i) & 0xff)
+  }
+
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, Array.tabulate(4)(f =>
+          Bmp.encodeGray(framePixels(text, f), Side, Side)).flatten) }
+      .toDF()
+  }
+
+  /** Frame sampling — the video-shaped plumbing made real: the
+    * container walk advances by each BMP's DECLARED file size (header
+    * offset 2, little-endian — format-driven parsing, no fixed-stride
+    * assumption), decodes every 2nd frame via the platform codec, and
+    * fans one input row out to K sampled frames via a typed flatMap —
+    * exactly where a production container parser (keyframe seek)
+    * plugs in. The fan-out shape is what carries to 100 TB: frame
+    * rows inherit the input partitioning, no shuffle.
     * Output: doc_id, frame_idx, frame_sum. */
   def sampleFrames(spark: SparkSession, dir: String): Dataset[Frame] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord]
+    videoTable(spark, dir).as[MediaRecord]
       .flatMap { r =>
-        (0 until 4 by 2).map { f =>
-          val frame = r.payload.slice(4 * f, 4 * f + 4)
-          Frame(r.doc_id, f, frame.map(x => (x & 0xff).toLong).sum)
+        // container walk: collect each frame's [start, size) by reading
+        // the BMP header's declared file size, then decode the sampled ones
+        val offsets = Iterator.iterate(0)(o => o + Bmp.u32le(r.payload, o + 2))
+          .takeWhile(_ < r.payload.length).toArray
+        offsets.indices.by(2).map { f =>
+          val start = offsets(f)
+          val size = Bmp.u32le(r.payload, start + 2)
+          val (_, _, px) = Bmp.decodeRgb(r.payload.slice(start, start + size))
+          Frame(r.doc_id, f, px.map(p => Bmp.rgbSum(p).toLong).sum)
         }
       }
   }
 
-  /** Driver-contract frame-sample query (oracle: byte sums from
-    * md5(text) hex pairs, same derivation as `mmDecode`). */
+  /** Driver-contract frame-sample query (oracle: 3× the md5-derived
+    * byte sums per sampled frame, same derivation as the render). */
   def frameSummary(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(spark, dir)
       .orderBy("doc_id", "frame_idx")
       .toDF()
 
-  /** Metadata-only query — never touches payload bytes in the output
-    * (oracle-checked): byte length + 2-hex-char format tag. */
-  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Metadata-only header peek — parses real fields out of the raw
+    * payload bytes with COLUMN functions (no codec, no typed map):
+    * total size, the 2-char magic, bits-per-pixel (u16le at offset
+    * 28), and an md5 fingerprint of the payload hex. Oracle-checked
+    * the hard way: DuckDB reconstructs the ENTIRE file hex (header
+    * fields + bottom-up BGR rows) from the pixel derivation and md5s
+    * it — one flipped byte anywhere in the encoder breaks the match. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    mediaTable(spark, dir)
       .select(
         col("doc_id"),
-        length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"),
-        substring(md5(col("text")), 1, 2).as("fmt"))
+        length(p).cast("bigint").as("n_bytes"),
+        org.apache.spark.sql.functions.decode(substring(p, 1, 2), "UTF-8").as("fmt"),
+        (conv(hex(substring(p, 29, 1)), 16, 10).cast("bigint") +
+          conv(hex(substring(p, 30, 1)), 16, 10).cast("bigint") * 256).as("bpp"),
+        md5(hex(p)).as("payload_md5"))
       .orderBy("doc_id")
+  }
 
-  /** 64-bit perceptual hash (aHash form) over the stub-decoded media:
-    * an 8×8 "luminance grid" whose first 62 pixels derive from the
-    * doc's VISUAL PREFIX (salted md5 chain over the 40-char prefix —
-    * trailing-footer variants of the same image render the same
-    * pixels) and whose last 2 pixels derive from the coarse payload
-    * length bucket (n_chars div 64) — so a re-render with a slightly
-    * different length lands at Hamming 1–2, not 0. Bit b is set iff
-    * pixel_b exceeds the grid mean; the compare is exact-integer
-    * (px·64 > Σpx), never a float mean, so both engines emit identical
-    * signatures. A production pipeline swaps the stub grid for a real
-    * decode + downsample (the DCT step of full pHash slots in the
-    * same place); everything downstream — banding, verify, clustering
-    * — is unchanged.
-    *
-    * Columns: doc_id, sig64 (64-char '0'/'1'), hi/lo packed BIGINTs. */
+  /** 64-bit perceptual hash (aHash) over the DECODED media: luminance
+    * = channel sum of each pixel of the 8×8 decoded grid; bit b is set
+    * iff lum_b·64 > Σlum — an exact-integer compare, never a float
+    * mean, so both engines emit identical signatures. (For our gray
+    * renders lum = 3·gray, and 3p·64 > 3Σ ⇔ p·64 > Σ — the oracle
+    * thresholds the raw bytes.) A production pipeline swaps the
+    * render for lake bytes and this hash for DCT-pHash in the same
+    * typed map; everything downstream — banding, verify, clustering —
+    * is unchanged. Columns: doc_id, sig64, hi/lo packed BIGINTs. */
   private[graft] def phash64Table(spark: SparkSession, dir: String): DataFrame = {
-    val pfx = substring(col("text"), 1, 40)
-    // 62 prefix-derived pixels (4 salted digests = 64 bytes, last 2
-    // unused) + 2 length-bucket pixels
-    val hx = concat((0 until 4).map(j => md5(concat(lit(s"p$j|"), pfx))): _*)
-    val lh = md5(concat(lit("L|"), expr("cast(n_chars div 64 as string)")))
-    def pxAt(src: org.apache.spark.sql.Column, i: Int) =
-      conv(substring(src, 2 * i + 1, 2), 16, 10).cast("int")
-    val px = (0 until 62).map(pxAt(hx, _)) ++ (0 until 2).map(pxAt(lh, _))
-    val s = px.reduce(_ + _)
-    Tables.documents(spark, dir)
-      .withColumn("_s", s)
-      .select(col("doc_id"),
-        concat(px.map(p => when(p * 64 > col("_s"), "1").otherwise("0")): _*).as("sig64"))
-      .withColumn("hi", expr("cast(conv(substring(sig64, 1, 32), 2, 10) as bigint)"))
-      .withColumn("lo", expr("cast(conv(substring(sig64, 33, 32), 2, 10) as bigint)"))
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (_, _, px) = Bmp.decodeRgb(r.payload)
+          val lum = px.map(Bmp.rgbSum)
+          val tot = lum.map(_.toLong).sum
+          val sig = lum.map(l => if (l * 64L > tot) '1' else '0').mkString
+          (r.doc_id, sig,
+            java.lang.Long.parseLong(sig.substring(0, 32), 2),
+            java.lang.Long.parseLong(sig.substring(32), 2))
+        }
+      }
+      .toDF("doc_id", "sig64", "hi", "lo")
   }
 
   /** Published per-doc perceptual hash. Output: doc_id, phash. */
@@ -191,17 +254,17 @@ object Multimodal {
     * (`Dedup.clustersFromPairs`, driver union-find tier included):
     * media in no pair survive as their own cluster, paired media
     * survive only as the min-id keeper. This closes the multimodal
-    * loop: signature → banded pairing → clusters → applied decision,
-    * all shared with the text path. Output: doc_id, cluster_id,
-    * n_bytes (stub payload size, as in `mm_meta`). */
+    * loop: render → platform-codec decode → banded pairing → clusters
+    * → applied decision, signature machinery shared with the text
+    * path. Output: doc_id, cluster_id, n_bytes (real payload size). */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
     val cl = graft.ArtifactCache.tableReleasable(spark, "mm_cluster_decision", dir) {
       val (df, h) =
         Dedup.clustersFromPairsReleasable(phashPairArtifact(spark, dir).select("doc_a", "doc_b"))
       (df, () => h.release())
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), length(unhex(md5(col("text")))).cast("bigint").as("n_bytes"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("bigint").as("n_bytes"))
       .join(cl.select("doc_id", "cluster_id", "keep"), Seq("doc_id"), "left")
       .where(coalesce(col("keep"), lit(true)))
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),

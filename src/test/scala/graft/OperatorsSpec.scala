@@ -489,12 +489,14 @@ class OperatorsSpec extends SparkSpec {
     assert(q.getAs[Long]("duration") >= 0)
   }
 
-  test("multimodal decode: plumbing yields one decoded row per doc") {
+  test("multimodal decode: one decoded row per doc, stats in range") {
     val docs = Tables.documents(spark, sf).count()
     val decoded = Multimodal.decode(spark, sf)
     assert(decoded.count() === docs)
-    val bad = decoded.where(col("width") < 1 || col("width") > 16 ||
-      col("mean_byte") < 0 || col("mean_byte") > 255).count()
+    // real 8×8 images: dims from the platform codec, channel sums bounded
+    val bad = decoded.where(col("width") =!= 8 || col("height") =!= 8 ||
+      col("sum_rgb") < 0 || col("sum_rgb") > 3L * 64 * 255 ||
+      col("px00_rgb") < 0 || col("px00_rgb") > 3L * 255).count()
     assert(bad === 0)
   }
 
