@@ -3432,6 +3432,118 @@ object OracleSql {
        |FROM g LEFT JOIN bf USING (vec_id, nbr_id)
        |ORDER BY g.vec_id, g.nbr_id""".stripMargin
 
+  /** Eligible-corpus CTE for the filtered-ANN family: embeddings
+    * row-aligned to documents (vec_id = doc_id), language filter. */
+  private def filteredEligCte: String =
+    s"""elig AS MATERIALIZED (
+       |  SELECT e.vec_id AS node FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.lang = '${graft.ops.Similarity.FilteredLang}'
+       |)""".stripMargin
+
+  /** Mirrors `Similarity.filteredSearch`: both filtered-ANN
+    * strategies over the same navigable graph — `overfetch` (48-wide
+    * unfiltered walk, filter once at the end) and `inwalk` (ACORN-1:
+    * eligible-only beam, expansion through neighbors AND
+    * neighbors-of-neighbors so ineligible nodes bridge routing). */
+  val simFilteredSearch: String = {
+    val W = graft.ops.Similarity.FilteredOverfetch
+    val cosSel = s"ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6)"
+    // beam stage: rank candidates by cosine; optionally restrict beam
+    // MEMBERSHIP to the eligible set (expansion is never restricted)
+    def stage(in: String, out: String, width: Int, eligOnly: Boolean): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, node, cos, rn FROM (
+         |    SELECT c.qid, c.node,
+         |           $cosSel AS cos,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid
+         |             ORDER BY $cosSel DESC, c.node) AS rn
+         |    FROM (SELECT DISTINCT qid, node FROM $in) c
+         |    ${if (eligOnly) "JOIN elig ON elig.node = c.node" else ""}
+         |    JOIN vn e ON c.node = e.vec_id
+         |    JOIN q ON c.qid = q.qid
+         |    WHERE c.node <> c.qid)
+         |  WHERE rn <= $width
+         |)""".stripMargin
+    def grow(s: String, out: String, bridge: Boolean): String =
+      s"""$out AS (
+         |  SELECT qid, node FROM $s
+         |  UNION
+         |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
+         |  ${if (bridge)
+             s"UNION SELECT $s.qid, g2.nbr_id AS node FROM $s " +
+               s"JOIN g ON g.node = $s.node JOIN g g2 ON g2.node = g.nbr_id"
+           else ""}
+         |)""".stripMargin
+    s"""WITH ${navBuildCtes(sharded = false)},
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
+       |),
+       |$filteredEligCte,
+       |ento AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
+       |b0o AS (SELECT qid, node FROM q CROSS JOIN ento),
+       |${stage("b0o", "s0o", W, eligOnly = false)},
+       |${grow("s0o", "b1o", bridge = false)},
+       |${stage("b1o", "s1o", W, eligOnly = false)},
+       |${grow("s1o", "b2o", bridge = false)},
+       |${stage("b2o", "s2o", W, eligOnly = false)},
+       |${grow("s2o", "b3o", bridge = false)},
+       |${stage("b3o", "s3o", W, eligOnly = false)},
+       |ovf AS (
+       |  SELECT 'overfetch' AS strategy, qid, node, cos, rg AS rank FROM (
+       |    SELECT s.qid, s.node, s.cos,
+       |           ROW_NUMBER() OVER (PARTITION BY s.qid
+       |             ORDER BY s.cos DESC, s.node) AS rg
+       |    FROM s3o s JOIN elig USING (node))
+       |  WHERE rg <= 3
+       |),
+       |enti AS (SELECT node FROM elig ORDER BY node LIMIT 16),
+       |b0i AS (SELECT qid, node FROM q CROSS JOIN enti),
+       |${stage("b0i", "s0i", 16, eligOnly = true)},
+       |${grow("s0i", "b1i", bridge = true)},
+       |${stage("b1i", "s1i", 16, eligOnly = true)},
+       |${grow("s1i", "b2i", bridge = true)},
+       |${stage("b2i", "s2i", 16, eligOnly = true)},
+       |${grow("s2i", "b3i", bridge = true)},
+       |${stage("b3i", "s3i", 16, eligOnly = true)},
+       |inw AS (
+       |  SELECT 'inwalk' AS strategy, qid, node, cos, rn AS rank
+       |  FROM s3i WHERE rn <= 3
+       |)
+       |SELECT strategy, qid AS vec_id, node AS nbr_id, cos,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT * FROM ovf UNION ALL SELECT * FROM inw)
+       |ORDER BY strategy, vec_id, rank""".stripMargin
+  }
+
+  /** Filtered-recall audit: both strategies LEFT-joined against the
+    * exact filtered brute-force top-3 — mirrors
+    * `Similarity.filteredRecall`. */
+  val simFilteredRecall: String = {
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
+    val cosSel = s"ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6)"
+    s"""WITH f AS ($simFilteredSearch),
+       |bf AS (
+       |  WITH vn AS (SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings),
+       |  $filteredEligCte,
+       |  q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10)
+       |  SELECT qid AS vec_id, node AS nbr_id, rg AS rank FROM (
+       |    SELECT q.qid, e.vec_id AS node,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY $cosSel DESC, e.vec_id) AS rg
+       |    FROM q JOIN vn e ON e.vec_id <> q.qid
+       |    JOIN elig ON elig.node = e.vec_id)
+       |  WHERE rg <= 3
+       |)
+       |SELECT f.strategy, f.vec_id, f.nbr_id,
+       |       bf.rank IS NOT NULL AS in_top3,
+       |       bf.rank AS true_rank
+       |FROM f LEFT JOIN bf USING (vec_id, nbr_id)
+       |ORDER BY f.strategy, f.vec_id, f.nbr_id""".stripMargin
+  }
+
   /** Leave-one-out kNN majority-vote accuracy per label over the
     * shared kNN-graph edge set — mirroring `Similarity.knnClassify`. */
   val simKnnClassify: String =

@@ -733,16 +733,26 @@ object Similarity {
     * ANN degrades gracefully to dataflow: the walk is batched
     * (synchronous hops) instead of pointer-chasing.
     * Output: vec_id, nbr_id, cos, rank. */
-  def graphSearch(spark: SparkSession, dir: String): DataFrame = {
-    val base = vecs(spark, dir).persist()
-    base.count() // materialize before the beam fans out over it
-    val q = base.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    beamSearchFrom(spark, base.select("vec_id", "v", "norm"), q,
-      navGraphShared(spark, dir))
-      .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rank"))
-      .orderBy("vec_id", "rank")
-  }
+  def graphSearch(spark: SparkSession, dir: String): DataFrame =
+    navAnswersShared(spark, dir).orderBy("vec_id", "rank")
+
+  /** The flat walk's answer table as a landed artifact — ONE walk per
+    * corpus version, read by both the search readout ([[graphSearch]])
+    * and the recall audit ([[graphSearchRecall]]) instead of each
+    * re-walking (the round-9 verdict's headroom ask: "derive
+    * sim_graph_recall from the sim_graph_search result"). The build
+    * cost is visible in the bench's `artifact_build` line. */
+  private[graft] def navAnswersShared(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_nav_answers", dir) {
+      val base = vecs(spark, dir).persist()
+      base.count() // materialize before the beam fans out over it
+      val q = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val (out, release) = beamSearchReleasable(spark, base.select("vec_id", "v", "norm"), q,
+        navGraphShared(spark, dir))
+      (out.select(col("qid").as("vec_id"), col("nbr_id"), col("cos"), col("rank")),
+        () => { release(); base.unpersist(); () })
+    }
 
   /** Shard count for the partitioned index, shared with the oracle.
     * 4 locally; at production scale one shard per index-serving unit. */
@@ -946,12 +956,162 @@ object Similarity {
     * Output: vec_id, nbr_id, in_top3, true_rank. */
   def graphSearchRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = bruteForceTopK(spark, dir).select(col("vec_id"), col("nbr_id"), col("rank"))
-    val gs = graphSearch(spark, dir).select("vec_id", "nbr_id")
+    val gs = navAnswersShared(spark, dir).select("vec_id", "nbr_id")
     gs.join(bf, Seq("vec_id", "nbr_id"), "left")
       .select(col("vec_id"), col("nbr_id"),
         col("rank").isNotNull.as("in_top3"),
         col("rank").as("true_rank"))
       .orderBy("vec_id", "nbr_id")
+  }
+
+  /** Metadata filter for the filtered-ANN family, shared with the
+    * oracle: eligible corpus = vectors whose joined document has this
+    * language. 'de' is ~13% of the corpus at every SF — selective
+    * enough that the two strategies genuinely diverge. */
+  private[graft] val FilteredLang = "de"
+
+  /** Overfetch beam width: the unfiltered walk must carry enough
+    * frontier that ~13% selectivity still leaves ≥3 eligible answers
+    * — the [[PqBeamWidth]] tradeoff applied to filtering. */
+  private[graft] val FilteredOverfetch = 48
+
+  /** Eligible vec_ids: embeddings row-aligned to `documents`
+    * (vec_id = doc_id), filter on document metadata — P2/P4's
+    * predicate discipline applied to the vector path. */
+  private def eligibleIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("lang") === FilteredLang)
+      .select(col("doc_id").as("node"))
+
+  /** Metadata-filtered ANN search — the capability every production
+    * retrieval stack needs (filter by lang/source/date during or
+    * after the walk), implemented BOTH standard ways over the same
+    * navigable-graph artifact so the tradeoff is pinned by the
+    * oracle + recall audit rather than folklore:
+    *
+    *  - `overfetch`: the plain walk with a [[FilteredOverfetch]]-wide
+    *    unfiltered beam; the filter applies once at the end, then
+    *    top-3. Simple, reuses the unfiltered index; recall collapses
+    *    when selectivity ≪ 3/width (the audit shows exactly this).
+    *  - `inwalk`: the beam holds only ELIGIBLE nodes, but each hop
+    *    expands through neighbors AND neighbors-of-neighbors — the
+    *    ACORN-1 construction (Patel et al. 2024): ineligible nodes
+    *    serve as BRIDGES for routing without occupying beam slots,
+    *    so the walk stays connected inside a sparse eligible subset.
+    *
+    * Scale shape: identical to [[graphSearch]] — per hop the beam is
+    * Q×16 (or Q×48) rows hash-joined against the edge list and vector
+    * table; the 2-hop bridge adds one more bounded equi-join
+    * (Q·beam·deg² rows, degree-capped by the graph build). The
+    * eligible-id side is a metadata scan pruned to one column. The
+    * answers land as one artifact per corpus version shared with the
+    * recall audit ([[filteredRecall]]).
+    * Output: strategy, vec_id, nbr_id, cos, rank. */
+  def filteredSearch(spark: SparkSession, dir: String): DataFrame =
+    filteredAnswersShared(spark, dir).orderBy("strategy", "vec_id", "rank")
+
+  private[graft] def filteredAnswersShared(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_filtered_answers", dir) {
+      val base = vecs(spark, dir).persist()
+      base.count() // materialize before the beams fan out over it
+      val q = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val edges = navGraphShared(spark, dir)
+      val elig = eligibleIds(spark, dir)
+      def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+
+      // rank a candidate (qid, node) set by cosine, keep best `width`
+      def score(c: DataFrame, width: Int): DataFrame = {
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+        c.distinct()
+          .join(base.select(col("vec_id").as("node"),
+            col("v").as("nv"), col("norm").as("nnorm")), "node")
+          .join(broadcast(q), "qid")
+          .where(col("node") =!= col("qid"))
+          .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= width)
+          .select("qid", "node", "cos", "rn")
+      }
+
+      // 3 synchronous hops; eligOnly restricts BEAM MEMBERSHIP (not
+      // expansion); bridge adds the neighbors-of-neighbors frontier
+      def walk(entries: DataFrame, width: Int, eligOnly: Boolean,
+          bridge: Boolean): DataFrame = {
+        def keep(c: DataFrame): DataFrame =
+          score(if (eligOnly) c.join(broadcast(elig), "node") else c, width)
+        def grow(s: DataFrame): DataFrame = {
+          val b = s.select("qid", "node")
+          val n1 = b.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+          val exp =
+            if (bridge) {
+              val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+              b.unionByName(n1).unionByName(n2)
+            } else b.unionByName(n1)
+          keep(exp)
+        }
+        // per-hop persist: each hop reads its input twice (the
+        // navGraphFrom lesson at beam scale)
+        var s = keep(q.select("qid").crossJoin(broadcast(entries))).persist()
+        s.count()
+        var prev = s
+        for (_ <- 1 to 3) {
+          s = grow(s).persist()
+          s.count()
+          prev.unpersist()
+          prev = s
+        }
+        s
+      }
+
+      val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+      val entO = base.select(col("vec_id").as("node")).orderBy("node").limit(16)
+      val ovf = walk(entO, FilteredOverfetch, eligOnly = false, bridge = false)
+        .join(broadcast(elig), "node")
+        .withColumn("rank", row_number().over(wg))
+        .where(col("rank") <= 3)
+        .select(lit("overfetch").as("strategy"), col("qid"), col("node"),
+          col("cos"), col("rank"))
+
+      val entI = elig.orderBy("node").limit(16)
+      val inw = walk(entI, 16, eligOnly = true, bridge = true)
+        .where(col("rn") <= 3)
+        .select(lit("inwalk").as("strategy"), col("qid"), col("node"),
+          col("cos"), col("rn").as("rank"))
+
+      val out = ovf.unionByName(inw)
+        .select(col("strategy"), col("qid").as("vec_id"), col("node").as("nbr_id"),
+          col("cos"), col("rank").cast("bigint").as("rank"))
+      (out, () => { base.unpersist(); () })
+    }
+
+  /** Filtered-recall audit: both strategies' top-3 LEFT-joined
+    * against the FILTERED brute-force top-3 (exact cosine over the
+    * eligible corpus only) — the `graphSearchRecall` discipline, so
+    * the cross-engine gate pins each strategy's quality metric, and
+    * the in_top3 counts decide overfetch-vs-inwalk with data.
+    * Output: strategy, vec_id, nbr_id, in_top3, true_rank. */
+  def filteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val base = vecs(spark, dir).persist()
+    base.count() // materialize before both brute-force sides fan out
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = base.join(eligibleIds(spark, dir)
+        .withColumnRenamed("node", "vec_id"), "vec_id")
+      .select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    val bf = broadcast(q).join(cand, col("node") =!= col("qid"))
+      .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("node").as("nbr_id"), col("rank"))
+    filteredAnswersShared(spark, dir).select("strategy", "vec_id", "nbr_id")
+      .join(bf, Seq("vec_id", "nbr_id"), "left")
+      .select(col("strategy"), col("vec_id"), col("nbr_id"),
+        col("rank").isNotNull.as("in_top3"),
+        col("rank").as("true_rank"))
+      .orderBy("strategy", "vec_id", "nbr_id")
   }
 
   /** The beam walk over explicit state — the seam `graphSearch`

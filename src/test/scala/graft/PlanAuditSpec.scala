@@ -27,6 +27,10 @@ class PlanAuditSpec extends SparkSpec {
     // sim_kcore's peeling rounds and bpe's merge table materialize
     // through IterState/ArtifactCache during construction
     "sim_kcore", "text_bpe_apply", "text_bpe_train",
+    // walk-answer artifacts (one walk per corpus, shared by the
+    // search readout and its recall audit) build at construction
+    "sim_graph_search", "sim_graph_recall",
+    "sim_filtered_search", "sim_filtered_recall",
     // bucketed-layout build (saveAsTable) runs at construction;
     // audited by its dedicated exchange-free test below
     "rel_bucket_join")

@@ -72,6 +72,27 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.8, s"pq-walk recall $recall below the 0.8 floor")
   }
 
+  test("filtered search: every answer is eligible; in-walk beats the recall floor") {
+    val elig = Tables.documents(spark, sf)
+      .where(col("lang") === Similarity.FilteredLang)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.filteredSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the filter contract: no strategy may ever answer with an
+    // ineligible node — that's the whole point of filtered search
+    assert(out.forall(r => elig.contains(r.getAs[Long]("nbr_id"))))
+    val rec = Similarity.filteredRecall(spark, sf).collect()
+      .groupBy(_.getAs[String]("strategy"))
+      .view.mapValues(rs => rs.count(_.getAs[Boolean]("in_top3")).toDouble / rs.length)
+      .toMap
+    // in-walk (ACORN-1 bridged expansion) must hold a hard floor; the
+    // overfetch baseline is allowed to degrade — the recall audit
+    // query exists to make that gap visible (25/30 vs 30/30 at sf0.1)
+    assert(rec("inwalk") >= 0.9, s"in-walk filtered recall ${rec("inwalk")} below 0.9")
+    assert(rec("overfetch") >= 0.5, s"overfetch filtered recall ${rec("overfetch")} below 0.5")
+    spark.catalog.clearCache()
+  }
+
   test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
     val out = Similarity.graphSearch(spark, sf).persist()
     val perQ = out.groupBy("vec_id").agg(
