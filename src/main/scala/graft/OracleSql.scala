@@ -1896,6 +1896,92 @@ object OracleSql {
       |SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rank
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Okapi BM25 CTE chain through per-query ranks (k1 = 1.2,
+    * b = 0.75, Lucene +1 idf) — mirroring `Text.bm25Ranks`: posting
+    * equi-join candidates, per-term 6-dp rounds summed in DECIMAL so
+    * the rank is addend-order-free. Every float literal is ::DOUBLE —
+    * bare decimals parse as DECIMAL in DuckDB and would run the
+    * arithmetic in decimal, not IEEE double. */
+  private def bm25Ctes(k: Int): String =
+    s"""c AS MATERIALIZED (
+       |  SELECT doc_id, u.tok AS tok, COUNT(*) AS c
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+       |  GROUP BY doc_id, u.tok
+       |),
+       |nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM c GROUP BY doc_id),
+       |bdf AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY tok),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |              CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avgdl FROM nt),
+       |bq AS (SELECT DISTINCT doc_id AS qid, tok FROM c WHERE doc_id < 10),
+       |bt AS (
+       |  SELECT bq.qid, c.doc_id,
+       |         ROUND(LN((st.n_docs - bdf.df + 0.5::DOUBLE) / (bdf.df + 0.5::DOUBLE)
+       |                  + 1.0::DOUBLE)
+       |               * (c.c::DOUBLE * 2.2::DOUBLE)
+       |               / (c.c::DOUBLE + 1.2::DOUBLE *
+       |                  (0.25::DOUBLE + 0.75::DOUBLE * nt.n_tokens::DOUBLE / st.avgdl)),
+       |               6) AS term
+       |  FROM bq JOIN c ON c.tok = bq.tok AND c.doc_id <> bq.qid
+       |  JOIN bdf ON bdf.tok = bq.tok
+       |  JOIN nt ON nt.doc_id = c.doc_id, st
+       |),
+       |bs AS (SELECT qid, doc_id, SUM(CAST(term AS DECIMAL(18,6))) AS sdec
+       |       FROM bt GROUP BY qid, doc_id),
+       |br AS (
+       |  SELECT qid, doc_id, sdec,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sdec DESC, doc_id) AS rnk
+       |  FROM bs
+       |),
+       |lex AS (SELECT qid, doc_id, sdec, CAST(rnk AS BIGINT) AS lex_rank
+       |        FROM br WHERE rnk <= $k)""".stripMargin
+
+  val textBm25: String =
+    s"""WITH ${bm25Ctes(5)}
+       |SELECT qid, doc_id, CAST(sdec AS DOUBLE) AS score, lex_rank AS rank
+       |FROM lex ORDER BY qid, rank""".stripMargin
+
+  /** Reciprocal-rank fusion of BM25 top-10 and exact cosine top-10 —
+    * mirroring `Similarity.rrfFusion`: full-outer rank join, fixed
+    * two-term fusion expression, 6-dp round, doc-id tiebreak. */
+  val simRrfFusion: String = {
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
+    val cosSel = s"ROUND(${navDotAb("qv.qe", "e.embedding")} / (qv.qn * e.nrm), 6)"
+    s"""WITH ${bm25Ctes(10)},
+       |vn AS (SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10),
+       |vr AS (
+       |  SELECT qid, node AS doc_id, CAST(rnk AS BIGINT) AS vec_rank FROM (
+       |    SELECT qv.qid, e.vec_id AS node,
+       |           ROW_NUMBER() OVER (PARTITION BY qv.qid
+       |             ORDER BY $cosSel DESC, e.vec_id) AS rnk
+       |    FROM qv JOIN vn e ON e.vec_id <> qv.qid)
+       |  WHERE rnk <= 10
+       |),
+       |f AS (
+       |  SELECT COALESCE(lex.qid, vr.qid) AS qid,
+       |         COALESCE(lex.doc_id, vr.doc_id) AS doc_id,
+       |         lex.lex_rank, vr.vec_rank
+       |  FROM lex FULL OUTER JOIN vr
+       |    ON vr.qid = lex.qid AND vr.doc_id = lex.doc_id
+       |),
+       |g2 AS (
+       |  SELECT qid, doc_id, lex_rank, vec_rank,
+       |         ROUND(COALESCE(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+       |               + COALESCE(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE), 6) AS rrf
+       |  FROM f
+       |),
+       |rr AS (
+       |  SELECT qid, doc_id, rrf, lex_rank, vec_rank,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM g2
+       |)
+       |SELECT qid AS vec_id, doc_id, rrf, lex_rank, vec_rank,
+       |       CAST(rnk AS BIGINT) AS rank
+       |FROM rr WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Greedy sequence packing: content-hash shard, per-shard cumulative
     * token window, bin = start-offset div 1024. SUM window cast to
     * BIGINT (DuckDB widens to HUGEINT). */

@@ -964,6 +964,50 @@ object Similarity {
       .orderBy("vec_id", "nbr_id")
   }
 
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * (Cormack et al., SIGIR 2009): for each query document (doc_id <
+    * 10, which is also its vec_id), fuse the BM25 top-10
+    * (`Text.bm25Ranks` — posting-list lexical ranking) with the exact
+    * cosine top-10 over embeddings; rrf(d) = Σ_r 1/(60 + rank_r(d))
+    * over the rankers that retrieved d. This is the standard hybrid
+    * readout a curation pipeline uses where lexical-only misses
+    * paraphrases and vector-only misses rare exact terms.
+    *
+    * Determinism: the fusion sum is a FIXED two-term expression over
+    * a full-outer join of the two rank tables (never a float
+    * aggregation), rounded to 6 dp, ranked with doc-id tiebreak — so
+    * both engines rank identically. Scale shape: each ranker's output
+    * is Q×10 rows; the fusion join and re-rank are query-keyed and
+    * trivially small next to the rankers themselves.
+    * Output: vec_id, doc_id, rrf, lex_rank, vec_rank, rank. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val base = vecs(spark, dir).persist()
+    base.count() // materialize before both brute-force sides fan out
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cnd = base.select(col("vec_id").as("doc_id"),
+      col("v").as("nv"), col("norm").as("nnorm"))
+    val wv = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+    val vecRanks = cnd.join(broadcast(q), col("doc_id") =!= col("qid"))
+      .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("vec_rank", row_number().over(wv))
+      .where(col("vec_rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("vec_rank").cast("bigint").as("vec_rank"))
+    val lexRanks = Text.bm25Ranks(spark, dir, 10)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    lexRanks.join(vecRanks, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= 5)
+      .select(col("qid").as("vec_id"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"), col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Metadata filter for the filtered-ANN family, shared with the
     * oracle: eligible corpus = vectors whose joined document has this
     * language. 'de' is ~13% of the corpus at every SF — selective

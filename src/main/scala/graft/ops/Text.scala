@@ -464,6 +464,64 @@ object Text {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 ranks table shared by the published query ([[bm25]], top-5)
+    * and the hybrid RRF fusion (`Similarity.rrfFusion`, top-10): Okapi
+    * BM25 (k1 = 1.2, b = 0.75, the Lucene `+1` idf so scores stay
+    * positive) of every document against each query document's
+    * DISTINCT terms (doc_id < 10) — the "more-like-this" retrieval
+    * readout a curation pipeline runs for decontamination review
+    * queues.
+    *
+    * Scale shape: candidates come from the POSTING-LIST equi-join
+    * (query terms × token counts on tok) — only documents sharing at
+    * least one query term are ever scored, never a doc cross join; df
+    * and doc-length tables are vocabulary/doc-count-sized aggregations
+    * with map-side combine; corpus stats (N, avgdl) ride a 1-row
+    * broadcast carrier. Per-term contributions are rounded to 6 dp
+    * and summed in DECIMAL so the score — and therefore the rank — is
+    * addend-order-free (the float-sum ranking pitfall: a double sum's
+    * addend order is engine- and run-nondeterministic). */
+  private[graft] def bm25Ranks(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .persist()
+    counts.count() // materialize before the df/len/posting sides fan out
+    val nTok = counts.groupBy("doc_id").agg(sum(col("c")).as("n_tokens"))
+    val dfT = counts.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val st = nTok.agg(count(lit(1)).as("n_docs"),
+      (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = counts.where(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sdec").desc, col("doc_id"))
+    qterms
+      .join(counts, "tok")
+      .where(col("doc_id") =!= col("qid"))
+      .join(dfT, "tok")
+      .join(nTok, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("term", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("c").cast("double") * lit(2.2)) /
+          (col("c").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("n_tokens").cast("double") / col("avgdl"))), 6))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("term").cast("decimal(18,6)")).as("sdec"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("sdec"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Published BM25 retrieval query — see [[bm25Ranks]].
+    * Output: qid, doc_id, score, rank. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranks(spark, dir, 5)
+      .select(col("qid"), col("doc_id"),
+        col("sdec").cast("double").as("score"), col("rank"))
+      .orderBy("qid", "rank")
+
   /** Distributed sequence packing — the shard-and-pack step that turns
     * a curated corpus into fixed-budget training bins: docs are
     * assigned to one of 8 shards by content hash (reproducible, like

@@ -93,6 +93,22 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rrf fusion: 5 fused answers per query, self excluded, score recomputes") {
+    val out = Similarity.rrfFusion(spark, sf).collect()
+    assert(out.groupBy(_.getAs[Long]("vec_id")).forall(_._2.length == 5))
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("vec_id"))
+      def term(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0 else 1.0 / (60 + r.getAs[Long](c))
+      val expect = BigDecimal(term("lex_rank") + term("vec_rank"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-9)
+      // at least one ranker must have retrieved the doc
+      assert(!r.isNullAt(r.fieldIndex("lex_rank")) || !r.isNullAt(r.fieldIndex("vec_rank")))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
     val out = Similarity.graphSearch(spark, sf).persist()
     val perQ = out.groupBy("vec_id").agg(
