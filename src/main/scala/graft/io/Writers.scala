@@ -126,6 +126,92 @@ object Writers {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(tableName)
 
+  /** MERGE-shaped keyed upsert over parquet — update-else-insert by
+    * key, the Delta-MERGE alternative the reference's datamart loads
+    * approximate with delete-then-append (SURVEY §2.1 S11), kept on
+    * Spark core with a versioned read-modify-swap:
+    *
+    *  1. read the CURRENT snapshot (the version the `_current` pointer
+    *     names; empty on first run);
+    *  2. merged = current ANTI-JOIN update-keys ∪ updates — matched
+    *     keys take the incoming row, unmatched rows carry over, new
+    *     keys insert;
+    *  3. land merged under a NEW version directory `v<N+1>`;
+    *  4. swing the pointer (write `_current.tmp`, delete, rename) —
+    *     on HDFS the rename is atomic; the delete→rename window can
+    *     only yield a MISSING pointer (readers fall back to the
+    *     highest landed version), never a torn snapshot, because data
+    *     files are immutable once a version lands.
+    *
+    * Idempotent: re-running a batch produces a new version with
+    * identical contents. Old versions stay readable (time travel /
+    * audit) until vacuumed. At 100 TB the snapshot rewrite scopes
+    * down the same way Delta/Iceberg do it — rewrite only the FILES
+    * whose key-range stats intersect the update keys, tracked by the
+    * same pointer/manifest mechanism; the merge dataflow (one
+    * key-partitioned anti-join + union) is unchanged, and the
+    * anti-join prunes to matched files via min/max pushdown. */
+  def mergeKeyed(spark: SparkSession, updates: DataFrame, root: String,
+                 keyCols: Seq[String]): Unit = {
+    val cur = currentVersion(spark, root)
+    var keyRelease: () => Unit = () => ()
+    val merged = cur match {
+      case None => updates
+      case Some(v) =>
+        val existing = spark.read.parquet(s"$root/$v")
+        // the update-key side is O(#entities) in the reference's
+        // datamart shape — broadcast it when it actually is small so
+        // the carried-over scan avoids a shuffle; the count is one
+        // cheap job against the (distinct-key) batch, not the table
+        val keys = updates.select(keyCols.map(col): _*).distinct().persist()
+        val side = if (keys.count() <= 1000000L) broadcast(keys) else keys
+        val out = existing.join(side, keyCols, "left_anti").unionByName(updates)
+        keyRelease = () => { keys.unpersist(); () }
+        out
+    }
+    val nextN = cur.map(_.drop(1).toLong + 1).getOrElse(0L)
+    try {
+      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
+      commitPointer(spark, root, s"v$nextN")
+    } finally keyRelease()
+  }
+
+  /** Read the keyed table's current snapshot (pointer, falling back
+    * to the highest landed version if the pointer is mid-swap). */
+  def readKeyed(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/${currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version under $root"))}")
+
+  private def currentVersion(spark: SparkSession, root: String): Option[String] = {
+    val fs = hadoopFs(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    } else {
+      // pointer mid-swap or first run: highest landed version wins
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .sortBy(_.drop(1).toLong).lastOption
+    }
+  }
+
+  private def commitPointer(spark: SparkSession, root: String, version: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_current.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"pointer swing failed for $root -> $version")
+  }
+
+  private def hadoopFs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** CSV interchange sink/source (reference S3/S4). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -158,6 +158,33 @@ class PipelineSpec extends SparkSpec {
     assert(tvls.toSeq === Seq(12.0, 20.0))
   }
 
+  test("mergeKeyed: update-else-insert, versioned pointer swap, idempotent re-run") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_merge").toString + "/t"
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "v")
+    Writers.mergeKeyed(spark, b1, root, Seq("id"))
+    assert(Writers.readKeyed(spark, root).count() === 3)
+    // update key 2, insert key 4; 1 and 3 must carry over untouched
+    val b2 = Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("id", "name", "v")
+    Writers.mergeKeyed(spark, b2, root, Seq("id"))
+    def state() = Writers.readKeyed(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val after = state()
+    assert(after === Set((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L)))
+    // idempotent: re-running the same batch lands a new version with
+    // identical contents
+    Writers.mergeKeyed(spark, b2, root, Seq("id"))
+    assert(state() === after)
+    // prior versions remain readable (immutable snapshots)
+    assert(spark.read.parquet(s"$root/v0").count() === 3)
+    // mid-swap pointer loss: readers fall back to the highest landed
+    // version, never a torn snapshot
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_current"), false)
+    assert(state() === after)
+  }
+
   test("datamart loads end-to-end over JDBC: facts replaced, summary stamped") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdm;create=true"
