@@ -809,7 +809,12 @@ object Similarity {
     * exhaustive over its partition). Build cost is the same single
     * dataflow — the shard key rides the bucket join.
     * Output: vec_id, nbr_id, cos, rank. */
-  def shardedSearch(spark: SparkSession, dir: String): DataFrame = {
+  def shardedSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_shard_answers", dir)(
+      shardedSearchDerive(spark, dir))
+      .orderBy("vec_id", "rank")
+
+  private def shardedSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before the beam fans out over it
@@ -853,11 +858,12 @@ object Similarity {
     }
     // gather: global top-3 per query across the shard beams
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
-    s.withColumn("rank", row_number().over(wg))
+    val out = s.withColumn("rank", row_number().over(wg))
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-      .orderBy("vec_id", "rank")
+    val last = s
+    (out, () => { last.unpersist(); base.unpersist(); () })
   }
 
   /** ADC beam width, shared with the oracle: wider than the cosine
@@ -882,7 +888,12 @@ object Similarity {
     * fine codes (the storage codebook's 6-bit codes managed only
     * 12/30 — see [[pqSearchCodebookArt]]).
     * Output: vec_id, nbr_id, cos, rank. */
-  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_pq_answers", dir)(
+      pqSearchDerive(spark, dir))
+      .orderBy("vec_id", "rank")
+
+  private def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before the beam fans out over it
@@ -937,7 +948,7 @@ object Similarity {
     }
     // exact-cosine rerank of the final beam — the only full-vector read
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
-    s.join(base.select(col("vec_id").as("node"),
+    val out = s.join(base.select(col("vec_id").as("node"),
         col("v").as("nv"), col("norm").as("nnorm")), "node")
       .join(broadcast(q), "qid")
       .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
@@ -945,7 +956,8 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-      .orderBy("vec_id", "rank")
+    val last = s
+    (out, () => { last.unpersist(); base.unpersist(); () })
   }
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined

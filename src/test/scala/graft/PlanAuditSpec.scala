@@ -31,6 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     // search readout and its recall audit) build at construction
     "sim_graph_search", "sim_graph_recall",
     "sim_filtered_search", "sim_filtered_recall",
+    "sim_sharded_search", "sim_pq_search",
+    // BM25 rank artifact (lexical index answers, shared by the top-5
+    // readout and the RRF fusion) builds at construction
+    "text_bm25", "sim_rrf_fusion",
     // bucketed-layout build (saveAsTable) runs at construction;
     // audited by its dedicated exchange-free test below
     "rel_bucket_join")
