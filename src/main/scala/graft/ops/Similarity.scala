@@ -317,9 +317,9 @@ object Similarity {
     * Lloyd's protocol, seeds = first k vectors per subspace. */
   private val PqSearchSubDim = 2
   private val PqSearchK = 16
-  private def pqSearchCodebookArt(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pqSearchCodebookArt(spark: SparkSession, dir: String): DataFrame =
     pqCodebookArtAt(spark, dir, "pq_codebook_s2k16", PqSearchSubDim, PqSearchK)
-  private def pqSearchCodesArt(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pqSearchCodesArt(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.table(spark, "pq_codes_s2k16", dir)(
       pqAssign(pqExplodeAt(spark, dir, PqSearchSubDim), pqSearchCodebookArt(spark, dir)))
 
@@ -618,14 +618,40 @@ object Similarity {
   /** Seed-bucket cap, shared with the oracle. */
   private[graft] val NavBucketCap = 64
 
+  /** Seed-band signature width for an n-vector corpus: 8 bits at the
+    * driver scales, widening (to at most 16) until the EXPECTED
+    * bucket n/2^bits is ≤ 8 — the IVF re-tune ladder's logic
+    * ([[bitsFor]]) applied to the nav seed. Fixed 8-bit bands put
+    * EVERY bucket over [[NavBucketCap]] on a ×100 corpus and the cap
+    * evicted the whole seed (measured: empty graph at 200k vectors —
+    * `tools.RetrievalScale`). Deterministic in n, so any engine (and
+    * the incremental maintainer) derives the same width; at 8 bits
+    * the band layout is identical to the historical one, so the
+    * oracle — which pins the driver scales, where bits = 8 — is
+    * unchanged. Crossing a width boundary re-buckets every seed; a
+    * release that grows past one needs a full rebuild
+    * (`NavIndex.incrementState` enforces this). */
+  private[graft] def navBitsFor(n: Long): Int = {
+    var bits = 8
+    while (bits < 16 && (n >> bits) > 8) bits += 1
+    bits
+  }
+
   /** Per-node band rows (vec_id, b, key) for the navigable-graph
-    * seed: 8 bands × 8 hyperplane signs over the 64 dims. */
-  private[graft] def navBands(v: DataFrame): DataFrame = {
-    def sig(b: Int) = concat((0 until 8).map(i =>
-      when(element_at(col("v"), 8 * b + i + 1) >= 0, "1").otherwise("0")): _*)
+    * seed: 8 bands × `bits` hyperplane signs over the 64 dims (band b
+    * reads dims (8b+i) mod 64 — at 8 bits exactly the historical
+    * non-overlapping layout). */
+  private[graft] def navBands(v: DataFrame, bits: Int): DataFrame = {
+    def sig(b: Int) = concat((0 until bits).map(i =>
+      when(element_at(col("v"), (8 * b + i) % 64 + 1) >= 0, "1").otherwise("0")): _*)
     v.select(col("vec_id"),
       posexplode(array((0 until 8).map(sig): _*)).as(Seq("b", "key")))
   }
+
+  /** [[navBands]] at the width the corpus size calls for (one
+    * metadata-cheap count against the materialized vector table). */
+  private[graft] def navBands(v: DataFrame): DataFrame =
+    navBands(v, navBitsFor(v.count()))
 
   /** Seed candidates from cap-filtered band buckets: (node, nbr_id)
     * pairs sharing a kept bucket. */
@@ -893,7 +919,7 @@ object Similarity {
       pqSearchDerive(spark, dir))
       .orderBy("vec_id", "rank")
 
-  private def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+  private[graft] def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before the beam fans out over it

@@ -99,8 +99,16 @@ object NavIndex {
       spark.read.parquet(s"$iterDir/$name")
     }
 
-    // ---- seed round: re-rank members of delta-touched buckets
-    val bands = Similarity.navBands(v)
+    // ---- seed round: re-rank members of delta-touched buckets.
+    // The adaptive seed-band width must agree between the prior build
+    // and this increment: crossing a width boundary re-buckets every
+    // seed, which only a full rebuild can honor.
+    val nPrior = spark.read.parquet(vecsPath(priorRoot)).count()
+    val nNext = v.count()
+    require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
+      s"corpus growth $nPrior -> $nNext crosses a seed-band width boundary; " +
+        "rebuild the navigable graph with buildState")
+    val bands = Similarity.navBands(v, Similarity.navBitsFor(nNext))
     val deltaIds = dv.select(col("vec_id"))
     val touchedBuckets = bands.join(broadcast(deltaIds), "vec_id")
       .select("b", "key").distinct()

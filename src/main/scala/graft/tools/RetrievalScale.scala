@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Retrieval-family scaling measurement behind PERF.md's ×1/×10/×100
+  * rows: generates perturbed N× embedding corpora (copies get
+  * deterministic ±0.1 element noise so band buckets SPREAD instead of
+  * collapsing into the dedup-style exact-duplicate case the caps
+  * would evict), then times, separately,
+  *
+  *   - the navigable-graph BUILD (the once-per-release index cost),
+  *   - the flat beam WALK over the landed graph (the serving cost),
+  *   - the PQ codes+codebook build, and
+  *   - the ADC-scored PQ walk + exact rerank.
+  *
+  * The claim under test: build scales ~linearly with corpus size
+  * (each NN-descent round is a banded equi-join + per-node top-k),
+  * while the walk scales FAR sublinearly (Q×beam probe joins whose
+  * corpus-side cost is a scan, not a pairwise product). NOT part of
+  * the driver contract — local tooling.
+  * `runMain graft.tools.RetrievalScale [srcDir] [outBase] [scales…]` */
+object RetrievalScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_retr_scale")
+    val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    def gen(scale: Int): String =
+      if (scale == 1) src
+      else {
+        val out = s"$outBase/x$scale"
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        (0 until scale).map { k =>
+          emb.select(
+            (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            (if (k == 0) col("embedding")
+             else expr(s"transform(embedding, (x, i) -> " +
+               s"cast(x + (hash(vec_id, $k, i) % 1000) / 10000.0d as float))"))
+              .as("embedding"),
+            col("label"))
+        }.reduce(_.unionByName(_))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+        out
+      }
+
+    for (scale <- scales) {
+      val dir = gen(scale)
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      println(s"== scale x$scale ($n vectors) ==")
+      time(s"x$scale graph build")(Similarity.navGraphShared(spark, dir).count())
+      // walk over the landed graph — the serving-path cost
+      val base = Similarity.vecsOf(spark, graft.Tables.embeddings(spark, dir))
+        .select("vec_id", "v", "norm").persist()
+      base.count()
+      val q = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val edges = Similarity.navGraphShared(spark, dir)
+      val (walk, release) = Similarity.beamSearchReleasable(spark, base, q, edges)
+      time(s"x$scale flat walk (10 q)")(walk.count())
+      release(); base.unpersist()
+      time(s"x$scale pq codes+codebook build")(
+        Similarity.pqSearchCodesArt(spark, dir).count() +
+          Similarity.pqSearchCodebookArt(spark, dir).count())
+      val (pq, pqRelease) = Similarity.pqSearchDerive(spark, dir)
+      time(s"x$scale pq walk+rerank (10 q)")(pq.count())
+      pqRelease()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
