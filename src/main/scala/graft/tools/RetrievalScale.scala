@@ -57,6 +57,12 @@ object RetrievalScale {
             col("label"))
         }.reduce(_.unionByName(_))
           .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+        // metadata side for the filtered walk: same id shift, lang kept
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until scale).map { k =>
+          docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        }.reduce(_.unionByName(_))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
         out
       }
 
@@ -81,6 +87,10 @@ object RetrievalScale {
       val (pq, pqRelease) = Similarity.pqSearchDerive(spark, dir)
       time(s"x$scale pq walk+rerank (10 q)")(pq.count())
       pqRelease()
+      // filtered dual-strategy search: first touch builds the answers
+      // artifact over the already-landed graph (both walks + filter)
+      time(s"x$scale filtered dual walk (10 q)")(
+        Similarity.filteredSearch(spark, dir).count())
       spark.catalog.clearCache()
     }
     spark.stop()

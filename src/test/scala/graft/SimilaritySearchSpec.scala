@@ -93,6 +93,24 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental nav maintenance refuses a seed-band width boundary crossing") {
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf) // 500 rows
+    def shifted(k: Int) = emb.withColumn("vec_id", col("vec_id") + lit(k * 100000L))
+    // prior corpus 2000 vectors (bits = 8); +500 crosses to 2500 (bits = 9)
+    val prior = (0 until 4).map(shifted).reduce(_.unionByName(_))
+    val root = java.nio.file.Files.createTempDirectory("graft_navguard").toString
+    graft.io.Writers.truncateLoad(
+      ops.Similarity.vecsOf(spark, prior).select("vec_id", "v", "norm"),
+      NavIndex.vecsPath(s"$root/vn"))
+    val e = intercept[IllegalArgumentException] {
+      NavIndex.incrementState(spark, shifted(4), s"$root/vn", s"$root/vn1")
+    }
+    assert(e.getMessage.contains("width boundary"))
+    assert(ops.Similarity.navBitsFor(2000) === 8)
+    assert(ops.Similarity.navBitsFor(2500) === 9)
+  }
+
   test("rrf fusion: 5 fused answers per query, self excluded, score recomputes") {
     val out = Similarity.rrfFusion(spark, sf).collect()
     assert(out.groupBy(_.getAs[Long]("vec_id")).forall(_._2.length == 5))
