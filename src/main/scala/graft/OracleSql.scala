@@ -4039,6 +4039,33 @@ object OracleSql {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Decoded-audio stats: expected samples derived straight from the
+    * md5 chain — little-endian signed-16 reconstruction (byte 2i at
+    * hex position 4i+1, byte 2i+1 at 4i+3; values ≥ 32768 wrap
+    * negative). Spark must reproduce them by round-tripping real WAV
+    * bytes through `javax.sound.sampled`. */
+  val mmAudio: String = {
+    val hx = (0 until 8).map(j => s"md5('a$j|' || text)").mkString(" || ")
+    s"""WITH a AS (SELECT doc_id, $hx AS hx FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_transform(range(0, 64), i ->
+       |    CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT) * 256
+       |    + CAST('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2) AS INT)) AS raw
+       |  FROM a
+       |),
+       |v AS (
+       |  SELECT doc_id,
+       |         list_transform(raw, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sm
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |       CAST(64 AS INT) AS n_samples,
+       |       CAST(${graft.ops.Wav.SampleRate} AS INT) AS sample_rate,
+       |       CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+       |       CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   /** Sampled frames 0 and 2 of the 4-BMP container: frame f's 64 gray
     * pixels are the bytes of digests `f<f>|p<j>|text` (j = 0..3);
     * decoded channel sum = 3× the byte sum. */

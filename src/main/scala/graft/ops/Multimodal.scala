@@ -162,6 +162,53 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
       .toDF()
 
+  /** The audio payload: 64 signed 16-bit PCM samples derived from
+    * salted digests over the FULL text (little-endian pairs — sample
+    * i reads bytes 2i, 2i+1). */
+  private[graft] def audioSamples(text: String): Array[Int] = {
+    val b = Array.tabulate(8)(j => md5Bytes(s"a$j|" + text)).flatten
+    Array.tabulate(Side * Side) { i =>
+      val v = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+      if (v >= 32768) v - 65536 else v
+    }
+  }
+
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => MediaRecord(id, Wav.encodePcm16(audioSamples(text))) }
+      .toDF()
+  }
+
+  case class DecodedAudio(doc_id: Long, n_samples: Int, sample_rate: Int,
+                          sum_abs: Long, peak: Long)
+
+  /** Audio decode through the THIRD platform codec of the family
+    * (`javax.sound.sampled` after `javax.imageio` and the BMP
+    * container walk): RIFF/WAVE parsing + PCM frame readout, stats
+    * over the decoded signed samples. Oracle-checked like the image
+    * path — DuckDB derives expected samples from the md5 chain
+    * (little-endian signed-16 reconstruction), so equality pins the
+    * WAV encode→decode round trip, including sign handling.
+    * Output: doc_id, n_samples, sample_rate, sum_abs, peak. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { r =>
+          val (rate, s) = Wav.decodePcm16(r.payload)
+          DecodedAudio(r.doc_id, s.length, rate,
+            s.map(x => math.abs(x).toLong).sum,
+            s.map(x => math.abs(x).toLong).max)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only header peek — parses real fields out of the raw
     * payload bytes with COLUMN functions (no codec, no typed map):
     * total size, the 2-char magic, bits-per-pixel (u16le at offset

@@ -74,6 +74,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode -> platform decode round-trips signed samples") {
+    import graft.ops.Wav
+    // spans both sign regimes and the extremes
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 256, -257)
+    val bytes = Wav.encodePcm16(samples)
+    assert(bytes.length === 44 + samples.length * 2)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    val (rate, decoded) = Wav.decodePcm16(bytes)
+    assert(rate === Wav.SampleRate)
+    assert(decoded.toSeq === samples.toSeq)
+  }
+
+  test("decoded audio stats equal the direct sample derivation") {
+    val d = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(3).collect()
+    val stats = Multimodal.audioStats(spark, sf)
+      .where(col("doc_id").isin(d.map(_.getLong(0)): _*))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    d.foreach { row =>
+      val s = Multimodal.audioSamples(row.getString(1))
+      val r = stats(row.getLong(0))
+      assert(r.getAs[Int]("n_samples") === 64)
+      assert(r.getAs[Long]("sum_abs") === s.map(x => math.abs(x).toLong).sum)
+      assert(r.getAs[Long]("peak") === s.map(x => math.abs(x).toLong).max)
+    }
+  }
+
   test("phash signature derives from the decoded grid's exact threshold") {
     val d = Tables.documents(spark, sf)
       .select("doc_id", "text", "n_chars").orderBy("doc_id").limit(1).collect().head
