@@ -182,6 +182,45 @@ object Writers {
     spark.read.parquet(s"$root/${currentVersion(spark, root).getOrElse(
       sys.error(s"no committed version under $root"))}")
 
+  /** Table maintenance #1 — COMPACTION: rewrite the current snapshot
+    * into ~`targetBytes` files (the small-file problem is the #1
+    * operational failure of streaming/merge-heavy lakes: a 100 TB
+    * table fed by per-batch appends degrades every scan with
+    * footer-read and task-launch overhead). Lands as a NEW version
+    * through the same pointer swap as [[mergeKeyed]], so readers
+    * never see a half-compacted table and the pre-compaction snapshot
+    * stays for audit until vacuumed. Row content is untouched. */
+  def compactKeyed(spark: SparkSession, root: String, targetBytes: Long): Unit = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version under $root"))
+    val fs = hadoopFs(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$v")
+    val bytes = fs.getContentSummary(cur).getLength
+    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nextN = v.drop(1).toLong + 1
+    spark.read.parquet(s"$root/$v")
+      .repartition(files)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
+    commitPointer(spark, root, s"v$nextN")
+  }
+
+  /** Table maintenance #2 — VACUUM: drop all snapshots older than the
+    * newest `keepLast` (the current version is always kept). The
+    * retention window is what makes the immutable-version scheme
+    * viable at scale — without it a daily merge keeps 365 full copies
+    * a year. */
+  def vacuumKeyed(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val fs = hadoopFs(spark, root)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .sortBy(_.drop(1).toLong)
+    versions.dropRight(keepLast).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$old"), true)
+    }
+  }
+
   private def currentVersion(spark: SparkSession, root: String): Option[String] = {
     val fs = hadoopFs(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")

@@ -185,6 +185,27 @@ class PipelineSpec extends SparkSpec {
     assert(state() === after)
   }
 
+  test("compactKeyed + vacuumKeyed: fewer files, identical rows, bounded history") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_compact").toString + "/t"
+    // many tiny files: 16 partitions of a 100-row table
+    Writers.mergeKeyed(spark,
+      spark.range(100).select(col("id"), md5(col("id").cast("string")).as("payload"))
+        .repartition(16),
+      root, Seq("id"))
+    def files(v: String) = new java.io.File(s"$root/$v").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("v0") === 16)
+    val before = Writers.readKeyed(spark, root).collect().map(_.toString).toSet
+    Writers.compactKeyed(spark, root, targetBytes = 1L << 30)
+    assert(files("v1") === 1, "compaction should bin-pack into one file here")
+    assert(Writers.readKeyed(spark, root).collect().map(_.toString).toSet === before)
+    // vacuum keeps only the newest snapshot; current stays readable
+    Writers.vacuumKeyed(spark, root, keepLast = 1)
+    assert(!new java.io.File(s"$root/v0").exists())
+    assert(Writers.readKeyed(spark, root).collect().map(_.toString).toSet === before)
+  }
+
   test("datamart loads end-to-end over JDBC: facts replaced, summary stamped") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdm;create=true"
