@@ -145,7 +145,13 @@ object Writers {
     *
     * Idempotent: re-running a batch produces a new version with
     * identical contents. Old versions stay readable (time travel /
-    * audit) until vacuumed. At 100 TB the snapshot rewrite scopes
+    * audit) until vacuumed. SINGLE-WRITER contract (the reference's
+    * load model): concurrent mergers race benignly on `ErrorIfExists`
+    * (one wins, the loser's partial dir is skipped by the
+    * max-landed-version rule and ignored by readers, which only
+    * trust `_SUCCESS`-committed dirs) — but last-pointer-wins means
+    * concurrent COMMITS need the multi-writer log Delta/Iceberg
+    * carry, which is out of scope here. At 100 TB the snapshot rewrite scopes
     * down the same way Delta/Iceberg do it — rewrite only the FILES
     * whose key-range stats intersect the update keys, tracked by the
     * same pointer/manifest mechanism; the merge dataflow (one
@@ -169,7 +175,19 @@ object Writers {
         keyRelease = () => { keys.unpersist(); () }
         out
     }
-    val nextN = cur.map(_.drop(1).toLong + 1).getOrElse(0L)
+    // next version = 1 + max over BOTH the pointer and every landed
+    // directory (committed or not): a writer that crashed after
+    // creating v(N+1) but before the pointer swing leaves an orphan
+    // dir, and deriving from the pointer alone would collide with it
+    // on ErrorIfExists forever
+    val fs = hadoopFs(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val landedMax =
+      if (!fs.exists(rootPath)) -1L
+      else fs.listStatus(rootPath).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).foldLeft(-1L)(math.max)
+    val nextN = math.max(cur.map(_.drop(1).toLong).getOrElse(-1L), landedMax) + 1
     try {
       merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
       commitPointer(spark, root, s"v$nextN")
@@ -212,13 +230,22 @@ object Writers {
   def vacuumKeyed(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = hadoopFs(spark, root)
-    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+    // rank COMMITTED versions only (_SUCCESS present): an orphan dir
+    // from a crashed writer must never displace the current snapshot
+    // out of the keep window; orphans themselves are left alone (they
+    // may belong to an in-flight writer — reclaiming them needs the
+    // retention-time contract a multi-writer log would bring)
+    val committed = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")))
       .sortBy(_.drop(1).toLong)
-    versions.dropRight(keepLast).foreach { old =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$old"), true)
-    }
+    val current = currentVersion(spark, root)
+    committed.dropRight(keepLast)
+      .filterNot(current.contains)
+      .foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$old"), true)
+      }
   }
 
   private def currentVersion(spark: SparkSession, root: String): Option[String] = {
@@ -228,11 +255,15 @@ object Writers {
       val in = fs.open(ptr)
       try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
     } else {
-      // pointer mid-swap or first run: highest landed version wins
+      // pointer mid-swap or first run: highest COMMITTED version wins.
+      // Commit is evidenced by Spark's _SUCCESS marker — a writer
+      // that crashed mid-write leaves a partial dir without one, and
+      // falling back to it would serve torn data.
       val p = new org.apache.hadoop.fs.Path(root)
       if (!fs.exists(p)) None
       else fs.listStatus(p).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")))
         .sortBy(_.drop(1).toLong).lastOption
     }
   }

@@ -185,6 +185,35 @@ class PipelineSpec extends SparkSpec {
     assert(state() === after)
   }
 
+  test("mergeKeyed survives a crashed writer: orphan dirs never block or serve") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mergecrash").toString + "/t"
+    val b1 = Seq((1L, "a")).toDF("id", "v")
+    Writers.mergeKeyed(spark, b1, root, Seq("id"))
+    // simulate a writer that crashed mid-write: a partial v1 with no
+    // _SUCCESS marker (parquet-less junk)
+    val orphan = new java.io.File(s"$root/v1")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/v1/part-junk"), "torn")
+    // next merge must skip past the orphan, not collide on it
+    Writers.mergeKeyed(spark, Seq((2L, "b")).toDF("id", "v"), root, Seq("id"))
+    assert(Writers.readKeyed(spark, root).count() === 2)
+    // pointer loss: the fallback must pick the highest COMMITTED
+    // version (v2), never the torn orphan between v0 and it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_current"), false)
+    assert(Writers.readKeyed(spark, root).count() === 2)
+    // vacuum ranks committed versions only: with keepLast = 1 the
+    // current v2 survives; the orphan is left for its (hypothetical)
+    // in-flight writer
+    Writers.vacuumKeyed(spark, root, keepLast = 1)
+    assert(Writers.readKeyed(spark, root).count() === 2)
+    assert(!new java.io.File(s"$root/v0").exists())
+    assert(orphan.exists())
+  }
+
   test("compactKeyed + vacuumKeyed: fewer files, identical rows, bounded history") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_compact").toString + "/t"
