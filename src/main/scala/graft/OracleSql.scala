@@ -3506,6 +3506,67 @@ object OracleSql {
        |WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Mirrors `Similarity.filteredPqSearch` — the Filtered-DiskANN
+    * composition: the ADC walk with eligible-only beam membership,
+    * eligible entries, and bridged (neighbors-of-neighbors)
+    * expansion; exact-cosine rerank of the (eligible) final beam. */
+  val simFilteredPq: String = {
+    val w = graft.ops.Similarity.PqBeamWidth
+    def stageAdc(in: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, node FROM (
+         |    SELECT c.qid, c.node,
+         |           ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ad.adist, c.node) AS rn
+         |    FROM (SELECT DISTINCT qid, node FROM $in) c
+         |    JOIN elig ON elig.node = c.node
+         |    JOIN ad ON ad.qid = c.qid AND ad.node = c.node)
+         |  WHERE rn <= $w
+         |)""".stripMargin
+    def growB(s: String, out: String): String =
+      s"""$out AS (
+         |  SELECT qid, node FROM $s
+         |  UNION
+         |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
+         |  UNION
+         |  SELECT $s.qid, g2.nbr_id AS node FROM $s
+         |  JOIN g ON g.node = $s.node JOIN g g2 ON g2.node = g.nbr_id
+         |)""".stripMargin
+    val cosSel = s"ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6)"
+    s"""WITH ${navBuildCtes(sharded = false)},
+       |${pqChain(2, 16)},
+       |qpe AS (SELECT vec_id AS qid, sub, pos, x AS qx FROM pe WHERE vec_id < 10),
+       |dt AS (
+       |  SELECT q2.qid, c.sub, c.cid, ROUND(SUM((q2.qx - c.cx) * (q2.qx - c.cx)), 6) AS d
+       |  FROM qpe q2 JOIN pc2 c ON c.sub = q2.sub AND c.pos = q2.pos
+       |  GROUP BY 1, 2, 3
+       |),
+       |ad AS MATERIALIZED (
+       |  SELECT dt.qid, a.vec_id AS node,
+       |         CAST(SUM(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM pa3 a JOIN dt ON dt.sub = a.sub AND dt.cid = a.cid
+       |  WHERE dt.qid <> a.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
+       |),
+       |$filteredEligCte,
+       |ent AS (SELECT node FROM elig ORDER BY node LIMIT 16),
+       |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
+       |${stageAdc("b0", "s0")},
+       |${growB("s0", "b1")},
+       |${stageAdc("b1", "s1")},
+       |${growB("s1", "b2")},
+       |${stageAdc("b2", "s2")},
+       |${growB("s2", "b3")},
+       |${stageAdc("b3", "s3")}
+       |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+       |  SELECT s3.qid, s3.node, $cosSel AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY s3.qid ORDER BY $cosSel DESC, s3.node) AS rg
+       |  FROM s3 JOIN vn e ON s3.node = e.vec_id JOIN q ON s3.qid = q.qid)
+       |WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
     * against the exact top-3 (both full oracle queries nested as CTE
     * bodies — the `simRecall` shape over the navigable graph). */

@@ -919,14 +919,34 @@ object Similarity {
       pqSearchDerive(spark, dir))
       .orderBy("vec_id", "rank")
 
-  private[graft] def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+  private[graft] def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) =
+    pqWalkDerive(spark, dir, elig = None)
+
+  /** The Filtered-DiskANN composition (Gollapudi et al., WWW 2023):
+    * the SAME ADC-scored walk, but beam membership is restricted to
+    * the eligible set and each hop expands through neighbors AND
+    * neighbors-of-neighbors (the ACORN bridge applied to the PQ
+    * path), entries from the 16 lowest eligible ids; the exact-cosine
+    * rerank then only ever sees eligible candidates. This closes the
+    * filtered × index-type matrix: flat (`filteredSearch`) and PQ
+    * walks both filter natively.
+    * Output: vec_id, nbr_id, cos, rank. */
+  def filteredPqSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_filtered_pq_answers", dir)(
+      pqWalkDerive(spark, dir, elig = Some(eligibleIds(spark, dir))))
+      .orderBy("vec_id", "rank")
+
+  private def pqWalkDerive(spark: SparkSession, dir: String,
+      elig: Option[DataFrame]): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before the beam fans out over it
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val entries = base.select(col("vec_id").as("node"))
-      .orderBy("node").limit(16)
+    val entries = elig match {
+      case Some(e) => e.orderBy("node").limit(16)
+      case None => base.select(col("vec_id").as("node")).orderBy("node").limit(16)
+    }
     val edges = navGraphShared(spark, dir)
     val codes = pqSearchCodesArt(spark, dir)
       .select(col("vec_id").as("node"), col("sub"), col("cid"))
@@ -944,11 +964,16 @@ object Similarity {
       .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6).as("d"))
 
     val W = PqBeamWidth
-    // score a candidate (qid, node) set by ADC and keep the best b
-    def beamAdc(c: DataFrame, b: Int): DataFrame = {
+    // score a candidate (qid, node) set by ADC and keep the best b;
+    // in the filtered walk, beam MEMBERSHIP joins the eligible set
+    // (expansion is never restricted)
+    def beamAdc(c0: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("adist"), col("node"))
-      c.distinct()
-        .where(col("node") =!= col("qid"))
+      val c = elig match {
+        case Some(e) => c0.distinct().join(broadcast(e), "node")
+        case None => c0.distinct()
+      }
+      c.where(col("node") =!= col("qid"))
         .join(codes, "node")
         .join(broadcast(dt), Seq("qid", "sub", "cid"))
         .groupBy("qid", "node")
@@ -957,9 +982,17 @@ object Similarity {
         .where(col("rn") <= b)
         .select("qid", "node")
     }
-    def hop(s: DataFrame): DataFrame = beamAdc(
-      s.unionByName(
-        s.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))), W)
+    // filtered hops bridge through neighbors-of-neighbors (ACORN)
+    def hop(s: DataFrame): DataFrame = {
+      val n1 = s.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+      val exp = elig match {
+        case Some(_) =>
+          val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+          s.unionByName(n1).unionByName(n2)
+        case None => s.unionByName(n1)
+      }
+      beamAdc(exp, W)
+    }
 
     // per-hop persist: each hop reads its input twice (the
     // navGraphFrom lesson at beam scale)

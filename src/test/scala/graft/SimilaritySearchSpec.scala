@@ -111,6 +111,25 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ops.Similarity.navBitsFor(2500) === 9)
   }
 
+  test("filtered PQ walk: answers eligible, recall floor vs filtered brute force") {
+    val elig = Tables.documents(spark, sf)
+      .where(col("lang") === Similarity.FilteredLang)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.filteredPqSearch(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => elig.contains(r.getAs[Long]("nbr_id"))))
+    // exact filtered brute force via the flat recall audit's bf side:
+    // reuse filteredRecall's inwalk rows as the reference top-3 set
+    val bf = Similarity.filteredRecall(spark, sf)
+      .where(col("strategy") === "inwalk" && col("in_top3"))
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count(r => bf.contains((r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))))
+    assert(hits >= (bf.size * 8) / 10,
+      s"filtered PQ walk recovered $hits of ${bf.size} exact filtered answers")
+    spark.catalog.clearCache()
+  }
+
   test("rrf fusion: 5 fused answers per query, self excluded, score recomputes") {
     val out = Similarity.rrfFusion(spark, sf).collect()
     assert(out.groupBy(_.getAs[Long]("vec_id")).forall(_._2.length == 5))
