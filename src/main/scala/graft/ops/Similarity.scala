@@ -1242,22 +1242,38 @@ object Similarity {
       q: DataFrame, edges: DataFrame): DataFrame =
     beamSearchReleasable(spark, corpus, q, edges)._1
 
+  /** [[beamSearchReleasable]] under a metadata filter — the in-walk
+    * (ACORN-bridged) strategy over explicit state: beam membership
+    * restricted to `elig` (node), entries from its 16 lowest ids,
+    * expansion through neighbors and neighbors-of-neighbors. The seam
+    * the streaming filtered gate (`streaming.VecStreams`) probes. */
+  private[graft] def filteredBeamReleasable(spark: SparkSession, corpus: DataFrame,
+      q: DataFrame, edges: DataFrame, elig: DataFrame): (DataFrame, () => Unit) =
+    beamSearchReleasable(spark, corpus, q, edges, Some(elig))
+
   /** `beamSearchFrom` with the final beam-stage cache handle — the
     * streaming gate releases per micro-batch after its sink write
     * (`CachePolicy` exception: a stream has no between-queries runner
     * sweep, and per-batch leaks accumulate for the query's lifetime);
     * batch callers ignore it and lean on the runner contract. */
   private[graft] def beamSearchReleasable(spark: SparkSession, corpus: DataFrame,
-      q: DataFrame, edges: DataFrame): (DataFrame, () => Unit) = {
+      q: DataFrame, edges: DataFrame,
+      elig: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val entries = corpus.select(col("vec_id").as("node"))
-      .orderBy("node").limit(16)
+    val entries = elig match {
+      case Some(e) => e.orderBy("node").limit(16)
+      case None => corpus.select(col("vec_id").as("node")).orderBy("node").limit(16)
+    }
 
-    // score a candidate (qid, node) set and keep the best b per query
-    def beam(c: DataFrame, b: Int): DataFrame = {
+    // score a candidate (qid, node) set and keep the best b per query;
+    // under a filter, beam MEMBERSHIP joins the eligible set
+    def beam(c0: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
-      c.distinct()
-        .join(corpus.select(col("vec_id").as("node"),
+      val c = elig match {
+        case Some(e) => c0.distinct().join(broadcast(e), "node")
+        case None => c0.distinct()
+      }
+      c.join(corpus.select(col("vec_id").as("node"),
           col("v").as("nv"), col("norm").as("nnorm")), "node")
         .join(broadcast(q), "qid")
         .where(col("node") =!= col("qid"))
@@ -1266,10 +1282,18 @@ object Similarity {
         .where(col("rn") <= b)
         .select(col("qid"), col("node"), col("cos"), col("rn"))
     }
-    def hop(s: DataFrame): DataFrame = beam(
-      s.select("qid", "node").unionByName(
-        s.select("qid", "node").join(edges, "node")
-          .select(col("qid"), col("nbr_id").as("node"))), 16)
+    // filtered hops bridge through neighbors-of-neighbors (ACORN)
+    def hop(s: DataFrame): DataFrame = {
+      val b0 = s.select("qid", "node")
+      val n1 = b0.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+      val exp = elig match {
+        case Some(_) =>
+          val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+          b0.unionByName(n1).unionByName(n2)
+        case None => b0.unionByName(n1)
+      }
+      beam(exp, 16)
+    }
 
     // each hop references its input twice (beam keep + expansion), so
     // stages are persisted eagerly — Q×16 rows each — or the plan and

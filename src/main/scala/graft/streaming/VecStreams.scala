@@ -57,6 +57,40 @@ object VecStreams {
     (out, release)
   }
 
+  /** Filtered twin of [[searchBatch]]: the in-walk (ACORN-bridged)
+    * metadata-filtered walk against the same release — `elig` is a
+    * one-column (node) table of eligible corpus ids (typically a
+    * documents-side predicate, e.g. lang), resolved once per release
+    * like the index itself. Output: qid, nbr_id, cos, rank. */
+  def filteredSearchBatch(spark: SparkSession, batch: DataFrame, root: String,
+      elig: DataFrame): DataFrame =
+    filteredSearchBatchReleasable(spark, batch, root, elig)._1
+
+  private def filteredSearchBatchReleasable(spark: SparkSession, batch: DataFrame,
+      root: String, elig: DataFrame): (DataFrame, () => Unit) = {
+    val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
+    corpus.count() // materialize before the beam fans out over it
+    val q = Similarity.vecsOf(spark, batch)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val (out, release) = Similarity.filteredBeamReleasable(spark, corpus, q,
+      spark.read.parquet(NavIndex.graphPath(root)), elig)
+    corpus.unpersist() // out's final stage is cached; safe to drop
+    (out, release)
+  }
+
+  /** The running FILTERED gate — same idempotent per-batch sink
+    * contract as [[searchGate]]. */
+  def filteredSearchGate(spark: SparkSession, queries: DataFrame, root: String,
+      elig: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ans, release) = filteredSearchBatchReleasable(spark, batch, root, elig)
+        try ans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        finally release()
+      }
+      .start()
+
   /** The running gate: arriving query vectors → top-3 answers landed
     * as parquet under `outPath` (one `batch=<id>` subdirectory per
     * micro-batch). foreachBatch is AT-LEAST-ONCE: a failure between

@@ -297,6 +297,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming FILTERED vector search matches its batch twin and stays eligible") {
+    import graft.streaming.VecStreams
+    import graft.pipelines.NavIndex
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_fvecsearch_idx").toString
+    NavIndex.buildState(spark, emb, root)
+    val elig = Tables.documents(spark, sf)
+      .where(col("lang") === Similarity.FilteredLang)
+      .select(col("doc_id").as("node"))
+    val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label")).where(col("vec_id") < 1000020L)
+    val d = java.nio.file.Files.createTempDirectory("graft_fvecsearch_q").toString
+    queries.where(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$d/h1")
+    queries.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$d/h2")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_fvecsearch_out").toString + "/ans"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fvecsearch_ck").toString
+    val stream = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
+    val q = VecStreams.filteredSearchGate(spark, stream, root, elig, outPath, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outPath).drop("batch")
+    val batch = VecStreams.filteredSearchBatch(spark, queries, root, elig)
+    assert(streamed.count() === queries.count() * 3)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // every streamed answer respects the metadata filter
+    val eligSet = elig.collect().map(_.getLong(0)).toSet
+    assert(streamed.select("nbr_id").collect().forall(r => eligSet.contains(r.getLong(0))))
+  }
+
   test("streaming vector search matches the batch walk on the same queries") {
     import graft.streaming.VecStreams
     import graft.pipelines.NavIndex
