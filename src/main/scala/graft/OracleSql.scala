@@ -1982,6 +1982,40 @@ object OracleSql {
        |FROM rr WHERE rnk <= 5 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Ranker-disagreement mining — mirrors `Similarity.mineNegatives`:
+    * anti-joins (NOT EXISTS) between the BM25 top-10 and the exact
+    * cosine top-10, labeled by which ranker is alone. */
+  val simMineNegatives: String = {
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
+    val cosSel = s"ROUND(${navDotAb("qv.qe", "e.embedding")} / (qv.qn * e.nrm), 6)"
+    s"""WITH ${bm25Ctes(10)},
+       |vn AS (SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10),
+       |vr AS (
+       |  SELECT qid, node AS doc_id, CAST(rnk AS BIGINT) AS vec_rank FROM (
+       |    SELECT qv.qid, e.vec_id AS node,
+       |           ROW_NUMBER() OVER (PARTITION BY qv.qid
+       |             ORDER BY $cosSel DESC, e.vec_id) AS rnk
+       |    FROM qv JOIN vn e ON e.vec_id <> qv.qid)
+       |  WHERE rnk <= 10
+       |),
+       |vo AS (
+       |  SELECT vr.qid, vr.doc_id, 'vec_only' AS side, vr.vec_rank AS rank
+       |  FROM vr WHERE NOT EXISTS (
+       |    SELECT 1 FROM lex WHERE lex.qid = vr.qid AND lex.doc_id = vr.doc_id)
+       |),
+       |lo AS (
+       |  SELECT lex.qid, lex.doc_id, 'lex_only' AS side, lex.lex_rank AS rank
+       |  FROM lex WHERE NOT EXISTS (
+       |    SELECT 1 FROM vr WHERE vr.qid = lex.qid AND vr.doc_id = lex.doc_id)
+       |)
+       |SELECT qid AS vec_id, doc_id, side, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT * FROM vo UNION ALL SELECT * FROM lo)
+       |ORDER BY vec_id, side, rank""".stripMargin
+  }
+
   /** Greedy sequence packing: content-hash shard, per-shard cumulative
     * token window, bin = start-offset div 1024. SUM window cast to
     * BIGINT (DuckDB widens to HUGEINT). */

@@ -1051,7 +1051,10 @@ object Similarity {
     * is Q×10 rows; the fusion join and re-rank are query-keyed and
     * trivially small next to the rankers themselves.
     * Output: vec_id, doc_id, rrf, lex_rank, vec_rank, rank. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact cosine top-`k` of every corpus vector per query doc
+    * (vec_id < 10), as (qid, doc_id, vec_rank) — the vector-ranker
+    * side shared by the RRF fusion and negative mining. */
+  private def vecTopKRanks(spark: SparkSession, dir: String, k: Int): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
     base.count() // materialize before both brute-force sides fan out
@@ -1060,11 +1063,15 @@ object Similarity {
     val cnd = base.select(col("vec_id").as("doc_id"),
       col("v").as("nv"), col("norm").as("nnorm"))
     val wv = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
-    val vecRanks = cnd.join(broadcast(q), col("doc_id") =!= col("qid"))
+    cnd.join(broadcast(q), col("doc_id") =!= col("qid"))
       .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
       .withColumn("vec_rank", row_number().over(wv))
-      .where(col("vec_rank") <= 10)
+      .where(col("vec_rank") <= k)
       .select(col("qid"), col("doc_id"), col("vec_rank").cast("bigint").as("vec_rank"))
+  }
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val vecRanks = vecTopKRanks(spark, dir, 10)
     val lexRanks = Text.bm25Ranks(spark, dir, 10)
       .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
     val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
@@ -1077,6 +1084,37 @@ object Similarity {
       .select(col("qid").as("vec_id"), col("doc_id"), col("rrf"),
         col("lex_rank"), col("vec_rank"), col("rank").cast("bigint").as("rank"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** Contrastive-pair mining — the training-data recipe behind dense
+    * retrievers (DPR, Karpukhin et al. 2020): for each query doc,
+    * surface where the lexical and vector rankers DISAGREE over the
+    * same top-10 depth:
+    *
+    *  - `lex_only`: in BM25's top-10 but not cosine's — high surface
+    *    overlap without semantic proximity, the classic BM25-mined
+    *    hard negative for dense-retriever training;
+    *  - `vec_only`: in cosine's top-10 but not BM25's — semantically
+    *    close paraphrase-like docs lexical supervision would miss,
+    *    positives-candidates for augmentation.
+    *
+    * Pure composition of the two rank tables (the BM25 artifact and
+    * the exact vector ranks) via anti-joins — query-keyed, Q×10-row
+    * sides, no new shuffle shape at any scale.
+    * Output: vec_id, doc_id, side, rank (rank within its own ranker). */
+  def mineNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val vec = vecTopKRanks(spark, dir, 10)
+    val lex = Text.bm25Ranks(spark, dir, 10)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val vecOnly = vec.join(lex, Seq("qid", "doc_id"), "left_anti")
+      .select(col("qid"), col("doc_id"), lit("vec_only").as("side"),
+        col("vec_rank").as("rank"))
+    val lexOnly = lex.join(vec, Seq("qid", "doc_id"), "left_anti")
+      .select(col("qid"), col("doc_id"), lit("lex_only").as("side"), col("rank"))
+    vecOnly.unionByName(lexOnly)
+      .select(col("qid").as("vec_id"), col("doc_id"), col("side"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "side", "rank")
   }
 
   /** Metadata filter for the filtered-ANN family, shared with the

@@ -34,7 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sharded_search", "sim_pq_search",
     // BM25 rank artifact (lexical index answers, shared by the top-5
     // readout and the RRF fusion) builds at construction
-    "text_bm25", "sim_rrf_fusion",
+    "text_bm25", "sim_rrf_fusion", "sim_mine_negatives",
     // bucketed-layout build (saveAsTable) runs at construction;
     // audited by its dedicated exchange-free test below
     "rel_bucket_join")

@@ -169,4 +169,26 @@ class PropertySpec extends AnyFunSuite {
       assert(got === naive(text), s"text=<$text>")
     }
   }
+
+  test("mergeKeyed tracks a reference map over random batch sequences") {
+    import spark.implicits._
+    // model: a Map[key -> value] updated by putAll per batch; the
+    // keyed table must agree after EVERY merge, across random batch
+    // sizes, overlaps, and duplicate-free key sets
+    val batchGen: Gen[List[List[(Long, Long)]]] =
+      Gen.listOfN(4, Gen.listOfN(8,
+        for { k <- Gen.choose(0L, 11L); v <- Gen.choose(0L, 999L) } yield (k, v))
+        .map(_.groupBy(_._1).map(_._2.head).toList)) // one row per key per batch
+    forAll(batchGen, n = 3) { batches =>
+      val root = java.nio.file.Files.createTempDirectory("graft_mergeprop").toString + "/t"
+      var model = Map.empty[Long, Long]
+      batches.filter(_.nonEmpty).foreach { b =>
+        graft.io.Writers.mergeKeyed(spark, b.toDF("id", "v"), root, Seq("id"))
+        model = model ++ b.toMap
+        val got = graft.io.Writers.readKeyed(spark, root).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === model)
+      }
+    }
+  }
 }
