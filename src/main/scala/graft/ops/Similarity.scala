@@ -637,6 +637,22 @@ object Similarity {
     bits
   }
 
+  /** Synchronous-hop count for an n-vector walk: 3 at the driver
+    * scales (n ≤ 2048 — every oracle unrolls exactly 3 stages, and
+    * the rule is pinned to agree there), +1 per corpus doubling
+    * beyond. The ×100 harness measured WHY hops must scale: with
+    * hops fixed at 3, walk recall collapsed 18/30 → 7/30 → 0/30 at
+    * ×1/×10/×100 — the beam cannot REACH the target neighborhood from
+    * the fixed entry set as graph diameter grows (~log n for a
+    * degree-16 navigable graph). Deterministic in n, like
+    * [[navBitsFor]]. */
+  private[graft] def navHopsFor(n: Long): Int = {
+    var hops = 3
+    var m = n
+    while (m > 2048) { hops += 1; m >>= 1 }
+    hops
+  }
+
   /** Per-node band rows (vec_id, b, key) for the navigable-graph
     * seed: 8 bands × `bits` hyperplane signs over the 64 dims (band b
     * reads dims (8b+i) mod 64 — at 8 bits exactly the historical
@@ -743,7 +759,8 @@ object Similarity {
     * ([[navGraphShared]]). Entry points are the 16 lowest vec_ids (a
     * fixed, geometry-free entry set: on this corpus labels carry no
     * geometry, so "one hub per label" buys nothing — see the artifact
-    * doc). Then 3 synchronous beam hops: each hop grows the beam with
+    * doc). Then [[navHopsFor]] synchronous beam hops (3 at the driver
+    * scales, +1 per corpus doubling beyond 2048): each hop grows the beam with
     * the undirected graph neighbors of the current beam, scores
     * candidates by cosine to the query, and keeps the best 16 per
     * query (6-dp cosines, node-id tiebreak, so both engines rank
@@ -818,7 +835,7 @@ object Similarity {
     * the corpus is hash-partitioned into [[NavShards]] disjoint
     * shards, each holding its own navigable graph; a query fans out
     * to EVERY shard (per-shard entry set = its 16 lowest vec_ids,
-    * per-shard beam 16, the same 3 synchronous hops), and the
+    * per-shard beam 16, navHopsFor-scaled synchronous hops), and the
     * per-shard answers merge by a global top-3 re-rank. Because shard
     * node sets are disjoint, the fan-out needs no shard bookkeeping:
     * one beam table holds all shards' walks, ranked per
@@ -843,7 +860,7 @@ object Similarity {
   private def shardedSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
-    base.count() // materialize before the beam fans out over it
+    val nBase = base.count() // count also materializes the cache
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val ws = Window.partitionBy(pmod(col("vec_id"), lit(NavShards))).orderBy("vec_id")
@@ -871,16 +888,14 @@ object Similarity {
         s.select("qid", "node").join(edges, "node")
           .select(col("qid"), col("nbr_id").as("node"))), 16)
 
-    // per-hop persist: each hop reads its input twice (the
-    // navGraphFrom lesson at beam scale)
-    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16).persist()
-    s.count()
-    var prev = s
-    for (_ <- 1 to 3) {
-      s = hop(s).persist()
-      s.count()
-      prev.unpersist()
-      prev = s
+    // per-hop localCheckpoint: truncates the doubling plan lineage
+    // (see beamSearchReleasable). Hops scale with the SHARD size —
+    // each walk navigates its own disjoint per-shard graph.
+    val hops = navHopsFor((nBase + NavShards - 1) / NavShards)
+    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      s = hop(s).localCheckpoint(true)
     }
     // gather: global top-3 per query across the shard beams
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
@@ -940,7 +955,7 @@ object Similarity {
       elig: Option[DataFrame]): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
-    base.count() // materialize before the beam fans out over it
+    val hops = navHopsFor(base.count()) // count also materializes the cache
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val entries = elig match {
@@ -994,16 +1009,12 @@ object Similarity {
       beamAdc(exp, W)
     }
 
-    // per-hop persist: each hop reads its input twice (the
-    // navGraphFrom lesson at beam scale)
-    var s = beamAdc(q.select("qid").crossJoin(broadcast(entries)), W).persist()
-    s.count()
-    var prev = s
-    for (_ <- 1 to 3) {
-      s = hop(s).persist()
-      s.count()
-      prev.unpersist()
-      prev = s
+    // per-hop localCheckpoint: truncates the doubling plan lineage
+    // (see beamSearchReleasable)
+    var s = beamAdc(q.select("qid").crossJoin(broadcast(entries)), W)
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      s = hop(s).localCheckpoint(true)
     }
     // exact-cosine rerank of the final beam — the only full-vector read
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
@@ -1166,7 +1177,7 @@ object Similarity {
   private[graft] def filteredAnswersShared(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.tableReleasable(spark, "sim_filtered_answers", dir) {
       val base = vecs(spark, dir).persist()
-      base.count() // materialize before the beams fan out over it
+      val hops = navHopsFor(base.count()) // count also materializes the cache
       val q = base.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
       val edges = navGraphShared(spark, dir)
@@ -1187,7 +1198,8 @@ object Similarity {
           .select("qid", "node", "cos", "rn")
       }
 
-      // 3 synchronous hops; eligOnly restricts BEAM MEMBERSHIP (not
+      // navHopsFor-scaled synchronous hops; eligOnly restricts BEAM
+      // MEMBERSHIP (not
       // expansion); bridge adds the neighbors-of-neighbors frontier
       def walk(entries: DataFrame, width: Int, eligOnly: Boolean,
           bridge: Boolean): DataFrame = {
@@ -1203,16 +1215,12 @@ object Similarity {
             } else b.unionByName(n1)
           keep(exp)
         }
-        // per-hop persist: each hop reads its input twice (the
-        // navGraphFrom lesson at beam scale)
-        var s = keep(q.select("qid").crossJoin(broadcast(entries))).persist()
-        s.count()
-        var prev = s
-        for (_ <- 1 to 3) {
-          s = grow(s).persist()
-          s.count()
-          prev.unpersist()
-          prev = s
+        // per-hop localCheckpoint: truncates the doubling plan
+        // lineage (see beamSearchReleasable)
+        var s = keep(q.select("qid").crossJoin(broadcast(entries)))
+          .localCheckpoint(true)
+        for (_ <- 1 to hops) {
+          s = grow(s).localCheckpoint(true)
         }
         s
       }
@@ -1334,16 +1342,19 @@ object Similarity {
     }
 
     // each hop references its input twice (beam keep + expansion), so
-    // stages are persisted eagerly — Q×16 rows each — or the plan and
-    // recompute double per hop (the navGraphFrom lesson at beam scale)
-    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16).persist()
-    s.count()
-    var prev = s
-    for (_ <- 1 to 3) {
-      s = hop(s).persist()
-      s.count()
-      prev.unpersist()
-      prev = s
+    // per-hop state is localCheckpoint'ed (eager): persist alone does
+    // NOT truncate the LOGICAL plan — the union embeds the previous
+    // hop's tree twice, so the plan doubles per hop and Catalyst
+    // planning/tree-rendering goes exponential once hops scale with
+    // the corpus (measured: 17 s/hop at ×10, OOM in plan rendering at
+    // 7+ hops — the navGraphFrom lesson at beam scale). localCheckpoint
+    // materializes the Q×16-row stage AND resets lineage to a flat
+    // LogicalRDD; blocks are tiny and reclaimed by the context cleaner.
+    val hops = navHopsFor(corpus.count())
+    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      s = hop(s).localCheckpoint(true)
     }
     // the final stage stays cached (Q×16 rows) — earlier stages are
     // already unpersisted, so dropping it would re-derive the whole

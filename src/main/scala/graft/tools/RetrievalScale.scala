@@ -50,9 +50,18 @@ object RetrievalScale {
         (0 until scale).map { k =>
           emb.select(
             (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            // ±0.5 noise ≫ the element scale (σ ≈ 0.125): copies must
+            // be genuinely DISTINCT vectors. With near-duplicate
+            // copies (±0.1 noise) the navigable graph fragments into
+            // per-copy-cluster near-cliques — every node's top-16 is
+            // its own 99 twins — and cross-cluster navigation is
+            // impossible (measured: 0/30 recall at ×100 regardless of
+            // hops). That is the real reason production pipelines
+            // run near-dup DEDUP before building a serving index
+            // (pipelines.Curation before pipelines.AnnIndex here).
             (if (k == 0) col("embedding")
              else expr(s"transform(embedding, (x, i) -> " +
-               s"cast(x + (hash(vec_id, $k, i) % 1000) / 10000.0d as float))"))
+               s"cast(x + (hash(vec_id, $k, i) % 1000) / 2000.0d as float))"))
               .as("embedding"),
             col("label"))
         }.reduce(_.unionByName(_))
@@ -78,14 +87,47 @@ object RetrievalScale {
       val q = base.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
       val edges = Similarity.navGraphShared(spark, dir)
-      val (walk, release) = Similarity.beamSearchReleasable(spark, base, q, edges)
-      time(s"x$scale flat walk (10 q)")(walk.count())
+      // time construction + count together: the hop loop runs its
+      // persist/count jobs EAGERLY at construction, so timing only the
+      // final count would measure a cache read, not the walk
+      var walk: org.apache.spark.sql.DataFrame = null
+      var release: () => Unit = () => ()
+      time(s"x$scale flat walk (10 q)") {
+        val r = Similarity.beamSearchReleasable(spark, base, q, edges)
+        walk = r._1; release = r._2
+        walk.count()
+      }
+      // RECALL at scale — speed without answers is worthless: exact
+      // brute-force top-3 for the 10 queries (one corpus scan × 10,
+      // cheap at any scale because the query set is bounded)
+      val d = graft.functions.VectorFunctions.dot(spark, col("qv"), col("nv"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("node"))
+      val bf3 = base.select(col("vec_id").as("node"),
+          col("v").as("nv"), col("norm").as("nnorm"))
+        .join(broadcast(q), col("node") =!= col("qid"))
+        .withColumn("cos", round(d / (col("qnorm") * col("nnorm")), 6))
+        .withColumn("rk", row_number().over(wb))
+        .where(col("rk") <= 3)
+        .select(col("qid"), col("node").as("nbr_id")).persist()
+      bf3.count()
+      println(f"x$scale flat walk recall: " +
+        s"${walk.select("qid", "nbr_id").join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
       release(); base.unpersist()
       time(s"x$scale pq codes+codebook build")(
         Similarity.pqSearchCodesArt(spark, dir).count() +
           Similarity.pqSearchCodebookArt(spark, dir).count())
-      val (pq, pqRelease) = Similarity.pqSearchDerive(spark, dir)
-      time(s"x$scale pq walk+rerank (10 q)")(pq.count())
+      var pq: org.apache.spark.sql.DataFrame = null
+      var pqRelease: () => Unit = () => ()
+      time(s"x$scale pq walk+rerank (10 q)") {
+        val r = Similarity.pqSearchDerive(spark, dir)
+        pq = r._1; pqRelease = r._2
+        pq.count()
+      }
+      println(f"x$scale pq walk recall: " +
+        s"${pq.select(col("vec_id").as("qid"), col("nbr_id"))
+          .join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
+      bf3.unpersist()
       pqRelease()
       // filtered dual-strategy search: first touch builds the answers
       // artifact over the already-landed graph (both walks + filter)
