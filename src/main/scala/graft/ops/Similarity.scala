@@ -903,8 +903,7 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-    val last = s
-    (out, () => { last.unpersist(); base.unpersist(); () })
+    (out, () => { base.unpersist(); () }) // hop stages are localCheckpoints
   }
 
   /** ADC beam width, shared with the oracle: wider than the cosine
@@ -1026,8 +1025,7 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-    val last = s
-    (out, () => { last.unpersist(); base.unpersist(); () })
+    (out, () => { base.unpersist(); () }) // hop stages are localCheckpoints
   }
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
@@ -1356,15 +1354,15 @@ object Similarity {
     for (_ <- 1 to hops) {
       s = hop(s).localCheckpoint(true)
     }
-    // the final stage stays cached (Q×16 rows) — earlier stages are
-    // already unpersisted, so dropping it would re-derive the whole
-    // chain; batch runners clearCache (the repo contract), the
-    // streaming gate calls the handle per batch
-    val out = s
-    (out.where(col("rn") <= 3)
+    // every stage is a localCheckpoint: data lives in executor
+    // storage until its RDD is unreferenced, then the context cleaner
+    // reclaims it — the release handle survives for API compatibility
+    // with the streaming gate's per-batch call but has nothing left
+    // to free eagerly (Q×16-row blocks)
+    (s.where(col("rn") <= 3)
       .select(col("qid"), col("node").as("nbr_id"),
         col("cos"), col("rn").cast("bigint").as("rank")),
-      () => { out.unpersist(); () })
+      () => ())
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

@@ -40,11 +40,13 @@ object VecStreams {
   def searchBatch(spark: SparkSession, batch: DataFrame, root: String): DataFrame =
     searchBatchReleasable(spark, batch, root)._1
 
-  /** `searchBatch` plus the beam-cache release handle: a streaming
-    * query has no between-queries runner sweep (`graft.CachePolicy`),
-    * so the gate must release each micro-batch's beam cache itself
-    * once the sink write has consumed it — per-batch leaks otherwise
-    * accumulate for the query's lifetime. */
+  /** `searchBatch` plus the walk's release handle. Historically the
+    * final beam stage was a persist the gate had to free per batch
+    * (a streaming query has no between-queries runner sweep,
+    * `graft.CachePolicy`); hop stages are now localCheckpoints whose
+    * blocks the context cleaner reclaims once unreferenced, so the
+    * handle is kept for the call shape but releases eagerly only
+    * what remains (currently nothing). */
   private def searchBatchReleasable(spark: SparkSession, batch: DataFrame,
       root: String): (DataFrame, () => Unit) = {
     val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
