@@ -698,6 +698,66 @@ object Similarity {
       .select("node", "nbr_id")
   }
 
+  /** DIVERSIFIED variant of [[navTopK]] — the DiskANN/HNSW occlusion
+    * rule (α = 1, non-recursive "strong prune") as dataflow: rank the
+    * top-`k0` candidates by cosine, then drop candidate w if ANY
+    * higher-ranked candidate v is closer to w than the node is
+    * (cos(v,w) > cos(node,w)); keep the first [[NavDegree]] survivors.
+    * This is what stops a >degree-sized near-dup cluster from
+    * saturating a node's whole neighbor list (the ×100 fragmentation
+    * the scale harness measured: recall 0/30 because every neighbor
+    * slot held a same-cluster twin). Non-recursive pruning may drop
+    * more than DiskANN's sequential rule but needs only one
+    * n×k0²-row pair join — no per-node loop.
+    *
+    * HARNESS-ONLY (`tools.DiversifyProbe`), and the measurements
+    * argue AGAINST promoting it into the default build: with α = 1.2
+    * + a keep-first-4 floor it matches the plain build at ×10 (30/30,
+    * build ×1.5) but does NOT rescue the ×100 near-dup regime (0/30,
+    * same as plain) — the top-k0 = 32 CANDIDATE set is already
+    * saturated by a 100-member cluster before any far node appears,
+    * so occlusion has nothing diverse to keep. Conclusion (PERF.md):
+    * when cluster size exceeds candidate width, neighbor
+    * diversification cannot substitute for near-dup DEDUP before
+    * indexing (`pipelines.Curation` → `pipelines.AnnIndex`, the order
+    * the engine already ships). */
+  private[graft] def navTopKDiversified(spark: SparkSession, v: DataFrame,
+      cand: DataFrame, k0: Int = 32): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
+    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
+    val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
+    val ranked = cand.distinct()
+      .join(nodes, "node").join(nbrs, "nbr_id")
+      .withColumn("cos", round(d(col("nv"), col("wv")) / (col("nn") * col("wn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k0)
+      .select("node", "nbr_id", "cos", "rn")
+      .localCheckpoint(true)
+    val hi = ranked.select(col("node"), col("nbr_id").as("v_id"), col("rn").as("rv"))
+    val lo = ranked.select(col("node"), col("nbr_id").as("w_id"),
+      col("cos").as("cw"), col("rn").as("rw"))
+    val vv = v.select(col("vec_id").as("v_id"), col("v").as("vv"), col("norm").as("vn"))
+    val wwT = v.select(col("vec_id").as("w_id"), col("v").as("wv2"), col("norm").as("wn2"))
+    // α-slack in distance terms (DiskANN α = 1.2): occlude w only if v
+    // is MEANINGFULLY closer to w than the node is — α = 1 over-prunes
+    // tight clusters to near-empty neighborhoods (measured 1/30 recall
+    // at ×10). The first 4 ranks are never pruned (HNSW's
+    // keepPrunedConnections floor), so no node goes under-connected.
+    val cvw = round(d(col("vv"), col("wv2")) / (col("vn") * col("wn2")), 6)
+    val occluded = hi.join(lo, "node").where(col("rv") < col("rw") && col("rw") > 4)
+      .join(vv, "v_id").join(wwT, "w_id")
+      .where((lit(1.0) - cvw) * lit(1.2) < (lit(1.0) - col("cw")))
+      .select(col("node").as("o_node"), col("w_id")).distinct()
+    val w2 = Window.partitionBy("node").orderBy("rn")
+    ranked.join(occluded,
+        ranked("node") === occluded("o_node") && ranked("nbr_id") === occluded("w_id"),
+        "left_anti")
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= NavDegree)
+      .select("node", "nbr_id")
+  }
+
   /** Symmetrize a directed edge list. */
   private[graft] def navUnd(e: DataFrame): DataFrame =
     e.unionByName(e.select(col("nbr_id").as("node"), col("node").as("nbr_id")))
@@ -733,8 +793,10 @@ object Similarity {
     * adds the shard to the bucket key — refinement stays shard-local
     * for free because shard node sets are disjoint). */
   private[graft] def navGraphRounds(spark: SparkSession, v: DataFrame,
-      seedCand: DataFrame): (DataFrame, () => Unit) = {
-    def topK(cand: DataFrame): DataFrame = navTopK(spark, v, cand)
+      seedCand: DataFrame, diversified: Boolean = false): (DataFrame, () => Unit) = {
+    def topK(cand: DataFrame): DataFrame =
+      if (diversified) navTopKDiversified(spark, v, cand)
+      else navTopK(spark, v, cand)
     def und(e: DataFrame): DataFrame = navUnd(e)
 
     val iterDir = s"${graft.ops.IterState.rootFor(spark)}/nav_${java.util.UUID.randomUUID().toString.take(8)}"
