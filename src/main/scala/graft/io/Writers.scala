@@ -175,11 +175,21 @@ object Writers {
         keyRelease = () => { keys.unpersist(); () }
         out
     }
-    // next version = 1 + max over BOTH the pointer and every landed
-    // directory (committed or not): a writer that crashed after
-    // creating v(N+1) but before the pointer swing leaves an orphan
-    // dir, and deriving from the pointer alone would collide with it
-    // on ErrorIfExists forever
+    val nextN = nextVersionN(spark, root, cur)
+    try {
+      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
+      commitPointer(spark, root, s"v$nextN")
+    } finally keyRelease()
+  }
+
+  /** Next snapshot version = 1 + max over BOTH the pointer and every
+    * landed directory (committed or not): a writer that crashed after
+    * creating v(N+1) but before the pointer swing leaves an orphan
+    * dir, and deriving from the pointer alone would collide with it
+    * on ErrorIfExists forever. Shared by [[mergeKeyed]] and
+    * [[compactKeyed]] so both writers survive the same crash residue. */
+  private def nextVersionN(spark: SparkSession, root: String,
+      cur: Option[String]): Long = {
     val fs = hadoopFs(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val landedMax =
@@ -187,11 +197,7 @@ object Writers {
       else fs.listStatus(rootPath).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
         .map(_.drop(1).toLong).foldLeft(-1L)(math.max)
-    val nextN = math.max(cur.map(_.drop(1).toLong).getOrElse(-1L), landedMax) + 1
-    try {
-      merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
-      commitPointer(spark, root, s"v$nextN")
-    } finally keyRelease()
+    math.max(cur.map(_.drop(1).toLong).getOrElse(-1L), landedMax) + 1
   }
 
   /** Read the keyed table's current snapshot (pointer, falling back
@@ -215,7 +221,9 @@ object Writers {
     val cur = new org.apache.hadoop.fs.Path(s"$root/$v")
     val bytes = fs.getContentSummary(cur).getLength
     val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val nextN = v.drop(1).toLong + 1
+    // landedMax-aware, NOT pointer+1: an orphan v(N+1) from a crashed
+    // writer would otherwise fail every compaction on ErrorIfExists
+    val nextN = nextVersionN(spark, root, Some(v))
     spark.read.parquet(s"$root/$v")
       .repartition(files)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")

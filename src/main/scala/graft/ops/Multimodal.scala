@@ -144,8 +144,7 @@ object Multimodal {
       .flatMap { r =>
         // container walk: collect each frame's [start, size) by reading
         // the BMP header's declared file size, then decode the sampled ones
-        val offsets = Iterator.iterate(0)(o => o + Bmp.u32le(r.payload, o + 2))
-          .takeWhile(_ < r.payload.length).toArray
+        val offsets = frameOffsets(r.payload, r.doc_id)
         offsets.indices.by(2).map { f =>
           val start = offsets(f)
           val size = Bmp.u32le(r.payload, start + 2)
@@ -154,6 +153,20 @@ object Multimodal {
         }
       }
   }
+
+  /** Frame start offsets by each frame's DECLARED file size. Every
+    * declared size must cover at least the 54-byte BMP header — a
+    * corrupt payload whose size field is 0 or negative would otherwise
+    * spin the offset iterator forever (hanging the executor task
+    * instead of failing it); corrupt media is a data defect and
+    * THROWS, the same posture as `Bmp.decodeRgb`. */
+  private[graft] def frameOffsets(payload: Array[Byte], docId: Long): Array[Int] =
+    Iterator.iterate(0) { o =>
+      val sz = Bmp.u32le(payload, o + 2)
+      require(sz >= 54,
+        s"corrupt container for doc $docId: frame at $o declares size $sz (< 54)")
+      o + sz
+    }.takeWhile(_ < payload.length).toArray
 
   /** Driver-contract frame-sample query (oracle: 3× the md5-derived
     * byte sums per sampled frame, same derivation as the render). */

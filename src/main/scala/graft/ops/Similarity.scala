@@ -698,11 +698,14 @@ object Similarity {
       .select("node", "nbr_id")
   }
 
-  /** DIVERSIFIED variant of [[navTopK]] — the DiskANN/HNSW occlusion
-    * rule (α = 1, non-recursive "strong prune") as dataflow: rank the
-    * top-`k0` candidates by cosine, then drop candidate w if ANY
-    * higher-ranked candidate v is closer to w than the node is
-    * (cos(v,w) > cos(node,w)); keep the first [[NavDegree]] survivors.
+  /** DIVERSIFIED variant of [[navTopK]] — DiskANN-style occlusion
+    * pruning (non-recursive "strong prune") as dataflow: rank the
+    * top-`k0` candidates by cosine, then drop candidate w (beyond the
+    * never-pruned first 4 ranks) if ANY higher-ranked candidate v is
+    * closer to w than the node is WITH α = 1.2 slack in distance
+    * terms — 1.2·(1 − cos(v,w)) < 1 − cos(node,w) — and keep the
+    * first [[NavDegree]] survivors. (Plain α = 1 over-prunes tight
+    * clusters; see the α paragraph below for the measured reason.)
     * This is what stops a >degree-sized near-dup cluster from
     * saturating a node's whole neighbor list (the ×100 fragmentation
     * the scale harness measured: recall 0/30 because every neighbor
@@ -950,14 +953,15 @@ object Similarity {
         s.select("qid", "node").join(edges, "node")
           .select(col("qid"), col("nbr_id").as("node"))), 16)
 
-    // per-hop localCheckpoint: truncates the doubling plan lineage
-    // (see beamSearchReleasable). Hops scale with the SHARD size —
+    // per-hop HopStages checkpoint: truncates the doubling plan
+    // lineage and frees superseded hop blocks eagerly (see
+    // beamSearchReleasable). Hops scale with the SHARD size —
     // each walk navigates its own disjoint per-shard graph.
     val hops = navHopsFor((nBase + NavShards - 1) / NavShards)
-    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
-      .localCheckpoint(true)
+    val stages = new HopStages
+    var s = stages.next(beam(q.select("qid").crossJoin(broadcast(entries)), 16))
     for (_ <- 1 to hops) {
-      s = hop(s).localCheckpoint(true)
+      s = stages.next(hop(s))
     }
     // gather: global top-3 per query across the shard beams
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
@@ -965,7 +969,7 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-    (out, () => { base.unpersist(); () }) // hop stages are localCheckpoints
+    (out, () => { base.unpersist(); stages.release() })
   }
 
   /** ADC beam width, shared with the oracle: wider than the cosine
@@ -1070,12 +1074,13 @@ object Similarity {
       beamAdc(exp, W)
     }
 
-    // per-hop localCheckpoint: truncates the doubling plan lineage
-    // (see beamSearchReleasable)
-    var s = beamAdc(q.select("qid").crossJoin(broadcast(entries)), W)
-      .localCheckpoint(true)
+    // per-hop HopStages checkpoint: truncates the doubling plan
+    // lineage, frees superseded hop blocks eagerly (see
+    // beamSearchReleasable)
+    val stages = new HopStages
+    var s = stages.next(beamAdc(q.select("qid").crossJoin(broadcast(entries)), W))
     for (_ <- 1 to hops) {
-      s = hop(s).localCheckpoint(true)
+      s = stages.next(hop(s))
     }
     // exact-cosine rerank of the final beam — the only full-vector read
     val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
@@ -1087,7 +1092,7 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-    (out, () => { base.unpersist(); () }) // hop stages are localCheckpoints
+    (out, () => { base.unpersist(); stages.release() })
   }
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
@@ -1260,9 +1265,14 @@ object Similarity {
 
       // navHopsFor-scaled synchronous hops; eligOnly restricts BEAM
       // MEMBERSHIP (not
-      // expansion); bridge adds the neighbors-of-neighbors frontier
+      // expansion); bridge adds the neighbors-of-neighbors frontier.
+      // Both walks' final stages feed `out`, so each walk gets its own
+      // HopStages ladder and the artifact release frees both.
+      val allStages = scala.collection.mutable.ArrayBuffer.empty[HopStages]
       def walk(entries: DataFrame, width: Int, eligOnly: Boolean,
           bridge: Boolean): DataFrame = {
+        val stages = new HopStages
+        allStages += stages
         def keep(c: DataFrame): DataFrame =
           score(if (eligOnly) c.join(broadcast(elig), "node") else c, width)
         def grow(s: DataFrame): DataFrame = {
@@ -1275,12 +1285,12 @@ object Similarity {
             } else b.unionByName(n1)
           keep(exp)
         }
-        // per-hop localCheckpoint: truncates the doubling plan
-        // lineage (see beamSearchReleasable)
-        var s = keep(q.select("qid").crossJoin(broadcast(entries)))
-          .localCheckpoint(true)
+        // per-hop HopStages checkpoint: truncates the doubling plan
+        // lineage, frees superseded hop blocks eagerly (see
+        // beamSearchReleasable)
+        var s = stages.next(keep(q.select("qid").crossJoin(broadcast(entries))))
         for (_ <- 1 to hops) {
-          s = grow(s).localCheckpoint(true)
+          s = stages.next(grow(s))
         }
         s
       }
@@ -1303,7 +1313,7 @@ object Similarity {
       val out = ovf.unionByName(inw)
         .select(col("strategy"), col("qid").as("vec_id"), col("node").as("nbr_id"),
           col("cos"), col("rank").cast("bigint").as("rank"))
-      (out, () => { base.unpersist(); () })
+      (out, () => { base.unpersist(); allStages.foreach(_.release()) })
     }
 
   /** Filtered-recall audit: both strategies' top-3 LEFT-joined
@@ -1333,6 +1343,37 @@ object Similarity {
         col("rank").isNotNull.as("in_top3"),
         col("rank").as("true_rank"))
       .orderBy("strategy", "vec_id", "nbr_id")
+  }
+
+  /** Per-hop checkpoint ladder with DETERMINISTIC block reclamation.
+    * Every beam walk materializes each hop through an eager
+    * `localCheckpoint` (lineage truncation — see the plan-doubling
+    * note in [[beamSearchReleasable]]); the checkpoint blocks,
+    * however, are only reclaimed by the ContextCleaner once the
+    * backing RDD is garbage-collected on the driver — nondeterministic
+    * timing a long-lived streaming query (one walk per micro-batch)
+    * cannot rely on. This ladder restores the old persist/unpersist
+    * path's eager reclamation: `next` checkpoints a stage and
+    * immediately frees the stage it supersedes (fully consumed, the
+    * checkpoint was eager), and `release` frees whatever is still
+    * live (the final stage) once the caller has materialized its
+    * output. One instance per walk; a multi-walk derivation releases
+    * each walk's instance in its artifact release handle. */
+  private final class HopStages {
+    private var live = List.empty[org.apache.spark.rdd.RDD[_]]
+    /** Eagerly checkpoint `df` as the newest stage; free superseded stages. */
+    def next(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      live.foreach(_.unpersist(false))
+      live = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.toList
+      out
+    }
+    /** Free the final stage's blocks — only after every consumer of
+      * the walk's output has materialized (the checkpoint truncated
+      * lineage, so a later re-read cannot recompute). */
+    def release(): Unit = { live.foreach(_.unpersist(false)); live = Nil }
   }
 
   /** The beam walk over explicit state — the seam `graphSearch`
@@ -1407,24 +1448,22 @@ object Similarity {
     // hop's tree twice, so the plan doubles per hop and Catalyst
     // planning/tree-rendering goes exponential once hops scale with
     // the corpus (measured: 17 s/hop at ×10, OOM in plan rendering at
-    // 7+ hops — the navGraphFrom lesson at beam scale). localCheckpoint
-    // materializes the Q×16-row stage AND resets lineage to a flat
-    // LogicalRDD; blocks are tiny and reclaimed by the context cleaner.
+    // 7+ hops — the navGraphFrom lesson at beam scale). The HopStages
+    // ladder materializes each Q×16-row stage to a flat LogicalRDD,
+    // frees superseded hop blocks eagerly, and the release handle
+    // frees the final stage — so the streaming gate's per-batch
+    // release() is deterministic again instead of waiting on the
+    // ContextCleaner noticing a driver GC.
     val hops = navHopsFor(corpus.count())
-    var s = beam(q.select("qid").crossJoin(broadcast(entries)), 16)
-      .localCheckpoint(true)
+    val stages = new HopStages
+    var s = stages.next(beam(q.select("qid").crossJoin(broadcast(entries)), 16))
     for (_ <- 1 to hops) {
-      s = hop(s).localCheckpoint(true)
+      s = stages.next(hop(s))
     }
-    // every stage is a localCheckpoint: data lives in executor
-    // storage until its RDD is unreferenced, then the context cleaner
-    // reclaims it — the release handle survives for API compatibility
-    // with the streaming gate's per-batch call but has nothing left
-    // to free eagerly (Q×16-row blocks)
     (s.where(col("rn") <= 3)
       .select(col("qid"), col("node").as("nbr_id"),
         col("cos"), col("rn").cast("bigint").as("rank")),
-      () => ())
+      () => stages.release())
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

@@ -43,7 +43,13 @@ object Wav {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      // encoding + endianness checked too: a big-endian or unsigned-PCM
+      // file the platform codec happily parses would otherwise be
+      // silently mis-decoded (byte-swapped / offset samples) by the
+      // little-endian signed raw read below
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        !fmt.isBigEndian,
         s"unexpected decoded format $fmt")
       val raw = in.readAllBytes()
       val n = raw.length / 2

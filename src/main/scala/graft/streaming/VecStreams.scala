@@ -40,13 +40,11 @@ object VecStreams {
   def searchBatch(spark: SparkSession, batch: DataFrame, root: String): DataFrame =
     searchBatchReleasable(spark, batch, root)._1
 
-  /** `searchBatch` plus the walk's release handle. Historically the
-    * final beam stage was a persist the gate had to free per batch
-    * (a streaming query has no between-queries runner sweep,
-    * `graft.CachePolicy`); hop stages are now localCheckpoints whose
-    * blocks the context cleaner reclaims once unreferenced, so the
-    * handle is kept for the call shape but releases eagerly only
-    * what remains (currently nothing). */
+  /** `searchBatch` plus the walk's release handle — frees the final
+    * beam stage's checkpoint blocks (superseded hops are freed inside
+    * the walk). A streaming query has no between-queries runner sweep
+    * (`graft.CachePolicy`), so the gate calls it per micro-batch after
+    * the sink write for deterministic per-batch reclamation. */
   private def searchBatchReleasable(spark: SparkSession, batch: DataFrame,
       root: String): (DataFrame, () => Unit) = {
     val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()

@@ -74,6 +74,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container walk throws on a corrupt zero-size frame instead of spinning") {
+    val good = Bmp.encodeGray(Array.fill(64)(7), 8, 8)
+    val corrupt = good.clone()
+    // zero the declared file-size field (header offset 2, u32le) —
+    // without the size guard the offset iterator would loop forever
+    corrupt(2) = 0; corrupt(3) = 0; corrupt(4) = 0; corrupt(5) = 0
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.frameOffsets(good ++ corrupt, 42L)
+    }
+    assert(e.getMessage.contains("corrupt container"))
+    // the healthy container still walks to its declared frame starts
+    assert(Multimodal.frameOffsets(good ++ good, 1L).toSeq === Seq(0, good.length))
+  }
+
+  test("audio decode rejects big-endian PCM instead of byte-swapping silently") {
+    import javax.sound.sampled._
+    // a big-endian PCM_SIGNED container (AIFF) the platform codec
+    // parses happily — the little-endian raw read below it would
+    // silently byte-swap every sample without the endianness check
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true)
+    val raw = Array[Byte](0x12, 0x34, 0x56, 0x78)
+    val stream = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.AIFF, bos)
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Wav.decodePcm16(bos.toByteArray))
+    assert(e.getMessage.contains("unexpected decoded format"))
+  }
+
   test("WAV encode -> platform decode round-trips signed samples") {
     import graft.ops.Wav
     // spans both sign regimes and the extremes

@@ -235,6 +235,23 @@ class PipelineSpec extends SparkSpec {
     assert(Writers.readKeyed(spark, root).collect().map(_.toString).toSet === before)
   }
 
+  test("compactKeyed survives a crashed writer's orphan version dir") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_compactcrash").toString + "/t"
+    Writers.mergeKeyed(spark, Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
+    // orphan v1: landed dir, no _SUCCESS — pointer still v0. Deriving
+    // the next version from the pointer alone would collide on v1's
+    // ErrorIfExists forever; the landedMax rule must skip past it.
+    new java.io.File(s"$root/v1").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/v1/part-junk"), "torn")
+    Writers.compactKeyed(spark, root, targetBytes = 1L << 30)
+    assert(new java.io.File(s"$root/v2/_SUCCESS").exists(),
+      "compaction must land past the orphan, not collide on it")
+    assert(Writers.readKeyed(spark, root).collect().map(_.toString).toSet
+      === Set("[1,a]"))
+  }
+
   test("datamart loads end-to-end over JDBC: facts replaced, summary stamped") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdm;create=true"

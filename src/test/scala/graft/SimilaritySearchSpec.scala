@@ -146,6 +146,26 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("beam walk frees its checkpoint blocks deterministically on release") {
+    val corpus = Similarity.vecsOf(spark, Tables.embeddings(spark, sf))
+      .select("vec_id", "v", "norm").persist()
+    corpus.count()
+    val q = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val edges = Similarity.navGraphShared(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Similarity.beamSearchReleasable(spark, corpus, q, edges)
+    assert(out.count() > 0)
+    // superseded hop stages were freed inside the walk; only the FINAL
+    // beam stage (plus nothing else) may still hold blocks
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "final beam stage should be block-backed until release")
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must free the final stage's blocks eagerly, not wait on driver GC")
+    corpus.unpersist()
+  }
+
   test("graph search output shape: ranks 1..3 per query, cos in [-1,1]") {
     val out = Similarity.graphSearch(spark, sf).persist()
     val perQ = out.groupBy("vec_id").agg(
