@@ -65,6 +65,53 @@ object Curation {
     iterHandle.release()
   }
 
+  def exactPath(root: String): String = s"$root/exact_keepers"
+
+  /** Exact-dedup pre-pass + near-dup state build — the production
+    * composition: exact BEFORE fuzzy. Lands (doc_id, keeper_id) for
+    * EVERY doc (identity rows for keepers) under [[exactPath]], then
+    * runs [[buildState]] on the exact keepers only.
+    *
+    * Measured motivation (`tools.CurateThenIndex`, PERF.md round 11):
+    * a duplicate clique WIDER than the LSH bucket cap
+    * (`Dedup.MaxBucket` = 64) shares all 8 band keys, so cap-evicted
+    * members lose every bucket membership at once and leak through
+    * the near-dup chain as unpaired singletons — at ×100 exact-dup
+    * density the LSH-only chain keeps ~37% of every 100-clique, and a
+    * serving index built on that "deduped" corpus still fragments
+    * into near-dup cliques. The exact pre-pass collapses duplicate
+    * groups of ANY width in one content-hash shuffle (`Dedup.exact`'s
+    * rule: keeper = min doc_id per md5(text)), which also shrinks the
+    * corpus the expensive shingle/band chain must scan. At 100 TB
+    * this order is standard precisely because exact-dup density is
+    * unbounded (mirrors, reposts, boilerplate) while LSH caps must
+    * stay bounded for the candidate join to stay bounded. */
+  def buildStateExactFirst(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val h = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+    val mapping = h.join(
+      h.groupBy("_h").agg(min("doc_id").as("keeper_id")), "_h")
+      .select("doc_id", "keeper_id")
+    Writers.truncateLoad(mapping, exactPath(root))
+    val keepers = spark.read.parquet(exactPath(root))
+      .where(col("doc_id") === col("keeper_id")).select("doc_id")
+    buildState(spark, docs.join(keepers, "doc_id"), root)
+  }
+
+  /** Kept doc ids under an exact-first state ([[buildStateExactFirst]]):
+    * a doc survives iff it IS its exact-group keeper and the near-dup
+    * decision over keepers does not drop it. One anti-join against the
+    * O(docs-in-pairs) decision table — same marginal cost as
+    * [[applyDeduped]]. */
+  def keptExactFirst(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(exactPath(root))
+      .where(col("doc_id") === col("keeper_id")).select("doc_id")
+      .join(spark.read.parquet(clustersPath(root))
+        .where(!col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+  }
+
   /** Release vN → vN+1: shingle/band ONLY the delta, probe it against
     * the state materialized under `priorRoot`, re-solve just the
     * touched components, and land the refreshed state under

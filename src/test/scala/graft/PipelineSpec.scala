@@ -504,6 +504,46 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(graft.pipelines.Curation.bandsPath(rootA)).count())
   }
 
+  test("exact-first curation collapses duplicate cliques wider than the LSH cap") {
+    import spark.implicits._
+    import graft.pipelines.Curation
+    // 70 identical docs share every band bucket; MaxBucket = 64 keeps
+    // the lowest 64, so the 6 cap-evicted docs lose ALL bucket
+    // memberships at once and leak through the LSH-only chain as
+    // unpaired singletons (measured at x100 scale by
+    // tools.CurateThenIndex — this is the unit-sized pin of the same
+    // defect). The exact pre-pass collapses the clique fully.
+    val text = "the same exact boilerplate sentence repeated for every document in this bucket"
+    val near = "a sufficiently long nearly duplicated document body whose text keeps going on and on"
+    val docs = spark.range(0, 70)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+      .unionByName(Seq((1000L, near), (1001L, near + "!"),
+        (2000L, "an entirely unrelated singleton document text"))
+        .toDF("doc_id", "text"))
+    val rootLsh = Files.createTempDirectory("graft_exf_lsh").toString
+    val rootEx = Files.createTempDirectory("graft_exf_ex").toString
+    Curation.buildState(spark, docs, rootLsh)
+    def kept(root: String) = docs.select("doc_id").join(
+      spark.read.parquet(Curation.clustersPath(root))
+        .where(!col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).toSet
+    // the leak: keeper 0 plus every cap-evicted id (64..69) survives
+    assert(kept(rootLsh).count(_ < 70L) === 7)
+    Curation.buildStateExactFirst(spark, docs, rootEx)
+    val exKept = Curation.keptExactFirst(spark, rootEx)
+      .collect().map(_.getLong(0)).toSet
+    assert(exKept.count(_ < 70L) === 1, s"clique must collapse to one keeper: $exKept")
+    assert(exKept.contains(0L) && exKept.contains(2000L))
+    // distinct-content near-dups are NOT exact dups — they must still
+    // collapse through the fuzzy stage that runs on exact keepers
+    assert(!(exKept.contains(1000L) && exKept.contains(1001L)))
+    // the landed mapping covers every doc, identity rows for keepers
+    val mapping = spark.read.parquet(Curation.exactPath(rootEx))
+    assert(mapping.count() === docs.count())
+    assert(mapping.where(col("doc_id") < 70 && col("keeper_id") =!= 0).count() === 0)
+    assert(mapping.where(col("doc_id") === col("keeper_id")).count() === 4)
+  }
+
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
     // 70 identical vN docs share every band bucket; MaxBucket = 64
     // caps membership to the lowest 64 ids (100..163 — ids 164..169
