@@ -3341,8 +3341,10 @@ object OracleSql {
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
   /** Mirrors `Similarity.graphSearch` end to end: the navigable-graph
-    * build (`navGraphFrom`: 8-band sign-LSH seed with the 64-member
-    * bucket cap → two NN-descent rounds → symmetrize, degree 16) and
+    * build (`navGraphFrom`: 8-band sign-LSH seed — all pairs in
+    * buckets ≤ 64 members, member×anchor pairs in wider ones, the
+    * same LCG anchor draw as `Similarity.navSeedPairs` → two
+    * NN-descent rounds → symmetrize, degree 16) and
     * the 3-hop beam-16 walk from the 16 lowest vec_ids — identical
     * 6-dp cosines and (cos DESC, id) tie order throughout, so both
     * engines produce the same graph and the same walk. Norms are
@@ -3392,7 +3394,19 @@ object OracleSql {
          |  UNION
          |  SELECT nbr_id AS node, node AS nbr_id FROM $e
          |)""".stripMargin
-    def refineCand(u: String, out: String): String =
+    // expansion adjacency: per-node 64 lowest-id neighbors (the hub
+    // guard `Similarity.navExpandAdj`; never binds at oracle scales)
+    def capAdj(u: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, nbr_id FROM (
+         |    SELECT node, nbr_id,
+         |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr_id) AS crn
+         |    FROM $u)
+         |  WHERE crn <= 64
+         |)""".stripMargin
+    // candidates = capped neighborhood + its 2-hop + the previous
+    // round's directed edges (mirrors Similarity.navGraphRounds)
+    def refineCand(u: String, prevE: String, out: String): String =
       s"""$out AS (
          |  SELECT node, nbr_id FROM $u
          |  UNION
@@ -3400,6 +3414,8 @@ object OracleSql {
          |  FROM (SELECT nbr_id AS node, node AS src FROM $u) m
          |  JOIN $u USING (node)
          |  WHERE m.src <> $u.nbr_id
+         |  UNION
+         |  SELECT node, nbr_id FROM $prevE
          |)""".stripMargin
     s"""vn AS MATERIALIZED (
        |  SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings
@@ -3407,19 +3423,33 @@ object OracleSql {
        |bands AS (
        |  $bandRows
        |),
-       |kept AS (SELECT $bucketKey FROM bands GROUP BY $bucketKey HAVING COUNT(*) <= 64),
-       |incap AS MATERIALIZED (SELECT bands.* FROM bands JOIN kept USING ($bucketKey)),
+       |bstat AS (SELECT $bucketKey, COUNT(*) AS bn, MIN(vec_id) AS a0
+       |          FROM bands GROUP BY $bucketKey),
+       |incap AS MATERIALIZED (
+       |  SELECT bands.* FROM bands JOIN bstat USING ($bucketKey) WHERE bn <= 64),
+       |anch AS (
+       |  SELECT bands.* FROM bands JOIN bstat USING ($bucketKey)
+       |  WHERE bn > 64 AND (vec_id = a0 OR
+       |    CAST((vec_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+       |      < 2147483648.0 * 16 / bn)),
        |seedc AS (
        |  SELECT x.vec_id AS node, y.vec_id AS nbr_id
        |  FROM incap x JOIN incap y USING ($bucketKey)
        |  WHERE x.vec_id <> y.vec_id
+       |  UNION ALL
+       |  SELECT m.vec_id AS node, a.vec_id AS nbr_id
+       |  FROM (SELECT bands.* FROM bands JOIN bstat USING ($bucketKey) WHERE bn > 64) m
+       |  JOIN anch a USING ($bucketKey)
+       |  WHERE m.vec_id <> a.vec_id
        |),
        |${topK("seedc", "e0")},
        |${und("e0", "u0")},
-       |${refineCand("u0", "c1")},
+       |${capAdj("u0", "uc0")},
+       |${refineCand("uc0", "e0", "c1")},
        |${topK("c1", "e1")},
        |${und("e1", "u1")},
-       |${refineCand("u1", "c2")},
+       |${capAdj("u1", "uc1")},
+       |${refineCand("uc1", "e1", "c2")},
        |${topK("c2", "e2")},
        |${und("e2", "g")}""".stripMargin
   }

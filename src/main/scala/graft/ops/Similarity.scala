@@ -588,10 +588,19 @@ object Similarity {
     * GLOBAL and geometric:
     *
     *   1. SEED — banded sign-LSH over all 64 dims (8 bands × 8
-    *      hyperplane signs); candidates are band mates, buckets
-    *      capped at [[NavBucketCap]] members (skew guard: an
-    *      oversized bucket is dropped, NN-descent recovers its edges);
-    *      keep the top-16 per node by 6-dp cosine.
+    *      hyperplane signs); candidates are band mates. Buckets up to
+    *      [[NavBucketCap]] members pair all-vs-all; wider buckets
+    *      switch to ANCHOR pairing (every member vs ~[[NavAnchorRate]]
+    *      deterministically drawn anchors, [[navSeedPairs]]) — the
+    *      skew guard that keeps the seed linear WITHOUT orphaning
+    *      dense regions. (The previous drop-the-bucket rule left
+    *      every member of an all-bands-oversized region with ZERO
+    *      seed candidates, and NN-descent can never recover a node
+    *      whose neighborhood is empty — its candidates are drawn
+    *      from that neighborhood. Measured on the planted-mixture
+    *      corpus at 50k: 15,696/50,000 seed-isolated nodes, walk
+    *      recall 22/30 with drop vs 0 isolated, 30/30 with anchors.)
+    *      Keep the top-16 per node by 6-dp cosine.
     *   2. REFINE ×2 — NN-descent (Dong et al., WWW'11): each round,
     *      a node's candidates are its undirected neighborhood plus
     *      that neighborhood's undirected neighborhood (≤ 2·deg +
@@ -615,8 +624,13 @@ object Similarity {
       (e, () => { release(); v.unpersist(); () })
     }
 
-  /** Seed-bucket cap, shared with the oracle. */
+  /** Seed-bucket all-pairs cap, shared with the oracle: buckets this
+    * wide or narrower pair every member with every member; wider ones
+    * switch to anchor pairing ([[navSeedPairs]]). */
   private[graft] val NavBucketCap = 64
+
+  /** Expected anchors per over-cap bucket ([[navSeedPairs]]). */
+  private[graft] val NavAnchorRate = 16
 
   /** Seed-band signature width for an n-vector corpus: 8 bits at the
     * driver scales, widening (to at most 16) until the EXPECTED
@@ -653,6 +667,55 @@ object Similarity {
     hops
   }
 
+  /** Entry-point sign-bit width for an n-vector walk — the
+    * REACHABILITY twin of [[navHopsFor]]'s hop ladder. 0 means the
+    * oracle-pinned driver rule (16 lowest ids; every walk oracle
+    * unrolls exactly that). Past the driver scales, spread entries
+    * are REQUIRED, not an optimization: on the planted-mixture corpus
+    * (clustered, low intrinsic dimension — the regime real embedding
+    * corpora sit in) recall collapsed 18/30 → 3/30 at ×100 with hops
+    * to spare, because cross-cluster edges thin out as intra-cluster
+    * density grows and the 16-lowest entries touch only a few cluster
+    * components — a walk cannot navigate to a component no entry
+    * reaches (PERF.md round 11). The rule — one more sign bit per
+    * corpus doubling past an expected ~256-vector bucket, floor 6,
+    * cap 16 — was chosen by SIMULATION on the exact kNN graph before
+    * landing: at 50k mixture vectors, 64 entries covered 76% of the
+    * cluster mass (21/30), 251 entries covered 99.1% (30/30); recall
+    * tracks cluster-mass coverage and nothing else (hops ×3 and
+    * α-diversified edges both measured as no-ops on the residual). */
+  private[graft] def navEntryBitsFor(n: Long): Int =
+    if (n <= 2048) 0
+    else {
+      var bits = 6
+      while (bits < 16 && (n >> bits) > 256) bits += 1
+      bits
+    }
+
+  /** The walk's entry nodes over `corpus` (vec_id, v, norm), optionally
+    * restricted to an eligible (node) set: at driver scales the 16
+    * lowest ids; beyond, the lowest id of every non-empty
+    * [[navEntryBitsFor]]-bit hyperplane-sign bucket (the IVF `cellOf`
+    * idiom, dims 1..bits) — ≤ 2^bits deterministic entries that touch
+    * every coarse region of the space, reproducible by any engine. */
+  private[graft] def navEntries(corpus: DataFrame, elig: Option[DataFrame],
+      n: Long): DataFrame = {
+    val cand = elig match {
+      case Some(e) => corpus.join(e.withColumnRenamed("node", "vec_id"), "vec_id")
+      case None => corpus
+    }
+    val bits = navEntryBitsFor(n)
+    if (bits == 0)
+      cand.select(col("vec_id").as("node")).orderBy("node").limit(16)
+    else {
+      val sig = concat((0 until bits).map(i =>
+        when(element_at(col("v"), i + 1) >= 0, "1").otherwise("0")): _*)
+      cand.select(col("vec_id"), sig.as("_sb"))
+        .groupBy("_sb").agg(min("vec_id").as("node"))
+        .select("node")
+    }
+  }
+
   /** Per-node band rows (vec_id, b, key) for the navigable-graph
     * seed: 8 bands × `bits` hyperplane signs over the 64 dims (band b
     * reads dims (8b+i) mod 64 — at 8 bits exactly the historical
@@ -669,18 +732,75 @@ object Similarity {
   private[graft] def navBands(v: DataFrame): DataFrame =
     navBands(v, navBitsFor(v.count()))
 
-  /** Seed candidates from cap-filtered band buckets: (node, nbr_id)
-    * pairs sharing a kept bucket. */
-  private[graft] def navSeedCand(v: DataFrame): DataFrame = {
-    val bands = navBands(v)
-    val kept = bands.groupBy("b", "key").count()
-      .where(col("count") <= NavBucketCap).select("b", "key")
-    val inCap = bands.join(kept, Seq("b", "key"))
-    inCap.select(col("vec_id").as("node"), col("b"), col("key"))
-      .join(inCap.select(col("vec_id").as("nbr_id"), col("b"), col("key")), Seq("b", "key"))
+  /** Deterministic per-member anchor draw: a Knuth-LCG mix of vec_id
+    * reduced mod 2³¹ — pure int64 arithmetic any engine evaluates
+    * identically (the oracle repeats it verbatim; requires
+    * vec_id ≥ 0, which every corpus here satisfies). */
+  private def navAnchorDraw(c: Column): Column =
+    pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  /** Seed candidate pairs from band buckets, keyed by `keyCols`
+    * ((b, key), or (shard, b, key) for the sharded build):
+    *
+    *   - bucket ≤ [[NavBucketCap]] members → all pairs (the
+    *     historical rule; the only one the driver scales exercise, so
+    *     the oracle parity there is bit-identical);
+    *   - wider bucket → each member pairs with the bucket's ANCHORS:
+    *     its min vec_id (so every bucket has ≥ 1 anchor) plus members
+    *     whose [[navAnchorDraw]] falls under rate
+    *     [[NavAnchorRate]]/width (~16 expected, chosen without any
+    *     per-bucket sort or window — a mega-bucket costs width × ~16
+    *     map-side rows, never width² and never a single-task sort).
+    *
+    * `restrict` (column `node`) limits the NODE side — the
+    * incremental maintainer re-ranks only delta-touched buckets'
+    * members; a node's pair set is a pure function of its buckets'
+    * membership, so restriction commutes with generation.
+    *
+    * Why anchors instead of dropping wide buckets (the pre-round-11
+    * rule): on a clustered corpus the bucket-width distribution is
+    * heavy-tailed — the densest regions blow past any cap on EVERY
+    * band at once, members end up with zero seed candidates, and
+    * NN-descent can never re-attach a node whose neighborhood is
+    * empty (its candidates come from that neighborhood). Measured in
+    * the ×100 harness (planted mixture, `tools.RetrievalScale`):
+    * drop → 31% seed-isolated nodes, 9.4 edges/node, walk recall
+    * 11/30 at 200k; anchors → 0 isolated, 30/30 in the 50k
+    * simulation that chose this rule. */
+  private[graft] def navSeedPairs(bands: DataFrame, keyCols: Seq[String],
+      restrict: Option[DataFrame] = None): DataFrame = {
+    val keys = keyCols.map(col)
+    val stats = bands.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_bn"), min("vec_id").as("_a0"))
+    val tagged = bands.join(stats, keyCols)
+    val nodeSide0 = tagged.select(
+      (col("vec_id").as("node") +: (keys :+ col("_bn"))): _*)
+    val nodeSide = restrict match {
+      case Some(r) => nodeSide0.join(r, Seq("node"), "left_semi")
+      case None    => nodeSide0
+    }
+    val inCapNbr = tagged.where(col("_bn") <= NavBucketCap)
+      .select((col("vec_id").as("nbr_id") +: keys): _*)
+    val allPairs = nodeSide.where(col("_bn") <= NavBucketCap)
+      .join(inCapNbr, keyCols)
+    // double threshold: IEEE division is identical across engines
+    val anchors = tagged.where(col("_bn") > NavBucketCap)
+      .where(col("vec_id") === col("_a0") ||
+        navAnchorDraw(col("vec_id")).cast("double") <
+          lit(2147483648.0 * NavAnchorRate) / col("_bn"))
+      .select((col("vec_id").as("nbr_id") +: keys): _*)
+    val anchorPairs = nodeSide.where(col("_bn") > NavBucketCap)
+      .join(anchors, keyCols)
+    allPairs.unionByName(anchorPairs)
       .where(col("node") =!= col("nbr_id"))
       .select("node", "nbr_id")
   }
+
+  /** Seed candidates from band buckets: all pairs within cap-sized
+    * buckets, member×anchor pairs within wider ones
+    * ([[navSeedPairs]]). */
+  private[graft] def navSeedCand(v: DataFrame): DataFrame =
+    navSeedPairs(navBands(v), Seq("b", "key"))
 
   /** Rank a candidate (node, nbr_id) set to the directed
     * top-[[NavDegree]] per node by 6-dp cosine (nbr-id tiebreak) —
@@ -766,8 +886,32 @@ object Similarity {
     e.unionByName(e.select(col("nbr_id").as("node"), col("node").as("nbr_id")))
       .distinct()
 
+  /** Per-node degree cap on the adjacency NN-descent EXPANDS through
+    * (never on the published graph): keep each node's
+    * [[NavExpandCap]] lowest-id neighbors. Anchor-paired seeds give
+    * over-cap-bucket anchors reverse in-degree up to the bucket
+    * width, and the 2-hop expansion is quadratic in the middle node's
+    * degree — a 20k-degree hub contributes 4·10⁸ candidate rows and
+    * every member inherits the hub's whole neighborhood (measured:
+    * the ×100 mixture build filled the disk with spill where the
+    * capped form runs in memory; the NN-Descent paper's sampling
+    * parameter ρ exists for the same reason). 64 never binds at the
+    * driver scales (max measured undirected degree ≈ 35), so oracle
+    * runs are unchanged — and the oracle mirrors the cap anyway. */
+  private[graft] val NavExpandCap = 64
+
+  private[graft] def navExpandAdj(a: DataFrame): DataFrame = {
+    val w = Window.partitionBy("node").orderBy(col("nbr_id"))
+    a.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= NavExpandCap).drop("_rn")
+  }
+
   /** One NN-descent candidate expansion over an undirected adjacency:
-    * each node's neighborhood plus that neighborhood's neighborhood. */
+    * each node's neighborhood plus that neighborhood's neighborhood.
+    * Callers pass a [[navExpandAdj]]-capped adjacency and union the
+    * previous round's directed edges back in (the cap keeps LOWEST
+    * ids, so a high-id genuine neighbor could otherwise leave a
+    * node's candidate set and the round would regress). */
   private[graft] def navRefineCand(a: DataFrame): DataFrame = {
     // 2-hop via an alias-safe self-join on the shared middle node
     val mid = a.select(col("nbr_id").as("node"), col("node").as("src"))
@@ -811,8 +955,8 @@ object Similarity {
 
     var edges = mat(topK(seedCand), "e0")
     for (r <- 1 to 2) {
-      val a = mat(und(edges), s"u$r")
-      edges = mat(topK(navRefineCand(a)), s"e$r")
+      val a = mat(navExpandAdj(und(edges)), s"u$r")
+      edges = mat(topK(navRefineCand(a).unionByName(edges)), s"e$r")
       cleanup.rm(s"$iterDir/e${r - 1}")
       cleanup.rm(s"$iterDir/u$r")
     }
@@ -821,10 +965,12 @@ object Similarity {
 
   /** Graph-based ANN search — the HNSW-family retrieval pattern as
     * batched dataflow — over the navigable-graph artifact
-    * ([[navGraphShared]]). Entry points are the 16 lowest vec_ids (a
-    * fixed, geometry-free entry set: on this corpus labels carry no
-    * geometry, so "one hub per label" buys nothing — see the artifact
-    * doc). Then [[navHopsFor]] synchronous beam hops (3 at the driver
+    * ([[navGraphShared]]). Entry points come from [[navEntries]]: the
+    * 16 lowest vec_ids at driver scales (oracle-pinned; on this
+    * corpus labels carry no geometry, so "one hub per label" buys
+    * nothing — see the artifact doc), one entry per non-empty
+    * sign-bucket beyond ([[navEntryBitsFor]] — reachability at scale).
+    * Then [[navHopsFor]] synchronous beam hops (3 at the driver
     * scales, +1 per corpus doubling beyond 2048): each hop grows the beam with
     * the undirected graph neighbors of the current beam, scores
     * candidates by cosine to the query, and keeps the best 16 per
@@ -872,17 +1018,10 @@ object Similarity {
     * dataflow (refinement stays shard-local for free: disjoint node
     * sets keep adjacency, 2-hop expansion, and per-node ranking inside
     * each shard without carrying a shard column anywhere). */
-  private[graft] def navSeedCandSharded(v: DataFrame): DataFrame = {
-    val bands = navBands(v).withColumn("shard", pmod(col("vec_id"), lit(NavShards)))
-    val kept = bands.groupBy("shard", "b", "key").count()
-      .where(col("count") <= NavBucketCap).select("shard", "b", "key")
-    val inCap = bands.join(kept, Seq("shard", "b", "key"))
-    inCap.select(col("vec_id").as("node"), col("shard"), col("b"), col("key"))
-      .join(inCap.select(col("vec_id").as("nbr_id"), col("shard"), col("b"), col("key")),
-        Seq("shard", "b", "key"))
-      .where(col("node") =!= col("nbr_id"))
-      .select("node", "nbr_id")
-  }
+  private[graft] def navSeedCandSharded(v: DataFrame): DataFrame =
+    navSeedPairs(
+      navBands(v).withColumn("shard", pmod(col("vec_id"), lit(NavShards))),
+      Seq("shard", "b", "key"))
 
   /** The SHARDED navigable-graph artifact: [[NavShards]] disjoint
     * per-shard graphs (shard = vec_id mod shards) landed as one edge
@@ -1000,7 +1139,7 @@ object Similarity {
       .orderBy("vec_id", "rank")
 
   private[graft] def pqSearchDerive(spark: SparkSession, dir: String): (DataFrame, () => Unit) =
-    pqWalkDerive(spark, dir, elig = None)
+    pqWalkDerive(spark, dir, elig0 = None)
 
   /** The Filtered-DiskANN composition (Gollapudi et al., WWW 2023):
     * the SAME ADC-scored walk, but beam membership is restricted to
@@ -1013,20 +1152,22 @@ object Similarity {
     * Output: vec_id, nbr_id, cos, rank. */
   def filteredPqSearch(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.tableReleasable(spark, "sim_filtered_pq_answers", dir)(
-      pqWalkDerive(spark, dir, elig = Some(eligibleIds(spark, dir))))
+      pqWalkDerive(spark, dir, elig0 = Some(eligibleIds(spark, dir))))
       .orderBy("vec_id", "rank")
 
   private def pqWalkDerive(spark: SparkSession, dir: String,
-      elig: Option[DataFrame]): (DataFrame, () => Unit) = {
+      elig0: Option[DataFrame]): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
-    val hops = navHopsFor(base.count()) // count also materializes the cache
+    val nBase = base.count() // count also materializes the cache
+    val hops = navHopsFor(nBase)
+    // persist + materialize: broadcast into every hop stage (see
+    // filteredAnswersShared)
+    val elig = elig0.map(_.persist())
+    elig.foreach(_.count())
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val entries = elig match {
-      case Some(e) => e.orderBy("node").limit(16)
-      case None => base.select(col("vec_id").as("node")).orderBy("node").limit(16)
-    }
+    val entries = navEntries(base, elig, nBase)
     val edges = navGraphShared(spark, dir)
     val codes = pqSearchCodesArt(spark, dir)
       .select(col("vec_id").as("node"), col("sub"), col("cid"))
@@ -1049,8 +1190,12 @@ object Similarity {
     // (expansion is never restricted)
     def beamAdc(c0: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("adist"), col("node"))
+      // eligibility BEFORE the distinct: the broadcast semi-join is a
+      // map-side operator, so filtering first shrinks the distinct
+      // exchange to the eligible ~13% instead of the full ACORN
+      // 2-hop fan-out (same candidate SET either way)
       val c = elig match {
-        case Some(e) => c0.distinct().join(broadcast(e), "node")
+        case Some(e) => c0.join(broadcast(e), "node").distinct()
         case None => c0.distinct()
       }
       c.where(col("node") =!= col("qid"))
@@ -1067,8 +1212,12 @@ object Similarity {
       val n1 = s.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
       val exp = elig match {
         case Some(_) =>
-          val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
-          s.unionByName(n1).unionByName(n2)
+          // dedup the 1-hop frontier before the second edge join: the
+          // beam's neighbor lists overlap heavily, and the deg² fan-out
+          // multiplies every duplicate (candidate SET unchanged)
+          val n1d = n1.distinct()
+          val n2 = n1d.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+          s.unionByName(n1d).unionByName(n2)
         case None => s.unionByName(n1)
       }
       beamAdc(exp, W)
@@ -1092,7 +1241,7 @@ object Similarity {
       .where(col("rank") <= 3)
       .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
         col("cos"), col("rank").cast("bigint").as("rank"))
-    (out, () => { base.unpersist(); stages.release() })
+    (out, () => { base.unpersist(); elig.foreach(_.unpersist()); stages.release() })
   }
 
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
@@ -1242,11 +1391,16 @@ object Similarity {
   private[graft] def filteredAnswersShared(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.tableReleasable(spark, "sim_filtered_answers", dir) {
       val base = vecs(spark, dir).persist()
-      val hops = navHopsFor(base.count()) // count also materializes the cache
+      val nBase = base.count() // count also materializes the cache
+      val hops = navHopsFor(nBase)
       val q = base.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
       val edges = navGraphShared(spark, dir)
-      val elig = eligibleIds(spark, dir)
+      // persist + materialize: the eligible set is broadcast into
+      // every hop stage of both walks plus the entry derivation —
+      // without this each broadcast re-plans the documents scan
+      val elig = eligibleIds(spark, dir).persist()
+      elig.count()
       def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
 
       // rank a candidate (qid, node) set by cosine, keep best `width`
@@ -1280,8 +1434,11 @@ object Similarity {
           val n1 = b.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
           val exp =
             if (bridge) {
-              val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
-              b.unionByName(n1).unionByName(n2)
+              // dedup the 1-hop frontier before the deg² expansion
+              // join (candidate SET unchanged)
+              val n1d = n1.distinct()
+              val n2 = n1d.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+              b.unionByName(n1d).unionByName(n2)
             } else b.unionByName(n1)
           keep(exp)
         }
@@ -1296,7 +1453,7 @@ object Similarity {
       }
 
       val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
-      val entO = base.select(col("vec_id").as("node")).orderBy("node").limit(16)
+      val entO = navEntries(base, None, nBase)
       val ovf = walk(entO, FilteredOverfetch, eligOnly = false, bridge = false)
         .join(broadcast(elig), "node")
         .withColumn("rank", row_number().over(wg))
@@ -1304,7 +1461,7 @@ object Similarity {
         .select(lit("overfetch").as("strategy"), col("qid"), col("node"),
           col("cos"), col("rank"))
 
-      val entI = elig.orderBy("node").limit(16)
+      val entI = navEntries(base, Some(elig), nBase)
       val inw = walk(entI, 16, eligOnly = true, bridge = true)
         .where(col("rn") <= 3)
         .select(lit("inwalk").as("strategy"), col("qid"), col("node"),
@@ -1313,7 +1470,7 @@ object Similarity {
       val out = ovf.unionByName(inw)
         .select(col("strategy"), col("qid").as("vec_id"), col("node").as("nbr_id"),
           col("cos"), col("rank").cast("bigint").as("rank"))
-      (out, () => { base.unpersist(); allStages.foreach(_.release()) })
+      (out, () => { base.unpersist(); elig.unpersist(); allStages.foreach(_.release()) })
     }
 
   /** Filtered-recall audit: both strategies' top-3 LEFT-joined
@@ -1405,19 +1562,23 @@ object Similarity {
     * batch callers ignore it and lean on the runner contract. */
   private[graft] def beamSearchReleasable(spark: SparkSession, corpus: DataFrame,
       q: DataFrame, edges: DataFrame,
-      elig: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      elig0: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val entries = elig match {
-      case Some(e) => e.orderBy("node").limit(16)
-      case None => corpus.select(col("vec_id").as("node")).orderBy("node").limit(16)
-    }
+    val nCorpus = corpus.count()
+    // persist + materialize: the eligible set is broadcast into every
+    // hop stage — without this each broadcast re-plans its source
+    val elig = elig0.map(_.persist())
+    elig.foreach(_.count())
+    val entries = navEntries(corpus, elig, nCorpus)
 
     // score a candidate (qid, node) set and keep the best b per query;
     // under a filter, beam MEMBERSHIP joins the eligible set
     def beam(c0: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+      // eligibility before the distinct — map-side broadcast filter
+      // shrinks the distinct exchange (same candidate SET)
       val c = elig match {
-        case Some(e) => c0.distinct().join(broadcast(e), "node")
+        case Some(e) => c0.join(broadcast(e), "node").distinct()
         case None => c0.distinct()
       }
       c.join(corpus.select(col("vec_id").as("node"),
@@ -1435,8 +1596,11 @@ object Similarity {
       val n1 = b0.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
       val exp = elig match {
         case Some(_) =>
-          val n2 = n1.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
-          b0.unionByName(n1).unionByName(n2)
+          // dedup the 1-hop frontier before the deg² expansion join
+          // (candidate SET unchanged)
+          val n1d = n1.distinct()
+          val n2 = n1d.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
+          b0.unionByName(n1d).unionByName(n2)
         case None => b0.unionByName(n1)
       }
       beam(exp, 16)
@@ -1454,7 +1618,7 @@ object Similarity {
     // frees the final stage — so the streaming gate's per-batch
     // release() is deterministic again instead of waiting on the
     // ContextCleaner noticing a driver GC.
-    val hops = navHopsFor(corpus.count())
+    val hops = navHopsFor(nCorpus)
     val stages = new HopStages
     var s = stages.next(beam(q.select("qid").crossJoin(broadcast(entries)), 16))
     for (_ <- 1 to hops) {
@@ -1463,7 +1627,7 @@ object Similarity {
     (s.where(col("rn") <= 3)
       .select(col("qid"), col("node").as("nbr_id"),
         col("cos"), col("rn").cast("bigint").as("rank")),
-      () => stages.release())
+      () => { elig.foreach(_.unpersist()); stages.release() })
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

@@ -67,9 +67,11 @@ object NavIndex {
     Writers.truncateLoad(
       Similarity.navTopK(spark, v, Similarity.navSeedCand(v)), roundPath(root, 0))
     for (r <- 1 to Rounds) {
-      val u = Similarity.navUnd(spark.read.parquet(roundPath(root, r - 1)))
+      val prev = spark.read.parquet(roundPath(root, r - 1))
+      val u = Similarity.navExpandAdj(Similarity.navUnd(prev))
       Writers.truncateLoad(
-        Similarity.navTopK(spark, v, Similarity.navRefineCand(u)), roundPath(root, r))
+        Similarity.navTopK(spark, v,
+          Similarity.navRefineCand(u).unionByName(prev)), roundPath(root, r))
     }
     Writers.truncateLoad(
       Similarity.navUnd(spark.read.parquet(roundPath(root, Rounds))), graphPath(root))
@@ -115,17 +117,13 @@ object NavIndex {
     val affected0 = mat(
       bands.join(touchedBuckets, Seq("b", "key"))
         .select(col("vec_id").as("node")).distinct(), "aff0")
-    // exact same kept-bucket verdicts as a full build: counts over the
-    // full next-release band table
-    val kept = bands.groupBy("b", "key").count()
-      .where(col("count") <= Similarity.NavBucketCap).select("b", "key")
-    val inCap = bands.join(kept, Seq("b", "key"))
-    val seedCandAff = inCap
-      .join(affected0.select(col("node").as("vec_id")), "vec_id")
-      .select(col("vec_id").as("node"), col("b"), col("key"))
-      .join(inCap.select(col("vec_id").as("nbr_id"), col("b"), col("key")), Seq("b", "key"))
-      .where(col("node") =!= col("nbr_id"))
-      .select("node", "nbr_id")
+    // exact same per-bucket pairing verdicts as a full build (widths,
+    // anchor draws — all functions of the FULL next-release band
+    // table), restricted to the affected node side: a node's pair set
+    // is a pure function of its buckets' membership, so restriction
+    // commutes with generation
+    val seedCandAff =
+      Similarity.navSeedPairs(bands, Seq("b", "key"), Some(affected0))
     var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
       affected0, Similarity.navTopK(spark, v, seedCandAff)), "chg0")
 
@@ -136,16 +134,24 @@ object NavIndex {
       val uNext  = mat(Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, r - 1))), s"unext$r")
       val m = changed.select(col("node"))
         .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
+      // frontier over the UNCAPPED adjacency: a superset of capped
+      // reachability, so the affected set over-approximates (sound —
+      // extra nodes re-rank to identical lists and splice clean)
       val affected = mat(m.unionByName(
           uPrior.unionByName(uNext).join(m, "node")
             .select(col("nbr_id").as("node")))
         .distinct(), s"aff$r")
-      val aAff = uNext.join(affected, "node")
+      // candidates over the CAPPED adjacency + the prior round's
+      // directed edges — byte-identical to buildState's rule
+      val uCap = mat(Similarity.navExpandAdj(uNext), s"ucap$r")
+      val aAff = uCap.join(affected, "node")
       val mid = aAff.select(col("nbr_id").as("node"), col("node").as("src"))
-      val hop2 = mid.join(uNext, "node")
+      val hop2 = mid.join(uCap, "node")
         .select(col("src").as("node"), col("nbr_id"))
         .where(col("node") =!= col("nbr_id"))
-      val candAff = aAff.unionByName(hop2)
+      val prevE = spark.read.parquet(roundPath(nextRoot, r - 1))
+        .join(affected, Seq("node"), "left_semi")
+      val candAff = aAff.unionByName(hop2).unionByName(prevE)
       changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
         affected, Similarity.navTopK(spark, v, candAff)), s"chg$r")
     }

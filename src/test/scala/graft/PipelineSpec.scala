@@ -735,10 +735,10 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(NavIndex.graphPath(rootA)).count())
   }
 
-  test("incremental nav graph: a bucket-cap flip drops the bucket exactly") {
+  test("incremental nav graph: a bucket-cap flip re-pairs the bucket exactly") {
     // 60 vN clones share every band bucket (identical sign pattern);
     // 10 delta clones push those buckets 60 -> 70, past the 64 cap, so
-    // a full rebuild DROPS them from candidate generation entirely —
+    // a full rebuild switches them from all-pairs to ANCHOR pairing —
     // the discontinuous case where carrying prior seed edges forward
     // would silently diverge. 30 varied-sign background vectors are
     // the control: their buckets see no delta and must splice verbatim.
@@ -763,10 +763,17 @@ class PipelineSpec extends SparkSpec {
     val full = spark.read.parquet(NavIndex.graphPath(rootFull))
     assert(incr.exceptAll(full).count() === 0)
     assert(full.exceptAll(incr).count() === 0)
-    // the flip actually happened: clones had edges in vN, none after
+    // the flip actually happened: under the cap every clone saw every
+    // clone as a seed candidate (distinct round-0 targets ≈ all 69
+    // others); over it, out-edges can point only at the bucket's
+    // ~17 anchors — far fewer distinct targets than members
     assert(spark.read.parquet(NavIndex.graphPath(rootA))
       .where(col("node") < 100).count() > 0)
-    assert(incr.where(col("node") < 100).count() === 0)
+    val e0 = spark.read.parquet(NavIndex.roundPath(rootB, 0))
+      .where(col("node") < 100)
+    assert(e0.count() > 0)
+    val targets = e0.select("nbr_id").distinct().count()
+    assert(targets < 40, s"expected anchor-limited targets, got $targets")
     // and the background subgraph survived untouched
     assert(incr.where(col("node") >= 100).count() ===
       spark.read.parquet(NavIndex.graphPath(rootA)).where(col("node") >= 100).count())
