@@ -50,12 +50,46 @@ object ArtifactCache {
   // pipeline's cost, not the query's), but the amortized cost must
   // stay VISIBLE — graft.Bench prints one summary line from this
   // ledger so every BENCH capture carries what the min excluded.
+  //
+  // Each entry is the build's SELF time: elapsed minus the elapsed of
+  // any builds nested inside it. Artifact builders call back into the
+  // cache for their dependencies (cluster decision → capped bands →
+  // signatures; PQ codes → codebook), so recording full elapsed for
+  // both parent and child would count the child's seconds twice and
+  // overstate the ledger total — self-times sum to the true
+  // wall-clock spent building, and each kind carries exactly the cost
+  // a pre-built child would have removed.
   private val builds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
   /** Record a non-ArtifactCache index build (kNN memo, bucketed
     * layouts) in the same ledger. */
   def recordBuild(kind: String, sec: Double): Unit =
     builds.synchronized { builds += ((kind, sec)); () }
+
+  // Per-thread stack of child-elapsed accumulators backing the
+  // self-time rule. Builds are thread-local by construction: the memo
+  // lock serializes cross-thread builders, and a nested build runs on
+  // its parent's thread.
+  private val nested = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+  }
+
+  /** Run `f` as the named index build: record its SELF time (elapsed
+    * minus nested timed builds) in the ledger, and charge its full
+    * elapsed to the enclosing build, if any. */
+  def timedBuild[A](kind: String)(f: => A): A = {
+    val stack = nested.get()
+    stack.push(Array(0.0))
+    val t0 = System.nanoTime()
+    try {
+      val a = f
+      recordBuild(kind, (System.nanoTime() - t0) / 1e9 - stack.peek()(0))
+      a
+    } finally {
+      stack.pop()
+      if (!stack.isEmpty()) stack.peek()(0) += (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** Snapshot of all builds so far (kind → summed seconds). */
   def buildLog: Seq[(String, Double)] = builds.synchronized {
@@ -89,12 +123,10 @@ object ArtifactCache {
   def tableReleasable(spark: SparkSession, kind: String, dir: String)
       (build: => (DataFrame, () => Unit)): DataFrame = {
     val reuse = spark.conf.getOption("graft.artifactReuse").forall(_.toBoolean)
-    def run(): String = {
-      val t0 = System.nanoTime()
+    def run(): String = timedBuild(kind) {
       val (df, release) = build
       val p = this.build(spark, kind, df)
       release()
-      recordBuild(kind, (System.nanoTime() - t0) / 1e9)
       p
     }
     val path =

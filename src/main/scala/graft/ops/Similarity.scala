@@ -1658,16 +1658,15 @@ object Similarity {
     s"${st.getLen}:${st.getModificationTime}"
   }
 
-  private def buildKnnIndex(spark: SparkSession, dir: String): String = {
-    val t0 = System.nanoTime()
-    val (g, releaseCells) = knnGraphReleasable(spark, dir)
-    val p = s"${IterState.rootFor(spark)}/knn_index_${java.util.UUID.randomUUID().toString.take(8)}"
-    IterState.register(spark, p)
-    g.write.mode("overwrite").parquet(p)
-    releaseCells()
-    graft.ArtifactCache.recordBuild("knn_index", (System.nanoTime() - t0) / 1e9)
-    p
-  }
+  private def buildKnnIndex(spark: SparkSession, dir: String): String =
+    graft.ArtifactCache.timedBuild("knn_index") {
+      val (g, releaseCells) = knnGraphReleasable(spark, dir)
+      val p = s"${IterState.rootFor(spark)}/knn_index_${java.util.UUID.randomUUID().toString.take(8)}"
+      IterState.register(spark, p)
+      g.write.mode("overwrite").parquet(p)
+      releaseCells()
+      p
+    }
 
   private[graft] def knnGraphShared(spark: SparkSession, dir: String): DataFrame = {
     val reuse = spark.conf.getOption("graft.sim.knnIndexReuse").forall(_.toBoolean)

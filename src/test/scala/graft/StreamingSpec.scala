@@ -353,4 +353,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("searchGate replays a micro-batch idempotently after a lost commit") {
+    import graft.streaming.VecStreams
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_idx").toString
+    NavIndex.buildState(spark, emb, root)
+    val queries = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label")).where(col("vec_id") < 1000010L)
+    val d = java.nio.file.Files.createTempDirectory("graft_replay_q").toString
+    queries.coalesce(1).write.parquet(s"$d/h1")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_replay_out").toString + "/ans"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay_ck").toString
+    def run(): Unit = {
+      val stream = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
+      val q = VecStreams.searchGate(spark, stream, root, outPath, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        // deregistration from the active-query registry trails
+        // termination; a restart on the same checkpoint races it
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    val firstRows = spark.read.parquet(outPath).count()
+    assert(firstRows === queries.count() * 3)
+    // foreachBatch is at-least-once: simulate a crash BETWEEN the sink
+    // write and the checkpoint commit by deleting the landed batch's
+    // commit file. On restart the engine re-delivers the SAME batchId;
+    // the batchId-subdirectory overwrite sink must replace its own
+    // output rather than append duplicate answer rows.
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    // the local checksum fs keeps a .crc sidecar; a stale one fails
+    // the recommit's atomic rename
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    val streamed = spark.read.parquet(outPath)
+    assert(streamed.count() === firstRows)
+    val batch = VecStreams.searchBatch(spark, queries, root)
+    assert(streamed.drop("batch").exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed.drop("batch")).count() === 0)
+  }
 }
