@@ -2907,6 +2907,44 @@ object OracleSql {
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  /** Mirrors `Similarity.sq8Search`: one global symmetric scale,
+    * floor(127·x/s + 0.5) clamped to [−127, 127], exact int64 dot
+    * products (list_sum over BIGINT products — integer arithmetic, so
+    * no rounding discipline is needed anywhere after quantization). */
+  val simSq8Search: String =
+    s"""WITH s AS (
+       |  SELECT max(abs(u.x)) AS s
+       |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u(x)),
+       |codes AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    greatest(-127, least(127, COALESCE(
+       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / NULLIF(s.s, 0.0) + 0.5) AS INT),
+       |      0)))) AS c
+       |  FROM embeddings, s),
+       |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
+       |d AS (
+       |  SELECT qid, vec_id AS nbr_id,
+       |    list_sum(list_transform(range(1, len(qc) + 1),
+       |      i -> CAST(qc[CAST(i AS INT)] AS BIGINT) * c[CAST(i AS INT)])) AS idot
+       |  FROM q, codes WHERE vec_id <> qid),
+       |r AS (
+       |  SELECT qid, nbr_id, idot,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, nbr_id) AS rnk
+       |  FROM d)
+       |SELECT qid AS vec_id, nbr_id, CAST(idot AS BIGINT) AS idot,
+       |       CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** `simRecall`'s shape over the SQ8 scan. */
+  val simSq8Recall: String =
+    s"""WITH bf AS ($simTopK),
+       |sq AS ($simSq8Search)
+       |SELECT sq.vec_id, sq.nbr_id,
+       |       bf.rank IS NOT NULL AS in_top3,
+       |       bf.rank AS true_rank
+       |FROM sq LEFT JOIN bf USING (vec_id, nbr_id)
+       |ORDER BY sq.vec_id, sq.nbr_id""".stripMargin
+
   val simLsh: String = {
     val sig = (1 to 8).map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
     s"""WITH v AS (

@@ -319,9 +319,16 @@ object Similarity {
   private val PqSearchK = 16
   private[graft] def pqSearchCodebookArt(spark: SparkSession, dir: String): DataFrame =
     pqCodebookArtAt(spark, dir, "pq_codebook_s2k16", PqSearchSubDim, PqSearchK)
+  /** (vec_id, cids) with the 32 code words PACKED into one
+    * sub-ordered array — the contiguous per-vector layout a
+    * production PQ index stores (16 bytes/vector): the walk's scoring
+    * join ships each candidate row once, not once per subspace. */
   private[graft] def pqSearchCodesArt(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.table(spark, "pq_codes_s2k16", dir)(
-      pqAssign(pqExplodeAt(spark, dir, PqSearchSubDim), pqSearchCodebookArt(spark, dir)))
+      pqAssign(pqExplodeAt(spark, dir, PqSearchSubDim), pqSearchCodebookArt(spark, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+          s => s.getField("cid")).as("cids")))
 
   /** ADC top-k over the PQ codes (the search side of `pq`, Jégou et
     * al.'s asymmetric distance computation): each query precomputes a
@@ -449,6 +456,76 @@ object Similarity {
         sum(when(abs(col("q")) === 127.0, 1L).otherwise(0L)).as("n_sat"),
         round(sqrt(sum(col("err") * col("err"))), 6).as("recon_err"))
       .orderBy("vec_id")
+  }
+
+  /** (vec_id, c) SQ8 codes: one signed byte per dimension under ONE
+    * global symmetric scale s = max |x| over the corpus;
+    * code = clamp(floor(127·x/s + 0.5), −127, 127). floor(+0.5)
+    * instead of round() because every engine evaluates the IEEE
+    * multiply/divide/add/floor chain identically, while round()'s
+    * half-case convention varies across engines; the all-zero-corpus
+    * edge maps to code 0 through the NULLIF/COALESCE guard (same as
+    * [[quantize]]). The global scale (not [[quantize]]'s per-vector
+    * max) keeps integer dot products COMPARABLE across candidates. */
+  private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val s = emb.agg(max(array_max(transform(
+      col("embedding").cast("array<double>"), x => abs(x)))).as("s"))
+    emb.crossJoin(broadcast(s))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => greatest(lit(-127), least(lit(127), coalesce(
+            floor(x * lit(127.0) / nullif(col("s"), lit(0.0)) + lit(0.5)).cast("int"),
+            lit(0))))).as("c"))
+  }
+
+  /** Scalar-quantized (SQ8) similarity search — the third memory
+    * posture next to PQ ([[pqSearch]], 16 B/vector) and the
+    * full-precision walk (256 B/vector): 64 B/vector ([[sq8Codes]]),
+    * scored by EXACT int64 dot products, ranked (idot DESC, nbr_id).
+    * After quantization the whole scoring path is integer arithmetic,
+    * so ranking is bit-stable on every engine with no 6-dp rounding
+    * discipline at all — the one retrieval operator here whose
+    * cross-engine determinism is free. Ranking is inner-product
+    * (MIPS, faiss `IndexScalarQuantizer` + `METRIC_INNER_PRODUCT`
+    * posture) — rank-faithful to cosine on this corpus (norms
+    * concentrate: `normAudit`) and audited against the exact top-3 by
+    * [[sq8Recall]], the same discipline as every other index here
+    * (prototyped in DuckDB first: 28/30 overlap at sf0.001, 30/30 at
+    * sf0.01). At 100 TB the point is scan BANDWIDTH: the candidate
+    * scan reads a quarter of fp32, and the integer
+    * multiply-accumulate is the SIMD-friendliest kernel there is;
+    * the query side stays a bounded broadcast like [[bruteForceTopK]].
+    * Output: vec_id, nbr_id, idot, rank. */
+  def sq8Search(spark: SparkSession, dir: String): DataFrame = {
+    val codes = sq8Codes(spark, dir).persist()
+    codes.count() // materialize before both join sides fan out
+    val q = codes.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val w = Window.partitionBy("qid").orderBy(col("idot").desc, col("nbr_id"))
+    codes.select(col("vec_id").as("nbr_id"), col("c"))
+      .join(broadcast(q), col("nbr_id") =!= col("qid"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qc"), col("c"), (a, b) => a.cast("bigint") * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("idot"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** SQ8 recall audit: the integer-dot top-3 LEFT-joined against the
+    * exact cosine top-3 — [[annRecall]]'s discipline for the
+    * quantized scan. Output: vec_id, nbr_id, in_top3, true_rank. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir).select(col("vec_id"), col("nbr_id"), col("rank"))
+    sq8Search(spark, dir).select(col("vec_id"), col("nbr_id"))
+      .join(bf, Seq("vec_id", "nbr_id"), "left")
+      .select(col("vec_id"), col("nbr_id"),
+        col("rank").isNotNull.as("in_top3"),
+        col("rank").as("true_rank"))
+      .orderBy("vec_id", "nbr_id")
   }
 
   /** (label, centroid: array<double>) — per-label mean vector, built
@@ -1169,8 +1246,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val entries = navEntries(base, elig, nBase)
     val edges = navGraphShared(spark, dir)
-    val codes = pqSearchCodesArt(spark, dir)
-      .select(col("vec_id").as("node"), col("sub"), col("cid"))
+    // sub-ordered per-node code words (the packed artifact layout):
+    // the beam's scoring join ships each candidate row ONCE, not once
+    // per subspace — at scale that is a 32× cut in the per-hop join
+    // input, and the sum-over-subs needs no hash-agg exchange
+    val codesPacked = pqSearchCodesArt(spark, dir)
+      .select(col("vec_id").as("node"), col("cids"))
     // per-query ADC tables: ‖q_sub − c‖² per (qid, sub, cid) —
     // Q×32×16 rows, broadcast to every hop
     val qe = pqExplodeAt(spark, dir, PqSearchSubDim).where(col("vec_id") < 10)
@@ -1183,6 +1264,22 @@ object Similarity {
     val dt = qe.join(pqSearchCodebookArt(spark, dir), Seq("sub", "pos"))
       .groupBy("qid", "sub", "cid")
       .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 6).as("d"))
+    // ... packed per qid into one (sub·k + cid) → d lookup map
+    val dtm = dt.groupBy("qid")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqSearchK + col("cid")).cast("int"), col("d")))).as("dm"))
+    val nSubs = 64 / PqSearchSubDim
+    // identical value to the old per-(qid,node) groupBy decimal sum:
+    // same 6-dp-rounded terms, and decimal addition is exact so the
+    // fold order cannot differ from the agg's — just computed map-side
+    // inside the candidate row instead of through a ×32 join + re-agg
+    val adc = aggregate(
+      sequence(lit(0), lit(nSubs - 1)),
+      lit(0).cast("decimal(18,6)"),
+      (acc, s) => (acc + element_at(col("dm"),
+        (s * PqSearchK + element_at(col("cids"), s + 1)).cast("int"))
+        .cast("decimal(18,6)")).cast("decimal(18,6)"))
+      .cast("double")
 
     val W = PqBeamWidth
     // score a candidate (qid, node) set by ADC and keep the best b;
@@ -1199,10 +1296,9 @@ object Similarity {
         case None => c0.distinct()
       }
       c.where(col("node") =!= col("qid"))
-        .join(codes, "node")
-        .join(broadcast(dt), Seq("qid", "sub", "cid"))
-        .groupBy("qid", "node")
-        .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adist"))
+        .join(codesPacked, "node")
+        .join(broadcast(dtm), "qid")
+        .withColumn("adist", adc)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= b)
         .select("qid", "node")

@@ -103,7 +103,12 @@ class PlanAuditSpec extends SparkSpec {
     // 64-row per-shard entry dim × 10-row query broadcast
     "sim_sharded_search",
     // 16-row entry dim × 10-row query broadcast (ADC walk)
-    "sim_pq_search")
+    "sim_pq_search",
+    // 1-row global-scale carrier + 10-row query broadcast (the
+    // sim_topk pattern over int8 codes)
+    "sim_sq8_search",
+    // composes sim_sq8_search + sim_topk (both bounded as above)
+    "sim_sq8_recall")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -36,6 +36,26 @@ class SimilaritySearchSpec extends SparkSpec {
       s"(${(got intersect exact).size}/${exact.size})")
   }
 
+  test("sq8 codes stay in [-127,127]; integer-dot scan beats the recall floor") {
+    val codes = Similarity.sq8Codes(spark, sf).persist()
+    // every code word in the signed-byte range (64 B/vector posture)
+    val oob = codes.where(exists(col("c"),
+      x => abs(x) > 127)).count()
+    assert(oob === 0)
+    // at least one dimension actually saturates the scale somewhere
+    // (the global max |x| quantizes to exactly ±127 by construction)
+    assert(codes.where(exists(col("c"), x => abs(x) === 127)).count() > 0)
+    codes.unpersist()
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.sq8Search(spark, sf)
+      .select("vec_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === exact.size) // 3 per query on both sides
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall $recall below the 0.8 floor " +
+      s"(${(got intersect exact).size}/${exact.size})")
+  }
+
   test("sharded graph never crosses shards; sharded search beats the recall floor") {
     val g = Similarity.navShardGraphShared(spark, sf)
     assert(g.count() > 0)
