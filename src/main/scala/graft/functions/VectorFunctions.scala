@@ -57,16 +57,26 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `graft_dot` with the session (once — skipped when the
-    * session already has it, e.g. injected via
-    * [[graft.GraftExtensions]]) and return a Column-level handle. */
-  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+  /** Ensure `graft_dot` exists in `spark`'s registry (idempotent —
+    * skipped when already there, e.g. injected via
+    * [[graft.GraftExtensions]]). Streaming gates whose foreachBatch
+    * body plans dot products must call this BEFORE `.start()`: the
+    * micro-batch runs in a CLONED session that inherits the registry
+    * as of query start, and a registration made on the outer session
+    * mid-stream never reaches the clone. */
+  def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
       registry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     }
+  }
+
+  /** Register `graft_dot` with the session ([[register]]) and return
+    * a Column-level handle. */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
     call_function("graft_dot", a, b)
   }
 }

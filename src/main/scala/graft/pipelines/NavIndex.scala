@@ -63,6 +63,13 @@ object NavIndex {
   def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
     Writers.truncateLoad(
       Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm"), vecsPath(root))
+    buildRounds(spark, root)
+  }
+
+  /** The round chain over ALREADY-landed vectors at `root` — the seam
+    * [[buildState]] and the width-boundary full-rebuild fallback of
+    * `streaming.IndexStreams` share. */
+  private[pipelines] def buildRounds(spark: SparkSession, root: String): Unit = {
     val v = spark.read.parquet(vecsPath(root))
     Writers.truncateLoad(
       Similarity.navTopK(spark, v, Similarity.navSeedCand(v)), roundPath(root, 0))
@@ -75,6 +82,20 @@ object NavIndex {
     }
     Writers.truncateLoad(
       Similarity.navUnd(spark.read.parquet(roundPath(root, Rounds))), graphPath(root))
+  }
+
+  /** Full rebuild of `nextRoot` from `priorRoot`'s landed vectors
+    * plus `deltaEmb` — the escape hatch when corpus growth crosses a
+    * seed-band width boundary ([[incrementState]] refuses:
+    * re-bucketing every seed is global by construction). Same landed
+    * layout as [[buildState]], so readers cannot tell which path
+    * produced a version. */
+  def rebuildState(spark: SparkSession, deltaEmb: DataFrame,
+      priorRoot: String, nextRoot: String): Unit = {
+    val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
+    Writers.truncateLoad(
+      spark.read.parquet(vecsPath(priorRoot)).unionByName(dv), vecsPath(nextRoot))
+    buildRounds(spark, nextRoot)
   }
 
   /** Release vN → vN+1: absorb `deltaEmb` (new vectors only; ids must

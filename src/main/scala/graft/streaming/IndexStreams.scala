@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipelines.NavIndex
+
+/** Streaming INDEX MAINTENANCE: newly arrived embedding drops are
+  * absorbed into the navigable-graph index one micro-batch at a time,
+  * each batch landing a complete, immutable index VERSION under
+  * `root/v<batchId>` — the first batch as a full build
+  * ([[NavIndex.buildState]]), every later one as the delta increment
+  * ([[NavIndex.incrementState]]), falling back to a full rebuild when
+  * the batch pushes the corpus across a seed-band width boundary
+  * (the one growth step an increment cannot honor).
+  *
+  * CRASH-REPLAY CONTRACT (foreachBatch is at-least-once): a batch's
+  * prior state is the newest COMMITTED version numbered BELOW its own
+  * batchId — never a mutable "latest" pointer. A replayed batch
+  * therefore re-derives the SAME next version from the SAME prior
+  * (its own half-landed version is numbered >= its batchId and is
+  * skipped by construction), and the rebuild overwrites that version
+  * in place: at-least-once delivery collapses to exactly-once index
+  * state, the posture `VecStreams.searchGate` takes for answers and
+  * `Writers.mergeKeyed` for keyed tables. A version is COMMITTED when
+  * its graph parquet carries a `_SUCCESS` marker (the last file the
+  * version's last truncateLoad writes).
+  *
+  * Versions are append-only and never mutated after commit, so
+  * readers ([[currentGraph]]) see a complete graph at all times;
+  * retiring old versions is release-policy, like `compactKeyed`'s
+  * vacuum. Scale: each micro-batch costs the CHANGE FRONTIER, not the
+  * corpus (NavIndex's contract) — the streaming form just decides
+  * version names and replay semantics.
+  */
+object IndexStreams {
+
+  private def versionRoot(root: String, b: Long): String = s"$root/v$b"
+
+  /** Landed-and-committed version numbers under `root`, ascending. */
+  private[graft] def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong)
+      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${NavIndex.graphPath(versionRoot(root, b))}/_SUCCESS")))
+      .sorted
+  }
+
+  /** The newest committed graph under `root` (throws if none yet). */
+  def currentGraph(spark: SparkSession, root: String): DataFrame = {
+    val vs = committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed index version under $root")
+    NavIndex.graph(spark, versionRoot(root, vs.last))
+  }
+
+  /** Absorb one micro-batch of embedding rows as index version
+    * `v<batchId>` — the foreachBatch body, callable directly for the
+    * batch-parity and replay specs. */
+  private[streaming] def maintainBatch(spark: SparkSession, batch: DataFrame,
+      root: String, batchId: Long): Unit = {
+    val next = versionRoot(root, batchId)
+    committedVersions(spark, root).filter(_ < batchId).lastOption match {
+      case None => NavIndex.buildState(spark, batch, next)
+      case Some(prior) =>
+        val priorRoot = versionRoot(root, prior)
+        try NavIndex.incrementState(spark, batch, priorRoot, next)
+        catch { case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("width boundary") =>
+          NavIndex.rebuildState(spark, batch, priorRoot, next)
+        }
+    }
+  }
+
+  /** The maintenance gate: `stream` is an embeddings-format streaming
+    * DataFrame (`VecStreams.readQueries` shape); each micro-batch
+    * lands one index version per the replay contract above. */
+  def navMaintainGate(spark: SparkSession, stream: DataFrame,
+      root: String, checkpoint: String): StreamingQuery = {
+    // the micro-batch session is a clone taken at start — graft_dot
+    // must already be in the registry it inherits
+    graft.functions.VectorFunctions.register(spark)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainBatch(spark, batch, root, batchId)
+      }
+      .start()
+  }
+}

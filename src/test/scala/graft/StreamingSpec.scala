@@ -354,6 +354,54 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming index maintenance equals the one-shot build and replays idempotently") {
+    import graft.streaming.IndexStreams
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf)
+    val d = java.nio.file.Files.createTempDirectory("graft_idxm_drops").toString
+    emb.where(col("vec_id") % 3 === 0).coalesce(1).write.parquet(s"$d/h1")
+    emb.where(col("vec_id") % 3 === 1).coalesce(1).write.parquet(s"$d/h2")
+    emb.where(col("vec_id") % 3 === 2).coalesce(1).write.parquet(s"$d/h3")
+    val root = java.nio.file.Files.createTempDirectory("graft_idxm_root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idxm_ck").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$sf/embeddings.parquet").schema)
+        .option("maxFilesPerTrigger", 1) // one drop per micro-batch
+        .parquet(s"$d/*")
+      val q = IndexStreams.navMaintainGate(spark, stream, root, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    // three drops -> three committed versions (full build + 2 deltas)
+    assert(IndexStreams.committedVersions(spark, root).size === 3)
+    // batch parity: the maintained graph IS the one-shot build's graph
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_idxm_full").toString
+    NavIndex.buildState(spark, emb, fullRoot)
+    val full = spark.read.parquet(NavIndex.graphPath(fullRoot))
+    val cur = IndexStreams.currentGraph(spark, root)
+    assert(cur.count() === full.count())
+    assert(cur.exceptAll(full).count() === 0)
+    assert(full.exceptAll(cur).count() === 0)
+    // crash-replay: lose the last batch's commit; the replayed batch
+    // must rebuild ITS OWN version from the same prior (never from a
+    // pointer it already advanced) and leave the graph unchanged
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    assert(IndexStreams.committedVersions(spark, root).size === 3)
+    val cur2 = IndexStreams.currentGraph(spark, root)
+    assert(cur2.exceptAll(full).count() === 0)
+    assert(full.exceptAll(cur2).count() === 0)
+  }
+
   test("searchGate replays a micro-batch idempotently after a lost commit") {
     import graft.streaming.VecStreams
     import graft.pipelines.NavIndex
