@@ -181,10 +181,104 @@ object NavIndex {
     cleanup.release()
   }
 
+  /** Release vN → vN+1 under DELETION: retire `deleteIds` (one
+    * `vec_id` column; must exist in vN) and land the reduced state
+    * under `nextRoot` — the same change-frontier propagation as
+    * [[incrementState]], with removals counted as changed edges:
+    *
+    *   - SEED: only members of buckets a deleted vector BELONGED to
+    *     can see a different pairing verdict (widths shrink, a cap
+    *     can flip back to all-pairs, anchor draw rates move). Re-rank
+    *     exactly those against the post-delete band table; a node
+    *     whose round-0 list pointed AT a deleted vector shared a
+    *     bucket with it by construction, so the affected set already
+    *     covers every dangling edge.
+    *   - ROUND r: the deleted nodes' round-(r−1) rows enter the
+    *     change set as removals (the splice drops them and they have
+    *     no replacement), so their neighbors — and through the
+    *     2-hop containment argument, every node whose candidate set
+    *     could have contained a deleted vector — land in the frontier
+    *     exactly as an eviction does on the addition path.
+    *
+    * Exactness: same containment argument as [[incrementState]], so
+    * the spliced state equals a full [[buildState]] over the reduced
+    * corpus row-for-row (`PipelineSpec` pins it). Scale: cost is the
+    * delete-touched frontier, never the corpus; a physical delete
+    * (not a tombstone), so readers and the walk see no ghost nodes. */
+  def retireState(spark: SparkSession, deleteIds: DataFrame,
+      priorRoot: String, nextRoot: String): Unit = {
+    val del = deleteIds.select("vec_id").distinct()
+    val priorV = spark.read.parquet(vecsPath(priorRoot))
+    Writers.truncateLoad(
+      priorV.join(del, Seq("vec_id"), "left_anti"), vecsPath(nextRoot))
+    val v = spark.read.parquet(vecsPath(nextRoot))
+
+    val iterDir = s"${graft.ops.IterState.rootFor(spark)}/navret_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = graft.ops.IterState.register(spark, iterDir)
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/$name")
+      spark.read.parquet(s"$iterDir/$name")
+    }
+
+    val nPrior = priorV.count()
+    val nNext = v.count()
+    require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
+      s"corpus shrink $nPrior -> $nNext crosses a seed-band width boundary; " +
+        "rebuild the navigable graph with buildState")
+    // deleted nodes as a frontier seed (column `node`), and the
+    // buckets they belonged to — band rows of the PRIOR vectors at
+    // the shared width
+    val delNodes = mat(del.select(col("vec_id").as("node")), "delnodes")
+    val touchedBuckets = Similarity.navBands(
+        priorV.join(del, Seq("vec_id"), "left_semi"), Similarity.navBitsFor(nNext))
+      .select("b", "key").distinct()
+    val bands = Similarity.navBands(v, Similarity.navBitsFor(nNext))
+    val affected0 = mat(
+      bands.join(touchedBuckets, Seq("b", "key"))
+        .select(col("vec_id").as("node")).distinct(), "aff0")
+    val seedCandAff =
+      Similarity.navSeedPairs(bands, Seq("b", "key"), Some(affected0))
+    var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
+      affected0.unionByName(delNodes).distinct(),
+      Similarity.navTopK(spark, v, seedCandAff)), "chg0")
+
+    for (r <- 1 to Rounds) {
+      val uPrior = Similarity.navUnd(spark.read.parquet(roundPath(priorRoot, r - 1)))
+      val uNext  = mat(Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, r - 1))), s"unext$r")
+      val m = changed.select(col("node"))
+        .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
+      val affected = mat(m.unionByName(
+          uPrior.unionByName(uNext).join(m, "node")
+            .select(col("nbr_id").as("node")))
+        .distinct(), s"aff$r")
+      val uCap = mat(Similarity.navExpandAdj(uNext), s"ucap$r")
+      val aAff = uCap.join(affected, "node")
+      val mid = aAff.select(col("nbr_id").as("node"), col("node").as("src"))
+      val hop2 = mid.join(uCap, "node")
+        .select(col("src").as("node"), col("nbr_id"))
+        .where(col("node") =!= col("nbr_id"))
+      val prevE = spark.read.parquet(roundPath(nextRoot, r - 1))
+        .join(affected, Seq("node"), "left_semi")
+      val candAff = aAff.unionByName(hop2).unionByName(prevE)
+      // deleted nodes stay in the drop side every round: navTopK
+      // re-ranks only nodes present in `v`, so they never reappear,
+      // and their prior rows must not splice through
+      changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
+        affected.unionByName(delNodes).distinct(),
+        Similarity.navTopK(spark, v, candAff)), s"chg$r")
+    }
+    Writers.truncateLoad(
+      Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
+    cleanup.release()
+  }
+
   /** Land round `r` of the next release: prior edges for nodes
     * outside `affected` (column `node`), the re-ranked `recomputed`
     * for those inside; return the edge-level symmetric difference —
-    * the change set the next round's frontier grows from. */
+    * the change set the next round's frontier grows from. (On the
+    * retire path `affected` includes the deleted nodes, whose prior
+    * rows are dropped with no replacement — pure removals in the
+    * returned diff.) */
   private def spliceRound(spark: SparkSession, v: DataFrame,
       priorRoot: String, nextRoot: String, r: Int,
       affected: DataFrame, recomputed: DataFrame): DataFrame = {

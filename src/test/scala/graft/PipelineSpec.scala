@@ -735,6 +735,35 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(NavIndex.graphPath(rootA)).count())
   }
 
+  test("incremental nav graph: retire splices row-identical to a reduced rebuild") {
+    import graft.pipelines.NavIndex
+    val emb = Tables.embeddings(spark, sf)
+    val del = emb.where(col("vec_id") % 17 === 3).select("vec_id")
+    val rootA = Files.createTempDirectory("graft_navret_vn").toString
+    val rootB = Files.createTempDirectory("graft_navret_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_navret_full").toString
+    NavIndex.buildState(spark, emb, rootA)
+    NavIndex.retireState(spark, del, rootA, rootB)
+    NavIndex.buildState(spark, emb.join(del, Seq("vec_id"), "left_anti"), rootFull)
+    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
+      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
+    for (path <- paths) {
+      val incr = spark.read.parquet(path(rootB))
+      val full = spark.read.parquet(path(rootFull))
+      assert(incr.exceptAll(full).count() === 0, path(rootB))
+      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    }
+    // non-vacuous: vectors were actually retired, and no ghost node
+    // or dangling edge survives anywhere in the landed state
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    val g = spark.read.parquet(NavIndex.graphPath(rootB))
+    assert(g.collect().forall(r =>
+      !delIds.contains(r.getAs[Long]("node")) && !delIds.contains(r.getAs[Long]("nbr_id"))))
+    assert(spark.read.parquet(NavIndex.vecsPath(rootB)).count() ===
+      emb.count() - delIds.size)
+  }
+
   test("incremental nav graph: a bucket-cap flip re-pairs the bucket exactly") {
     // 60 vN clones share every band bucket (identical sign pattern);
     // 10 delta clones push those buckets 60 -> 70, past the 64 cap, so
@@ -777,6 +806,20 @@ class PipelineSpec extends SparkSpec {
     // and the background subgraph survived untouched
     assert(incr.where(col("node") >= 100).count() ===
       spark.read.parquet(NavIndex.graphPath(rootA)).where(col("node") >= 100).count())
+    // ROUND TRIP — retiring the 10 delta clones flips the bucket BACK
+    // under the cap (anchor pairing -> all-pairs, the symmetric
+    // discontinuity), and the spliced state must equal the original
+    // vN state at every landed table
+    val rootC = Files.createTempDirectory("graft_nav_cap_vn2").toString
+    NavIndex.retireState(spark, delta.select("vec_id"), rootB, rootC)
+    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
+      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
+    for (path <- paths) {
+      val back = spark.read.parquet(path(rootC))
+      val orig = spark.read.parquet(path(rootA))
+      assert(back.exceptAll(orig).count() === 0, path(rootC))
+      assert(orig.exceptAll(back).count() === 0, path(rootC))
+    }
   }
 
   test("csv interchange round-trips with declared schema") {
