@@ -256,6 +256,62 @@ object Writers {
       }
   }
 
+  /** TIME TRAVEL: read snapshot `vN` of the keyed table. Every
+    * [[mergeKeyed]]/[[deleteKeyed]]/[[compactKeyed]] commit is an
+    * immutable version directory, so a historical read is a plain
+    * parquet scan (the lake-format `VERSION AS OF`, with the
+    * retention window set by [[vacuumKeyed]]). Throws if `vN` was
+    * never committed or has been vacuumed. */
+  def readKeyedVersion(spark: SparkSession, root: String, n: Long): DataFrame = {
+    val fs = hadoopFs(spark, root)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$n/_SUCCESS")),
+      s"version v$n under $root was never committed or has been vacuumed")
+    spark.read.parquet(s"$root/v$n")
+  }
+
+  /** Table maintenance #3 — keyed DELETE: retire every row matching a
+    * key in `keys` (columns `keyCols`), landed as a new immutable
+    * version through the same pointer swap as [[mergeKeyed]] — so the
+    * delete is atomic to readers, idempotent to re-run, and the
+    * pre-delete snapshot stays readable ([[readKeyedVersion]]) until
+    * vacuumed. */
+  def deleteKeyed(spark: SparkSession, keys: DataFrame, root: String,
+      keyCols: Seq[String]): Unit = {
+    val v = currentVersion(spark, root).getOrElse(
+      sys.error(s"no committed version under $root"))
+    val side = keys.select(keyCols.map(col): _*).distinct()
+    val nextN = nextVersionN(spark, root, Some(v))
+    spark.read.parquet(s"$root/$v")
+      .join(side, keyCols, "left_anti")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$nextN")
+    commitPointer(spark, root, s"v$nextN")
+  }
+
+  /** CHANGE FEED: the row-level diff that turns snapshot `fromN` into
+    * snapshot `toN` — `_op` ∈ insert/update/delete plus the full row
+    * payload (post-image; pre-image for deletes). Derived FROM the
+    * two immutable snapshots by three joins (no log replay, no
+    * write-path bookkeeping), so it is exact between ANY pair of
+    * retained versions and across writers that never heard of it —
+    * the lake-format `table_changes` surface, computed instead of
+    * recorded. Assumes the keyed-table contract (one row per key,
+    * which [[mergeKeyed]]'s upsert maintains). */
+  def keyedChanges(spark: SparkSession, root: String, fromN: Long, toN: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val a = readKeyedVersion(spark, root, fromN)
+    val b = readKeyedVersion(spark, root, toN)
+    val aKeys = a.select(keyCols.map(col): _*).distinct()
+    val bKeys = b.select(keyCols.map(col): _*).distinct()
+    val inserts = b.join(aKeys, keyCols, "left_anti")
+      .withColumn("_op", lit("insert"))
+    val deletes = a.join(bKeys, keyCols, "left_anti")
+      .withColumn("_op", lit("delete"))
+    // updates: key survives, row content differs (post-image)
+    val updates = b.exceptAll(a).join(aKeys, keyCols, "left_semi")
+      .withColumn("_op", lit("update"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
   private def currentVersion(spark: SparkSession, root: String): Option[String] = {
     val fs = hadoopFs(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_current")

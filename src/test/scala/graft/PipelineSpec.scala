@@ -185,6 +185,42 @@ class PipelineSpec extends SparkSpec {
     assert(state() === after)
   }
 
+  test("time travel, keyed delete, and the computed change feed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc").toString + "/t"
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "name", "v")
+    Writers.mergeKeyed(spark, b1, root, Seq("id"))                    // v0
+    val b2 = Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("id", "name", "v")
+    Writers.mergeKeyed(spark, b2, root, Seq("id"))                    // v1
+    Writers.deleteKeyed(spark, Seq(Tuple1(3L)).toDF("id"), root, Seq("id")) // v2
+    Writers.compactKeyed(spark, root, targetBytes = 1L << 30)         // v3
+    // time travel: every retained snapshot reads back exactly
+    assert(Writers.readKeyedVersion(spark, root, 0).count() === 3)
+    assert(Writers.readKeyedVersion(spark, root, 1).count() === 4)
+    assert(Writers.readKeyedVersion(spark, root, 2).count() === 3)
+    intercept[IllegalArgumentException] {
+      Writers.readKeyedVersion(spark, root, 9)
+    }
+    def feed(a: Long, b: Long) =
+      Writers.keyedChanges(spark, root, a, b, Seq("id")).collect()
+        .map(r => (r.getAs[String]("_op"), r.getAs[Long]("id"),
+          r.getAs[String]("name"), r.getAs[Long]("v"))).toSet
+    // v0 -> v1: one update (post-image), one insert
+    assert(feed(0, 1) === Set(("update", 2L, "B", 21L), ("insert", 4L, "d", 40L)))
+    // v1 -> v2: one delete (pre-image)
+    assert(feed(1, 2) === Set(("delete", 3L, "c", 30L)))
+    // compaction rewrites files, not rows: empty feed
+    assert(feed(2, 3) === Set.empty)
+    // spanning feed composes: v0 -> v3 nets out to update+insert+delete
+    assert(feed(0, 3) === Set(("update", 2L, "B", 21L),
+      ("insert", 4L, "d", 40L), ("delete", 3L, "c", 30L)))
+    // delete is idempotent and atomic to readers: re-running it lands
+    // a new identical version
+    Writers.deleteKeyed(spark, Seq(Tuple1(3L)).toDF("id"), root, Seq("id")) // v4
+    assert(feed(3, 4) === Set.empty)
+    assert(Writers.readKeyed(spark, root).count() === 3)
+  }
+
   test("mergeKeyed survives a crashed writer: orphan dirs never block or serve") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_mergecrash").toString + "/t"
