@@ -131,6 +131,26 @@ object Curation {
     st.release()
   }
 
+  /** CURATION → INDEX composition: retire every doc the dedup
+    * decision under `curationRoot` DROPPED from an already-built
+    * navigable-graph index — the operational form of the scale
+    * lesson the ×100 harness measured ("near-dup dedup before
+    * indexing", PERF.md rounds 10–11): when the index PREDATES the
+    * curation pass, the drop set flows through
+    * [[NavIndex.retireState]] as a delta-cost physical delete instead
+    * of a full rebuild over the kept corpus. Ids are shared across
+    * the documents/embeddings tables (the filtered-search contract);
+    * dropped docs with no embedding are ignored by the retire. The
+    * result is row-identical to building the index on the kept
+    * corpus (`PipelineSpec`). */
+  def retireDropped(spark: SparkSession, curationRoot: String,
+      priorIndexRoot: String, nextIndexRoot: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dropped = spark.read.parquet(clustersPath(curationRoot))
+      .where(!col("keep")).select(col("doc_id").as("vec_id"))
+    graft.pipelines.NavIndex.retireState(spark, dropped, priorIndexRoot, nextIndexRoot)
+  }
+
   def winnowPath(root: String): String = s"$root/winnow_fps"
 
   /** Landed winnow-fingerprint index (doc_id, pos, fp) — the

@@ -182,7 +182,9 @@ object NavIndex {
   }
 
   /** Release vN → vN+1 under DELETION: retire `deleteIds` (one
-    * `vec_id` column; must exist in vN) and land the reduced state
+    * `vec_id` column; ids absent from vN are ignored — the touched
+    * buckets and frontier derive from the ids' PRIOR rows, so an
+    * absent id contributes nothing) and land the reduced state
     * under `nextRoot` — the same change-frontier propagation as
     * [[incrementState]], with removals counted as changed edges:
     *

@@ -800,6 +800,30 @@ class PipelineSpec extends SparkSpec {
       emb.count() - delIds.size)
   }
 
+  test("curation drop decisions retire from the nav index exactly") {
+    import graft.pipelines.{Curation, NavIndex}
+    val emb = Tables.embeddings(spark, sf)
+    val curRoot = Files.createTempDirectory("graft_curret_cur").toString
+    Curation.buildClusters(spark, sf, curRoot)
+    val dropped = spark.read.parquet(Curation.clustersPath(curRoot))
+      .where(!col("keep")).select(col("doc_id").as("vec_id"))
+    // non-vacuous only if the corpus has near-dup drops WITH embeddings
+    val droppedWithEmb = dropped.join(emb, Seq("vec_id"), "left_semi").count()
+    assert(droppedWithEmb > 0, "corpus has no dropped docs with embeddings")
+    val idxA = Files.createTempDirectory("graft_curret_idx").toString
+    val idxB = Files.createTempDirectory("graft_curret_idx2").toString
+    val idxKept = Files.createTempDirectory("graft_curret_full").toString
+    NavIndex.buildState(spark, emb, idxA)
+    Curation.retireDropped(spark, curRoot, idxA, idxB)
+    NavIndex.buildState(spark, emb.join(dropped, Seq("vec_id"), "left_anti"), idxKept)
+    val ret = spark.read.parquet(NavIndex.graphPath(idxB))
+    val full = spark.read.parquet(NavIndex.graphPath(idxKept))
+    assert(ret.exceptAll(full).count() === 0)
+    assert(full.exceptAll(ret).count() === 0)
+    assert(spark.read.parquet(NavIndex.vecsPath(idxB)).count() ===
+      emb.count() - droppedWithEmb)
+  }
+
   test("incremental nav graph: a bucket-cap flip re-pairs the bucket exactly") {
     // 60 vN clones share every band bucket (identical sign pattern);
     // 10 delta clones push those buckets 60 -> 70, past the 64 cap, so
