@@ -115,9 +115,26 @@ case class AsOfJoinExec(
     else Seq(ClusteredDistribution(leftKeys, requireAllClusterKeys = true),
       ClusteredDistribution(rightKeys, requireAllClusterKeys = true))
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+  // The right side additionally sorts by its remaining ORDERABLE
+  // payload columns: with duplicate right rows at the same (key, time)
+  // the merge keeps the last-advanced row (backward) or the surviving
+  // head (forward), so without a total order the matched payload would
+  // ride on whichever order the engine's (unstable) sort delivered —
+  // run-nondeterministic. The extra keys only cost comparisons INSIDE
+  // tied (key, time) groups; the sort itself is already required.
+  // Non-orderable payload columns (maps) are skipped — ties then
+  // deterministically order on every other column, which suffices
+  // unless two tied rows differ ONLY in a map (documented in AsOf.join).
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rightJoinExprs = rightKeys :+ rightTime
+    val tiebreak = right.output.filter(a =>
+      RowOrdering.isOrderable(a.dataType) &&
+        !rightJoinExprs.exists(_.semanticEquals(a)))
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)) ++
+        tiebreak.map(SortOrder(_, Ascending)))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -249,12 +266,13 @@ object AsOf {
     * Callers rename ahead of the join if the two sides share names.
     *
     * TIES: if the right side has several rows at the SAME (key, time),
-    * which one's payload is matched is UNSPECIFIED — the merge keeps
-    * whichever tied row the engine's (unstable) sort delivered last,
-    * so it can differ across runs/engines. Callers with non-unique
-    * (key, time) right sides must pre-aggregate to one row per
-    * (key, time) (as every shipped query does) if they need a
-    * deterministic payload.
+    * the matched payload is DETERMINISTIC — the exec sorts tied rows
+    * by every remaining orderable right column, and the merge keeps
+    * the LAST tied row in that total order for backward (the GREATEST
+    * payload tuple) and the FIRST for forward (the least). The one
+    * remaining unspecified case: tied rows that differ ONLY in a
+    * non-orderable column (a map) — pre-aggregate to one row per
+    * (key, time) if that case matters.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],

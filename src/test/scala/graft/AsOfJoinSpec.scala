@@ -162,4 +162,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).isNullAt(4), "t=5 must not see the rt=10 row")
     assert(out(1).getLong(4) === 99L)
   }
+
+  test("duplicate (key, time) right rows match a deterministic payload") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    // three tied right rows at (1, 10); payload order breaks the tie:
+    // backward keeps the GREATEST payload tuple, forward the least
+    def tied() = Seq((1L, 10L, 300L, "c"), (1L, 10L, 100L, "a"),
+        (1L, 10L, 200L, "b")).toDF("rk", "rt", "p", "s")
+      .repartition(4) // scramble input order so ties aren't input-stable
+    for (_ <- 1 to 5) {
+      val back = AsOf.join(l, tied(), Seq("k"), Seq("rk"), "t", "rt").collect()
+      assert(back(0).getLong(4) === 300L && back(0).getString(5) === "c")
+      val fwd = AsOf.join(l, tied(), Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward").collect()
+      assert(fwd(0).getLong(4) === 100L && fwd(0).getString(5) === "a")
+    }
+  }
 }
