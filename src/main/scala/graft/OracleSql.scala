@@ -4428,6 +4428,95 @@ object OracleSql {
       |ORDER BY key DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  /** Shared CTE chain of the trained hashed-logreg classifier,
+    * mirroring `Text.qclfTrain`'s distributed batch GD exactly: 64
+    * md5-hashed tf features, y = (lang = 'en'), 8 unrolled iterations
+    * from w = 0 at lr = 50. Determinism parity discipline: every
+    * cross-row sum adds 6dp-ROUNDED terms in DECIMAL (addend-order-
+    * free), the sigmoid's exp is rounded at its output, and weights
+    * re-round to 6 dp each step — so both engines carry bit-identical
+    * weights through every iteration. */
+  private lazy val qclfChain: String = {
+    def margin(w: String) =
+      s"SELECT doc_id, CAST(SUM(CAST(ROUND(x * w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS m " +
+        s"FROM feats JOIN $w USING (f) GROUP BY doc_id"
+    def step(i: Int, prev: String) =
+      s"""m$i AS (${margin(prev)}),
+         |r$i AS (
+         |  SELECT l.doc_id,
+         |         ROUND(1.0 / (1.0 + EXP(-COALESCE(m, 0.0))), 6) - y AS r
+         |  FROM labels l LEFT JOIN m$i USING (doc_id)
+         |),
+         |g$i AS (
+         |  SELECT f,
+         |         ROUND(CAST(SUM(CAST(ROUND(x * r, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |               / (SELECT nd FROM nn), 6) AS g
+         |  FROM feats JOIN r$i USING (doc_id) GROUP BY f
+         |),
+         |w$i AS (
+         |  SELECT f, ROUND(w - 50.0 * COALESCE(g, 0.0), 6) AS w
+         |  FROM w${i - 1} LEFT JOIN g$i USING (f)
+         |)""".stripMargin
+    s"""toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |feats AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 64 AS f,
+       |         ROUND(COUNT(*)::DOUBLE / MIN(n), 6) AS x
+       |  FROM toks GROUP BY 1, 2
+       |),
+       |labels AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |),
+       |nn AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS f, 0.0 AS w FROM range(64)),
+       |${(1 to 8).map(i => step(i, s"w${i - 1}")).mkString(",\n")},
+       |scored AS (
+       |  SELECT s.doc_id, l.y, ROUND(1.0 / (1.0 + EXP(-s.m)), 6) AS score
+       |  FROM (${margin("w8")}) s JOIN labels l USING (doc_id)
+       |)""".stripMargin
+  }
+
+  val textQclfTrain: String =
+    s"WITH $qclfChain\nSELECT f, w FROM w8 ORDER BY f"
+
+  val textQclfScore: String =
+    s"""WITH $qclfChain
+       |SELECT doc_id, y, score,
+       |       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Exact Mann–Whitney AUC with midrank ties over the bounded
+    * per-score histogram (≤ 10⁶+1 distinct 6dp scores); all rank
+    * arithmetic in BIGINT (doubled midranks) until the one final
+    * division, mirroring `Text.qclfAuc`. */
+  val textQclfAuc: String =
+    s"""WITH $qclfChain,
+       |hist AS (
+       |  SELECT score, CAST(SUM(y) AS BIGINT) AS ps, COUNT(*) AS cs
+       |  FROM scored GROUP BY score
+       |),
+       |cum AS (
+       |  SELECT ps, cs,
+       |         SUM(cs) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist
+       |),
+       |agg AS (
+       |  SELECT CAST(SUM(ps) AS BIGINT) AS p,
+       |         CAST(SUM(cs - ps) AS BIGINT) AS n,
+       |         CAST(SUM(ps * (2 * (cum - cs) + cs + 1)) AS BIGINT) AS s2
+       |  FROM cum
+       |)
+       |SELECT p, n,
+       |       ROUND((CAST(s2 AS DOUBLE) / 2.0 -
+       |              CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0) /
+       |             (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
+       |FROM agg""".stripMargin
+
   val textWeightedSample: String =
     """WITH d AS (
       |  SELECT lang, doc_id,

@@ -1159,4 +1159,37 @@ class OperatorsSpec extends SparkSpec {
     for (split <- Seq(to_date(col("ts")), col("user_id") % 7, col("user_id")))
       assert(est(split) === exact, s"coupon-regime union not exact for split $split")
   }
+
+  test("qclf: trained weights are dense and scores rank labels above chance") {
+    val w = Text.qclfTrain(spark, sf).collect()
+    assert(w.length === 64)
+    assert(w.map(_.getLong(0)).toSeq === (0L until 64L))
+    assert(w.exists(_.getDouble(1) != 0.0), "training left every weight at zero")
+
+    val s = Text.qclfScore(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(s.length === nDocs, "one score row per document")
+    assert(s.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(s.forall(r => (r.getLong(3) == 1L) == (r.getDouble(2) >= 0.5)),
+      "pred must be the 0.5-thresholded score")
+
+    // AUC: the distributed histogram form must equal a brute-force
+    // midrank computation on the same scores, exactly
+    val auc = Text.qclfAuc(spark, sf).collect().head
+    val scores = s.map(r => (r.getDouble(2), r.getDouble(1)))
+    val p = scores.count(_._2 == 1.0).toLong
+    val n = scores.length - p
+    val byScore = scores.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L; var s2 = 0L
+    for ((_, grp) <- byScore) {
+      val cs = grp.length.toLong; val ps = grp.count(_._2 == 1.0).toLong
+      s2 += ps * (2L * cum + cs + 1L); cum += cs
+    }
+    val bruteAuc = BigDecimal((s2.toDouble / 2.0 - p.toDouble * (p + 1.0) / 2.0) /
+      (p.toDouble * n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(auc.getLong(0) === p && auc.getLong(1) === n)
+    assert(BigDecimal(auc.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      === bruteAuc)
+    assert(auc.getDouble(2) > 0.5, "trained ranking must beat chance")
+  }
 }
