@@ -4489,6 +4489,30 @@ object OracleSql {
        |       CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Threshold sweep mirroring `Text.qclfPr`: descending cumulative
+    * TP/PP over the score histogram, F1 via the exact 2·TP/(PP+P)
+    * identity (no composition of rounded ratios). */
+  val textQclfPr: String =
+    s"""WITH $qclfChain,
+       |hist AS (
+       |  SELECT score, CAST(SUM(y) AS BIGINT) AS ps, COUNT(*) AS cs
+       |  FROM scored GROUP BY score
+       |),
+       |c AS (
+       |  SELECT score,
+       |         CAST(SUM(ps) OVER (ORDER BY score DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |         CAST(SUM(cs) OVER (ORDER BY score DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp,
+       |         CAST(SUM(ps) OVER () AS BIGINT) AS p
+       |  FROM hist
+       |)
+       |SELECT score AS thresh, tp, pp - tp AS fp, p - tp AS fn,
+       |       ROUND(CAST(tp AS DOUBLE) / pp, 6) AS precision,
+       |       ROUND(CAST(tp AS DOUBLE) / p, 6) AS recall,
+       |       ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(pp + p AS DOUBLE), 6) AS f1
+       |FROM c ORDER BY thresh""".stripMargin
+
   /** Exact Mann–Whitney AUC with midrank ties over the bounded
     * per-score histogram (≤ 10⁶+1 distinct 6dp scores); all rank
     * arithmetic in BIGINT (doubled midranks) until the one final

@@ -1502,12 +1502,16 @@ object Text {
   def qclfTrain(spark: SparkSession, dir: String): DataFrame =
     qclfWeightsArtifact(spark, dir).orderBy("f")
 
-  private def qclfScored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    qclfMargin(qclfFeats(docs), qclfWeightsArtifact(spark, dir))
+  /** Score an arbitrary documents table with a given weight model —
+    * the serving-side entry the streaming gate shares with the batch
+    * queries. Output: doc_id, y, m, score. */
+  private[graft] def qclfScoreDocs(docs: DataFrame, wts: DataFrame): DataFrame =
+    qclfMargin(qclfFeats(docs), wts)
       .join(qclfLabels(docs), "doc_id") // every doc has ≥1 token → a margin row
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6))
-  }
+
+  private def qclfScored(spark: SparkSession, dir: String): DataFrame =
+    qclfScoreDocs(Tables.documents(spark, dir), qclfWeightsArtifact(spark, dir))
 
   /** Score every document with the trained model.
     * Output: doc_id, y, score, pred. */
@@ -1516,6 +1520,35 @@ object Text {
       .select(col("doc_id"), col("y"), col("score"),
         (col("score") >= 0.5).cast("bigint").as("pred"))
       .orderBy("doc_id")
+
+  /** Operating-point audit: precision / recall / F1 at EVERY
+    * attainable threshold (each distinct 6dp score, predicting
+    * positive at score ≥ t) — the sweep a pipeline runs to pick the
+    * filter's cutoff before a release. Same bounded-histogram shape
+    * as [[qclfAuc]]: one groupBy on score, one window over ≤ 10⁶+1
+    * rows regardless of corpus size; TP/FP counts stay in BIGINT
+    * (descending cumulative sums), only the three final ratios
+    * divide and round. Output: thresh, tp, fp, fn, precision,
+    * recall, f1. */
+  def qclfPr(spark: SparkSession, dir: String): DataFrame = {
+    val hist = qclfScored(spark, dir)
+      .groupBy("score")
+      .agg(sum(col("y")).cast("bigint").as("ps"), count(lit(1)).as("cs"))
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("tp", sum(col("ps")).over(desc))
+      .withColumn("pp", sum(col("cs")).over(desc))
+      .withColumn("p", sum(col("ps")).over(all))
+      .select(col("score").as("thresh"), col("tp"),
+        (col("pp") - col("tp")).as("fp"), (col("p") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("pp"), 6).as("precision"),
+        round(col("tp").cast("double") / col("p"), 6).as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("pp") + col("p")).cast("double"), 6).as("f1"))
+      .orderBy("thresh")
+  }
 
   /** Ranking audit: exact Mann–Whitney AUC of the trained scores
     * against the labels, with midrank tie handling — computed

@@ -108,5 +108,31 @@ object DocStreams {
       .select(least(col("doc_id"), col("partner")).as("doc_a"),
         greatest(col("doc_id"), col("partner")).as("doc_b"), col("fp"))
       .dropDuplicates("doc_a", "doc_b", "fp")
-}
+  }
+
+  /** Streaming classifier-scoring gate: every arriving document is
+    * scored against the LANDED trained model (`Text.qclfTrain`'s
+    * 64-row weight table — resolved once per release, broadcast into
+    * each micro-batch like the nav-index releases `VecStreams` probes).
+    * The margin is a per-doc aggregation over exploded tokens —
+    * a streaming agg append mode can't express — so the gate runs
+    * `foreachBatch`: each micro-batch runs the IDENTICAL batch scoring
+    * dataflow (`Text.qclfScoreDocs`); per-doc independence makes the
+    * stream answer equal the batch answer for any batching
+    * (`StreamingSpec` asserts it). Sink contract as [[VecStreams]]:
+    * foreachBatch is at-least-once, so each batch lands under its
+    * batchId subdirectory with overwrite — crash-replay replaces its
+    * own directory instead of appending duplicates.
+    * Output rows: doc_id, y, score, pred (+ `batch` partition key). */
+  def qclfGate(spark: SparkSession, docs: DataFrame, wts: DataFrame,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Text.qclfScoreDocs(batch, wts)
+          .select(col("doc_id"), col("y"), col("score"),
+            (col("score") >= 0.5).cast("bigint").as("pred"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
 }

@@ -447,4 +447,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.drop("batch").exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed.drop("batch")).count() === 0)
   }
+
+  test("streaming classifier gate scores arrivals identically to the batch pass") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val wts = Text.qclfTrain(spark, sf) // the landed release model
+    val docs = Tables.documents(spark, sf)
+    val d = java.nio.file.Files.createTempDirectory("graft_qclf_drops").toString
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$d/h1")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$d/h2")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_qclf_out").toString + "/scores"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qclf_ck").toString
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.qclfGate(spark, stream, wts, outPath, ckpt)
+    try q.processAllAvailable()
+    finally {
+      q.stop(); q.awaitTermination()
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    val streamed = spark.read.parquet(outPath).drop("batch")
+    val batch = Text.qclfScore(spark, sf)
+    assert(streamed.count() === docs.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
