@@ -2324,6 +2324,66 @@ object OracleSql {
     """SELECT md5(substr(text, 1, 40)) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
 
+  /** Shared CTEs for the Bloom pre-filter audit: state/delta release
+    * split, k=4 salted-md5 bit positions mod m. m is pinned at 2^17 —
+    * valid at every oracle scale (state ≤ 4096 distinct fingerprints;
+    * `Dedup.bloomBits` grows only beyond that and the ladder is
+    * pinned to agree here). The bitmap's word packing needs no oracle
+    * mirror: a fingerprint is `maybe` iff all four positions are in
+    * the state's position SET, which is the same predicate the packed
+    * words answer. */
+  private val bloomChain: String =
+    """state AS (
+      |  SELECT DISTINCT md5(substr(text, 1, 40)) AS fp
+      |  FROM documents WHERE doc_id % 4 <> 0
+      |),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+      |spos AS (
+      |  SELECT DISTINCT
+      |    CAST('0x' || substr(md5(fp || '|' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 131072 AS pos
+      |  FROM state CROSS JOIN js
+      |),
+      |delta AS (
+      |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp
+      |  FROM documents WHERE doc_id % 4 = 0
+      |),
+      |dpos AS (
+      |  SELECT d.doc_id, d.fp,
+      |    CAST('0x' || substr(md5(d.fp || '|' || CAST(j AS VARCHAR)), 1, 14) AS BIGINT) % 131072 AS pos
+      |  FROM delta d CROSS JOIN js
+      |),
+      |verdicts AS (
+      |  SELECT p.doc_id, p.fp,
+      |         SUM(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) = 4 AS maybe
+      |  FROM dpos p LEFT JOIN spos s USING (pos)
+      |  GROUP BY p.doc_id, p.fp
+      |)""".stripMargin
+
+  /** Bloom pre-filter audit mirroring `Dedup.bloomFilter`. */
+  val dedupBloom: String =
+    s"""WITH $bloomChain
+       |SELECT v.doc_id, v.maybe, st.fp IS NOT NULL AS truly_dup
+       |FROM verdicts v LEFT JOIN state st ON v.fp = st.fp
+       |ORDER BY v.doc_id""".stripMargin
+
+  /** Filter-geometry rollup mirroring `Dedup.bloomStats`; n_words is
+    * the occupied 64-bit word count = COUNT(DISTINCT pos // 64). */
+  val dedupBloomStats: String =
+    s"""WITH $bloomChain,
+       |v AS (
+       |  SELECT v.doc_id, v.maybe, st.fp IS NOT NULL AS truly_dup
+       |  FROM verdicts v LEFT JOIN state st ON v.fp = st.fp
+       |)
+       |SELECT CAST(131072 AS BIGINT) AS m_bits,
+       |       (SELECT COUNT(DISTINCT pos // 64) FROM spos) AS n_words,
+       |       COUNT(*) AS n_delta,
+       |       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       |       CAST(SUM(CASE WHEN truly_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(SUM(CASE WHEN maybe AND NOT truly_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |       ROUND(CAST(SUM(CASE WHEN maybe AND NOT truly_dup THEN 1 ELSE 0 END) AS DOUBLE) /
+       |             GREATEST(COUNT(*) - SUM(CASE WHEN truly_dup THEN 1 ELSE 0 END), 1), 6) AS fp_rate
+       |FROM v""".stripMargin
+
   /** Per-source duplication inflation: global keep-first on the
     * prefix fingerprint, then a source rollup (`Dedup.dupInflation`). */
   val dedupInflation: String =

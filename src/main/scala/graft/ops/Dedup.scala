@@ -51,6 +51,140 @@ object Dedup {
       .where(col("n_dups") > 1)
       .orderBy("h")
 
+  /** Bloom-filter width ladder for the exact-dedup pre-filter: 2^17
+    * bits at the driver scales (state ≤ 4096 fingerprints — every
+    * oracle pins m = 131072 and the rule is pinned to agree there),
+    * +1 bit per state doubling beyond, so the load k·n/m stays ≤ 1/8
+    * and the false-positive rate ≈ (1−e^(−1/8))⁴ ≈ 2·10⁻⁴ at any
+    * scale. Deterministic in n — any engine (and a delta probe run
+    * weeks later against a landed bitmap of known width) derives the
+    * same m. Cap 2^30 bits = 128 MiB of bitmap, still broadcastable. */
+  private[graft] def bloomBits(n: Long): Int = {
+    var b = 17
+    while (b < 30 && n > (1L << (b - 5))) b += 1
+    b
+  }
+
+  /** k=4 bit positions per fingerprint: four salted md5 draws
+    * (`md5(fp|j)` for j = 0..3), 56 bits each, mod m. Same
+    * engine-portable hash discipline as every signature in this file
+    * — the DuckDB oracle computes identical positions. */
+  private def bloomPositions(fps: DataFrame, m: Long): DataFrame =
+    fps.select(col("*"), explode(array((0 until 4).map(lit): _*)).as("j"))
+      .withColumn("pos",
+        conv(substring(md5(concat(col("fp"), lit("|"), col("j").cast("string"))), 1, 14), 16, 10)
+          .cast("long") % m)
+
+  /** The packed bitmap: one row per non-empty 64-bit word,
+    * `bits` = OR of the member bits. At 2^17 bits this is ≤ 2048
+    * rows; at the 2^30 cap ≤ 16M rows / 128 MiB — the whole point is
+    * that the STATE (billions of fingerprints at 100 TB) compresses
+    * to a broadcastable summary. */
+  private[graft] def bloomBitmap(stateFps: DataFrame, m: Long): DataFrame =
+    bloomPositions(stateFps, m)
+      .select(expr("pos div 64").as("w"), (col("pos") % 64).cast("int").as("bit"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+  /** Per-fingerprint Bloom verdict for a delta table against a packed
+    * bitmap: `maybe` = all four positions hit. The probe is a
+    * broadcast left join on the word index + a bit test — MAP-SIDE,
+    * no shuffle against the state — followed by one groupBy on the
+    * probing key. A miss on any position is a PROOF of novelty (no
+    * false negatives, by construction); only `maybe` rows need the
+    * exact state join. */
+  private def bloomProbe(delta: DataFrame, bitmap: DataFrame, m: Long): DataFrame =
+    bloomPositions(delta, m)
+      .withColumn("w", expr("pos div 64"))
+      .join(broadcast(bitmap), Seq("w"), "left")
+      .withColumn("hit",
+        expr("bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0"))
+      .groupBy(delta.columns.map(col): _*)
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .withColumn("maybe", col("hits") === 4)
+      .drop("hits")
+
+  /** Broadcast Bloom pre-filter for incremental exact dedup — the
+    * shape that makes cross-release exact dedup ship at 100 TB. The
+    * naive delta-vs-state check is a shuffle join of the delta against
+    * EVERY prior fingerprint (the state side is corpus-sized and
+    * re-shuffles on every release). The Bloom path: the state's
+    * fingerprints compress once into a packed bitmap artifact
+    * ([[bloomBitmap]]; k = 4 salted-md5 positions, width by the
+    * [[bloomBits]] ladder), the delta probes it map-side via a
+    * broadcast word join, and only the `maybe` sliver — true dups
+    * plus the ≈2·10⁻⁴ false-positive tail — pays the exact state
+    * join. No false negatives by construction (a definite-new verdict
+    * proves at least one unset bit).
+    *
+    * This audit query classifies every delta document (the
+    * deterministic 25% release slice doc_id % 4 == 0) against the
+    * state (the other 75%) and reports the Bloom verdict NEXT TO the
+    * exact truth, so the false-positive behavior is itself
+    * oracle-checked. The fingerprint is the 40-char-prefix hash —
+    * the same near-exact content key [[prefix]]/[[dupInflation]]
+    * dedup on (full-content dups in the corpus happen to never
+    * straddle the release split, which would leave the truth column
+    * degenerate). Output: doc_id, maybe, truly_dup. */
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = docs.where(col("doc_id") % 4 =!= 0)
+      .select(md5(substring(col("text"), 1, 40)).as("fp")).distinct()
+    val m = 1L << bloomBits(state.count())
+    val delta = docs.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+    bloomProbe(delta, bloomBitmap(state, m), m)
+      .join(state.withColumn("dup", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("maybe"),
+        coalesce(col("dup"), lit(false)).as("truly_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Rollup of [[bloomFilter]] plus the filter-geometry facts a
+    * release dashboard graphs: state/delta sizes, bitmap bit width
+    * and occupied word count, how many delta docs the Bloom pass
+    * cleared map-side vs sent to the exact join, and the realized
+    * false-positive rate over the truly-new population. One row. */
+  def bloomStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = docs.where(col("doc_id") % 4 =!= 0)
+      .select(md5(substring(col("text"), 1, 40)).as("fp")).distinct()
+    val m = 1L << bloomBits(state.count())
+    val verdicts = bloomFilter(spark, dir)
+    val nWords = bloomBitmap(state, m).count()
+    verdicts.agg(
+      count(lit(1)).as("n_delta"),
+      sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+      sum(when(col("truly_dup"), 1L).otherwise(0L)).as("n_dup"),
+      sum(when(col("maybe") && !col("truly_dup"), 1L).otherwise(0L)).as("n_false_pos"))
+      .select(
+        lit(m).as("m_bits"),
+        lit(nWords).as("n_words"),
+        col("n_delta"), col("n_maybe"), col("n_dup"), col("n_false_pos"),
+        round(col("n_false_pos").cast("double") /
+          greatest(col("n_delta") - col("n_dup"), lit(1L)).cast("double"), 6)
+          .as("fp_rate"))
+  }
+
+  /** The applied form: classify a delta against a state table with
+    * the Bloom pre-filter in front of the exact join. Returns the
+    * delta with an `is_dup` column; rows the Bloom pass proves new
+    * never touch the state join (`PipelineSpec` asserts the result is
+    * row-identical to the plain anti-join classification). */
+  private[graft] def bloomClassify(stateFps: DataFrame, delta: DataFrame): DataFrame = {
+    val state = stateFps.select(col("fp")).distinct()
+    val m = 1L << bloomBits(state.count())
+    val probed = bloomProbe(delta, bloomBitmap(state, m), m)
+    val maybes = probed.where(col("maybe"))
+      .join(state.withColumn("dup", lit(true)), Seq("fp"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(false)))
+      .select(delta.columns.map(col) :+ col("is_dup"): _*)
+    val definiteNew = probed.where(!col("maybe"))
+      .withColumn("is_dup", lit(false))
+      .select(delta.columns.map(col) :+ col("is_dup"): _*)
+    maybes.union(definiteNew)
+  }
+
   /** Cross-source duplication matrix — which source pairs ship the
     * same content: per unordered source pair, the number of distinct
     * prefix fingerprints (the `prefix` 40-char hash) present in BOTH.

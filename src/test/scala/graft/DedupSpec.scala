@@ -296,4 +296,36 @@ class DedupSpec extends SparkSpec {
     assert(score.where(col("frac") < 0.0 || col("frac") > 1.0).count() === 0)
     assert(score.where(col("n_overlap") === 0 && col("frac") =!= 0.0).count() === 0)
   }
+
+  test("bloom width ladder: floor, +1 per doubling, broadcastable cap") {
+    assert(Dedup.bloomBits(0) === 17)
+    assert(Dedup.bloomBits(4096) === 17) // floor holds through 2^12 state rows
+    assert(Dedup.bloomBits(4097) === 18)
+    assert(Dedup.bloomBits(8192) === 18)
+    assert(Dedup.bloomBits(8193) === 19)
+    assert(Dedup.bloomBits(Long.MaxValue) === 30) // 128 MiB bitmap cap
+    // monotone non-decreasing across doublings
+    val widths = (0 to 24).map(i => Dedup.bloomBits(1L << i))
+    assert(widths === widths.sorted)
+  }
+
+  test("bloom verdicts: no false negatives; classify ≡ the plain exact join") {
+    val v = Dedup.bloomFilter(spark, sf)
+    // a true dup can never be cleared map-side
+    assert(v.where(col("truly_dup") && !col("maybe")).count() === 0)
+    assert(v.where(col("truly_dup")).count() > 0) // the slice has real dups
+    // the applied classifier (bloom prefilter in front of the exact
+    // join) is row-identical to the join-everything classification
+    val docs = graft.Tables.documents(spark, sf)
+    val state = docs.where(col("doc_id") % 4 =!= 0)
+      .select(md5(substring(col("text"), 1, 40)).as("fp"))
+    val delta = docs.where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+    val viaBloom = Dedup.bloomClassify(state, delta)
+    val plain = delta.join(
+        state.distinct().withColumn("d", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), coalesce(col("d"), lit(false)).as("is_dup"))
+    assert(viaBloom.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(viaBloom).count() === 0)
+  }
 }
