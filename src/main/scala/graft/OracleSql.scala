@@ -4573,6 +4573,29 @@ object OracleSql {
        |       ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(pp + p AS DOUBLE), 6) AS f1
        |FROM c ORDER BY thresh""".stripMargin
 
+  /** Reliability bins + ECE mirroring `Text.qclfCalibration`: integer
+    * micro sums per 0.05-wide bin, exact-integer gap numerators,
+    * single final divisions. */
+  val textQclfCalibration: String =
+    s"""WITH $qclfChain,
+       |b AS (
+       |  SELECT y, CAST(ROUND(score * 1000000) AS BIGINT) AS su
+       |  FROM scored
+       |),
+       |hist AS (
+       |  SELECT LEAST(su // 50000, 19) AS bin, COUNT(*) AS n,
+       |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(su) AS BIGINT) AS ss
+       |  FROM b GROUP BY 1
+       |),
+       |g AS (SELECT *, ABS(sy * 1000000 - ss) AS e FROM hist)
+       |SELECT bin, n,
+       |       ROUND(CAST(ss AS DOUBLE) / n / 1000000, 6) AS conf,
+       |       ROUND(CAST(sy AS DOUBLE) / n, 6) AS acc,
+       |       ROUND(CAST(e AS DOUBLE) / (n * 1000000), 6) AS gap,
+       |       ROUND(CAST(SUM(e) OVER () AS DOUBLE) /
+       |             (SUM(n) OVER () * 1000000), 6) AS ece
+       |FROM g ORDER BY bin""".stripMargin
+
   /** Exact Mann–Whitney AUC with midrank ties over the bounded
     * per-score histogram (≤ 10⁶+1 distinct 6dp scores); all rank
     * arithmetic in BIGINT (doubled midranks) until the one final

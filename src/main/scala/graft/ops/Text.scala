@@ -1550,6 +1550,39 @@ object Text {
       .orderBy("thresh")
   }
 
+  /** Calibration audit: 20-bin reliability table + expected
+    * calibration error — does "score 0.8" mean 80% of such docs are
+    * actually positive? The production question behind every
+    * score-thresholded filter (a miscalibrated cutoff silently
+    * shifts the corpus mix). Scores enter as integer MICROS
+    * (`round(score·10⁶)` — exact: scores are already 6dp), so bin
+    * sums stay in BIGINT and every per-bin statistic is ONE division
+    * of exact integers — no float accumulation order to disagree
+    * with the oracle, no composition of rounded ratios:
+    * |acc − conf| = |10⁶·Σy − Σsu| / (10⁶·n) has an integer
+    * numerator, and ECE = Σ_bins n/N·|acc−conf| telescopes to
+    * Σ|10⁶·Σy − Σsu| / (10⁶·N). One groupBy over ≤ 20 rows of
+    * state regardless of corpus size. Output: bin, n, conf, acc,
+    * gap, ece (global, carried on every row). */
+  def qclfCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val hist = qclfScored(spark, dir)
+      .select(col("y"), round(col("score") * 1e6).cast("bigint").as("su"))
+      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("bigint").as("sy"),
+        sum(col("su")).as("ss"))
+      .withColumn("e", abs(col("sy") * lit(1000000L) - col("ss")))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(col("bin"), col("n"),
+        round(col("ss").cast("double") / col("n") / 1e6, 6).as("conf"),
+        round(col("sy").cast("double") / col("n"), 6).as("acc"),
+        round(col("e").cast("double") / (col("n") * lit(1000000L)), 6).as("gap"),
+        round(sum(col("e")).over(all).cast("double") /
+          (sum(col("n")).over(all) * lit(1000000L)), 6).as("ece"))
+      .orderBy("bin")
+  }
+
   /** Ranking audit: exact Mann–Whitney AUC of the trained scores
     * against the labels, with midrank tie handling — computed
     * DISTRIBUTED over the per-score histogram, not a global row rank:
