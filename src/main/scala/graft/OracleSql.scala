@@ -3741,6 +3741,33 @@ object OracleSql {
        |FROM g LEFT JOIN bf USING (vec_id, nbr_id)
        |ORDER BY g.vec_id, g.nbr_id""".stripMargin
 
+  /** Graded nDCG@3 / MRR audit mirroring `Similarity.searchNdcg`:
+    * relevance 4−true_rank, fixed three-term DCG with pinned 6-dp
+    * log2 discounts, ideal DCG constant 4.76186. */
+  val simSearchNdcg: String =
+    s"""WITH g AS ($simGraphSearch),
+       |bf AS ($simTopK),
+       |j AS (
+       |  SELECT g.vec_id, g.rank AS wr,
+       |         CASE WHEN bf.rank IS NOT NULL THEN 4 - bf.rank ELSE 0 END AS rel
+       |  FROM g LEFT JOIN bf USING (vec_id, nbr_id)
+       |),
+       |p AS (
+       |  SELECT vec_id,
+       |         MAX(CASE WHEN wr = 1 THEN rel ELSE 0 END) AS r1,
+       |         MAX(CASE WHEN wr = 2 THEN rel ELSE 0 END) AS r2,
+       |         MAX(CASE WHEN wr = 3 THEN rel ELSE 0 END) AS r3,
+       |         MIN(CASE WHEN rel > 0 THEN wr END) AS fh,
+       |         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM j GROUP BY vec_id
+       |)
+       |SELECT vec_id,
+       |       ROUND(r1 * 1.0 + r2 * 0.630930 + r3 * 0.5, 6) AS dcg,
+       |       ROUND((r1 * 1.0 + r2 * 0.630930 + r3 * 0.5) / 4.76186, 6) AS ndcg,
+       |       ROUND(CASE WHEN fh IS NULL THEN 0.0 ELSE 1.0 / fh END, 6) AS rr,
+       |       n_hits
+       |FROM p ORDER BY vec_id""".stripMargin
+
   /** Eligible-corpus CTE for the filtered-ANN family: embeddings
     * row-aligned to documents (vec_id = doc_id), language filter. */
   private def filteredEligCte: String =

@@ -1356,6 +1356,48 @@ object Similarity {
       .orderBy("vec_id", "nbr_id")
   }
 
+  /** Graded retrieval-quality metrics for the graph walk — the IR
+    * readout (nDCG@3, reciprocal rank, hit count) a serving team
+    * tracks per release next to the binary [[graphSearchRecall]]
+    * flags: recall says WHETHER the exact answers were found, nDCG
+    * says how well they were ORDERED. Relevance is graded by exact
+    * rank (4 − true_rank → 3/2/1, miss → 0).
+    *
+    * Determinism: the DCG is a FIXED three-term expression over a
+    * per-query pivot of the walk ranks — never a float aggregation
+    * whose order could differ between engines — and the log2
+    * discounts are pinned 6-dp literals (1, 0.630930, 0.5; an
+    * engine-computed log2(3) could differ in the last ulp). The
+    * ideal DCG is the constant 3 + 2·0.630930 + 0.5 = 4.76186
+    * (every query has a full exact top-3). Per-query rows only — a
+    * corpus-level mean would be a float sum with nondeterministic
+    * order; the driver can average the rounded per-query values.
+    * Scale: both inputs are landed Q×3 answer artifacts; the audit
+    * is a join + groupBy on Q rows.
+    * Output: vec_id, dcg, ndcg, rr, n_hits. */
+  def searchNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir)
+      .select(col("vec_id"), col("nbr_id"), col("rank").as("true_rank"))
+    val rel = navAnswersShared(spark, dir)
+      .select(col("vec_id"), col("nbr_id"), col("rank").as("wr"))
+      .join(bf, Seq("vec_id", "nbr_id"), "left")
+      .withColumn("rel",
+        when(col("true_rank").isNotNull, lit(4L) - col("true_rank")).otherwise(lit(0L)))
+    val p = rel.groupBy("vec_id").agg(
+      max(when(col("wr") === 1, col("rel")).otherwise(lit(0L))).as("r1"),
+      max(when(col("wr") === 2, col("rel")).otherwise(lit(0L))).as("r2"),
+      max(when(col("wr") === 3, col("rel")).otherwise(lit(0L))).as("r3"),
+      min(when(col("rel") > 0, col("wr"))).as("fh"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"))
+    val dcg = col("r1") * lit(1.0) + col("r2") * lit(0.630930) + col("r3") * lit(0.5)
+    p.select(col("vec_id"),
+        round(dcg, 6).as("dcg"),
+        round(dcg / lit(4.76186), 6).as("ndcg"),
+        round(when(col("fh").isNull, lit(0.0)).otherwise(lit(1.0) / col("fh")), 6).as("rr"),
+        col("n_hits"))
+      .orderBy("vec_id")
+  }
+
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (Cormack et al., SIGIR 2009): for each query document (doc_id <
     * 10, which is also its vec_id), fuse the BM25 top-10
