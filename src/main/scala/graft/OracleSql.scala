@@ -4623,6 +4623,34 @@ object OracleSql {
        |             (SUM(n) OVER () * 1000000), 6) AS ece
        |FROM g ORDER BY bin""".stripMargin
 
+  /** PSI drift monitor mirroring `Text.qclfPsi`: dense 0..19 bin
+    * spine, Laplace-smoothed shares, ordered running cumsum. */
+  val textQclfPsi: String =
+    s"""WITH $qclfChain,
+       |b AS (
+       |  SELECT doc_id,
+       |         LEAST(CAST(ROUND(score * 1000000) AS BIGINT) // 50000, 19) AS bin
+       |  FROM scored
+       |),
+       |spine AS (SELECT CAST(UNNEST(generate_series(0, 19)) AS BIGINT) AS bin),
+       |r AS (SELECT bin, COUNT(*) AS n FROM b WHERE doc_id % 4 <> 0 GROUP BY bin),
+       |c AS (SELECT bin, COUNT(*) AS n FROM b WHERE doc_id % 4 = 0 GROUP BY bin),
+       |j AS (
+       |  SELECT s.bin, COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+       |  FROM spine s LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)
+       |),
+       |g AS (
+       |  SELECT bin, n_ref, n_cur,
+       |         CAST(n_ref + 1 AS DOUBLE) / (SUM(n_ref) OVER () + 20) AS pp,
+       |         CAST(n_cur + 1 AS DOUBLE) / (SUM(n_cur) OVER () + 20) AS qq
+       |  FROM j
+       |)
+       |SELECT bin, n_ref, n_cur,
+       |       ROUND(pp, 6) AS p_ref, ROUND(qq, 6) AS p_cur,
+       |       ROUND(SUM((pp - qq) * LN(pp / qq)) OVER (ORDER BY bin
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_psi
+       |FROM g ORDER BY bin""".stripMargin
+
   /** Exact Mann–Whitney AUC with midrank ties over the bounded
     * per-score histogram (≤ 10⁶+1 distinct 6dp scores); all rank
     * arithmetic in BIGINT (doubled midranks) until the one final

@@ -1583,6 +1583,49 @@ object Text {
       .orderBy("bin")
   }
 
+  /** Score-distribution drift monitor: population stability index of
+    * the classifier's score distribution between the reference
+    * window (the 75% state slice, doc_id % 4 ≠ 0 — the release the
+    * model was calibrated against) and the production window (the
+    * 25% delta slice). PSI = Σ_bins (p−q)·ln(p/q) over the same 20
+    * calibration bins, Laplace-smoothed (n+1)/(N+20) so empty bins
+    * are defined; the conventional read: <0.1 stable, 0.1–0.25
+    * drifting, >0.25 retrain.
+    *
+    * Determinism: a DENSE 0..19 bin spine (empty bins still
+    * contribute), each p/q/ln a single fp op on exact integers, and
+    * the total accumulated as an ORDERED running cumsum (the house
+    * float-sum rule — both engines add in bin order; the last row's
+    * cum_psi is the headline number). Scale: two corpus-sized
+    * groupBys into 20 rows of state.
+    * Output: bin, n_ref, n_cur, p_ref, p_cur, cum_psi. */
+  def qclfPsi(spark: SparkSession, dir: String): DataFrame = {
+    val binned = qclfScored(spark, dir)
+      .select(col("doc_id"), round(col("score") * 1e6).cast("bigint").as("su"))
+      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+    def side(f: org.apache.spark.sql.Column, name: String) = binned.where(f)
+      .groupBy("bin").agg(count(lit(1)).as(name))
+    val j = spark.range(20).select(col("id").as("bin"))
+      .join(side(col("doc_id") % 4 =!= 0, "n_ref"), Seq("bin"), "left")
+      .join(side(col("doc_id") % 4 === 0, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (sum(col("n_ref")).over(all) + lit(20L)).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (sum(col("n_cur")).over(all) + lit(20L)).cast("double")
+    val run = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("pp", p).withColumn("qq", q)
+      .withColumn("contrib", (col("pp") - col("qq")) * log(col("pp") / col("qq")))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("pp"), 6).as("p_ref"), round(col("qq"), 6).as("p_cur"),
+        round(sum(col("contrib")).over(run), 6).as("cum_psi"))
+      .orderBy("bin")
+  }
+
   /** Ranking audit: exact Mann–Whitney AUC of the trained scores
     * against the labels, with midrank tie handling — computed
     * DISTRIBUTED over the per-score histogram, not a global row rank:
