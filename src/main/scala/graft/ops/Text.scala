@@ -1600,14 +1600,33 @@ object Text {
     * groupBys into 20 rows of state.
     * Output: bin, n_ref, n_cur, p_ref, p_cur, cum_psi. */
   def qclfPsi(spark: SparkSession, dir: String): DataFrame = {
-    val binned = qclfScored(spark, dir)
-      .select(col("doc_id"), round(col("score") * 1e6).cast("bigint").as("su"))
-      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+    val binned = qclfBinned(qclfScored(spark, dir))
     def side(f: org.apache.spark.sql.Column, name: String) = binned.where(f)
       .groupBy("bin").agg(count(lit(1)).as(name))
+    psiTable(spark,
+      side(col("doc_id") % 4 =!= 0, "n_ref"),
+      side(col("doc_id") % 4 === 0, "n_cur"))
+  }
+
+  /** Calibration-bin assignment shared by the batch PSI and the
+    * streaming drift gate: integer micros, 50k-wide bins, top bin
+    * capped at 19 (score 1.0 folds into the last bin).
+    * Output: doc_id, su, bin. */
+  private[graft] def qclfBinned(scored: DataFrame): DataFrame =
+    scored
+      .select(col("doc_id"), round(col("score") * 1e6).cast("bigint").as("su"))
+      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+
+  /** PSI table from two per-bin count tables (`bin, n_ref` /
+    * `bin, n_cur`) — the [[qclfPsi]] core, shared with the streaming
+    * drift monitor so the live readout is definitionally the batch
+    * number. Inputs may omit empty bins; the dense spine restores
+    * them. */
+  private[graft] def psiTable(spark: SparkSession, ref: DataFrame,
+      cur: DataFrame): DataFrame = {
     val j = spark.range(20).select(col("id").as("bin"))
-      .join(side(col("doc_id") % 4 =!= 0, "n_ref"), Seq("bin"), "left")
-      .join(side(col("doc_id") % 4 === 0, "n_cur"), Seq("bin"), "left")
+      .join(ref, Seq("bin"), "left")
+      .join(cur, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -1625,6 +1644,14 @@ object Text {
         round(sum(col("contrib")).over(run), 6).as("cum_psi"))
       .orderBy("bin")
   }
+
+  /** The landed reference histogram a live drift monitor compares
+    * against: per-bin score counts of the calibration window (the
+    * 75% state slice). Output: bin, n_ref. */
+  private[graft] def qclfRefBins(spark: SparkSession, dir: String): DataFrame =
+    qclfBinned(qclfScored(spark, dir))
+      .where(col("doc_id") % 4 =!= 0)
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
 
   /** Ranking audit: exact Mann–Whitney AUC of the trained scores
     * against the labels, with midrank tie handling — computed

@@ -135,4 +135,37 @@ object DocStreams {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()
+
+  /** Streaming score-drift gate — the live half of `Text.qclfPsi`'s
+    * drift monitor: each arriving micro-batch is scored against the
+    * landed model and reduced MAP-SIDE to its 20-bin score histogram
+    * (≤ 20 rows per batch — the gate ships bin counts, never scores,
+    * so the monitor's cost is independent of arrival volume). Landed
+    * under batchId subdirectories with overwrite (the house
+    * at-least-once contract: crash-replay replaces its own directory).
+    * Histogram sums are associative, so ANY batching of the same
+    * arrivals lands the same total — the parity `StreamingSpec`
+    * asserts against the batch PSI. */
+  def driftGate(spark: SparkSession, docs: DataFrame, wts: DataFrame,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Text.qclfBinned(graft.ops.Text.qclfScoreDocs(batch, wts))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
+  /** Drift readout over the landed gate output: sums the per-batch
+    * histograms into the production window's bin counts and scores
+    * them against the reference window through the SAME `psiTable`
+    * core as the batch query — the live number and the batch number
+    * cannot diverge by construction. `refBins`: bin, n_ref (e.g.
+    * `Text.qclfRefBins`). Output: the `Text.qclfPsi` table. */
+  def driftMonitor(spark: SparkSession, gateOut: String,
+      refBins: DataFrame): DataFrame =
+    graft.ops.Text.psiTable(spark, refBins,
+      spark.read.parquet(gateOut)
+        .groupBy("bin").agg(sum(col("n")).as("n_cur")))
 }

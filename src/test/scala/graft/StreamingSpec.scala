@@ -471,4 +471,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("streaming drift monitor reproduces the batch PSI table") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val wts = Text.qclfTrain(spark, sf)
+    // the production window (the 25% delta slice), dropped in two
+    // arbitrary micro-batches — histogram sums are batching-invariant
+    val cur = Tables.documents(spark, sf).where(col("doc_id") % 4 === 0)
+    val d = java.nio.file.Files.createTempDirectory("graft_drift_drops").toString
+    cur.where(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$d/h1")
+    cur.where(col("doc_id") % 3 =!= 0).coalesce(1).write.parquet(s"$d/h2")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_drift_out").toString + "/bins"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ck").toString
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.driftGate(spark, stream, wts, outPath, ckpt)
+    try q.processAllAvailable()
+    finally {
+      q.stop(); q.awaitTermination()
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    val live = DocStreams.driftMonitor(spark, outPath, Text.qclfRefBins(spark, sf))
+    val batch = Text.qclfPsi(spark, sf)
+    assert(live.count() === 20)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+  }
 }
