@@ -4695,6 +4695,39 @@ object OracleSql {
       |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank, w6
       |FROM r WHERE rank <= 15 ORDER BY lang, rank""".stripMargin
 
+  /** Deterministic shard shuffle mirroring `Text.shardShuffle`:
+    * seeded md5 key, 16 hash-bucket shards from the key's leading
+    * 24 bits, within-shard training order (key, doc_id). */
+  val textShardShuffle: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, k,
+      |         CAST('0x' || substr(k, 1, 6) AS BIGINT) % 16 AS shard
+      |  FROM k
+      |)
+      |SELECT shard,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+      |            AS BIGINT) AS pos,
+      |       doc_id, k
+      |FROM s ORDER BY shard, pos""".stripMargin
+
+  /** Per-shard manifest mirroring `Text.shardManifest`: doc count,
+    * token mass, order-free BIGINT checksum over a 32-bit key slice. */
+  val textShardManifest: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents
+      |)
+      |SELECT CAST('0x' || substr(s.k, 1, 6) AS BIGINT) % 16 AS shard,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS BIGINT) AS n_toks,
+      |       CAST(SUM(CAST('0x' || substr(s.k, 7, 8) AS BIGINT)) AS BIGINT) AS key_sum
+      |FROM s JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Z-order layout audit, mirroring `Relational.zorderAudit`:
     * 16-bit Morton interleave, 64 equal files per layout by exact
     * integer arithmetic, min/max file-skipping probes. */

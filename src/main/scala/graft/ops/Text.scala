@@ -1407,6 +1407,49 @@ object Text {
       .orderBy("lang", "rank")
   }
 
+  /** Deterministic global shuffle into training shards — the release
+    * step between curation and the trainer: every document draws a
+    * reproducible pseudo-random key (md5 over a versioned seed tag +
+    * doc_id, so reshuffling is a seed bump away), lands in one of 16
+    * shards by the key's leading bits, and takes its within-shard
+    * position from a per-shard window ordered by (key, doc_id).
+    * Hash-bucket sharding is the only shape that survives 100 TB: no
+    * global sort, no single-partition window — one corpus-sized
+    * shuffle on the shard key, shard sizes uniform to ±√n. The
+    * (key, doc_id) order within a shard IS the training order;
+    * re-runs, partition layouts, and engines all agree on it.
+    * Output: shard, pos, doc_id, k. */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 6), 16, 10).cast("bigint") % 16)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("k"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Per-shard release manifest for [[shardShuffle]] — what a trainer
+    * checks before reading: document count, token mass, and an
+    * order-free integer checksum (the BIGINT sum of a 32-bit slice of
+    * each member key — exact, addend-order-independent, so any engine
+    * and any partitioning lands the same number, and headroom to
+    * ~6·10⁸ docs per shard before BIGINT could overflow; the house
+    * alternative to md5-of-concatenation, which would need an ordered
+    * reduce). Output: shard, n_docs, n_toks, key_sum. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardShuffle(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks")),
+        "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+        sum(conv(substring(col("k"), 7, 8), 16, 10).cast("bigint")).as("key_sum"))
+      .orderBy("shard")
+
   // ---- trained quality classifier (hashed logistic regression) ----
   //
   // The fasttext-shaped filter workflow production pretraining
