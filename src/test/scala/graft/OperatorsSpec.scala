@@ -212,6 +212,24 @@ class OperatorsSpec extends SparkSpec {
     assert(p.exceptAll(Text.pack(spark, sf)).count() === 0)
   }
 
+  test("shard shuffle: a permutation into 16 shards with contiguous order") {
+    val s = Text.shardShuffle(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(s.count() === nDocs)
+    assert(s.select("doc_id").distinct().count() === nDocs)
+    assert(s.where(col("shard") < 0 || col("shard") >= 16).count() === 0)
+    // pos is exactly 1..n per shard (count == max == distinct count)
+    val per = s.groupBy("shard").agg(count(lit(1)).as("n"),
+      max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+    assert(per.where(col("mx") =!= col("n") || col("mn") =!= 1L).count() === 0)
+    // manifest reconciles with the shuffle it describes
+    val m = Text.shardManifest(spark, sf)
+    assert(m.count() === per.count())
+    assert(m.join(per, "shard").where(col("n_docs") =!= col("n")).count() === 0)
+    // deterministic re-run
+    assert(s.exceptAll(Text.shardShuffle(spark, sf)).count() === 0)
+  }
+
   test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
     val q = Similarity.quantize(spark, sf)
     assert(q.count() === Tables.embeddings(spark, sf).count())

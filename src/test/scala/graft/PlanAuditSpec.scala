@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_graph_search",
     // composes sim_graph_search (same bounded entry × query cross)
     "sim_graph_recall",
+    // composes the landed walk answers with bruteForceTopK's exact
+    // ranks (10-row query broadcast × corpus, the sim_topk pattern)
+    "sim_search_ndcg",
     // 64-row per-shard entry dim × 10-row query broadcast
     "sim_sharded_search",
     // 16-row entry dim × 10-row query broadcast (ADC walk)
