@@ -1523,23 +1523,31 @@ object Text {
     * (and, in a real release, by the ingest-side filter gate). */
   private def qclfWeightsArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.tableReleasable(spark, "text_qclf_w", dir) {
-      val docs = Tables.documents(spark, dir)
-      val feats = qclfFeats(docs).persist()
-      feats.count() // materialize: each GD step references feats twice
-      val labels = qclfLabels(docs)
-      val nCar = docs.agg(count(lit(1)).cast("double").as("nd"))
-      var w: DataFrame = spark.range(QclfDim.toLong)
-        .select(col("id").as("f"), lit(0.0).as("w"))
-      // each step references the weight plan TWICE (margin join +
-      // update join), so a lazily-chained loop doubles the logical
-      // plan per iteration — 2^8 copies by the last step (the
-      // lineage-doubling pitfall the beam walk hit at scale).
-      // localCheckpoint flattens the 64-row table to a LogicalRDD
-      // leaf each step; eager, so the step actually runs here.
-      for (_ <- 1 to QclfIters)
-        w = qclfStep(feats, labels, nCar, w).localCheckpoint(true)
-      (w, () => { feats.unpersist(); () })
+      qclfFit(spark, Tables.documents(spark, dir))
     }
+
+  /** The training loop itself, over an arbitrary documents table —
+    * factored from the artifact so the scale harness
+    * (`tools.QclfScale`) can fit duplicated corpora directly.
+    * Returns (weights, release-the-feats handle). */
+  private[graft] def qclfFit(spark: SparkSession,
+      docs: DataFrame): (DataFrame, () => Unit) = {
+    val feats = qclfFeats(docs).persist()
+    feats.count() // materialize: each GD step references feats twice
+    val labels = qclfLabels(docs)
+    val nCar = docs.agg(count(lit(1)).cast("double").as("nd"))
+    var w: DataFrame = spark.range(QclfDim.toLong)
+      .select(col("id").as("f"), lit(0.0).as("w"))
+    // each step references the weight plan TWICE (margin join +
+    // update join), so a lazily-chained loop doubles the logical
+    // plan per iteration — 2^8 copies by the last step (the
+    // lineage-doubling pitfall the beam walk hit at scale).
+    // localCheckpoint flattens the 64-row table to a LogicalRDD
+    // leaf each step; eager, so the step actually runs here.
+    for (_ <- 1 to QclfIters)
+      w = qclfStep(feats, labels, nCar, w).localCheckpoint(true)
+    (w, () => { feats.unpersist(); () })
+  }
 
   /** Published trained-classifier weights. Output: f, w. */
   def qclfTrain(spark: SparkSession, dir: String): DataFrame =
