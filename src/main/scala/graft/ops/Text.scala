@@ -1418,25 +1418,48 @@ object Text {
     * shuffle on the shard key, shard sizes uniform to ±√n. The
     * (key, doc_id) order within a shard IS the training order;
     * re-runs, partition layouts, and engines all agree on it.
+    *
+    * The shard COUNT follows the [[graft.ops.Similarity]] ladder
+    * discipline ([[shardBitsFor]]): the per-shard window is one task
+    * per shard, so a FIXED 16 shards would put corpus/16 rows on one
+    * task at scale — the exact single-partition-window failure the
+    * plan audits exist to prevent. Deterministic in n (floor 16
+    * shards — every driver-scale oracle pins there — +1 bit per
+    * corpus doubling past ~1M docs/shard), so any engine derives the
+    * same layout; a release crossing a width boundary reshuffles
+    * fully, which a trainer-facing release does anyway.
     * Output: shard, pos, doc_id, k. */
   def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nShards = 1L << shardBitsFor(docs.count())
     val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
-        conv(substring(col("k"), 1, 6), 16, 10).cast("bigint") % 16)
+        conv(substring(col("k"), 1, 6), 16, 10).cast("bigint") % nShards)
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .select(col("shard"), col("pos"), col("doc_id"), col("k"))
       .orderBy("shard", "pos")
+  }
+
+  /** Shard-count ladder for [[shardShuffle]]: 4 bits (16 shards) at
+    * driver scales, +1 per doubling once shards would exceed ~2²⁰
+    * docs, capped at 2²⁴ shards. Bounds the per-shard window task at
+    * ~1M rows regardless of corpus size, and bounds the manifest's
+    * 32-bit key_sum at ~2⁵² ≪ BIGINT. */
+  private[graft] def shardBitsFor(n: Long): Int = {
+    var bits = 4
+    while (bits < 24 && (n >> bits) > (1L << 20)) bits += 1
+    bits
   }
 
   /** Per-shard release manifest for [[shardShuffle]] — what a trainer
     * checks before reading: document count, token mass, and an
     * order-free integer checksum (the BIGINT sum of a 32-bit slice of
     * each member key — exact, addend-order-independent, so any engine
-    * and any partitioning lands the same number, and headroom to
-    * ~6·10⁸ docs per shard before BIGINT could overflow; the house
+    * and any partitioning lands the same number; the ladder bounds
+    * shards at ~2²¹ docs, so the sum stays ≤ ~2⁵³ ≪ BIGINT; the house
     * alternative to md5-of-concatenation, which would need an ordered
     * reduce). Output: shard, n_docs, n_toks, key_sum. */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =

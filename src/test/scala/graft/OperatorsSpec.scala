@@ -228,6 +228,13 @@ class OperatorsSpec extends SparkSpec {
     assert(m.join(per, "shard").where(col("n_docs") =!= col("n")).count() === 0)
     // deterministic re-run
     assert(s.exceptAll(Text.shardShuffle(spark, sf)).count() === 0)
+    // the shard-count ladder: 16 at every driver scale (oracle-pinned),
+    // grows once shards would exceed ~1M docs, bounded per-shard forever
+    assert(Text.shardBitsFor(5000L) === 4)
+    assert(Text.shardBitsFor(1L << 24) === 4)
+    assert(Text.shardBitsFor(1L << 25) === 5)
+    val big = Text.shardBitsFor(100000000000L) // ~1e11 docs (100 TB-ish)
+    assert((100000000000L >> big) <= (1L << 20) && big < 24)
   }
 
   test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
