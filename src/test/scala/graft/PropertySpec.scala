@@ -25,6 +25,28 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
     samples(g, n).foreach(body)
 
+  test("psi: per-bin terms non-negative, cumsum monotone, zero on identical histograms") {
+    import spark.implicits._
+    val histGen: Gen[Seq[(Long, Long)]] =
+      Gen.sequence[Seq[(Long, Long)], (Long, Long)]((0L until 20L).map(b =>
+        Gen.choose(0L, 100L).map(n => (b, n))))
+    forAll(histGen.flatMap(r => histGen.map(c => (r, c))), n = 4) { case (r, c) =>
+      val refDf = r.toDF("bin", "n_ref").where(col("n_ref") =!= 7L) // holes: spine must restore
+      val curDf = c.toDF("bin", "n_cur")
+      val rows = graft.ops.Text.psiTable(spark, refDf, curDf)
+        .orderBy("bin").select("cum_psi").collect().map(_.getDouble(0))
+      assert(rows.length === 20)
+      // (p−q)·ln(p/q) has matching signs → every term ≥ 0 → the
+      // running sum never decreases and the headline PSI is ≥ 0
+      assert(rows.zip(rows.tail).forall { case (a, b) => b >= a - 1e-9 })
+      assert(rows.head >= 0.0 && rows.last >= 0.0)
+      // identical histograms → smoothed p = q in every bin → PSI 0
+      val zero = graft.ops.Text.psiTable(spark, curDf.withColumnRenamed("n_cur", "n_ref"), curDf)
+        .agg(max(abs(col("cum_psi")))).first().getDouble(0)
+      assert(zero === 0.0)
+    }
+  }
+
   test("kcore peel matches a reference 5-round peel on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(60, for {
