@@ -4714,6 +4714,26 @@ object OracleSql {
       |       doc_id, k
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Pearson chi-square independence audit mirroring `Text.chi2`:
+    * dense source×lang cell spine (zero cells included), exact
+    * integer marginals, one fp division per expected count, ordered
+    * running cumsum of the IEEE-identical cell terms. */
+  val textChi2: String =
+    """WITH cells AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, COUNT(*) AS r FROM documents GROUP BY 1),
+      |c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS nn FROM documents),
+      |s AS (
+      |  SELECT r.source, c.lang, COALESCE(cells.n, 0) AS n,
+      |         CAST(r.r * c.c AS DOUBLE) / t.nn AS e
+      |  FROM r CROSS JOIN c CROSS JOIN t
+      |  LEFT JOIN cells USING (source, lang)
+      |)
+      |SELECT source, lang, n, ROUND(e, 6) AS e6,
+      |       ROUND(SUM((n - e) * (n - e) / e) OVER (ORDER BY source, lang
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_chi2
+      |FROM s ORDER BY source, lang""".stripMargin
+
   /** Per-shard manifest mirroring `Text.shardManifest`: doc count,
     * token mass, order-free BIGINT checksum over a 32-bit key slice. */
   val textShardManifest: String =

@@ -1443,6 +1443,43 @@ object Text {
       .orderBy("shard", "pos")
   }
 
+  /** Independence audit of the corpus' source × language mix —
+    * Pearson chi-square over the full contingency table (zero-count
+    * cells included via the dims cross, as the statistic requires).
+    * The release-audit question: did this version's ingest shift
+    * which languages each source contributes? A large jump in the
+    * statistic between releases means the mix moved even if every
+    * marginal looks stable.
+    *
+    * Determinism: marginals and cell counts are exact BIGINTs;
+    * each expected count is ONE fp division of exact integers
+    * (r·c stays integer), each cell contribution (n−e)²/e a fixed
+    * IEEE expression both engines evaluate identically; the total is
+    * the house ORDERED running cumsum (last row = the statistic).
+    * Scale: one corpus-sized groupBy per marginal; the cell table is
+    * |sources|×|langs| — dimension-sized, driver-free, broadcast.
+    * Output: source, lang, n, e6, cum_chi2. */
+  def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val rows = d.groupBy("source").agg(count(lit(1)).as("r"))
+    val cols = d.groupBy("lang").agg(count(lit(1)).as("c"))
+    val nCar = d.agg(count(lit(1)).as("nn"))
+    val run = Window.orderBy("source", "lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.crossJoin(broadcast(cols)) // dense cell spine, incl. zero cells
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(nCar))
+      .withColumn("e", (col("r") * col("c")).cast("double") / col("nn"))
+      .withColumn("contrib",
+        (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+      .select(col("source"), col("lang"), col("n"),
+        round(col("e"), 6).as("e6"),
+        round(sum(col("contrib")).over(run), 6).as("cum_chi2"))
+      .orderBy("source", "lang")
+  }
+
   /** Shard-count ladder for [[shardShuffle]]: 4 bits (16 shards) at
     * driver scales, +1 per doubling once shards would exceed ~2²⁰
     * docs, capped at 2²⁴ shards. Bounds the per-shard window task at

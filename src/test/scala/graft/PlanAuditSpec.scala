@@ -96,6 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row token-total carrier (smoothing denominators) onto the
     // <=1024-row bucket-stat table
     "text_dsir",
+    // |sources|x|langs| dimension cross (the dense chi-square cell
+    // spine) + 1-row N carrier — both sides dimension-sized
+    "text_chi2",
     // 16-row entry dim × 10-row query broadcast (the sim_topk pattern)
     "sim_graph_search",
     // composes sim_graph_search (same bounded entry × query cross)
