@@ -472,6 +472,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("drift gate replays a micro-batch idempotently after a lost commit") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val wts = Text.qclfTrain(spark, sf)
+    val cur = Tables.documents(spark, sf).where(col("doc_id") % 4 === 0)
+    val d = java.nio.file.Files.createTempDirectory("graft_driftrp_drops").toString
+    cur.coalesce(1).write.parquet(s"$d/h1")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_driftrp_out").toString + "/bins"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_driftrp_ck").toString
+    def run(): Unit = {
+      val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+      val q = DocStreams.driftGate(spark, stream, wts, outPath, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    val firstTotal = spark.read.parquet(outPath).agg(sum(col("n"))).first().getLong(0)
+    assert(firstTotal === cur.count())
+    // crash between the sink write and the checkpoint commit: the
+    // re-delivered batchId must REPLACE its histogram, not add to it
+    // (an appended duplicate histogram would silently double n_cur
+    // and shift every smoothed share the monitor reports)
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    assert(spark.read.parquet(outPath).agg(sum(col("n"))).first().getLong(0) === firstTotal)
+    val live = DocStreams.driftMonitor(spark, outPath, Text.qclfRefBins(spark, sf))
+    assert(live.exceptAll(Text.qclfPsi(spark, sf)).count() === 0)
+  }
+
   test("streaming drift monitor reproduces the batch PSI table") {
     import graft.streaming.DocStreams
     import graft.ops.Text
