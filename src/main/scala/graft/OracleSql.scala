@@ -4714,6 +4714,40 @@ object OracleSql {
       |       doc_id, k
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Water-filling budget mix mirroring `Text.budgetMix`: exact
+    * BIGINT floor shares, prefix rule for fully-taken sources,
+    * remainder tokens to the last capped sources in sort order. */
+  val textBudgetMix: String =
+    """WITH m AS (
+      |  SELECT source,
+      |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS mass
+      |  FROM documents GROUP BY 1
+      |),
+      |g AS (
+      |  SELECT source, mass,
+      |         ROW_NUMBER() OVER (ORDER BY mass, source) AS idx,
+      |         COALESCE(SUM(mass) OVER (ORDER BY mass, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+      |         COUNT(*) OVER () AS nn,
+      |         SUM(mass) OVER () // 4 AS bgt
+      |  FROM m
+      |),
+      |f AS (
+      |  SELECT *, mass <= (bgt - prefix) // (nn - idx + 1) AS isfull FROM g
+      |),
+      |h AS (
+      |  SELECT *, SUM(CASE WHEN isfull THEN 1 ELSE 0 END) OVER () AS nfull,
+      |            SUM(CASE WHEN isfull THEN mass ELSE 0 END) OVER () AS taken
+      |  FROM f
+      |)
+      |SELECT source, mass, isfull AS full,
+      |       CAST(CASE WHEN isfull THEN mass
+      |            ELSE (bgt - taken) // (nn - nfull)
+      |                 + (CASE WHEN idx - nfull > (nn - nfull) - (bgt - taken) % (nn - nfull)
+      |                    THEN 1 ELSE 0 END)
+      |       END AS BIGINT) AS alloc
+      |FROM h ORDER BY source""".stripMargin
+
   /** Pearson chi-square independence audit mirroring `Text.chi2`:
     * dense source×lang cell spine (zero cells included), exact
     * integer marginals, one fp division per expected count, ordered

