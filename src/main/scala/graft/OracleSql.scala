@@ -4714,11 +4714,11 @@ object OracleSql {
       |       doc_id, k
       |FROM s ORDER BY shard, pos""".stripMargin
 
-  /** Water-filling budget mix mirroring `Text.budgetMix`: exact
+  /** Shared water-filling CTE chain (see `Text.budgetMix`): exact
     * BIGINT floor shares, prefix rule for fully-taken sources,
     * remainder tokens to the last capped sources in sort order. */
-  val textBudgetMix: String =
-    """WITH m AS (
+  private val budgetMixChain: String =
+    """m AS (
       |  SELECT source,
       |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS mass
       |  FROM documents GROUP BY 1
@@ -4739,14 +4739,41 @@ object OracleSql {
       |  SELECT *, SUM(CASE WHEN isfull THEN 1 ELSE 0 END) OVER () AS nfull,
       |            SUM(CASE WHEN isfull THEN mass ELSE 0 END) OVER () AS taken
       |  FROM f
-      |)
-      |SELECT source, mass, isfull AS full,
-      |       CAST(CASE WHEN isfull THEN mass
-      |            ELSE (bgt - taken) // (nn - nfull)
-      |                 + (CASE WHEN idx - nfull > (nn - nfull) - (bgt - taken) % (nn - nfull)
-      |                    THEN 1 ELSE 0 END)
-      |       END AS BIGINT) AS alloc
-      |FROM h ORDER BY source""".stripMargin
+      |),
+      |allocs AS (
+      |  SELECT source, mass, isfull AS "full",
+      |         CAST(CASE WHEN isfull THEN mass
+      |              ELSE (bgt - taken) // (nn - nfull)
+      |                   + (CASE WHEN idx - nfull > (nn - nfull) - (bgt - taken) % (nn - nfull)
+      |                      THEN 1 ELSE 0 END)
+      |         END AS BIGINT) AS alloc
+      |  FROM h
+      |)""".stripMargin
+
+  /** Water-filling budget mix mirroring `Text.budgetMix`. */
+  val textBudgetMix: String =
+    s"""WITH $budgetMixChain
+       |SELECT source, mass, "full", alloc FROM allocs ORDER BY source""".stripMargin
+
+  /** Budget apply mirroring `Text.budgetApply`: per-source greedy
+    * keep in seeded-key order, whole documents only. */
+  val textBudgetApply: String =
+    s"""WITH $budgetMixChain,
+       |d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |         md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents
+       |),
+       |cc AS (
+       |  SELECT source, doc_id, n_toks,
+       |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT cc.source, doc_id, n_toks, cum, cum <= a.alloc AS kept
+       |FROM cc JOIN allocs a USING (source)
+       |ORDER BY source, doc_id""".stripMargin
 
   /** Pearson chi-square independence audit mirroring `Text.chi2`:
     * dense source×lang cell spine (zero cells included), exact

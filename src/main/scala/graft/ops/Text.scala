@@ -1469,6 +1469,31 @@ object Text {
       .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
       .groupBy("source").agg(sum(col("t")).as("mass")))
 
+  /** The sampling decision [[budgetMix]] exists to drive: WHICH
+    * documents fill each source's allocation. Docs order within
+    * their source by the seeded [[shardShuffle]] key (deterministic
+    * pseudo-random, so the kept set is an unbiased sample any engine
+    * reproduces), then a per-source running token cumsum keeps every
+    * doc that fits ENTIRELY inside the source's water-filled
+    * allocation — no partial documents, so the kept mass is ≤ alloc
+    * with a sub-doc-sized gap per source. One corpus-sized window
+    * partitioned by source (scales like every per-key window here);
+    * the 20-row allocation table broadcasts. Output: source, doc_id,
+    * n_toks, cum, kept. */
+  def budgetApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("k", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+        md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .join(broadcast(budgetMix(spark, dir).select("source", "alloc")), "source")
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum"),
+        (col("cum") <= col("alloc")).as("kept"))
+      .orderBy("source", "doc_id")
+  }
+
   /** The allocation core of [[budgetMix]] over an arbitrary
     * (source, mass) table — factored so the property spec can drive
     * it with random mass vectors. */
