@@ -4274,6 +4274,28 @@ object OracleSql {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Decode→NN-resize→re-encode roundtrip mirroring
+    * `Multimodal.resize`: sampled pixels px(2y·8+2x), then the
+    * byte-exact 4×4 24-bpp BMP (fileSize 102 = 0x66, stride 12, no
+    * padding, bottom-up BGR) reconstructed hex-for-hex and md5'd. */
+  val mmResize: String = {
+    val headerHex =
+      "424D" + "66000000" + "00000000" + "36000000" +
+        "28000000" + "04000000" + "04000000" + "0100" + "1800" +
+        "00000000" + "30000000" + "00" * 16
+    val pixHex = (3 to 0 by -1).flatMap(y => (0 until 4).map(x =>
+      s"repeat(${mmPixHex(16 * y + 2 * x)}, 3)")).mkString(" || ")
+    val sampTot = (for (y <- 0 until 4; x <- 0 until 4)
+      yield s"px${16 * y + 2 * x}").mkString(" + ")
+    s"""WITH $mmPixelCtes,
+       |f AS (SELECT doc_id, upper('$headerHex' || $pixHex) AS file_hex FROM d)
+       |SELECT p.doc_id,
+       |       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       |       CAST(3 * ($sampTot) AS BIGINT) AS sum_rgb,
+       |       md5(f.file_hex) AS payload_md5
+       |FROM p JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Decoded-image stats: the oracle derives expected pixels straight
     * from the md5 chain; Spark must reproduce them by round-tripping
     * real BMP bytes through `javax.imageio`. Channel sums are 3× the

@@ -108,6 +108,42 @@ object Multimodal {
         col("sum_rgb"), col("mean_rgb"), col("px00_rgb"))
       .orderBy("doc_id")
 
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], sum_rgb: Long)
+
+  /** Decode → RESIZE → re-encode, the full image-transform roundtrip
+    * at the codec boundary: the platform codec (`javax.imageio`)
+    * parses each payload, a nearest-neighbor downsample halves it to
+    * 4×4 (dst(y,x) ← src(2y,2x), the deterministic NN rule), and the
+    * spec-exact encoder re-emits a real BMP whose bytes the oracle
+    * reconstructs hex-for-hex from the md5 pixel chain — so the
+    * cross-engine compare pins decode, sampling arithmetic, and the
+    * re-encoded container all at once. Same `mapPartitions` map-only
+    * shape as [[decode]]: per-record pure function, partition sizing
+    * by payload bytes, nothing shuffles; a production resize swaps
+    * the NN kernel for the codec library's scaler in the same map.
+    * Output: doc_id, width, height, sum_rgb, payload_md5. */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val half = Side / 2
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, px) = Bmp.decodeRgb(r.payload)
+          require(w == Side && h == Side, s"unexpected geometry ${w}x$h")
+          val small = Array.tabulate(half * half) { i =>
+            val y = i / half; val x = i % half
+            px(2 * y * w + 2 * x) & 0xff // gray render: any channel byte
+          }
+          var s = 0L; small.foreach(v => s += 3L * v)
+          ResizedMedia(r.doc_id, Bmp.encodeGray(small, half, half), s)
+        }
+      }
+      .select(col("doc_id"),
+        lit(half).as("width"), lit(half).as("height"), col("sum_rgb"),
+        md5(hex(col("payload"))).as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_sum: Long)
 
   /** The "video" payload: a container of 4 concatenated 8×8 BMP
