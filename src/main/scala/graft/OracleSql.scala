@@ -4316,9 +4316,9 @@ object OracleSql {
     * hex position 4i+1, byte 2i+1 at 4i+3; values ≥ 32768 wrap
     * negative). Spark must reproduce them by round-tripping real WAV
     * bytes through `javax.sound.sampled`. */
-  val mmAudio: String = {
+  private lazy val mmAudioChain: String = {
     val hx = (0 until 8).map(j => s"md5('a$j|' || text)").mkString(" || ")
-    s"""WITH a AS (SELECT doc_id, $hx AS hx FROM documents),
+    s"""a AS (SELECT doc_id, $hx AS hx FROM documents),
        |s AS (
        |  SELECT doc_id, list_transform(range(0, 64), i ->
        |    CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT) * 256
@@ -4329,14 +4329,32 @@ object OracleSql {
        |  SELECT doc_id,
        |         list_transform(raw, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sm
        |  FROM s
-       |)
+       |)""".stripMargin
+  }
+
+  val mmAudio: String =
+    s"""WITH $mmAudioChain
        |SELECT doc_id,
        |       CAST(64 AS INT) AS n_samples,
        |       CAST(${graft.ops.Wav.SampleRate} AS INT) AS sample_rate,
        |       CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
        |       CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
        |FROM v ORDER BY doc_id""".stripMargin
-  }
+
+  /** Audio features mirroring `Multimodal.audioFeatures`: exact
+    * integer energy and zero-crossing count over the md5-derived
+    * samples, one IEEE sqrt for the RMS (1-indexed DuckDB lists:
+    * sm[i]·sm[i+1] for i = 1..63 are the adjacent pairs). */
+  val mmAudioFeatures: String =
+    s"""WITH $mmAudioChain
+       |SELECT doc_id,
+       |       CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS energy,
+       |       CAST(list_sum(list_transform(range(1, 64), i ->
+       |         CASE WHEN sm[CAST(i AS INT)] * sm[CAST(i + 1 AS INT)] < 0
+       |              THEN 1 ELSE 0 END)) AS BIGINT) AS zcr,
+       |       ROUND(sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE)
+       |                  / 64.0), 6) AS rms
+       |FROM v ORDER BY doc_id""".stripMargin
 
   /** Sampled frames 0 and 2 of the 4-BMP container: frame f's 64 gray
     * pixels are the bytes of digests `f<f>|p<j>|text` (j = 0..3);

@@ -258,6 +258,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class AudioFeatures(doc_id: Long, energy: Long, zcr: Long)
+
+  /** Audio FEATURE extraction over the decoded PCM — the signal
+    * features a speech/music gate filters on: total energy Σx²
+    * (exact BIGINT: 64 samples × 2³⁰ max ≪ 2⁶³), zero-crossing
+    * count (adjacent sign products < 0 — high for noise-like
+    * signals, low for tonal ones), and RMS (the one float op: a
+    * single IEEE sqrt of an exact integer ratio, rounded 6 dp).
+    * Same real-codec posture as [[audioStats]]: the features are
+    * computed from `javax.sound.sampled`'s decoded samples while the
+    * oracle derives them from the md5 chain — equality pins decode +
+    * feature arithmetic together. Map-only `mapPartitions`, nothing
+    * shuffles. Output: doc_id, energy, zcr, rms. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (_, s) = Wav.decodePcm16(r.payload)
+          var e = 0L; var z = 0L; var i = 0
+          while (i < s.length) { e += s(i).toLong * s(i); i += 1 }
+          i = 1
+          while (i < s.length) { if (s(i - 1) * s(i) < 0) z += 1; i += 1 }
+          AudioFeatures(r.doc_id, e, z)
+        }
+      }
+      .toDF()
+      .withColumn("rms", round(sqrt(col("energy").cast("double") / lit(64.0)), 6))
+      .select(col("doc_id"), col("energy"), col("zcr"), col("rms"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only header peek — parses real fields out of the raw
     * payload bytes with COLUMN functions (no codec, no typed map):
     * total size, the 2-char magic, bits-per-pixel (u16le at offset
