@@ -1476,18 +1476,34 @@ object Text {
     * reproduces), then a per-source running token cumsum keeps every
     * doc that fits ENTIRELY inside the source's water-filled
     * allocation — no partial documents, so the kept mass is ≤ alloc
-    * with a sub-doc-sized gap per source. One corpus-sized window
-    * partitioned by source (scales like every per-key window here);
-    * the 20-row allocation table broadcasts. Output: source, doc_id,
-    * n_toks, cum, kept. */
+    * with a sub-doc-sized gap per source.
+    *
+    * The cumsum is a TWO-PHASE parallel prefix (the `Drawdown`
+    * discipline), NOT one window per source: there are only ~20
+    * sources, so `partitionBy(source)` would put each source's whole
+    * corpus slice on a single task at scale. Instead each (source,
+    * 8-bit key-prefix bucket) cumsums locally — the bucket IS a key
+    * prefix, so bucket order extends to the same total (k, doc_id)
+    * order — and a 256×|sources|-row offset table (broadcast) shifts
+    * each bucket by the mass before it. Exact integer sums, so the
+    * two-phase result is bit-identical to the single-window form.
+    * Output: source, doc_id, n_toks, cum, kept. */
   def budgetApply(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("k", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_toks"),
         md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
-      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("b", substring(col("k"), 1, 2))
+    val local = Window.partitionBy("source", "b").orderBy("k", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = d.groupBy("source", "b").agg(sum(col("n_toks")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "b", "off")
+    d.withColumn("lcum", sum(col("n_toks")).over(local))
+      .join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("cum", col("lcum") + col("off"))
       .join(broadcast(budgetMix(spark, dir).select("source", "alloc")), "source")
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum"),
         (col("cum") <= col("alloc")).as("kept"))
