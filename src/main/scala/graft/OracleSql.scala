@@ -590,6 +590,25 @@ object OracleSql {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Full-outer ledger reconciliation mirroring
+    * `Relational.fullJoinReconcile`: decimal detail sums, both orphan
+    * directions, exact delta. */
+  val relFullJoinReconcile: String =
+    """WITH l AS (
+      |  SELECT l_orderkey AS okey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS computed
+      |  FROM lineitem GROUP BY 1
+      |),
+      |o AS (SELECT o_orderkey AS okey, o_totalprice FROM orders)
+      |SELECT COALESCE(o.okey, l.okey) AS okey, o.o_totalprice, l.computed,
+      |       CASE WHEN o.o_totalprice IS NULL THEN 'missing_order'
+      |            WHEN l.computed IS NULL THEN 'missing_lines'
+      |            ELSE 'both' END AS status,
+      |       COALESCE(l.computed, 0.0) - COALESCE(o.o_totalprice, 0.0) AS delta
+      |FROM o FULL OUTER JOIN l ON o.okey = l.okey
+      |ORDER BY okey""".stripMargin
+
   val relLeftJoinFill: String =
     """SELECT c_custkey,
       |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue,

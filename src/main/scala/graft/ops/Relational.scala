@@ -129,6 +129,35 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Two-ledger reconciliation via FULL OUTER join — the audit a
+    * warehouse runs between a header ledger and its recomputed
+    * detail ledger: every order's stored total against the DECIMAL
+    * sum of its lineitems' discounted prices, keyed full-outer so
+    * BOTH orphan directions surface (an order with no lines, lines
+    * with no order), with a match status and the exact delta.
+    * Money stays in decimal until one final cast (the house
+    * monetary rule), so the delta is addend-order-free. Scale: one
+    * detail-side partial agg + one key-shuffled full-outer join —
+    * both sides fact-sized, no broadcast (neither side is a dim).
+    * Output: okey, o_totalprice, computed, status, delta. */
+  def fullJoinReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal(1))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("computed"))
+    o.join(l, Seq("okey"), "full_outer")
+      .select(col("okey"), col("o_totalprice"), col("computed"),
+        when(col("o_totalprice").isNull, lit("missing_order"))
+          .when(col("computed").isNull, lit("missing_lines"))
+          .otherwise(lit("both")).as("status"),
+        (coalesce(col("computed"), lit(0.0)) -
+          coalesce(col("o_totalprice"), lit(0.0))).as("delta"))
+      .orderBy("okey")
+  }
+
   /** Left outer join + null fill (P7/W10/F1): revenue per customer,
     * zero for order-less customers. */
   def leftJoinFill(spark: SparkSession, dir: String): DataFrame =
