@@ -110,6 +110,53 @@ object DocStreams {
       .dropDuplicates("doc_a", "doc_b", "fp")
   }
 
+  case class BudgetIn(source: String, doc_id: Long, n_toks: Long, k: String)
+  case class BudgetDecision(source: String, doc_id: Long, n_toks: Long,
+                            cum: Long, kept: Boolean)
+
+  /** Streaming token-budget gate — the live half of
+    * `Text.budgetApply`: each arriving document advances its source's
+    * running token counter (keyed state: ONE long per source — the
+    * smallest possible admission state) and is kept iff the counter
+    * stays within the source's landed water-filled allocation
+    * (`Text.budgetMix`, resolved once at gate setup like the
+    * classifier weights). The counter advances whether or not the doc
+    * is kept — exactly the batch rule, where `cum` is the
+    * unconditional prefix sum. Within a micro-batch the group sorts
+    * by the same (k, doc_id) shuffle key as batch, so when arrivals
+    * respect k-order across batches the decision stream is
+    * row-identical to `Text.budgetApply` (the [[dedupGate]]
+    * contract; `StreamingSpec` asserts it with per-file triggers in
+    * key order). NoTimeout: a budget holds for the release, not a
+    * watermark window. */
+  def budgetGate(spark: SparkSession, docs: DataFrame,
+      allocs: DataFrame): Dataset[BudgetDecision] = {
+    import spark.implicits._
+    // dimension-sized (one row per source), resolved at gate setup
+    val am = allocs.select(col("source"), col("alloc")).as[(String, Long)]
+      .collect().toMap
+    val bm = spark.sparkContext.broadcast(am)
+
+    def update(src: String, batch: Iterator[BudgetIn],
+               state: GroupState[Long]): Iterator[BudgetDecision] = {
+      var cum = state.getOption.getOrElse(0L)
+      val alloc = bm.value.getOrElse(src, 0L)
+      val out = batch.toSeq.sortBy(r => (r.k, r.doc_id)).map { r =>
+        cum += r.n_toks
+        BudgetDecision(src, r.doc_id, r.n_toks, cum, cum <= alloc)
+      }
+      state.update(cum)
+      out.iterator
+    }
+
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+        md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
+      .as[BudgetIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming classifier-scoring gate: every arriving document is
     * scored against the LANDED trained model (`Text.qclfTrain`'s
     * 64-row weight table — resolved once per release, broadcast into

@@ -472,6 +472,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming budget gate decisions match the batch budget apply") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    // split by the shuffle-key median so arrivals respect k-order
+    // (the gate's contract) when files trigger one per batch in
+    // modification-time order
+    val k = md5(concat(lit("shard-v1:"), col("doc_id").cast("string")))
+    val med = docs.select(k.as("k"))
+      .agg(expr("percentile_approx(cast(conv(substring(k,1,6),16,10) as double), 0.5)"))
+      .first().get(0).toString.toDouble
+    val d = java.nio.file.Files.createTempDirectory("graft_budget_stream").toString
+    docs.where(conv(substring(k, 1, 6), 16, 10).cast("double") <= med)
+      .coalesce(1).write.parquet(s"$d/h1")
+    docs.where(conv(substring(k, 1, 6), 16, 10).cast("double") > med)
+      .coalesce(1).write.parquet(s"$d/h2")
+    def touch(p: String, t: Long): Unit =
+      new java.io.File(p).listFiles().foreach(f => f.setLastModified(t))
+    val now = System.currentTimeMillis()
+    touch(s"$d/h1", now - 60000); touch(s"$d/h2", now)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+    val allocs = Text.budgetMix(spark, sf)
+    val q = DocStreams.budgetGate(spark, stream, allocs)
+      .writeStream.format("memory").queryName("bdg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bdg")
+        .select("source", "doc_id", "n_toks", "cum", "kept")
+      val batch = Text.budgetApply(spark, sf)
+      assert(streamed.count() === docs.count())
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("drift gate replays a micro-batch idempotently after a lost commit") {
     import graft.streaming.DocStreams
     import graft.ops.Text
