@@ -4682,6 +4682,50 @@ object OracleSql {
        |             (SUM(n) OVER () * 1000000), 6) AS ece
        |FROM g ORDER BY bin""".stripMargin
 
+  /** Isotonic calibration map mirroring `Text.qclfIsotonic`: the
+    * closed-form minimax fit min_{j≥i} max_{h≤i} pooledMean(h..j)
+    * over prefix-sum differences — O(bins³) bounded rows, each
+    * pooled mean one double division of exact integers. */
+  val textQclfIsotonic: String =
+    s"""WITH $qclfChain,
+       |b AS (
+       |  SELECT y, CAST(ROUND(score * 1000000) AS BIGINT) AS su
+       |  FROM scored
+       |),
+       |hist AS (
+       |  SELECT LEAST(su // 50000, 19) AS bin, COUNT(*) AS n,
+       |         CAST(SUM(y) AS BIGINT) AS sy
+       |  FROM b GROUP BY 1
+       |),
+       |p AS MATERIALIZED (
+       |  -- MATERIALIZED: p is referenced 4x below; inlining would
+       |  -- re-run the whole 8-step GD chain per reference
+       |  SELECT bin, n, sy,
+       |         ROW_NUMBER() OVER (ORDER BY bin) AS pos,
+       |         CAST(SUM(n) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |         CAST(SUM(sy) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+       |  FROM hist
+       |),
+       |pairs AS (
+       |  SELECT l.pos AS h, r.pos AS j,
+       |         CAST(r.cy - (l.cy - l.sy) AS DOUBLE)
+       |           / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS avgp
+       |  FROM p l, p r WHERE l.pos <= r.pos
+       |),
+       |tri AS (
+       |  SELECT i.pos AS i, pr.j, MAX(pr.avgp) AS mx
+       |  FROM pairs pr JOIN p i ON pr.h <= i.pos AND i.pos <= pr.j
+       |  GROUP BY 1, 2
+       |),
+       |iso AS (SELECT i, MIN(mx) AS iso FROM tri GROUP BY 1)
+       |SELECT p.bin, p.n,
+       |       ROUND(CAST(p.sy AS DOUBLE) / p.n, 6) AS acc,
+       |       ROUND(iso.iso, 6) AS iso
+       |FROM p JOIN iso ON p.pos = iso.i
+       |ORDER BY bin""".stripMargin
+
   /** PSI drift monitor mirroring `Text.qclfPsi`: dense 0..19 bin
     * spine, Laplace-smoothed shares, ordered running cumsum. */
   val textQclfPsi: String =

@@ -1784,6 +1784,49 @@ object Text {
       .orderBy("bin")
   }
 
+  /** Isotonic calibration MAP — the monotone fix the calibration
+    * audit motivates: fit the monotone-nondecreasing step function
+    * closest (weighted squared loss) to the per-bin accuracies, via
+    * the CLOSED-FORM minimax representation of isotonic regression —
+    * fitted(i) = min_{j≥i} max_{h≤i} pooledMean(h..j) — instead of
+    * the sequential pool-adjacent-violators loop: every pooled mean
+    * comes from prefix-sum differences of exact integers, so the
+    * whole fit is O(bins³) ≤ 8000 rows of bounded dataflow with no
+    * iteration and no driver state, and both engines evaluate the
+    * identical single-division doubles. A production scorer applies
+    * the resulting (bin → iso) map as the post-hoc calibrator.
+    * Output: bin, n, acc, iso (monotone in bin). */
+  def qclfIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val hist = qclfScored(spark, dir)
+      .select(col("y"), round(col("score") * 1e6).cast("bigint").as("su"))
+      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("bigint").as("sy"))
+    val run = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = hist
+      .withColumn("pos", row_number().over(Window.orderBy("bin")).cast("bigint"))
+      .withColumn("cn", sum(col("n")).over(run))
+      .withColumn("cy", sum(col("sy")).over(run))
+    val left = p.select(col("pos").as("h"),
+      (col("cn") - col("n")).as("cnh"), (col("cy") - col("sy")).as("cyh"))
+    val right = p.select(col("pos").as("j"), col("cn").as("cnj"), col("cy").as("cyj"))
+    val pairs = left.crossJoin(broadcast(right)).where(col("h") <= col("j"))
+      .select(col("h"), col("j"),
+        ((col("cyj") - col("cyh")).cast("double") /
+          (col("cnj") - col("cnh")).cast("double")).as("avgp"))
+    val iso = pairs
+      .join(broadcast(p.select(col("pos").as("i"))),
+        col("h") <= col("i") && col("i") <= col("j"))
+      .groupBy("i", "j").agg(max(col("avgp")).as("mx"))
+      .groupBy("i").agg(min(col("mx")).as("iso"))
+    p.join(broadcast(iso), p("pos") === iso("i"))
+      .select(col("bin"), col("n"),
+        round(col("sy").cast("double") / col("n"), 6).as("acc"),
+        round(col("iso"), 6).as("iso"))
+      .orderBy("bin")
+  }
+
   /** Score-distribution drift monitor: population stability index of
     * the classifier's score distribution between the reference
     * window (the 75% state slice, doc_id % 4 ≠ 0 — the release the

@@ -99,6 +99,9 @@ class PlanAuditSpec extends SparkSpec {
     // |sources|x|langs| dimension cross (the dense chi-square cell
     // spine) + 1-row N carrier — both sides dimension-sized
     "text_chi2",
+    // <=20-row bin-range inequality joins (the O(bins^3) closed-form
+    // isotonic fit) — every side bounded by the bin count
+    "text_qclf_isotonic",
     // 16-row entry dim × 10-row query broadcast (the sim_topk pattern)
     "sim_graph_search",
     // composes sim_graph_search (same bounded entry × query cross)
