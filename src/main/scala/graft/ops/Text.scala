@@ -1429,11 +1429,15 @@ object Text {
     * same layout; a release crossing a width boundary reshuffles
     * fully, which a trainer-facing release does anyway.
     * Output: shard, pos, doc_id, k. */
-  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val nShards = 1L << shardBitsFor(docs.count())
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardShuffleDocs(spark, Tables.documents(spark, dir).select("doc_id"))
+
+  /** [[shardShuffle]] over an arbitrary doc_id table — the form the
+    * release pipeline composes after its budget gate. */
+  private[graft] def shardShuffleDocs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    val nShards = 1L << shardBitsFor(ids.count())
     val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
-    docs
+    ids
       .select(col("doc_id"),
         md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
@@ -1465,9 +1469,13 @@ object Text {
     * it), the same bounded-window posture as the daily rollups.
     * Output: source, mass, full, alloc. */
   def budgetMix(spark: SparkSession, dir: String): DataFrame =
-    waterfill(Tables.documents(spark, dir)
+    waterfill(massesOf(Tables.documents(spark, dir)))
+
+  /** Per-source token masses of an arbitrary documents table. */
+  private def massesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
-      .groupBy("source").agg(sum(col("t")).as("mass")))
+      .groupBy("source").agg(sum(col("t")).as("mass"))
 
   /** The sampling decision [[budgetMix]] exists to drive: WHICH
     * documents fill each source's allocation. Docs order within
@@ -1488,8 +1496,15 @@ object Text {
     * each bucket by the mass before it. Exact integer sums, so the
     * two-phase result is bit-identical to the single-window form.
     * Output: source, doc_id, n_toks, cum, kept. */
-  def budgetApply(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def budgetApply(spark: SparkSession, dir: String): DataFrame =
+    budgetApplyDocs(spark, Tables.documents(spark, dir))
+
+  /** [[budgetApply]] over an arbitrary documents table (source,
+    * doc_id, text…) — allocations derived from that table's own
+    * masses, so the release pipeline budgets exactly the docs
+    * curation kept. */
+  private[graft] def budgetApplyDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_toks"),
         md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
@@ -1504,7 +1519,7 @@ object Text {
     d.withColumn("lcum", sum(col("n_toks")).over(local))
       .join(broadcast(offsets), Seq("source", "b"))
       .withColumn("cum", col("lcum") + col("off"))
-      .join(broadcast(budgetMix(spark, dir).select("source", "alloc")), "source")
+      .join(broadcast(waterfill(massesOf(docs)).select("source", "alloc")), "source")
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum"),
         (col("cum") <= col("alloc")).as("kept"))
       .orderBy("source", "doc_id")

@@ -302,4 +302,38 @@ object Curation {
           .as("checksum"))
     Writers.truncateLoad(manifest, s"$root/release_manifest")
   }
+
+  /** Stage 5: the TRAINER-facing release — the full new-ops
+    * composition: curation's kept documents are budgeted by
+    * max-min-fair water-filling over THEIR per-source token masses
+    * (`Text.budgetApplyDocs` — no upsampling, whole docs, allocations
+    * telescoping to 25% of the kept mass), and the admitted set is
+    * globally shuffled into training shards with a reproducible
+    * within-shard order (`Text.shardShuffleDocs`). Data lands
+    * PARTITIONED BY shard (a trainer reads `shard=<k>/` — partition
+    * pruning is the access path, and the shard-count ladder keeps
+    * each partition ~bounded), idempotently via dynamic partition
+    * overwrite; the per-shard manifest (doc count, token mass,
+    * order-free decimal checksum) lands beside it — the artifact a
+    * trainer verifies before reading. */
+  def trainingRelease(spark: SparkSession, dir: String, root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val kept = spark.read.parquet(s"$root/curation_decision")
+      .where(col("kept")).select("doc_id")
+    val docs = graft.Tables.documents(spark, dir).join(kept, "doc_id")
+    val admitted = graft.ops.Text.budgetApplyDocs(spark, docs)
+      .where(col("kept")).select("doc_id")
+    val sharded = graft.ops.Text.shardShuffleDocs(spark, admitted)
+    val out = docs.join(sharded.select("doc_id", "shard", "pos"), "doc_id")
+      .select(col("shard"), col("pos"), col("doc_id"), col("text"),
+        col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+    Writers.rangedOverwrite(out, s"$root/training_release", "shard")
+    val manifest = spark.read.parquet(s"$root/training_release")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as decimal(38,0))"))
+          .as("checksum"))
+    Writers.truncateLoad(manifest, s"$root/training_manifest")
+  }
 }

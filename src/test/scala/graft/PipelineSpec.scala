@@ -672,6 +672,55 @@ class PipelineSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("training release: budgeted, sharded, manifest-consistent, idempotent") {
+    val root = Files.createTempDirectory("graft_trelease").toString
+    graft.pipelines.Curation.run(spark, sf, root)
+    graft.pipelines.Curation.trainingRelease(spark, sf, root)
+    val rel = spark.read.parquet(s"$root/training_release")
+    val kept = Tables.documents(spark, sf).join(
+      spark.read.parquet(s"$root/curation_decision")
+        .where(col("kept")).select("doc_id"), "doc_id")
+    // the budget holds per source: released token mass never exceeds
+    // the water-filled allocation of the KEPT corpus, and the total
+    // stays within the 25% budget
+    val allocs = graft.ops.Text.waterfill(
+      kept.select(col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("t"))
+        .groupBy("source").agg(sum(col("t")).as("mass")))
+    val relMass = rel.groupBy("source").agg(sum(col("n_toks")).as("rm"))
+    assert(relMass.join(allocs, "source")
+      .where(col("rm") > col("alloc")).count() === 0)
+    val keptMass = allocs.agg(sum(col("mass"))).first().getLong(0)
+    val totRel = rel.agg(sum(col("n_toks"))).first().getLong(0)
+    assert(totRel <= keptMass / 4)
+    assert(totRel > 0)
+    // shard layout: pos contiguous 1..n per shard
+    val per = rel.groupBy("shard").agg(count(lit(1)).as("n"),
+      max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+    assert(per.where(col("mx") =!= col("n") || col("mn") =!= 1L).count() === 0)
+    // manifest reconciles with a recount off the landed data
+    val manifest = spark.read.parquet(s"$root/training_manifest")
+    val recount = rel.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+        sum(expr("cast(conv(substring(md5(text), 1, 14), 16, 10) as decimal(38,0))"))
+          .as("checksum"))
+    assert(manifest.exceptAll(recount).count() === 0)
+    assert(recount.exceptAll(manifest).count() === 0)
+    // partition pruning: one shard's scan touches only its directory
+    // the partition column reads back as INT (directory-name
+    // inference), not the writer's BIGINT
+    val s0 = rel.select("shard").first().get(0).toString.toLong
+    val files = rel.where(col("shard") === s0)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"shard=$s0")))
+    // idempotent re-release
+    val before = rel.collect().map(_.toSeq).toSet
+    graft.pipelines.Curation.trainingRelease(spark, sf, root)
+    val after = spark.read.parquet(s"$root/training_release")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("release diff classifies added/removed/changed/unchanged per source") {
     import spark.implicits._
     val prior = Seq(
