@@ -4726,6 +4726,74 @@ object OracleSql {
        |FROM p JOIN iso ON p.pos = iso.i
        |ORDER BY bin""".stripMargin
 
+  /** Out-of-sample calibration validation mirroring
+    * `Text.qclfCalibratedEval`: isotonic fit on the 75% reference
+    * window, step-function application to the 25% eval window, raw
+    * vs calibrated ECE as ordered cumsums. Multi-referenced CTEs
+    * MATERIALIZED (the GD chain would otherwise re-run per
+    * reference). */
+  val textQclfCalibratedEval: String =
+    s"""WITH $qclfChain,
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, y, CAST(ROUND(score * 1000000) AS BIGINT) AS su,
+       |         LEAST(CAST(ROUND(score * 1000000) AS BIGINT) // 50000, 19) AS bin
+       |  FROM scored
+       |),
+       |histr AS (
+       |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+       |  FROM b WHERE doc_id % 4 <> 0 GROUP BY 1
+       |),
+       |p AS MATERIALIZED (
+       |  SELECT bin, n, sy,
+       |         ROW_NUMBER() OVER (ORDER BY bin) AS pos,
+       |         CAST(SUM(n) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |         CAST(SUM(sy) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+       |  FROM histr
+       |),
+       |pairs AS (
+       |  SELECT l.pos AS h, r.pos AS j,
+       |         CAST(r.cy - (l.cy - l.sy) AS DOUBLE)
+       |           / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS avgp
+       |  FROM p l, p r WHERE l.pos <= r.pos
+       |),
+       |tri AS (
+       |  SELECT i.pos AS i, pr.j, MAX(pr.avgp) AS mx
+       |  FROM pairs pr JOIN p i ON pr.h <= i.pos AND i.pos <= pr.j
+       |  GROUP BY 1, 2
+       |),
+       |iso0 AS (SELECT i, MIN(mx) AS iso FROM tri GROUP BY 1),
+       |isom AS MATERIALIZED (
+       |  SELECT p.bin AS rb, iso0.iso FROM p JOIN iso0 ON p.pos = iso0.i
+       |),
+       |histe AS MATERIALIZED (
+       |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(su) AS BIGINT) AS ss
+       |  FROM b WHERE doc_id % 4 = 0 GROUP BY 1
+       |),
+       |step AS (
+       |  SELECT e.bin, MAX_BY(m.iso, m.rb) AS cal
+       |  FROM histe e JOIN isom m ON m.rb <= e.bin GROUP BY 1
+       |),
+       |floorv AS (SELECT iso AS cal0 FROM isom ORDER BY rb LIMIT 1),
+       |g AS (
+       |  SELECT e.bin, e.n, e.sy, e.ss, COALESCE(s.cal, f.cal0) AS cal,
+       |         CAST(e.sy AS DOUBLE) / e.n AS acc,
+       |         ABS(e.sy * 1000000 - e.ss) AS e_raw
+       |  FROM histe e LEFT JOIN step s ON e.bin = s.bin CROSS JOIN floorv f
+       |)
+       |SELECT bin, n, ROUND(acc, 6) AS acc,
+       |       ROUND(CAST(ss AS DOUBLE) / n / 1000000, 6) AS conf_raw,
+       |       ROUND(cal, 6) AS conf_cal,
+       |       ROUND(CAST(SUM(e_raw) OVER (ORDER BY bin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |             / (SUM(n) OVER () * 1000000), 6) AS cum_ece_raw,
+       |       ROUND(SUM(n * ABS(acc - cal)) OVER (ORDER BY bin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_ece_cal
+       |FROM g ORDER BY bin""".stripMargin
+
   /** PSI drift monitor mirroring `Text.qclfPsi`: dense 0..19 bin
     * spine, Laplace-smoothed shares, ordered running cumsum. */
   val textQclfPsi: String =

@@ -1817,6 +1817,18 @@ object Text {
       .withColumn("bin", least(expr("su div 50000"), lit(19L)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("bigint").as("sy"))
+    isotonicFit(hist)
+      .select(col("bin"), col("n"),
+        round(col("sy").cast("double") / col("n"), 6).as("acc"),
+        round(col("iso"), 6).as("iso"))
+      .orderBy("bin")
+  }
+
+  /** The minimax isotonic fit over a (bin, n, sy) histogram —
+    * returns the histogram with the fitted `iso` (unrounded) joined
+    * on; shared by the in-sample map and the out-of-sample
+    * calibration evaluation. */
+  private def isotonicFit(hist: DataFrame): DataFrame = {
     val run = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = hist
@@ -1836,9 +1848,56 @@ object Text {
       .groupBy("i", "j").agg(max(col("avgp")).as("mx"))
       .groupBy("i").agg(min(col("mx")).as("iso"))
     p.join(broadcast(iso), p("pos") === iso("i"))
+  }
+
+  /** Out-of-sample calibration validation — does the isotonic fix
+    * GENERALIZE? The map is fitted on the reference window only (the
+    * 75% slice the model was calibrated against), applied to the 25%
+    * eval window as a STEP function (each eval bin takes the fitted
+    * value of the largest reference bin ≤ it; eval bins below every
+    * reference bin take the lowest fitted value), and judged by the
+    * eval window's own labels: per-bin raw confidence vs calibrated
+    * value vs realized accuracy, with BOTH expected-calibration
+    * errors as ordered running cumsums (the last row carries the
+    * headline numbers; raw ECE keeps the integer-micros numerator of
+    * [[qclfCalibration]], the calibrated ECE's per-bin term is a
+    * fixed two-op float on exact inputs). All joins are ≤20-row
+    * broadcasts. Output: bin, n, acc, conf_raw, conf_cal,
+    * cum_ece_raw, cum_ece_cal. */
+  def qclfCalibratedEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qclfScored(spark, dir)
+      .select(col("doc_id"), col("y"),
+        round(col("score") * 1e6).cast("bigint").as("su"))
+      .withColumn("bin", least(expr("su div 50000"), lit(19L)))
+    val histR = scored.where(col("doc_id") % 4 =!= 0)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("bigint").as("sy"))
+    val isoMap = isotonicFit(histR).select(col("bin").as("rb"), col("iso"))
+    val histE = scored.where(col("doc_id") % 4 === 0)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("bigint").as("sy"),
+        sum(col("su")).as("ss"))
+    val step = histE.select("bin").crossJoin(broadcast(isoMap))
+      .where(col("rb") <= col("bin"))
+      .groupBy("bin").agg(max_by(col("iso"), col("rb")).as("cal"))
+    val floor = isoMap.orderBy("rb").limit(1).select(col("iso").as("cal0"))
+    val run = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    histE.join(broadcast(step), Seq("bin"), "left")
+      .crossJoin(broadcast(floor))
+      .withColumn("cal", coalesce(col("cal"), col("cal0")))
+      .withColumn("acc", col("sy").cast("double") / col("n"))
+      .withColumn("e_raw", abs(col("sy") * lit(1000000L) - col("ss")))
+      .withColumn("t_cal", col("n") * abs(col("acc") - col("cal")))
       .select(col("bin"), col("n"),
-        round(col("sy").cast("double") / col("n"), 6).as("acc"),
-        round(col("iso"), 6).as("iso"))
+        round(col("acc"), 6).as("acc"),
+        round(col("ss").cast("double") / col("n") / 1e6, 6).as("conf_raw"),
+        round(col("cal"), 6).as("conf_cal"),
+        round(sum(col("e_raw")).over(run).cast("double") /
+          (sum(col("n")).over(all) * lit(1000000L)), 6).as("cum_ece_raw"),
+        round(sum(col("t_cal")).over(run) /
+          sum(col("n")).over(all).cast("double"), 6).as("cum_ece_cal"))
       .orderBy("bin")
   }
 

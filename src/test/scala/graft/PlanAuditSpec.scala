@@ -102,6 +102,8 @@ class PlanAuditSpec extends SparkSpec {
     // <=20-row bin-range inequality joins (the O(bins^3) closed-form
     // isotonic fit) — every side bounded by the bin count
     "text_qclf_isotonic",
+    // same bounded bin-range joins + a 1-row floor carrier
+    "text_qclf_cal_eval",
     // 16-row entry dim × 10-row query broadcast (the sim_topk pattern)
     "sim_graph_search",
     // composes sim_graph_search (same bounded entry × query cross)
