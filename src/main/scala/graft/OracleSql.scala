@@ -4608,7 +4608,9 @@ object OracleSql {
        |         unnest(string_split(text, ' ')) AS tok
        |  FROM documents
        |),
-       |feats AS (
+       |feats AS MATERIALIZED (
+       |  -- MATERIALIZED: referenced by every GD step (17x); inlining
+       |  -- would re-run the token explode per reference
        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 64 AS f,
        |         ROUND(COUNT(*)::DOUBLE / MIN(n), 6) AS x
        |  FROM toks GROUP BY 1, 2
@@ -4620,7 +4622,10 @@ object OracleSql {
        |nn AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
        |w0 AS (SELECT CAST(range AS BIGINT) AS f, 0.0 AS w FROM range(64)),
        |${(1 to 8).map(i => step(i, s"w${i - 1}")).mkString(",\n")},
-       |scored AS (
+       |scored AS MATERIALIZED (
+       |  -- MATERIALIZED: consumers (psi's two slices, cal_eval's two
+       |  -- histograms) reference it more than once; inlining re-runs
+       |  -- the whole 8-step chain per reference
        |  SELECT s.doc_id, l.y, ROUND(1.0 / (1.0 + EXP(-s.m)), 6) AS score
        |  FROM (${margin("w8")}) s JOIN labels l USING (doc_id)
        |)""".stripMargin
