@@ -1433,13 +1433,19 @@ object Text {
     shardShuffleDocs(spark, Tables.documents(spark, dir).select("doc_id"))
 
   /** [[shardShuffle]] over an arbitrary doc_id table — the form the
-    * release pipeline composes after its budget gate. */
-  private[graft] def shardShuffleDocs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    * release pipeline composes after its budget gate. The driver
+    * contract pins seed "shard-v1" (the oracle mirrors it); a trainer
+    * reshuffles per epoch by bumping the seed ("shard-v2", …), which
+    * rekeys every document — a fresh global permutation per epoch at
+    * the cost of one relayout, with shard sizes equidistributed under
+    * any seed (the unit spec asserts both). */
+  private[graft] def shardShuffleDocs(spark: SparkSession, ids: DataFrame,
+      seed: String = "shard-v1"): DataFrame = {
     val nShards = 1L << shardBitsFor(ids.count())
     val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
     ids
       .select(col("doc_id"),
-        md5(concat(lit("shard-v1:"), col("doc_id").cast("string"))).as("k"))
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
         conv(substring(col("k"), 1, 6), 16, 10).cast("bigint") % nShards)
       .withColumn("pos", row_number().over(w).cast("bigint"))

@@ -235,6 +235,16 @@ class OperatorsSpec extends SparkSpec {
     assert(Text.shardBitsFor(1L << 25) === 5)
     val big = Text.shardBitsFor(100000000000L) // ~1e11 docs (100 TB-ish)
     assert((100000000000L >> big) <= (1L << 20) && big < 24)
+    // epoch reshuffle: a bumped seed is a DIFFERENT permutation of
+    // the SAME population with the same shard spine
+    val ids = Tables.documents(spark, sf).select("doc_id")
+    val e2 = Text.shardShuffleDocs(spark, ids, seed = "shard-v2")
+    assert(e2.count() === s.count())
+    assert(e2.select("doc_id").exceptAll(s.select("doc_id")).count() === 0)
+    assert(e2.exceptAll(s).count() > 0) // the order actually moved
+    val per2 = e2.groupBy("shard").agg(count(lit(1)).as("n"),
+      max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+    assert(per2.where(col("mx") =!= col("n") || col("mn") =!= 1L).count() === 0)
   }
 
   test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
