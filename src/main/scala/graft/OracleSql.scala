@@ -4951,6 +4951,44 @@ object OracleSql {
        |FROM cc JOIN allocs a USING (source)
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Content-defined chunking mirroring `Text.cdcChunks`: 4-token
+    * rolling window md5, cut at hash % 64 == 0 (pos >= 3), chunk =
+    * count of cuts strictly before the row, order-free 32-bit-slice
+    * signature sum. */
+  val textCdcChunks: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS tok FROM w
+      |),
+      |wn AS (
+      |  SELECT doc_id, pos, tok,
+      |         COALESCE(LAG(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos), '')
+      |           || ' ' ||
+      |         COALESCE(LAG(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos), '')
+      |           || ' ' ||
+      |         COALESCE(LAG(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos), '')
+      |           || ' ' || tok AS win4
+      |  FROM t
+      |),
+      |c AS (
+      |  SELECT doc_id, pos, tok,
+      |         CASE WHEN pos >= 3
+      |                   AND CAST('0x' || substr(md5(win4), 1, 6) AS BIGINT) % 64 = 0
+      |              THEN 1 ELSE 0 END AS cut
+      |  FROM wn
+      |),
+      |g AS (
+      |  SELECT doc_id, pos, tok,
+      |         COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |       COUNT(*) AS n_toks,
+      |       CAST(MIN(pos) AS BIGINT) AS start_pos,
+      |       CAST(SUM(CAST('0x' || substr(md5(tok), 7, 8) AS BIGINT)) AS BIGINT) AS sig
+      |FROM g GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Pearson chi-square independence audit mirroring `Text.chi2`:
     * dense source×lang cell spine (zero cells included), exact
     * integer marginals, one fp division per expected count, ordered

@@ -423,6 +423,43 @@ object Text {
         md5(col("chunk")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Content-defined chunking — rolling-hash boundaries instead of
+    * [[chunks]]' fixed stride: a token ENDS a chunk when the hash of
+    * the 4-token window landing on it draws 0 mod 64 (expected chunk
+    * ≈ 64 tokens, like CDC in dedup storage systems). The property
+    * fixed-stride chunking lacks and dedup needs: inserting or
+    * deleting a token resynchronizes within one window, so every
+    * LATER chunk keeps its identity (signature) — edit-shifted
+    * near-dups still share most chunk signatures (the unit spec
+    * constructs the shifted pair and asserts it). Per-doc windows
+    * only — partitioned by doc_id, scales like every per-key window
+    * here; the signature is an order-free 32-bit-slice sum, exact in
+    * BIGINT to ~2⁶²-token chunks. Output: doc_id, chunk_idx, n_toks,
+    * start_pos, sig. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksDocs(Tables.documents(spark, dir))
+
+  private[graft] def cdcChunksDocs(docs: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val prevAll = wd.rowsBetween(Window.unboundedPreceding, -1)
+    val t = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("win4", concat_ws(" ",
+        coalesce(lag(col("tok"), 3).over(wd), lit("")),
+        coalesce(lag(col("tok"), 2).over(wd), lit("")),
+        coalesce(lag(col("tok"), 1).over(wd), lit("")),
+        col("tok")))
+      .withColumn("cut", (col("pos") >= 3) &&
+        (conv(substring(md5(col("win4")), 1, 6), 16, 10).cast("bigint") % 64 === 0))
+      .withColumn("chunk_idx", coalesce(
+        sum(when(col("cut"), 1L).otherwise(0L)).over(prevAll), lit(0L)))
+    t.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_toks"),
+        min(col("pos")).cast("bigint").as("start_pos"),
+        sum(conv(substring(md5(col("tok")), 7, 8), 16, 10).cast("bigint")).as("sig"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf·idf — the classic corpus-weighted relevance score (tf = term
     * share of the doc, idf = ln(N/df) over the whole corpus), the

@@ -247,6 +247,22 @@ class OperatorsSpec extends SparkSpec {
     assert(per2.where(col("mx") =!= col("n") || col("mn") =!= 1L).count() === 0)
   }
 
+  test("cdc chunks resynchronize after an insertion (fixed stride cannot)") {
+    import spark.implicits._
+    // a long synthetic doc and its one-token-prefixed twin
+    val words = (1 to 4000).map(i => s"w${i % 613}").mkString(" ")
+    val pair = Seq((1L, words), (2L, "INS " + words)).toDF("doc_id", "text")
+    val c = Text.cdcChunksDocs(pair).collect()
+    val a = c.filter(_.getLong(0) == 1L).map(_.getAs[Long]("sig")).toSet
+    val b = c.filter(_.getLong(0) == 2L).map(_.getAs[Long]("sig")).toSet
+    // nearly all of the original's chunk signatures survive the shift
+    val shared = a.intersect(b).size.toDouble / a.size
+    assert(shared > 0.8, s"only ${(shared * 100).round}% of chunk sigs survived")
+    // sanity: chunks tile each doc (token counts telescope)
+    val tot = c.filter(_.getLong(0) == 1L).map(_.getAs[Long]("n_toks")).sum
+    assert(tot === 4000L)
+  }
+
   test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
     val q = Similarity.quantize(spark, sf)
     assert(q.count() === Tables.embeddings(spark, sf).count())
