@@ -4989,6 +4989,26 @@ object OracleSql {
       |       CAST(SUM(CAST('0x' || substr(md5(tok), 7, 8) AS BIGINT)) AS BIGINT) AS sig
       |FROM g GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level duplication report mirroring `Text.cdcDedup`.
+    * (Assembled by concatenation, NOT an interpolated stripMargin —
+    * stripMargin over embedded SQL eats the first pipe of every
+    * leading `||` concatenation.) */
+  val textCdcDedup: String =
+    "WITH ch AS MATERIALIZED (" +
+      textCdcChunks.replace("ORDER BY doc_id, chunk_idx", "") + "),\n" +
+    """shared AS (
+      |  SELECT sig, n_toks FROM ch GROUP BY 1, 2
+      |  HAVING COUNT(DISTINCT doc_id) > 1
+      |)
+      |SELECT ch.doc_id,
+      |       COUNT(*) AS n_chunks,
+      |       CAST(SUM(CASE WHEN s.sig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      |       CAST(SUM(CASE WHEN s.sig IS NOT NULL THEN ch.n_toks ELSE 0 END) AS BIGINT) AS dup_toks,
+      |       ROUND(CAST(SUM(CASE WHEN s.sig IS NOT NULL THEN ch.n_toks ELSE 0 END) AS DOUBLE)
+      |             / SUM(ch.n_toks), 6) AS dup_ratio
+      |FROM ch LEFT JOIN shared s ON ch.sig = s.sig AND ch.n_toks = s.n_toks
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Pearson chi-square independence audit mirroring `Text.chi2`:
     * dense source×lang cell spine (zero cells included), exact
     * integer marginals, one fp division per expected count, ordered

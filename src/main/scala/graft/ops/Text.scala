@@ -460,6 +460,31 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk-level duplication report — the CDC payoff: chunks whose
+    * (signature, token count) appears in MORE THAN ONE document are
+    * duplicated content even when the containing documents differ
+    * (boilerplate headers, quoted passages, shifted near-dups), and
+    * the per-doc duplicated token mass is the removal opportunity a
+    * sub-document dedup pass would harvest. One chunk-keyed groupBy
+    * (vocabulary-of-chunks-sized) joined back — candidate-based,
+    * never pairwise. Output: doc_id, n_chunks, dup_chunks, dup_toks,
+    * dup_ratio. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunksDocs(Tables.documents(spark, dir))
+    val shared = ch.groupBy("sig", "n_toks")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("sig"), col("n_toks"), lit(true).as("dup"))
+    ch.join(shared, Seq("sig", "n_toks"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("n_toks")).otherwise(0L)).as("dup_toks"),
+        round(sum(when(col("dup"), col("n_toks")).otherwise(0L)).cast("double") /
+          sum(col("n_toks")), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf·idf — the classic corpus-weighted relevance score (tf = term
     * share of the doc, idf = ln(N/df) over the whole corpus), the
