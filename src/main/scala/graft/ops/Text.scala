@@ -460,6 +460,38 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-document CDC chunker — the PURE function equivalent of one
+    * document's slice of [[cdcChunksDocs]] (the `CdcParitySpec` case
+    * pins them row-identical), for contexts where a window is
+    * unavailable: the streaming gate computes an arriving doc's
+    * chunks map-side with this. Returns (chunk_idx, n_toks,
+    * start_pos, sig). */
+  private[graft] def cdcChunksOf(text: String): Seq[(Long, Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var chunk = 0L; var n = 0L; var start = 0L; var sig = 0L
+    for (pos <- toks.indices) {
+      val win4 = Seq(
+        if (pos >= 3) toks(pos - 3) else "",
+        if (pos >= 2) toks(pos - 2) else "",
+        if (pos >= 1) toks(pos - 1) else "",
+        toks(pos)).mkString(" ")
+      n += 1
+      sig += java.lang.Long.parseLong(hex(toks(pos)).substring(6, 14), 16)
+      val cut = pos >= 3 &&
+        java.lang.Long.parseLong(hex(win4).substring(0, 6), 16) % 64 == 0
+      if (cut) {
+        out += ((chunk, n, start, sig))
+        chunk += 1; n = 0; sig = 0; start = pos + 1L
+      }
+    }
+    if (n > 0) out += ((chunk, n, start, sig))
+    out.toSeq
+  }
+
   /** Chunk-level duplication report — the CDC payoff: chunks whose
     * (signature, token count) appears in MORE THAN ONE document are
     * duplicated content even when the containing documents differ

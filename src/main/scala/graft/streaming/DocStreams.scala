@@ -110,6 +110,39 @@ object DocStreams {
       .dropDuplicates("doc_a", "doc_b", "fp")
   }
 
+  /** Streaming CHUNK-level partial-copy gate — [[partialCopyGate]]'s
+    * winnow fingerprints swapped for content-defined chunks: each
+    * arriving document is chunked MAP-SIDE by the pure per-doc CDC
+    * chunker (`Text.cdcChunksOf` — pinned row-identical to the batch
+    * window dataflow, and windows are streaming-illegal anyway), and
+    * its (sig, n_toks) chunk identities probe the corpus' landed
+    * chunk index by stream-static equi-join. Chunk identities held by
+    * > 8 index docs (boilerplate) are dropped at gate setup, the same
+    * cap as the winnow gate. Because CDC chunks resynchronize after
+    * edits, this catches a quoted or shifted passage inside an
+    * otherwise-new arrival — the sub-document case the exact and
+    * near-dup gates both miss. Output: doc_a, doc_b, sig, n_toks. */
+  def cdcGate(spark: SparkSession, docs: DataFrame, chunkIndex: DataFrame): DataFrame = {
+    import spark.implicits._
+    val capped = chunkIndex.select("doc_id", "sig", "n_toks").join(
+      chunkIndex.groupBy("sig", "n_toks")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") <= 8).select("sig", "n_toks"),
+      Seq("sig", "n_toks")) // static side: computed once at gate setup
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.ops.Text.cdcChunksOf(text).map(c => (id, c._2, c._4)) }
+      .toDF("doc_id", "n_toks", "sig")
+      .dropDuplicates("doc_id", "n_toks", "sig")
+      .join(capped.select(col("doc_id").as("partner"), col("sig"), col("n_toks")),
+        Seq("sig", "n_toks"))
+      .where(col("doc_id") =!= col("partner"))
+      .select(least(col("doc_id"), col("partner")).as("doc_a"),
+        greatest(col("doc_id"), col("partner")).as("doc_b"),
+        col("sig"), col("n_toks"))
+      .dropDuplicates("doc_a", "doc_b", "sig", "n_toks")
+  }
+
   case class BudgetIn(source: String, doc_id: Long, n_toks: Long, k: String)
   case class BudgetDecision(source: String, doc_id: Long, n_toks: Long,
                             cum: Long, kept: Boolean)

@@ -263,6 +263,18 @@ class OperatorsSpec extends SparkSpec {
     assert(tot === 4000L)
   }
 
+  test("cdc pure chunker matches the window dataflow row for row") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = Text.cdcChunksDocs(docs)
+      .select("doc_id", "chunk_idx", "n_toks", "start_pos", "sig")
+    val pure = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => Text.cdcChunksOf(text).map(c => (id, c._1, c._2, c._3, c._4)) }
+      .toDF("doc_id", "chunk_idx", "n_toks", "start_pos", "sig")
+    assert(batch.exceptAll(pure).count() === 0)
+    assert(pure.exceptAll(batch).count() === 0)
+  }
+
   test("quantize: max dim saturates, zero error only for axis-aligned vectors") {
     val q = Similarity.quantize(spark, sf)
     assert(q.count() === Tables.embeddings(spark, sf).count())

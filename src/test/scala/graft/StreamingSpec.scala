@@ -472,6 +472,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming cdc gate pairs match the batch chunk-identity pairs") {
+    import graft.streaming.DocStreams
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    docs.where(col("doc_id") <= half).coalesce(1).write.parquet(s"$d/h1")
+    docs.where(col("doc_id") > half).coalesce(1).write.parquet(s"$d/h2")
+    val index = Text.cdcChunksDocs(docs).select("doc_id", "sig", "n_toks")
+    val stream = DocStreams.readDocuments(spark, s"$d/*", s"$sf/documents.parquet")
+    val q = DocStreams.cdcGate(spark, stream, index)
+      .writeStream.format("memory").queryName("cdcg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdcg").select("doc_a", "doc_b", "sig", "n_toks")
+      // batch expectation: doc pairs sharing a capped chunk identity
+      val ch = index.dropDuplicates("doc_id", "sig", "n_toks")
+      val capped = ch.join(
+        ch.groupBy("sig", "n_toks").agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") <= 8).select("sig", "n_toks"),
+        Seq("sig", "n_toks"))
+      val batch = capped.join(
+          capped.select(col("doc_id").as("partner"), col("sig"), col("n_toks")),
+          Seq("sig", "n_toks"))
+        .where(col("doc_id") < col("partner"))
+        .select(col("doc_id").as("doc_a"), col("partner").as("doc_b"),
+          col("sig"), col("n_toks")).distinct()
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming budget gate decisions match the batch budget apply") {
     import graft.streaming.DocStreams
     import graft.ops.Text
