@@ -4989,6 +4989,43 @@ object OracleSql {
       |       CAST(SUM(CAST('0x' || substr(md5(tok), 7, 8) AS BIGINT)) AS BIGINT) AS sig
       |FROM g GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Mergeable quantile sketch mirroring `Events.quantileSketch`:
+    * binary-digit-count buckets over exact micros, integer ceil-div
+    * ranks, power-of-two lower-edge readout. */
+  val evQuantileSketch: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v FROM events
+      |),
+      |b AS (
+      |  SELECT event_type,
+      |         CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(length(bin(v)) AS BIGINT) END AS bucket
+      |  FROM e
+      |),
+      |h AS (SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, bucket, c,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM h
+      |),
+      |r AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |         MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS b50,
+      |         MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END) AS b90,
+      |         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS b99
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |       CASE WHEN b50 = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b50 - 1 AS INT) END AS p50_est,
+      |       CASE WHEN b90 = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b90 - 1 AS INT) END AS p90_est,
+      |       CASE WHEN b99 = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(b99 - 1 AS INT) END AS p99_est
+      |FROM r ORDER BY event_type""".stripMargin
+
   /** Chunk-level duplication report mirroring `Text.cdcDedup`.
     * (Assembled by concatenation, NOT an interpolated stripMargin —
     * stripMargin over embedded SQL eats the first pipe of every

@@ -914,6 +914,47 @@ object Events {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  /** Mergeable QUANTILE sketch — the fourth sketch of the family
+    * (HLL distinct, KMV distinct, CMS frequency, and now rank):
+    * power-of-two buckets over exact integer micros, bucket =
+    * binary-digit count (`length(bin(v))` — an EXACT integer
+    * operation in both engines, so there is no log-boundary last-ulp
+    * risk to cross-engine parity; a production γ=1.02 DDSketch swaps
+    * the bucket function and keeps everything else). Per-key bucket
+    * counts are a map-side partial aggregate into ≤ 64 rows of state
+    * per key — mergeable across partitions, releases, and engines by
+    * integer addition, where the exact `rel_quantiles` needs a sort.
+    * Readout: pXX = the lower edge 2^(bucket−1) of the bucket whose
+    * running count first reaches rank ⌈q·n⌉ (integer ceil-div) — a
+    * ≤ 2× relative-error envelope by construction, which [[evOutliers]]
+    * -grade monitoring accepts for alerting. Output: event_type, n,
+    * p50_est, p90_est, p99_est. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 1e6).cast("bigint").as("v"))
+      .withColumn("bucket",
+        when(col("v") <= 0, lit(0L)).otherwise(length(bin(col("v"))).cast("bigint")))
+    val h = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = h.withColumn("n", sum(col("c")).over(wt))
+      .withColumn("cum", sum(col("c")).over(run))
+    def edge(b: String) = expr(
+      s"CASE WHEN $b = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE shiftleft(CAST(1 AS BIGINT), CAST($b - 1 AS INT)) END")
+    g.groupBy("event_type").agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bucket"))).as("b90"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("bucket"))).as("b99"))
+      .select(col("event_type"), col("n"),
+        edge("b50").as("p50_est"),
+        edge("b90").as("p90_est"),
+        edge("b99").as("p99_est"))
+      .orderBy("event_type")
+  }
+
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val k = 32
     val hashed = Tables.events(spark, dir)
