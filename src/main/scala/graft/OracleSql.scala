@@ -2249,6 +2249,26 @@ object OracleSql {
        |FROM d$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language tokenizer fertility mirroring `Text.bpeFertility`:
+    * the full BPE-apply chain as a materialized CTE (assembled by
+    * concatenation — stripMargin over embedded SQL eats `||` pipes),
+    * rolled up by language. */
+  val textBpeFertility: String =
+    "WITH enc AS MATERIALIZED (" +
+      textBpeApply.replace("ORDER BY doc_id", "") + "),\n" +
+    """d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(words) AS BIGINT) AS n_words,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(words), 6) AS fertility,
+      |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_tok
+      |FROM enc JOIN d USING (doc_id)
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
     * per-doc mean's summation order differs, absorbed by 6 dp. */

@@ -990,6 +990,25 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language — the metric that decides
+    * whether a tokenizer is fit for a corpus slice: BPE tokens per
+    * whitespace word (fertility; a multilingual tokenizer is judged
+    * by how much it inflates non-dominant languages) and characters
+    * per token (compression). Pure rollup over [[bpeApply]]'s per-doc
+    * encoding — two exact integer sums per language and two final
+    * divisions. Output: lang, n_docs, n_words, n_tokens, fertility,
+    * chars_per_tok. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeApply(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("words")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / sum(col("words")), 6).as("fertility"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 6).as("chars_per_tok"))
+      .orderBy("lang")
+
   /** Cross-document SEGMENT-level dedup — the line-dedup pass of
     * CCNet/RefinedWeb-style curation adapted to this corpus' shape
     * (single-line docs → fixed 10-word segments stand in for lines):
