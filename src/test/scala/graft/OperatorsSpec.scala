@@ -263,6 +263,32 @@ class OperatorsSpec extends SparkSpec {
     assert(tot === 4000L)
   }
 
+  test("quantile sketch estimates bracket the exact rank elements") {
+    import graft.ops.Events
+    val v = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 1e6).cast("bigint").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("v")
+    val ranked = v.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    def exactAt(numer: Int, denom: Int) = ranked
+      .where(col("r") === expr(s"($numer * n + $numer) div $denom"))
+      .select(col("event_type"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e50 = exactAt(1, 2); val e99 = exactAt(99, 100)
+    Events.quantileSketch(spark, sf).collect().foreach { r =>
+      val t = r.getString(0)
+      for ((est, exact) <- Seq(r.getAs[Long]("p50_est") -> e50(t),
+                               r.getAs[Long]("p99_est") -> e99(t))
+           if exact > 0) {
+        // the bucket property: lower edge <= exact element < 2x edge
+        assert(est <= exact && exact < 2 * math.max(est, 1L),
+          s"$t: est=$est exact=$exact")
+      }
+    }
+  }
+
   test("cdc pure chunker matches the window dataflow row for row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
