@@ -929,12 +929,22 @@ object Events {
     * ≤ 2× relative-error envelope by construction, which [[evOutliers]]
     * -grade monitoring accepts for alerting. Output: event_type, n,
     * p50_est, p90_est, p99_est. */
-  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    sketchReadout(sketchBuckets(Tables.events(spark, dir)))
+
+  /** The sketch state: per-(event_type, bucket) counts — ≤ 64 rows
+    * per key, mergeable by integer addition (the streaming gate lands
+    * one of these per micro-batch and the monitor sums them). */
+  private[graft] def sketchBuckets(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), round(col("value") * 1e6).cast("bigint").as("v"))
       .withColumn("bucket",
         when(col("v") <= 0, lit(0L)).otherwise(length(bin(col("v"))).cast("bigint")))
-    val h = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+
+  /** The rank readout over a (event_type, bucket, c) state table —
+    * shared by the batch query and the streaming monitor. */
+  private[graft] def sketchReadout(h: DataFrame): DataFrame = {
     val wt = Window.partitionBy("event_type")
     val run = Window.partitionBy("event_type").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -68,6 +68,33 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming quantile-sketch maintenance — the live half of
+    * `Events.quantileSketch`: each micro-batch reduces MAP-SIDE to
+    * its per-(event_type, bucket) counts (≤ 64 rows per key per
+    * batch) and lands them under a batchId subdirectory with
+    * overwrite (the house at-least-once contract). Bucket counts
+    * merge by integer ADDITION, so any batching of the same arrivals
+    * lands the same merged state — the monitor sums the landed
+    * histograms and runs the SAME rank readout as batch, making the
+    * live percentiles definitionally the batch percentiles
+    * (`StreamingSpec` asserts it). */
+  def sketchGate(spark: SparkSession, events: DataFrame,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Events.sketchBuckets(batch)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
+  /** Percentile readout over the landed gate output: merge the
+    * per-batch histograms by addition, then the shared rank walk. */
+  def sketchMonitor(spark: SparkSession, gateOut: String): DataFrame =
+    graft.ops.Events.sketchReadout(
+      spark.read.parquet(gateOut)
+        .groupBy("event_type", "bucket").agg(sum(col("c")).as("c")))
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact` for a
     * live ingest feed: re-deliveries of the same content key are
     * dropped, and `dropDuplicatesWithinWatermark` lets the store evict

@@ -472,6 +472,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming sketch monitor reproduces the batch quantile sketch") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val outPath = java.nio.file.Files.createTempDirectory("graft_qsk_out").toString + "/h"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qsk_ck").toString
+    val q = EventStreams.sketchGate(spark, events, outPath, ckpt)
+    try q.processAllAvailable()
+    finally {
+      q.stop(); q.awaitTermination()
+      while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+    }
+    val live = EventStreams.sketchMonitor(spark, outPath)
+    val batch = graft.ops.Events.quantileSketch(spark, sf)
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+  }
+
   test("streaming cdc gate pairs match the batch chunk-identity pairs") {
     import graft.streaming.DocStreams
     import graft.ops.Text
