@@ -58,6 +58,14 @@ object ReleaseScale {
         f"shuffle=$tShard%8.2f s  perm=${if (permOk) "OK" else "BROKEN"}")
 
       t0 = System.nanoTime()
+      val ch = graft.ops.Text.cdcChunksDocs(docs)
+        .agg(count(lit(1)).as("nc"), sum(col("n_toks")).as("nt"))
+        .first()
+      val tCdc = (System.nanoTime() - t0) / 1e9
+      println(f"[relscale] x$f%-4d cdc=$tCdc%8.2f s  " +
+        f"chunks=${ch.getLong(0)}%9d toks=${ch.getLong(1)}%12d")
+
+      t0 = System.nanoTime()
       val ba = graft.ops.Text.budgetApplyDocs(spark, docs).persist()
       val km = ba.where(col("kept")).agg(sum(col("n_toks"))).first().getLong(0)
       val tm = ba.agg(sum(col("n_toks"))).first().getLong(0)
