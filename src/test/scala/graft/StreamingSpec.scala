@@ -489,6 +489,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(live).count() === 0)
   }
 
+  test("sketch gate replays a micro-batch idempotently after a lost commit") {
+    val src = java.nio.file.Files.createTempDirectory("graft_qskrp_src").toString
+    graft.Tables.events(spark, sf).coalesce(1).write.parquet(s"$src/h1")
+    val outPath = java.nio.file.Files.createTempDirectory("graft_qskrp_out").toString + "/h"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qskrp_ck").toString
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$src/h1").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*")
+      val q = EventStreams.sketchGate(spark, stream, outPath, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    val first = spark.read.parquet(outPath).agg(sum(col("c"))).first().getLong(0)
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    // a replayed batch must REPLACE its histogram — an append would
+    // double every bucket count and shift every percentile readout
+    assert(spark.read.parquet(outPath).agg(sum(col("c"))).first().getLong(0) === first)
+  }
+
   test("streaming cdc gate pairs match the batch chunk-identity pairs") {
     import graft.streaming.DocStreams
     import graft.ops.Text
