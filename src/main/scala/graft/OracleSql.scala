@@ -4335,6 +4335,28 @@ object OracleSql {
        |FROM p JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** NN-upscale roundtrip mirroring `Multimodal.resizeUp`: each
+    * source pixel replicated 2×2, byte-exact 16×16 24-bpp BMP
+    * (fileSize 822 = 0x336, stride 48, bottom-up BGR). */
+  val mmResizeUp: String = {
+    val headerHex =
+      "424D" + "36030000" + "00000000" + "36000000" +
+        "28000000" + "10000000" + "10000000" + "0100" + "1800" +
+        "00000000" + "00030000" + "00" * 16
+    // one variadic concat(), not a ||-chain: 256 nested || overflows
+    // DuckDB's 128-deep binder recursion
+    val pixHex = (15 to 0 by -1).flatMap(y => (0 until 16).map(x =>
+      s"repeat(${mmPixHex((y / 2) * 8 + x / 2)}, 3)")).mkString(", ")
+    val tot = (0 until 64).map(i => s"px$i").mkString(" + ")
+    s"""WITH $mmPixelCtes,
+       |f AS (SELECT doc_id, upper(concat('$headerHex', $pixHex)) AS file_hex FROM d)
+       |SELECT p.doc_id,
+       |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       |       CAST(12 * ($tot) AS BIGINT) AS sum_rgb,
+       |       md5(f.file_hex) AS payload_md5
+       |FROM p JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Decoded-image stats: the oracle derives expected pixels straight
     * from the md5 chain; Spark must reproduce them by round-tripping
     * real BMP bytes through `javax.imageio`. Channel sums are 3× the

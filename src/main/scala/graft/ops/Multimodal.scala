@@ -144,6 +144,33 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The upscale direction of [[resize]] — nearest-neighbor 8×8 →
+    * 16×16 (dst(y,x) ← src(y÷2, x÷2), each source pixel replicated
+    * into a 2×2 block), re-encoded and byte-pinned by the same
+    * hex-for-hex oracle reconstruction. Same map-only shape.
+    * Output: doc_id, width, height, sum_rgb, payload_md5. */
+  def resizeUp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val twice = Side * 2
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, px) = Bmp.decodeRgb(r.payload)
+          require(w == Side && h == Side, s"unexpected geometry ${w}x$h")
+          val big = Array.tabulate(twice * twice) { i =>
+            val y = i / twice; val x = i % twice
+            px((y / 2) * w + x / 2) & 0xff
+          }
+          var s = 0L; big.foreach(v => s += 3L * v)
+          ResizedMedia(r.doc_id, Bmp.encodeGray(big, twice, twice), s)
+        }
+      }
+      .select(col("doc_id"),
+        lit(twice).as("width"), lit(twice).as("height"), col("sum_rgb"),
+        md5(hex(col("payload"))).as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_sum: Long)
 
   /** The "video" payload: a container of 4 concatenated 8×8 BMP
