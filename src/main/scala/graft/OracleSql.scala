@@ -4706,6 +4706,11 @@ object OracleSql {
        |       ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(pp + p AS DOUBLE), 6) AS f1
        |FROM c ORDER BY thresh""".stripMargin
 
+  /** Operating-point pick mirroring `Text.qclfOpPoint`: best 6-dp F1,
+    * lowest threshold on ties. (Concatenated, not re-stripMargined.) */
+  val textQclfOpPoint: String =
+    textQclfPr.replace("ORDER BY thresh", "ORDER BY f1 DESC, thresh LIMIT 1")
+
   /** Reliability bins + ECE mirroring `Text.qclfCalibration`: integer
     * micro sums per 0.05-wide bin, exact-integer gap numerators,
     * single final divisions. */

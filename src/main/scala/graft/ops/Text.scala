@@ -1885,6 +1885,15 @@ object Text {
       .orderBy("thresh")
   }
 
+  /** The operating-point PICK that closes [[qclfPr]]'s sweep: the
+    * threshold with the best F1 (6-dp-rounded in BOTH engines, so
+    * the ordering is engine-exact; ties break to the LOWEST
+    * threshold — prefer recall at equal F1). The 1-row release
+    * artifact the ingest filter actually configures with.
+    * Output: one [[qclfPr]] row. */
+  def qclfOpPoint(spark: SparkSession, dir: String): DataFrame =
+    qclfPr(spark, dir).orderBy(col("f1").desc, col("thresh")).limit(1)
+
   /** Calibration audit: 20-bin reliability table + expected
     * calibration error — does "score 0.8" mean 80% of such docs are
     * actually positive? The production question behind every
