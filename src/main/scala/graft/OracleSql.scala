@@ -5093,6 +5093,39 @@ object OracleSql {
       |FROM ch LEFT JOIN shared s ON ch.sig = s.sig AND ch.n_toks = s.n_toks
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** CDC chunk-dedup apply mirroring `Text.cdcApply`: keep-first
+    * owner per shared chunk identity, span-range token drops,
+    * position-ordered reassembly md5. (Concatenated, not
+    * re-stripMargined.) */
+  val textCdcApply: String =
+    "WITH ch AS MATERIALIZED (" +
+      textCdcChunks.replace("ORDER BY doc_id, chunk_idx", "") + "),\n" +
+    """own AS (
+      |  SELECT sig, n_toks, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+      |  FROM ch GROUP BY 1, 2
+      |),
+      |drops AS (
+      |  SELECT ch.doc_id, ch.start_pos, ch.start_pos + ch.n_toks AS end_pos
+      |  FROM ch JOIN own USING (sig, n_toks)
+      |  WHERE own.nd > 1 AND ch.doc_id <> own.owner
+      |),
+      |t AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, UNNEST(ws) AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_all FROM t GROUP BY 1),
+      |k AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM t
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM drops d
+      |    WHERE d.doc_id = t.doc_id AND t.pos >= d.start_pos AND t.pos < d.end_pos)
+      |)
+      |SELECT k.doc_id, COUNT(*) AS kept_toks,
+      |       CAST(MAX(tot.n_all) - COUNT(*) AS BIGINT) AS dropped_toks,
+      |       md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS kept_md5
+      |FROM k JOIN tot ON k.doc_id = tot.doc_id
+      |GROUP BY 1 ORDER BY k.doc_id""".stripMargin
+
   /** Pearson chi-square independence audit mirroring `Text.chi2`:
     * dense source×lang cell spine (zero cells included), exact
     * integer marginals, one fp division per expected count, ordered

@@ -990,6 +990,44 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** CDC chunk-dedup APPLY — the removal [[cdcDedup]] reports: every
+    * chunk identity held by ≥ 2 documents elects a keep-first owner
+    * (min doc_id); non-owners drop that chunk's token span and the
+    * survivors reassemble IN POSITION ORDER, verified by an md5 over
+    * the reassembled text (the [[substrApply]] discipline at chunk
+    * grain — a hash mismatch would expose any span-arithmetic bug
+    * immediately, in either engine). Drops are doc-keyed anti-join
+    * ranges (chunks partition a doc's positions, so spans never
+    * overlap); reassembly is one per-doc sorted collect. A doc whose
+    * every token is dropped disappears — full-duplicate documents are
+    * exactly what keep-first dedup removes. Output: doc_id,
+    * kept_toks, dropped_toks, kept_md5. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ch = cdcChunksDocs(docs)
+    val owner = ch.groupBy("sig", "n_toks")
+      .agg(min(col("doc_id")).as("owner"), countDistinct(col("doc_id")).as("nd"))
+    val drops = ch.join(owner, Seq("sig", "n_toks"))
+      .where(col("nd") > 1 && col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("start_pos") + col("n_toks")).as("end_pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_all"))
+    toks.join(drops,
+        toks("doc_id") === drops("doc_id") &&
+          toks("pos") >= drops("start_pos") && toks("pos") < drops("end_pos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_toks"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' '))")
+          .as("kept_md5"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("kept_toks"),
+        (col("n_all") - col("kept_toks")).as("dropped_toks"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer fertility per language — the metric that decides
     * whether a tokenizer is fit for a corpus slice: BPE tokens per
     * whitespace word (fertility; a multilingual tokenizer is judged
