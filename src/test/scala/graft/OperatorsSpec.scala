@@ -289,6 +289,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cdc apply: untouched docs reassemble to their original text") {
+    val a = Text.cdcApply(spark, sf)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"),
+        size(split(col("text"), " ")).cast("bigint").as("n"))
+    val j = a.join(orig, "doc_id")
+    // a doc that lost nothing must reassemble byte-identically
+    assert(j.where(col("dropped_toks") === 0 &&
+      col("kept_md5") =!= col("orig_md5")).count() === 0)
+    // counts telescope everywhere
+    assert(j.where(col("kept_toks") + col("dropped_toks") =!= col("n")).count() === 0)
+    // and the corpus genuinely contains removable duplication
+    assert(a.where(col("dropped_toks") > 0).count() > 0)
+  }
+
   test("cdc pure chunker matches the window dataflow row for row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
