@@ -467,17 +467,21 @@ object Similarity {
     * edge maps to code 0 through the NULLIF/COALESCE guard (same as
     * [[quantize]]). The global scale (not [[quantize]]'s per-vector
     * max) keeps integer dot products COMPARABLE across candidates. */
-  private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val s = emb.agg(max(array_max(transform(
-      col("embedding").cast("array<double>"), x => abs(x)))).as("s"))
-    emb.crossJoin(broadcast(s))
-      .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => greatest(lit(-127), least(lit(127), coalesce(
-            floor(x * lit(127.0) / nullif(col("s"), lit(0.0)) + lit(0.5)).cast("int"),
-            lit(0))))).as("c"))
-  }
+  private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    // a landed release artifact (like the PQ codes), not a persist():
+    // both sides of the search join read the parquet, and repeated
+    // calls in a long-lived session never accumulate cached RDDs
+    graft.ArtifactCache.table(spark, "sq8_codes", dir) {
+      val emb = Tables.embeddings(spark, dir)
+      val s = emb.agg(max(array_max(transform(
+        col("embedding").cast("array<double>"), x => abs(x)))).as("s"))
+      emb.crossJoin(broadcast(s))
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => greatest(lit(-127), least(lit(127), coalesce(
+              floor(x * lit(127.0) / nullif(col("s"), lit(0.0)) + lit(0.5)).cast("int"),
+              lit(0))))).as("c"))
+    }
 
   /** Scalar-quantized (SQ8) similarity search — the third memory
     * posture next to PQ ([[pqSearch]], 16 B/vector) and the
@@ -498,8 +502,7 @@ object Similarity {
     * the query side stays a bounded broadcast like [[bruteForceTopK]].
     * Output: vec_id, nbr_id, idot, rank. */
   def sq8Search(spark: SparkSession, dir: String): DataFrame = {
-    val codes = sq8Codes(spark, dir).persist()
-    codes.count() // materialize before both join sides fan out
+    val codes = sq8Codes(spark, dir) // landed artifact — both sides scan parquet
     val q = codes.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("c").as("qc"))
     val w = Window.partitionBy("qid").orderBy(col("idot").desc, col("nbr_id"))
@@ -810,11 +813,15 @@ object Similarity {
     navBands(v, navBitsFor(v.count()))
 
   /** Deterministic per-member anchor draw: a Knuth-LCG mix of vec_id
-    * reduced mod 2³¹ — pure int64 arithmetic any engine evaluates
-    * identically (the oracle repeats it verbatim; requires
+    * reduced mod 2³¹ BEFORE the multiply — the reduced operand keeps
+    * the int64 product under 2^62 for every non-negative id, so the
+    * arithmetic is overflow-free (Spark would wrap silently where
+    * ANSI engines raise — at 100 TB id scales, vec_id > ~8.3e9, the
+    * unreduced product overflows). Pure int64 arithmetic any engine
+    * evaluates identically (the oracle repeats it verbatim; requires
     * vec_id ≥ 0, which every corpus here satisfies). */
   private def navAnchorDraw(c: Column): Column =
-    pmod(c * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    pmod(pmod(c, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483648L))
 
   /** Seed candidate pairs from band buckets, keyed by `keyCols`
     * ((b, key), or (shard, b, key) for the sharded build):

@@ -173,7 +173,15 @@ object DocStreams {
     def update(src: String, batch: Iterator[BudgetIn],
                state: GroupState[Long]): Iterator[BudgetDecision] = {
       var cum = state.getOption.getOrElse(0L)
-      val alloc = bm.value.getOrElse(src, 0L)
+      // fail FAST on a source absent from the landed allocation table
+      // (a new source appearing mid-release): getOrElse(0L) would
+      // silently drop every arriving document with no signal — a
+      // loud stream failure is the correct posture, exactly like the
+      // width-boundary refuse on the index-maintenance path
+      require(bm.value.contains(src),
+        s"source '$src' has no allocation in the landed budget mix; " +
+          "re-run Text.budgetMix over a corpus slice that includes it")
+      val alloc = bm.value(src)
       val out = batch.toSeq.sortBy(r => (r.k, r.doc_id)).map { r =>
         cum += r.n_toks
         BudgetDecision(src, r.doc_id, r.n_toks, cum, cum <= alloc)
