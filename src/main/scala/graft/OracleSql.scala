@@ -2459,7 +2459,11 @@ object OracleSql {
     * QUALIFY mirrors `Dedup.pairsFromBands`' MaxBucket cap exactly
     * (lowest doc_ids kept per (band, key) bucket), so Spark and oracle
     * agree even on a corpus with a viral >MaxBucket boilerplate bucket. */
-  private lazy val minhashCtes: String = {
+  private lazy val minhashCtes: String = minhashCtesOver("documents")
+
+  /** The same chain over an arbitrary (doc_id, text) CTE/table — the
+    * exact-first oracle runs it over the exact-keeper slice. */
+  private def minhashCtesOver(table: String): String = {
     val mins = (0 until 8).map(j =>
       s"MIN(CAST('0x' || substr(md5('${j / 4}|' || sh), ${(j % 4) * 8 + 1}, 8) AS BIGINT)) AS mh$j").mkString(",\n    ")
     val bandRows = (0 until 4).map(b =>
@@ -2468,7 +2472,7 @@ object OracleSql {
     s"""sh AS (
        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, length(text) - 11 + 1),
        |    i -> substr(text, CAST(i AS INT), 12)))) AS sh
-       |  FROM documents WHERE length(text) >= 12
+       |  FROM $table WHERE length(text) >= 12
        |),
        |sigs AS (
        |  SELECT doc_id,
@@ -2560,6 +2564,34 @@ object OracleSql {
        |$clusterCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Exact-then-fuzzy composed decision mirroring
+    * `Dedup.exactFirstClusters`: exact keepers (min doc_id per
+    * md5(text)), the SAME capped minhash/band/component chain as
+    * `dedupClusters` over the keeper slice only, then one row per
+    * exact loser carrying its keeper's cluster with keep = false. */
+  val dedupExactFirst: String =
+    s"""WITH RECURSIVE
+       |xk AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+       |  FROM documents
+       |),
+       |kdocs AS (
+       |  SELECT d.* FROM documents d JOIN xk ON d.doc_id = xk.doc_id
+       |  WHERE xk.doc_id = xk.keeper_id
+       |),
+       |${minhashCtesOver("kdocs")},
+       |$clusterCtes,
+       |cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |  FROM reach GROUP BY id
+       |)
+       |SELECT doc_id, cluster_id, keep FROM cl
+       |UNION ALL
+       |SELECT x.doc_id, COALESCE(cl.cluster_id, x.keeper_id) AS cluster_id, FALSE AS keep
+       |FROM xk x LEFT JOIN cl ON cl.doc_id = x.keeper_id
+       |WHERE x.doc_id <> x.keeper_id
+       |ORDER BY doc_id""".stripMargin
 
   /** The deduplicated corpus: left-join the cluster decision onto
     * documents; unpaired docs survive as their own cluster, paired
@@ -3567,7 +3599,7 @@ object OracleSql {
        |anch AS (
        |  SELECT bands.* FROM bands JOIN bstat USING ($bucketKey)
        |  WHERE bn > 64 AND (vec_id = a0 OR
-       |    CAST((vec_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+       |    CAST(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE)
        |      < 2147483648.0 * 16 / bn)),
        |seedc AS (
        |  SELECT x.vec_id AS node, y.vec_id AS nbr_id

@@ -92,7 +92,12 @@ object Dedup {
     * no shuffle against the state — followed by one groupBy on the
     * probing key. A miss on any position is a PROOF of novelty (no
     * false negatives, by construction); only `maybe` rows need the
-    * exact state join. */
+    * exact state join. `maybe` is ALL positions hit (min over the
+    * per-position verdicts), not a hit COUNT == 4: the min form is
+    * multiplicity-proof, so a caller that ever passes duplicate delta
+    * rows (at-least-once re-delivery) cannot collapse two rows into
+    * one hits=8 group and silently invert the no-false-negative
+    * guarantee. */
   private def bloomProbe(delta: DataFrame, bitmap: DataFrame, m: Long): DataFrame =
     bloomPositions(delta, m)
       .withColumn("w", expr("pos div 64"))
@@ -100,9 +105,9 @@ object Dedup {
       .withColumn("hit",
         expr("bits IS NOT NULL AND (bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0"))
       .groupBy(delta.columns.map(col): _*)
-      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
-      .withColumn("maybe", col("hits") === 4)
-      .drop("hits")
+      .agg(min(when(col("hit"), 1L).otherwise(0L)).as("allhit"))
+      .withColumn("maybe", col("allhit") === 1L)
+      .drop("allhit")
 
   /** Broadcast Bloom pre-filter for incremental exact dedup — the
     * shape that makes cross-release exact dedup ship at 100 TB. The
@@ -523,6 +528,69 @@ object Dedup {
     // corpus version; the iteration run dir is reclaimed as soon as
     // the artifact parquet lands
     clusterArtifact(spark, dir).orderBy("doc_id")
+
+  /** The exact-dup keeper mapping: (doc_id, keeper_id, h) for EVERY
+    * doc — keeper = min doc_id per md5(text) (identity rows for
+    * keepers), the `exact` rule materialized as a release state
+    * table. One content-hash shuffle; the hash column rides along so
+    * an INCREMENT can probe group membership without re-reading prior
+    * text (`pipelines.Curation.incrementState`). */
+  private[graft] def exactKeeperMap(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    h.join(h.groupBy("h").agg(min("doc_id").as("keeper_id")), "h")
+      .select("doc_id", "keeper_id", "h")
+  }
+
+  /** Compose a fuzzy cluster decision OVER EXACT KEEPERS with the
+    * exact mapping into one uniform decision table: the fuzzy rows
+    * pass through, and every exact loser gets a row carrying its
+    * keeper's cluster (the keeper itself when the keeper is unpaired)
+    * with keep = false. The result reads exactly like the decision of
+    * an ideal uncapped chain — every consumer of the LSH-only
+    * decision table (apply, curate, leak-free split, index retire)
+    * works on it unchanged — while the expensive shingle/band chain
+    * only ever scanned keepers. */
+  private[graft] def augmentWithExactLosers(clusters: DataFrame, mapping: DataFrame): DataFrame = {
+    val losers = mapping.where(col("doc_id") =!= col("keeper_id"))
+      .join(clusters.select(col("doc_id").as("keeper_id"), col("cluster_id").as("_kc")),
+        Seq("keeper_id"), "left")
+      .select(col("doc_id"), coalesce(col("_kc"), col("keeper_id")).as("cluster_id"),
+        lit(false).as("keep"))
+    clusters.select("doc_id", "cluster_id", "keep").unionByName(losers)
+  }
+
+  /** Exact-then-fuzzy composed dedup decision — the production
+    * DEFAULT composition (`pipelines.Curation.buildClusters`), here
+    * as the independent driver-contract query: exact dedup first
+    * (keeper = min doc_id per content hash — collapses duplicate
+    * cliques of ANY width in one shuffle), then the capped-LSH
+    * near-dup chain over the exact KEEPERS only, then the loser rows
+    * folded back in ([[augmentWithExactLosers]]).
+    *
+    * Measured motivation (`tools.CurateThenIndex`, PERF.md round 12):
+    * a duplicate clique WIDER than [[MaxBucket]] shares all 8 band
+    * keys, so cap-evicted members lose every bucket membership at
+    * once and leak through the LSH-only chain as unpaired singletons
+    * — at ×100 exact-dup density the LSH-only "deduped" corpus still
+    * fragments a serving index (0/30 walk recall); exact-first
+    * restores 25/30. At 100 TB exact-dup density is unbounded
+    * (mirrors, reposts, boilerplate) while LSH caps must stay bounded
+    * for the candidate join to stay bounded — hence this order.
+    * Output (docs in >= 1 pair, exact or fuzzy): doc_id, cluster_id,
+    * keep. */
+  def exactFirstClusters(spark: SparkSession, dir: String): DataFrame =
+    exactFirstArtifact(spark, dir).orderBy("doc_id")
+
+  /** (doc_id, cluster_id, keep) exact-then-fuzzy decision artifact. */
+  private[graft] def exactFirstArtifact(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.tableReleasable(spark, "dedup_exact_first_decision", dir) {
+      val docs = Tables.documents(spark, dir)
+      val mapping = exactKeeperMap(docs)
+      val keepers = mapping.where(col("doc_id") === col("keeper_id")).select("doc_id")
+      val (cl, h) = clustersFromCappedReleasable(
+        cappedBandsOf(docs.join(keepers, "doc_id")))
+      (augmentWithExactLosers(cl, mapping), () => h.release())
+    }
 
   /** Connected components over an undirected pair list via iterative
     * min-label propagation WITH pointer jumping: each hop,

@@ -39,23 +39,31 @@ object Curation {
 
   def bandsPath(root: String): String = s"$root/dedup_bands"
 
-  /** Stage 1: the expensive part, exactly once — near-dup candidate
-    * generation + connected components + keeper election, landed as a
-    * table (reference S6 WRITE_TRUNCATE semantics). Also lands the
-    * capped band table alongside the decision: together they are the
-    * release's dedup STATE, which is what `incrementState` probes so
-    * the NEXT release's clustering costs the delta, not the corpus.
-    * truncateLoad fully consumes the loop's output, so the iteration
-    * run dir is released immediately instead of parking on the
-    * configured storage root until JVM exit — the reclamation seam a
-    * long-lived session needs. */
+  /** Stage 1: the expensive part, exactly once — the DEFAULT
+    * composition, exact dedup BEFORE the fuzzy chain
+    * ([[buildStateExactFirst]]; the ×100 measurement that made it the
+    * default is in PERF.md round 12), landed as tables (reference S6
+    * WRITE_TRUNCATE semantics). Lands the exact keeper mapping, the
+    * keeper-only capped band table, and the composed decision:
+    * together they are the release's dedup STATE, which is what
+    * `incrementState` probes so the NEXT release's clustering costs
+    * the delta, not the corpus. truncateLoad fully consumes the
+    * loop's output, so the iteration run dir is released immediately
+    * instead of parking on the configured storage root until JVM exit
+    * — the reclamation seam a long-lived session needs. */
   def buildClusters(spark: SparkSession, dir: String, root: String): Unit =
-    buildState(spark, graft.Tables.documents(spark, dir), root)
+    buildStateExactFirst(spark, graft.Tables.documents(spark, dir), root)
 
-  /** The state build over an EXPLICIT corpus slice — the vN release of
-    * an incremental chain. The decision derives from the LANDED band
-    * parquet (not a cached plan), so the banding work is paid once and
-    * the two state tables are consistent by construction. */
+  /** The FUZZY-ONLY state build over an EXPLICIT corpus slice — the
+    * LSH chain with no exact pre-pass. Kept as the measured BASELINE
+    * (`tools.CurateThenIndex` leg 2) and as the primitive
+    * [[buildStateExactFirst]] composes; production entrypoints
+    * ([[buildClusters]], [[run]]) default to exact-first, which the
+    * ×100 harness showed is the only order that collapses duplicate
+    * cliques wider than the LSH bucket cap. The decision derives from
+    * the LANDED band parquet (not a cached plan), so the banding work
+    * is paid once and the two state tables are consistent by
+    * construction. */
   def buildState(spark: SparkSession, docs: DataFrame, root: String): Unit = {
     Writers.truncateLoad(
       Dedup.cappedBandsOf(docs).select("doc_id", "b", "key"), bandsPath(root))
@@ -68,67 +76,137 @@ object Curation {
   def exactPath(root: String): String = s"$root/exact_keepers"
 
   /** Exact-dedup pre-pass + near-dup state build — the production
-    * composition: exact BEFORE fuzzy. Lands (doc_id, keeper_id) for
-    * EVERY doc (identity rows for keepers) under [[exactPath]], then
-    * runs [[buildState]] on the exact keepers only.
+    * DEFAULT composition: exact BEFORE fuzzy. Lands (doc_id,
+    * keeper_id, h) for EVERY doc (identity rows for keepers) under
+    * [[exactPath]], the keeper-only capped bands under [[bandsPath]],
+    * and — under [[clustersPath]] — the COMPOSED decision: the fuzzy
+    * cluster rows over keepers plus one keep=false row per exact
+    * loser carrying its keeper's cluster
+    * (`Dedup.augmentWithExactLosers`). Because the composed table
+    * reads exactly like an LSH decision table, every downstream
+    * consumer (apply, curate, leak-free split, release, index retire)
+    * works unchanged; the `dedup_exact_first` driver query pins the
+    * same composition against the DuckDB oracle.
     *
-    * Measured motivation (`tools.CurateThenIndex`, PERF.md round 11):
+    * Measured motivation (`tools.CurateThenIndex`, PERF.md round 12):
     * a duplicate clique WIDER than the LSH bucket cap
     * (`Dedup.MaxBucket` = 64) shares all 8 band keys, so cap-evicted
     * members lose every bucket membership at once and leak through
     * the near-dup chain as unpaired singletons — at ×100 exact-dup
     * density the LSH-only chain keeps ~37% of every 100-clique, and a
     * serving index built on that "deduped" corpus still fragments
-    * into near-dup cliques. The exact pre-pass collapses duplicate
-    * groups of ANY width in one content-hash shuffle (`Dedup.exact`'s
-    * rule: keeper = min doc_id per md5(text)), which also shrinks the
-    * corpus the expensive shingle/band chain must scan. At 100 TB
-    * this order is standard precisely because exact-dup density is
-    * unbounded (mirrors, reposts, boilerplate) while LSH caps must
-    * stay bounded for the candidate join to stay bounded. */
+    * into near-dup cliques (0/30 walk recall; exact-first restores
+    * 25/30). The exact pre-pass collapses duplicate groups of ANY
+    * width in one content-hash shuffle (`Dedup.exact`'s rule: keeper
+    * = min doc_id per md5(text)), which also shrinks the corpus the
+    * expensive shingle/band chain must scan. At 100 TB this order is
+    * standard precisely because exact-dup density is unbounded
+    * (mirrors, reposts, boilerplate) while LSH caps must stay bounded
+    * for the candidate join to stay bounded. */
   def buildStateExactFirst(spark: SparkSession, docs: DataFrame, root: String): Unit = {
     import org.apache.spark.sql.functions._
-    val h = docs.select(col("doc_id"), md5(col("text")).as("_h"))
-    val mapping = h.join(
-      h.groupBy("_h").agg(min("doc_id").as("keeper_id")), "_h")
-      .select("doc_id", "keeper_id")
-    Writers.truncateLoad(mapping, exactPath(root))
-    val keepers = spark.read.parquet(exactPath(root))
-      .where(col("doc_id") === col("keeper_id")).select("doc_id")
-    buildState(spark, docs.join(keepers, "doc_id"), root)
+    Writers.truncateLoad(Dedup.exactKeeperMap(docs), exactPath(root))
+    val mapping = spark.read.parquet(exactPath(root))
+    val keepers = mapping.where(col("doc_id") === col("keeper_id")).select("doc_id")
+    Writers.truncateLoad(
+      Dedup.cappedBandsOf(docs.join(keepers, "doc_id")).select("doc_id", "b", "key"),
+      bandsPath(root))
+    val (clusters, iterHandle) =
+      Dedup.clustersFromCappedReleasable(spark.read.parquet(bandsPath(root)))
+    Writers.truncateLoad(
+      Dedup.augmentWithExactLosers(clusters, mapping), clustersPath(root))
+    iterHandle.release()
   }
 
   /** Kept doc ids under an exact-first state ([[buildStateExactFirst]]):
-    * a doc survives iff it IS its exact-group keeper and the near-dup
-    * decision over keepers does not drop it. One anti-join against the
-    * O(docs-in-pairs) decision table — same marginal cost as
-    * [[applyDeduped]]. */
+    * a doc survives iff its decision row (if any) keeps it — the
+    * composed table already folds exact losers in as keep=false rows,
+    * so this is the standard anti-join against the O(docs-in-pairs +
+    * exact losers) decision table; the exact mapping supplies the
+    * full doc-id universe. Same marginal cost as [[applyDeduped]]. */
   def keptExactFirst(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(exactPath(root))
-      .where(col("doc_id") === col("keeper_id")).select("doc_id")
+    spark.read.parquet(exactPath(root)).select("doc_id")
       .join(spark.read.parquet(clustersPath(root))
         .where(!col("keep")).select("doc_id"),
         Seq("doc_id"), "left_anti")
   }
 
-  /** Release vN → vN+1: shingle/band ONLY the delta, probe it against
-    * the state materialized under `priorRoot`, re-solve just the
-    * touched components, and land the refreshed state under
-    * `nextRoot`. Versioned roots mirror real release layouts and keep
-    * the increment from overwriting state it is still reading
-    * (truncate-load onto the prior root would be a self-overwrite).
-    * Row-identical to `buildState` over the full vN ∪ delta corpus —
-    * `PipelineSpec` proves it — at delta-proportional cost
-    * (see `Dedup.incrementalClusters` and PERF.md round 7). */
+  /** Release vN → vN+1: the increment follows the COMPOSITION the
+    * prior state was built with — an exact-first state (exact keeper
+    * mapping present under `priorRoot`) increments exact-first, a
+    * fuzzy-only state increments fuzzy-only — so a release chain can
+    * never silently change composition mid-stream. Shingle/band ONLY
+    * the delta, probe it against the state materialized under
+    * `priorRoot`, re-solve just the touched components, and land the
+    * refreshed state under `nextRoot`. Versioned roots mirror real
+    * release layouts and keep the increment from overwriting state it
+    * is still reading (truncate-load onto the prior root would be a
+    * self-overwrite). Row-identical to the same-composition full
+    * build over the full vN ∪ delta corpus — `PipelineSpec` proves
+    * both compositions — at delta-proportional cost (see
+    * `Dedup.incrementalClusters` and PERF.md rounds 7/12).
+    *
+    * Exact-first increment: delta hashes probe the landed keeper
+    * mapping map-side (the Bloom pre-filter `dedup_bloom` is the
+    * 100 TB form of this probe); docs matching a prior group are
+    * absorbed as exact losers (mapping rows only — no fuzzy work at
+    * all), and only NEW-group keepers enter the fuzzy chain. One
+    * contract REFUSE, mirroring `NavIndex.incrementState`'s
+    * width-boundary refuse: a delta doc with an id BELOW its group's
+    * landed keeper would demote the keeper, and a demotion is a
+    * deletion from the fuzzy state — which only a full
+    * [[buildStateExactFirst]] rebuild can honor. Release ids are
+    * monotone in practice, so the refuse is the rare escape hatch,
+    * not the common path. */
   def incrementState(spark: SparkSession, newDocs: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
-    val st = Dedup.incrementalClusters(newDocs,
-      spark.read.parquet(bandsPath(priorRoot)),
-      spark.read.parquet(clustersPath(priorRoot)))
-    Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
-    Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
-    st.release()
+    import org.apache.spark.sql.functions._
+    val exactP = new org.apache.hadoop.fs.Path(s"${exactPath(priorRoot)}/_SUCCESS")
+    val fs = exactP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(exactP)) {
+      // fuzzy-only prior state: the legacy composition, unchanged
+      val st = Dedup.incrementalClusters(newDocs,
+        spark.read.parquet(bandsPath(priorRoot)),
+        spark.read.parquet(clustersPath(priorRoot)))
+      Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
+      Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
+      st.release()
+    } else {
+      val priorMap = spark.read.parquet(exactPath(priorRoot))
+      val deltaH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      val priorKeeperByH = priorMap
+        .where(col("doc_id") === col("keeper_id"))
+        .select(col("h"), col("keeper_id").as("prior_keeper"))
+      val probed = deltaH.join(priorKeeperByH, Seq("h"), "left")
+      require(probed.where(col("prior_keeper").isNotNull &&
+          col("doc_id") < col("prior_keeper")).isEmpty,
+        "delta contains a doc_id below its exact group's landed keeper " +
+          "(keeper demotion = a deletion from the fuzzy state); " +
+          "rebuild the curation state with buildStateExactFirst")
+      val newGroups = probed.where(col("prior_keeper").isNull)
+        .groupBy("h").agg(min("doc_id").as("new_keeper"))
+      val deltaMap = probed.join(newGroups, Seq("h"), "left")
+        .select(col("doc_id"),
+          coalesce(col("prior_keeper"), col("new_keeper")).as("keeper_id"), col("h"))
+      Writers.truncateLoad(priorMap.unionByName(deltaMap), exactPath(nextRoot))
+      val nextMap = spark.read.parquet(exactPath(nextRoot))
+      // only NEW-group keepers enter the fuzzy chain; the prior fuzzy
+      // decision is the composed table restricted to prior keepers
+      // (exact-loser rows filtered back out — they carry no bands)
+      val newKeeperDocs = newDocs.join(
+        nextMap.where(col("doc_id") === col("keeper_id")).select("doc_id"), "doc_id")
+      val priorKeepers = priorMap
+        .where(col("doc_id") === col("keeper_id")).select("doc_id")
+      val priorFuzzy = spark.read.parquet(clustersPath(priorRoot))
+        .join(priorKeepers, Seq("doc_id"), "left_semi")
+      val st = Dedup.incrementalClusters(newKeeperDocs,
+        spark.read.parquet(bandsPath(priorRoot)), priorFuzzy)
+      Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
+      Writers.truncateLoad(
+        Dedup.augmentWithExactLosers(st.clusters, nextMap), clustersPath(nextRoot))
+      st.release()
+    }
   }
 
   /** CURATION → INDEX composition: retire every doc the dedup

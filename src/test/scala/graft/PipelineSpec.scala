@@ -434,19 +434,22 @@ class PipelineSpec extends SparkSpec {
   test("curation pipeline: materialized clusters derive apply/curate row-identical to the independent queries") {
     val root = Files.createTempDirectory("graft_curation").toString
     graft.pipelines.Curation.run(spark, sf, root)
-    // both derived tables landed and match the independent driver
-    // queries row-for-row — the pipeline is a pure re-topology, not a
-    // semantic change
+    // both derived tables landed and match the independent
+    // driver-query composition row-for-row — the pipeline is a pure
+    // re-topology, not a semantic change. The default composition is
+    // exact-first (round 12), so the reference decision table is the
+    // oracle-pinned `dedup_exact_first` query.
+    val refClusters = graft.ops.Dedup.exactFirstClusters(spark, sf)
     val applied = spark.read.parquet(s"$root/corpus_deduped")
       .select("doc_id", "cluster_id", "h")
-    val applyRef = graft.ops.Dedup.applyDedup(spark, sf)
+    val applyRef = graft.ops.Dedup.applyFrom(spark, sf, refClusters)
       .select("doc_id", "cluster_id", "h")
     assert(applied.exceptAll(applyRef).count() === 0)
     assert(applyRef.exceptAll(applied).count() === 0)
     val cols = Seq("doc_id", "heldout", "dup_loser", "contaminated", "low_quality", "kept")
     val curated = spark.read.parquet(s"$root/curation_decision")
       .select(cols.head, cols.tail: _*)
-    val curateRef = graft.ops.Text.curate(spark, sf)
+    val curateRef = graft.ops.Text.curateFrom(spark, sf, refClusters)
       .select(cols.head, cols.tail: _*)
     assert(curated.exceptAll(curateRef).count() === 0)
     assert(curateRef.exceptAll(curated).count() === 0)
@@ -573,11 +576,61 @@ class PipelineSpec extends SparkSpec {
     // distinct-content near-dups are NOT exact dups — they must still
     // collapse through the fuzzy stage that runs on exact keepers
     assert(!(exKept.contains(1000L) && exKept.contains(1001L)))
+    // the DEFAULT-consumer derivation (anti-join !keep rows of the
+    // landed composed decision — what applyDeduped/release/retire
+    // read) sees the SAME collapse: the exact-loser rows are folded
+    // into the decision table itself, so no consumer needs to know
+    // which composition built the state
+    assert(kept(rootEx) === exKept)
+    assert(spark.read.parquet(Curation.clustersPath(rootEx))
+      .where(!col("keep") && col("doc_id") < 70).count() === 69)
     // the landed mapping covers every doc, identity rows for keepers
     val mapping = spark.read.parquet(Curation.exactPath(rootEx))
     assert(mapping.count() === docs.count())
     assert(mapping.where(col("doc_id") < 70 && col("keeper_id") =!= 0).count() === 0)
     assert(mapping.where(col("doc_id") === col("keeper_id")).count() === 4)
+  }
+
+  test("exact-first increment: vN + delta state is row-identical to the exact-first full rebuild") {
+    import graft.pipelines.Curation
+    val docs = Tables.documents(spark, sf)
+    // split so the delta holds: brand-new content, exact dups of vN
+    // docs (higher ids — synthesized below), and an in-delta dup pair
+    val vN = docs.where(col("doc_id") % 10 =!= 7)
+    val fresh = docs.where(col("doc_id") % 10 === 7)
+    val dupOfPrior = vN.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+        col("source"), col("lang"), col("n_chars"))
+    val delta = fresh.unionByName(dupOfPrior)
+    val rootA = Files.createTempDirectory("graft_exinc_vn").toString
+    val rootB = Files.createTempDirectory("graft_exinc_vn1").toString
+    val rootFull = Files.createTempDirectory("graft_exinc_full").toString
+    Curation.buildStateExactFirst(spark, vN, rootA)
+    Curation.incrementState(spark, delta, rootA, rootB)
+    Curation.buildStateExactFirst(spark, vN.unionByName(delta), rootFull)
+    for (p <- Seq(Curation.clustersPath _, Curation.bandsPath _, Curation.exactPath _)) {
+      val incr = spark.read.parquet(p(rootB))
+      val full = spark.read.parquet(p(rootFull))
+      assert(incr.exceptAll(full).count() === 0, s"extra rows under ${p(rootB)}")
+      assert(full.exceptAll(incr).count() === 0, s"missing rows under ${p(rootB)}")
+    }
+    // non-vacuous: the synthetic exact dups were absorbed as losers
+    // without entering the fuzzy chain (no bands for their ids)
+    assert(spark.read.parquet(Curation.clustersPath(rootB))
+      .where(col("doc_id") >= 1000000L && !col("keep")).count() === 5)
+    assert(spark.read.parquet(Curation.bandsPath(rootB))
+      .where(col("doc_id") >= 1000000L).count() === 0)
+    // contract refuse: a delta doc BELOW its group's landed keeper is
+    // a keeper demotion — a deletion from the fuzzy state — and must
+    // refuse toward the full-rebuild escape hatch, not silently drift
+    val demote = vN.orderBy(col("doc_id").desc).limit(1)
+      .select((col("doc_id") * lit(-1L) - 1L).as("doc_id"), col("text"),
+        col("source"), col("lang"), col("n_chars"))
+    val rootC = Files.createTempDirectory("graft_exinc_refuse").toString
+    val e = intercept[IllegalArgumentException] {
+      Curation.incrementState(spark, demote, rootA, rootC)
+    }
+    assert(e.getMessage.contains("keeper demotion"))
   }
 
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
