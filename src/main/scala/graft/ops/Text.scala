@@ -1037,7 +1037,14 @@ object Text {
     * divisions. Output: lang, n_docs, n_words, n_tokens, fertility,
     * chars_per_tok. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame =
-    bpeApply(spark, dir)
+    fertilityRollup(spark, dir, bpeApply(spark, dir))
+
+  /** Per-language fertility rollup over any (doc_id, n_chars,
+    * n_tokens) encoding table — shared by the 5-merge oracle path
+    * ([[bpeFertility]]) and the deep-vocabulary loop path
+    * ([[bpeFertilityWith]]). */
+  private def fertilityRollup(spark: SparkSession, dir: String, enc: DataFrame): DataFrame =
+    enc
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("bigint").as("words")), "doc_id")
       .groupBy("lang")
@@ -1046,6 +1053,150 @@ object Text {
         round(sum(col("n_tokens")).cast("double") / sum(col("words")), 6).as("fertility"),
         round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 6).as("chars_per_tok"))
       .orderBy("lang")
+
+  /** BPE training to an ARBITRARY merge count — the pipeline form of
+    * [[bpeTrain]] (whose 5 unrolled rounds pin the oracle; real
+    * fertility numbers need hundreds-to-thousands of merges). Same
+    * election and merge rule round-for-round — row-identical to the
+    * unrolled form at k = 5 (`PipelineSpec` pins it) — but shaped for
+    * a long loop:
+    *
+    *   - the elected pair comes back as ONE bounded 1-row collect per
+    *     round (the [[bpeApply]] merge-table discipline — a shipped
+    *     tokenizer's merge list IS driver-resident by design), so a
+    *     round costs a single aggregation job instead of the
+    *     broadcast-crossJoin + per-round materialization the unrolled
+    *     form pays;
+    *   - the merge folds into the symbol state as a literal
+    *     `replace`, and the state goes through an IterState parquet
+    *     seam every [[BpeSeamEvery]] rounds, so expression depth and
+    *     plan size stay bounded at any k (the `sim_kcore` round-seam
+    *     pattern);
+    *   - training runs over the DISTINCT-token vocabulary weighted by
+    *     occurrence count, so per-round cost is O(vocabulary) — after
+    *     the one corpus-wide vocab aggregate, cost is INDEPENDENT of
+    *     corpus size, and the learned merges are invariant under
+    *     corpus duplication (counts scale uniformly; `tools.BpeScale`
+    *     asserts bit-identity at ×1/×10/×100).
+    *
+    * Stops early when no adjacent pair occurs ≥ 2 times (merging
+    * singletons learns nothing; the unrolled oracle form never
+    * reaches that regime on a real corpus). Output: round, a, b, n. */
+  def bpeTrainLoop(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(col("c"), expr(
+        "concat('|', array_join(transform(sequence(1, length(tok)), i -> substring(tok, i, 1)), '||'), '|')")
+        .as("st"))
+    val iterDir = s"${IterState.rootFor(spark)}/bpeloop_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cleanup = IterState.register(spark, iterDir)
+    def mat(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$iterDir/$name")
+      spark.read.parquet(s"$iterDir/$name")
+    }
+    var state = mat(vocab0, "v0")
+    var lastSeam = 0
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = state
+        .select(col("c"), expr("split(substring(st, 2, length(st) - 2), '\\\\|\\\\|')").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (x, y) -> struct(x, y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, n))
+        state = state.select(col("c"),
+          replace(col("st"),
+            lit(s"|$a||$b|"), lit(s"|$a$b|")).as("st"))
+        if (r - lastSeam >= BpeSeamEvery) {
+          state = mat(state, s"v$r")
+          cleanup.rm(s"$iterDir/v$lastSeam")
+          lastSeam = r
+        }
+        r += 1
+      }
+    }
+    cleanup.release()
+    merges.result().toDF("round", "a", "b", "n").orderBy("round")
+  }
+
+  /** Rounds between parquet seams in [[bpeTrainLoop]]: deep enough to
+    * amortize the write, shallow enough that the chained literal
+    * replaces never threaten codegen/plan-depth limits. */
+  private val BpeSeamEvery = 32
+
+  /** ENCODE under an arbitrary-length merge list — the deep-vocab
+    * counterpart of [[bpeApply]], whose fold of literal `replace`
+    * steps is the right shape for 5 merges but nests k-deep in one
+    * plan (codegen breaks past ~hundreds). Here the merge list rides
+    * a broadcast and each token is encoded by a per-partition greedy
+    * scan applying the merges IN TRAINING ORDER, each round merging
+    * all non-overlapping (a, b) adjacencies leftmost-first — exactly
+    * `replace(st, '|a||b|', '|ab|')`'s semantics on the
+    * wrapper-delimited form (the merged symbol can never re-match as
+    * `a` within its own round), so the two paths are row-identical on
+    * any merge list both can run (`PipelineSpec` pins k = 5).
+    * mapPartitions is justified the same way as the codec boundary:
+    * the per-token loop over a driver-shipped merge table is genuine
+    * imperative logic with no relational shape. Output: doc_id,
+    * n_chars, n_tokens, ratio. */
+  def bpeEncodeWith(spark: SparkSession, docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val toks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .as[(Long, String)]
+    toks.mapPartitions { it =>
+      val ms = bc.value
+      it.map { case (id, tok) =>
+        var syms: Array[String] = tok.map(_.toString).toArray
+        var mi = 0
+        while (mi < ms.length) {
+          val (a, b) = ms(mi)
+          if (syms.length >= 2) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+          mi += 1
+        }
+        (id, tok.length.toLong, syms.length.toLong)
+      }
+    }.toDF("doc_id", "n0", "n_sym")
+      .groupBy("doc_id")
+      .agg(sum(col("n0")).as("n_chars"), sum(col("n_sym")).as("n_tokens"))
+      .withColumn("ratio", round(col("n_tokens") / col("n_chars"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language fertility under an arbitrary merge list — what a
+    * tokenizer evaluation actually reads at a realistic vocabulary
+    * size (`tools.BpeScale` measures the 5 → ~1k fertility shift per
+    * language). Output: lang, n_docs, n_words, n_tokens, fertility,
+    * chars_per_tok. */
+  def bpeFertilityWith(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    fertilityRollup(spark, dir,
+      bpeEncodeWith(spark, Tables.documents(spark, dir), merges))
 
   /** Cross-document SEGMENT-level dedup — the line-dedup pass of
     * CCNet/RefinedWeb-style curation adapted to this corpus' shape

@@ -169,8 +169,21 @@ object RetrievalScale {
       println(f"x$scale pq walk recall: " +
         s"${pq.select(col("vec_id").as("qid"), col("nbr_id"))
           .join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
-      bf3.unpersist()
       pqRelease()
+      // SQ8 posture (third memory tier next to flat 256 B and PQ 16 B
+      // per vector): 64 B/vector int8 codes, exact int64-dot MIPS
+      // scan — no graph, so the serving cost IS the quantized scan
+      time(s"x$scale sq8 codes build")(
+        Similarity.sq8Codes(spark, dir).count())
+      var sq: org.apache.spark.sql.DataFrame = null
+      time(s"x$scale sq8 scan (10 q)") {
+        sq = Similarity.sq8Search(spark, dir)
+        sq.count()
+      }
+      println(f"x$scale sq8 recall: " +
+        s"${sq.select(col("vec_id").as("qid"), col("nbr_id"))
+          .join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
+      bf3.unpersist()
       // filtered dual-strategy search: first touch builds the answers
       // artifact over the already-landed graph (both walks + filter).
       // Needs the documents metadata side — absent in mixture mode.
