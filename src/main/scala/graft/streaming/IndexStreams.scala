@@ -59,8 +59,9 @@ object IndexStreams {
 
   /** Absorb one micro-batch of embedding rows as index version
     * `v<batchId>` — the foreachBatch body, callable directly for the
-    * batch-parity and replay specs. */
-  private[streaming] def maintainBatch(spark: SparkSession, batch: DataFrame,
+    * batch-parity and replay specs and for `tools.NavMaintainScale`'s
+    * per-batch cost measurement. */
+  private[graft] def maintainBatch(spark: SparkSession, batch: DataFrame,
       root: String, batchId: Long): Unit = {
     val next = versionRoot(root, batchId)
     committedVersions(spark, root).filter(_ < batchId).lastOption match {

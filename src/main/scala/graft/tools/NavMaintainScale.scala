@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.NavIndex
+
+/** The ×100 measurement of the navigable-graph MAINTENANCE paths —
+  * the round-11 verdict's "asserted, not measured" gap: does
+  * `NavIndex.incrementState` cost scale with the change frontier
+  * (not the corpus) at the scale where the full build costs minutes,
+  * and what does a micro-batch of `IndexStreams.navMaintainGate`
+  * cost across an arrival sequence, including the width-boundary
+  * rebuild fallback?
+  *
+  * Protocol, on the planted-mixture corpus (`RetrievalScale.mixture`
+  * — the clustered regime the round-11 recall work validated):
+  *
+  *   1. ×100 (200k vectors): time the FULL build (the baseline the
+  *      increment competes with), then for deltas of ~1% and ~10%
+  *      (highest ids — the realistic release regime): build the vN
+  *      state, time `incrementState`, and assert the incremented
+  *      graph is ROW-IDENTICAL to the full build's graph over the
+  *      same corpus (the PipelineSpec parity proof, re-run at the
+  *      scale that matters).
+  *   2. ×10 arrival sequence (14k + 3×2k): drive
+  *      `IndexStreams.maintainBatch` batch-by-batch (the foreachBatch
+  *      body — deterministically equivalent to the stream, whose
+  *      replay contract is already unit-specced) and record per-batch
+  *      cost. The last batch crosses `navBitsFor`'s 18k→20k seed-band
+  *      width boundary, so it exercises the REBUILD fallback — the
+  *      one arrival an increment cannot honor.
+  *
+  * NOT part of the driver contract — local tooling behind PERF.md.
+  * `runMain graft.tools.NavMaintainScale [outBase]` */
+object NavMaintainScale {
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_nav_maint")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def assertGraphParity(rootA: String, rootB: String): Unit = {
+      val a = spark.read.parquet(NavIndex.graphPath(rootA))
+      val b = spark.read.parquet(NavIndex.graphPath(rootB))
+      val extra = a.exceptAll(b).count(); val missing = b.exceptAll(a).count()
+      println(s"  graph parity vs full rebuild: " +
+        (if (extra == 0 && missing == 0) s"IDENTICAL (${a.count()} edges)"
+         else s"DIVERGED (+$extra -$missing)"))
+    }
+
+    // ---- 1. x100 increments vs the full build ----
+    val n = 200000L
+    val dir = s"$outBase/mix100"
+    RetrievalScale.mixture(spark, n)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fullRoot = s"$outBase/idx_full"
+    time(s"x100 FULL build (${n} vecs)")(
+      NavIndex.buildState(spark, emb, fullRoot))
+    for (pct <- Seq(1, 10)) {
+      val cut = n * (100 - pct) / 100
+      val vN = emb.where(col("vec_id") < cut)
+      val delta = emb.where(col("vec_id") >= cut)
+      val rootA = s"$outBase/idx_vn$pct"
+      val rootB = s"$outBase/idx_vn${pct}n"
+      time(s"x100 build vN ($cut vecs, $pct% held out)")(
+        NavIndex.buildState(spark, vN, rootA))
+      time(s"x100 incrementState (+${n - cut} vecs, $pct%)")(
+        NavIndex.incrementState(spark, delta, rootA, rootB))
+      assertGraphParity(rootB, fullRoot)
+      spark.catalog.clearCache()
+    }
+
+    // ---- 2. x10 arrival sequence through the maintenance gate ----
+    val dir10 = s"$outBase/mix10"
+    RetrievalScale.mixture(spark, 20000L)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir10/embeddings.parquet")
+    val emb10 = spark.read.parquet(s"$dir10/embeddings.parquet")
+    val root10 = s"$outBase/stream_idx"
+    val cuts = Seq(0L -> 14000L, 14000L -> 16000L, 16000L -> 18000L, 18000L -> 20000L)
+    cuts.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val batch = emb10.where(col("vec_id") >= lo && col("vec_id") < hi)
+      val kind =
+        if (b == 0) "full build"
+        else if (graft.ops.Similarity.navBitsFor(lo) != graft.ops.Similarity.navBitsFor(hi))
+          "REBUILD fallback (width boundary)"
+        else "increment"
+      time(f"x10 batch $b (+${hi - lo} -> $hi vecs, $kind)")(
+        graft.streaming.IndexStreams.maintainBatch(spark, batch, root10, b.toLong))
+      spark.catalog.clearCache()
+    }
+    // the sequence must land on the same graph as one full build
+    val refRoot = s"$outBase/stream_ref"
+    time("x10 reference full build (20000 vecs)")(
+      NavIndex.buildState(spark, emb10, refRoot))
+    val streamed = graft.streaming.IndexStreams.currentGraph(spark, root10)
+    val ref = spark.read.parquet(NavIndex.graphPath(refRoot))
+    println(s"x10 sequence-final parity vs one-shot build: " +
+      (if (streamed.exceptAll(ref).count() == 0 && ref.exceptAll(streamed).count() == 0)
+        s"IDENTICAL (${ref.count()} edges)" else "DIVERGED"))
+    spark.stop()
+  }
+}
