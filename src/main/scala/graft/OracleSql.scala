@@ -3038,20 +3038,28 @@ object OracleSql {
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
-  /** Mirrors `Similarity.sq8Search`: one global symmetric scale,
-    * floor(127·x/s + 0.5) clamped to [−127, 127], exact int64 dot
-    * products (list_sum over BIGINT products — integer arithmetic, so
-    * no rounding discipline is needed anywhere after quantization). */
+  /** Mirrors `Similarity.sq8Search`: L2-normalize (the shared
+    * dot/sqrt discipline), one global symmetric scale over the
+    * normalized elements, floor(127·x/s + 0.5) clamped to
+    * [−127, 127], exact int64 dot products (list_sum over BIGINT
+    * products — integer arithmetic, so no rounding discipline is
+    * needed anywhere after quantization). */
   val simSq8Search: String =
-    s"""WITH s AS (
+    s"""WITH nv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      NULLIF(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))), 0.0)) AS e
+       |  FROM embeddings),
+       |s AS (
        |  SELECT max(abs(u.x)) AS s
-       |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u(x)),
+       |  FROM (SELECT unnest(e) AS x FROM nv) u(x)),
        |codes AS (
-       |  SELECT vec_id, list_transform(embedding, x ->
+       |  SELECT vec_id, list_transform(e, x ->
        |    greatest(-127, least(127, COALESCE(
-       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / NULLIF(s.s, 0.0) + 0.5) AS INT),
+       |      CAST(floor(x * 127.0 / NULLIF(s.s, 0.0) + 0.5) AS INT),
        |      0)))) AS c
-       |  FROM embeddings, s),
+       |  FROM nv, s),
        |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
        |d AS (
        |  SELECT qid, vec_id AS nbr_id,
@@ -3600,7 +3608,7 @@ object OracleSql {
        |  SELECT bands.* FROM bands JOIN bstat USING ($bucketKey)
        |  WHERE bn > 64 AND (vec_id = a0 OR
        |    CAST(((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE)
-       |      < 2147483648.0 * 16 / bn)),
+       |      < 2147483648.0 * 16 / POWER(2.0, CEIL(LOG2(bn))))),
        |seedc AS (
        |  SELECT x.vec_id AS node, y.vec_id AS nbr_id
        |  FROM incap x JOIN incap y USING ($bucketKey)

@@ -470,14 +470,25 @@ object Similarity {
   private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame =
     // a landed release artifact (like the PQ codes), not a persist():
     // both sides of the search join read the parquet, and repeated
-    // calls in a long-lived session never accumulate cached RDDs
+    // calls in a long-lived session never accumulate cached RDDs.
+    // NORMALIZE-THEN-QUANTIZE (round 12): codes are int8 of the
+    // L2-NORMALIZED vector, so the integer dot ranks by COSINE by
+    // construction — the mixture-regime harness measured the
+    // raw-vector MIPS posture collapsing to 1/30 recall the moment
+    // norms stop concentrating (PERF.md round 12; faiss's cosine
+    // recipe is the same normalize-before-IP). The norm is the
+    // engine-shared dot/sqrt discipline every cosine here uses.
     graft.ArtifactCache.table(spark, "sq8_codes", dir) {
       val emb = Tables.embeddings(spark, dir)
-      val s = emb.agg(max(array_max(transform(
-        col("embedding").cast("array<double>"), x => abs(x)))).as("s"))
-      emb.crossJoin(broadcast(s))
+      val nv = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(VectorFunctions.dot(spark, col("e"), col("e"))))
         .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
+          transform(col("e"), x => x / nullif(col("nrm"), lit(0.0))).as("e"))
+      val s = nv.agg(max(array_max(transform(col("e"), x => abs(x)))).as("s"))
+      nv.crossJoin(broadcast(s))
+        .select(col("vec_id"),
+          transform(col("e"),
             x => greatest(lit(-127), least(lit(127), coalesce(
               floor(x * lit(127.0) / nullif(col("s"), lit(0.0)) + lit(0.5)).cast("int"),
               lit(0))))).as("c"))
@@ -490,13 +501,15 @@ object Similarity {
     * After quantization the whole scoring path is integer arithmetic,
     * so ranking is bit-stable on every engine with no 6-dp rounding
     * discipline at all — the one retrieval operator here whose
-    * cross-engine determinism is free. Ranking is inner-product
-    * (MIPS, faiss `IndexScalarQuantizer` + `METRIC_INNER_PRODUCT`
-    * posture) — rank-faithful to cosine on this corpus (norms
-    * concentrate: `normAudit`) and audited against the exact top-3 by
-    * [[sq8Recall]], the same discipline as every other index here
-    * (prototyped in DuckDB first: 28/30 overlap at sf0.001, 30/30 at
-    * sf0.01). At 100 TB the point is scan BANDWIDTH: the candidate
+    * cross-engine determinism is free. Codes quantize the
+    * L2-NORMALIZED vector, so the integer dot ranks by COSINE by
+    * construction (faiss's cosine posture: normalize, then
+    * `METRIC_INNER_PRODUCT`): the round-12 mixture harness measured
+    * the raw-vector MIPS variant collapsing (11/30 → 1/30 at ×10) the
+    * moment norms stop concentrating — normalize-then-quantize
+    * removes the precondition entirely. Audited against the exact
+    * top-3 by [[sq8Recall]], the same discipline as every other
+    * index here. At 100 TB the point is scan BANDWIDTH: the candidate
     * scan reads a quarter of fp32, and the integer
     * multiply-accumulate is the SIMD-friendliest kernel there is;
     * the query side stays a bounded broadcast like [[bruteForceTopK]].
@@ -867,11 +880,9 @@ object Similarity {
       .select((col("vec_id").as("nbr_id") +: keys): _*)
     val allPairs = nodeSide.where(col("_bn") <= NavBucketCap)
       .join(inCapNbr, keyCols)
-    // double threshold: IEEE division is identical across engines
     val anchors = tagged.where(col("_bn") > NavBucketCap)
       .where(col("vec_id") === col("_a0") ||
-        navAnchorDraw(col("vec_id")).cast("double") <
-          lit(2147483648.0 * NavAnchorRate) / col("_bn"))
+        navAnchorPred(col("vec_id"), col("_bn")))
       .select((col("vec_id").as("nbr_id") +: keys): _*)
     val anchorPairs = nodeSide.where(col("_bn") > NavBucketCap)
       .join(anchors, keyCols)
@@ -880,19 +891,54 @@ object Similarity {
       .select("node", "nbr_id")
   }
 
+  /** The over-cap-bucket anchor verdict for a member `id` of a bucket
+    * of width `bn`: the LCG draw under rate [[NavAnchorRate]] /
+    * pow2ceil(bn) — expected anchors between Rate/2 and Rate. The
+    * width is QUANTIZED to its power-of-two ceiling (round 12) so the
+    * verdict is STABLE under within-band growth: before, the
+    * threshold moved with every +1 of width, so ONE vector landing in
+    * an over-cap bucket changed every member's anchor verdict and the
+    * exactness contract forced `NavIndex.incrementState` to re-rank
+    * the whole bucket — measured at ×100 as a 1% increment costing
+    * MORE than a warm full rebuild (PERF.md round 12). Quantized,
+    * growth inside a power-of-two band adds pairs without revoking
+    * any, which is what makes the seed round GROW-SPLICEABLE. IEEE
+    * log2/ceil/pow are identical across engines (exact at exact
+    * powers); the oracle repeats the expression verbatim. */
+  private[graft] def navAnchorPred(id: Column, bn: Column): Column =
+    navAnchorDraw(id).cast("double") <
+      lit(2147483648.0 * NavAnchorRate) / pow(lit(2.0), ceil(log2(bn)))
+
   /** Seed candidates from band buckets: all pairs within cap-sized
     * buckets, member×anchor pairs within wider ones
     * ([[navSeedPairs]]). */
   private[graft] def navSeedCand(v: DataFrame): DataFrame =
     navSeedPairs(navBands(v), Seq("b", "key"))
 
+  /** Vector-table row ceiling for BROADCASTING both sides of
+    * [[navTopK]]'s scoring joins (~520 B/row at 64 dims → ~130 MB at
+    * the default 250k). The candidate side of an NN-descent round is
+    * 2–3 orders of magnitude wider than the vector table (measured
+    * ×100: 168M candidate rows vs 200k vectors), so shuffle-joining
+    * vectors onto it — twice — IS the build constant
+    * (`tools.NavBuildProfile`, PERF.md round 12): the broadcast tier
+    * turns both attaches map-side and leaves the round one light
+    * exchange (the rank window over pruned (node, nbr, cos) rows).
+    * Above the ceiling (a billion-vector corpus) the plain shuffle
+    * join is the right plan and is the fallback. */
+  private def navBroadcastVecsMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.nav.broadcastVecsMax").map(_.toLong).getOrElse(250000L)
+
   /** Rank a candidate (node, nbr_id) set to the directed
     * top-[[NavDegree]] per node by 6-dp cosine (nbr-id tiebreak) —
-    * the one scoring rule every nav-graph stage shares. */
+    * the one scoring rule every nav-graph stage shares. Identical
+    * rows at every tier; only the join strategy changes. */
   private[graft] def navTopK(spark: SparkSession, v: DataFrame, cand: DataFrame): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
-    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
+    val small = v.count() <= navBroadcastVecsMax(spark)
+    def tier(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val nodes = tier(v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn")))
+    val nbrs  = tier(v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn")))
     val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
     cand.distinct()
       .join(nodes, "node").join(nbrs, "nbr_id")
@@ -931,8 +977,10 @@ object Similarity {
   private[graft] def navTopKDiversified(spark: SparkSession, v: DataFrame,
       cand: DataFrame, k0: Int = 32): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val nodes = v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn"))
-    val nbrs  = v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn"))
+    val small = v.count() <= navBroadcastVecsMax(spark)
+    def tier(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val nodes = tier(v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn")))
+    val nbrs  = tier(v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn")))
     val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nbr_id"))
     val ranked = cand.distinct()
       .join(nodes, "node").join(nbrs, "nbr_id")
