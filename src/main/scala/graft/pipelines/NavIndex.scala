@@ -20,10 +20,22 @@ import graft.ops.Similarity
   * unrolled rounds, exact by construction:
   *
   *   - SEED: only nodes sharing a band bucket with a delta vector can
-  *     see a different capped-bucket candidate set (a bucket no delta
-  *     vector lands in keeps its members and its cap verdict).
-  *     Re-rank exactly those; splice every other node's round-0 edges
-  *     from the prior release verbatim.
+  *     see a different candidate set (a bucket no delta vector lands
+  *     in keeps its members and its pairing verdict). Within those,
+  *     round 12 splits by whether the bucket's pairing RULE moved:
+  *     in a GROW-ONLY bucket (cap side, quantized anchor width, and
+  *     min-id anchor all stable) existing members' pair sets only
+  *     gained delta pairs, so their new round-0 list is
+  *     top-16(prior top-16 ∪ new pairs) — the grow-splice identity
+  *     top-k(S ∪ A) = top-k(top-k(S) ∪ A) — at O(deg + delta-pairs)
+  *     cost per node; only rule-flip buckets' members and the delta
+  *     nodes themselves full-rank through the seed generator. Splice
+  *     every other node's round-0 edges from the prior release
+  *     verbatim. (Before the quantized anchor rule, ONE delta vector
+  *     in an over-cap bucket moved every member's anchor threshold,
+  *     so exactness forced whole-mega-bucket re-ranks — measured at
+  *     ×100 as a 1% increment costing more than a warm full rebuild,
+  *     PERF.md round 12.)
   *   - ROUND r: a node's NN-descent candidates are its undirected
   *     neighborhood plus that neighborhood's neighborhoods, so its
   *     round-r edges can change only if it IS an endpoint of a
@@ -122,31 +134,87 @@ object NavIndex {
       spark.read.parquet(s"$iterDir/$name")
     }
 
-    // ---- seed round: re-rank members of delta-touched buckets.
-    // The adaptive seed-band width must agree between the prior build
-    // and this increment: crossing a width boundary re-buckets every
-    // seed, which only a full rebuild can honor.
-    val nPrior = spark.read.parquet(vecsPath(priorRoot)).count()
+    // ---- seed round. The adaptive seed-band width must agree
+    // between the prior build and this increment: crossing a width
+    // boundary re-buckets every seed, which only a full rebuild can
+    // honor.
+    val priorV = spark.read.parquet(vecsPath(priorRoot))
+    val nPrior = priorV.count()
     val nNext = v.count()
     require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
       s"corpus growth $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
-    val bands = Similarity.navBands(v, Similarity.navBitsFor(nNext))
+    val bits = Similarity.navBitsFor(nNext)
+    val bands = Similarity.navBands(v, bits)
+    val bandsPrior = Similarity.navBands(priorV, bits)
     val deltaIds = dv.select(col("vec_id"))
-    val touchedBuckets = bands.join(broadcast(deltaIds), "vec_id")
-      .select("b", "key").distinct()
-    val affected0 = mat(
-      bands.join(touchedBuckets, Seq("b", "key"))
-        .select(col("vec_id").as("node")).distinct(), "aff0")
-    // exact same per-bucket pairing verdicts as a full build (widths,
-    // anchor draws — all functions of the FULL next-release band
-    // table), restricted to the affected node side: a node's pair set
-    // is a pure function of its buckets' membership, so restriction
-    // commutes with generation
-    val seedCandAff =
-      Similarity.navSeedPairs(bands, Seq("b", "key"), Some(affected0))
+    val deltaBands = bands.join(broadcast(deltaIds), "vec_id")
+    val touched = deltaBands.select("b", "key").distinct()
+
+    // GROW-SPLICE classification (round 12 — the fix for "a 1%
+    // increment costs a full rebuild", PERF.md): a touched bucket is
+    // GROW-ONLY iff the delta cannot change any EXISTING member's
+    // pairing verdict — cap side stable, and (over-cap) quantized
+    // anchor width and the min-id always-anchor stable. In a
+    // grow-only bucket existing members' pair sets only GAIN the
+    // delta-contributed pairs, and top-16(S ∪ A) =
+    // top-16(top-16(S) ∪ A), so those nodes merge their PRIOR round-0
+    // edges with the new pairs instead of re-ranking the whole
+    // bucket. Everything else (rule-flip buckets, brand-new buckets,
+    // all delta nodes) full-ranks through navSeedPairs exactly as a
+    // full build would — so the spliced round 0 is bit-identical to
+    // the rebuild's (`PipelineSpec` pins both regimes).
+    val cap = Similarity.NavBucketCap
+    val sp = bandsPrior.join(touched, Seq("b", "key"))
+      .groupBy("b", "key").agg(count(lit(1)).as("bnp"), min("vec_id").as("a0p"))
+    val sn = bands.join(touched, Seq("b", "key"))
+      .groupBy("b", "key").agg(count(lit(1)).as("bnn"), min("vec_id").as("a0n"))
+    val cls = sn.join(sp, Seq("b", "key"), "left")
+      .withColumn("grow",
+        col("bnp").isNotNull &&
+          ((col("bnp") <= cap) === (col("bnn") <= cap)) &&
+          (col("bnn") <= cap ||
+            (ceil(log2(col("bnp"))) === ceil(log2(col("bnn"))) &&
+              col("a0p") === col("a0n"))))
+      .persist()
+    cls.count() // grow + flip sides both read it
+    val flipB = cls.where(!col("grow")).select("b", "key")
+    val growB = cls.where(col("grow")).select("b", "key", "bnn")
+    val flipNodes = bands.join(flipB, Seq("b", "key"))
+      .select(col("vec_id").as("node")).distinct()
+    val fullNodes = mat(
+      flipNodes.unionByName(deltaIds.select(col("vec_id").as("node"))).distinct(),
+      "full0")
+    val growNodes = mat(
+      bandsPrior.join(growB.select("b", "key"), Seq("b", "key"))
+        .select(col("vec_id").as("node")).distinct()
+        .join(fullNodes, Seq("node"), "left_anti"), "grow0")
+    // delta-contributed nbrs per grow bucket: every delta member of a
+    // ≤cap bucket; only delta ANCHORS (quantized verdict at the NEXT
+    // width) of an over-cap one
+    val deltaNbrs = deltaBands.join(growB, Seq("b", "key"))
+      .where(col("bnn") <= cap ||
+        Similarity.navAnchorPred(col("vec_id"), col("bnn")))
+      .select(col("b"), col("key"), col("vec_id").as("nbr_id"))
+    val growPairs = bandsPrior.join(growB.select("b", "key"), Seq("b", "key"))
+      .select(col("b"), col("key"), col("vec_id").as("node"))
+      .join(growNodes, Seq("node"), "left_semi")
+      .join(deltaNbrs, Seq("b", "key"))
+      .where(col("node") =!= col("nbr_id"))
+      .select("node", "nbr_id")
+    val growCand = spark.read.parquet(roundPath(priorRoot, 0))
+      .join(growNodes, Seq("node"), "left_semi")
+      .unionByName(growPairs)
+    // full-rank side: exact same per-bucket pairing verdicts as a
+    // full build (widths, anchor draws — all functions of the FULL
+    // next-release band table), restricted to the full-rank node
+    // side: a node's pair set is a pure function of its buckets'
+    // membership, so restriction commutes with generation
+    val fullCand = Similarity.navSeedPairs(bands, Seq("b", "key"), Some(fullNodes))
+    val affected0 = mat(growNodes.unionByName(fullNodes).distinct(), "aff0")
     var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
-      affected0, Similarity.navTopK(spark, v, seedCandAff)), "chg0")
+      affected0, Similarity.navTopK(spark, v, growCand.unionByName(fullCand))), "chg0")
+    cls.unpersist()
 
     // ---- refinement rounds: frontier = changed endpoints + their
     // old∪new neighbors; re-rank against the full new prior-round state

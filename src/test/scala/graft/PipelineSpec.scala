@@ -984,6 +984,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental nav graph: grow-only over-cap growth splices; a quantized-width crossing re-ranks") {
+    import spark.implicits._
+    import graft.pipelines.NavIndex
+    def clone64(id: Long): Array[Double] =
+      Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 13 + i) % 7))
+    def varied(id: Long): Array[Double] =
+      Array.tabulate(64)(i => if (((id * 31 + i * 17) % 11) < 5) -1.0 - 0.01 * i else 1.0 + 0.01 * i)
+    def parity(rootB: String, rootFull: String): Unit = {
+      val paths = Seq(NavIndex.graphPath _) ++
+        (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
+      for (path <- paths) {
+        val incr = spark.read.parquet(path(rootB))
+        val full = spark.read.parquet(path(rootFull))
+        assert(incr.exceptAll(full).count() === 0, path(rootB))
+        assert(full.exceptAll(incr).count() === 0, path(rootB))
+      }
+    }
+    // case 1 — GROW-ONLY: 70 clones are already over the cap (anchor
+    // pairing at quantized ceiling 128); 10 HIGHER-id delta clones
+    // grow the bucket to 80 — same cap side, same ceiling, same min —
+    // so existing members take the grow-splice path (prior top-16 ∪
+    // delta pairs), and the spliced state must equal the full rebuild
+    val vN1 = ((0L until 70L).map(i => (i, clone64(i), 1L)) ++
+      (1000L until 1030L).map(i => (i, varied(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val d1 = (70L until 80L).map(i => (i, clone64(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val ra1 = Files.createTempDirectory("graft_grow_vn").toString
+    val rb1 = Files.createTempDirectory("graft_grow_vn1").toString
+    val rf1 = Files.createTempDirectory("graft_grow_full").toString
+    NavIndex.buildState(spark, vN1, ra1)
+    NavIndex.incrementState(spark, d1, ra1, rb1)
+    NavIndex.buildState(spark, vN1.unionByName(d1), rf1)
+    parity(rb1, rf1)
+    // non-vacuous: the clique stayed anchor-limited (quantized rate
+    // 16/128 over 80 members + the min-id anchor — far fewer distinct
+    // round-0 targets than members)
+    val targets = spark.read.parquet(NavIndex.roundPath(rb1, 0))
+      .where(col("node") < 100).select("nbr_id").distinct().count()
+    assert(targets < 40, s"expected anchor-limited targets, got $targets")
+    // case 2 — QUANTIZED-WIDTH FLIP: 120 clones (ceiling 128) + 20
+    // delta clones -> 140 crosses to ceiling 256; every member's
+    // anchor threshold halves, so the bucket must full-re-rank — and
+    // still land bit-identical to the rebuild
+    val vN2 = ((0L until 120L).map(i => (i, clone64(i), 1L)) ++
+      (1000L until 1030L).map(i => (i, varied(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val d2 = (120L until 140L).map(i => (i, clone64(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val ra2 = Files.createTempDirectory("graft_qwf_vn").toString
+    val rb2 = Files.createTempDirectory("graft_qwf_vn1").toString
+    val rf2 = Files.createTempDirectory("graft_qwf_full").toString
+    NavIndex.buildState(spark, vN2, ra2)
+    NavIndex.incrementState(spark, d2, ra2, rb2)
+    NavIndex.buildState(spark, vN2.unionByName(d2), rf2)
+    parity(rb2, rf2)
+  }
+
   test("csv interchange round-trips with declared schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString
