@@ -2593,6 +2593,37 @@ object OracleSql {
        |WHERE x.doc_id <> x.keeper_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The exact-first decision applied to documents — mirrors
+    * `Dedup.exactFirstApply` (the `dedupApply` shape over the
+    * composed decision). */
+  val dedupExactFirstApply: String =
+    s"""WITH RECURSIVE
+       |xk AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+       |  FROM documents
+       |),
+       |kdocs AS (
+       |  SELECT d.* FROM documents d JOIN xk ON d.doc_id = xk.doc_id
+       |  WHERE xk.doc_id = xk.keeper_id
+       |),
+       |${minhashCtesOver("kdocs")},
+       |$clusterCtes,
+       |cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS keep
+       |  FROM reach GROUP BY id
+       |),
+       |dec AS (
+       |  SELECT doc_id, cluster_id, keep FROM cl
+       |  UNION ALL
+       |  SELECT x.doc_id, COALESCE(cl.cluster_id, x.keeper_id) AS cluster_id, FALSE AS keep
+       |  FROM xk x LEFT JOIN cl ON cl.doc_id = x.keeper_id
+       |  WHERE x.doc_id <> x.keeper_id
+       |)
+       |SELECT d.doc_id, COALESCE(dec.cluster_id, d.doc_id) AS cluster_id, md5(d.text) AS h
+       |FROM documents d LEFT JOIN dec ON dec.doc_id = d.doc_id
+       |WHERE COALESCE(dec.keep, TRUE)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The deduplicated corpus: left-join the cluster decision onto
     * documents; unpaired docs survive as their own cluster, paired
     * docs survive only as the keeper. */

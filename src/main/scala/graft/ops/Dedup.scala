@@ -581,6 +581,16 @@ object Dedup {
   def exactFirstClusters(spark: SparkSession, dir: String): DataFrame =
     exactFirstArtifact(spark, dir).orderBy("doc_id")
 
+  /** The deduplicated corpus under the DEFAULT composition — the
+    * exact-then-fuzzy decision ([[exactFirstClusters]]) applied to
+    * documents: exact losers and near-dup losers both drop, keepers
+    * carry their composed cluster id. Same one-hash-join apply shape
+    * as [[applyDedup]] (the decision table is O(docs-in-pairs +
+    * exact losers), far smaller than the corpus). Output: doc_id,
+    * cluster_id, h = md5(text). */
+  def exactFirstApply(spark: SparkSession, dir: String): DataFrame =
+    applyFrom(spark, dir, exactFirstArtifact(spark, dir))
+
   /** (doc_id, cluster_id, keep) exact-then-fuzzy decision artifact. */
   private[graft] def exactFirstArtifact(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.tableReleasable(spark, "dedup_exact_first_decision", dir) {
