@@ -116,10 +116,16 @@ object NavIndex {
     * re-ranks; everything else is carried forward by read. */
   def incrementState(spark: SparkSession, deltaEmb: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (sys.env.contains("GRAFT_DEBUG")) {
+      System.err.println(f"[navinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
     Writers.truncateLoad(
       spark.read.parquet(vecsPath(priorRoot)).unionByName(dv), vecsPath(nextRoot))
     val v = spark.read.parquet(vecsPath(nextRoot))
+    lap("land vecs")
 
     // frontier tables (changed edges, affected node sets) are small —
     // delta-proportional — but each is READ several times per round
@@ -144,6 +150,7 @@ object NavIndex {
     require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
       s"corpus growth $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
+    lap("width guard counts")
     val bits = Similarity.navBitsFor(nNext)
     val bands = Similarity.navBands(v, bits)
     val bandsPrior = Similarity.navBands(priorV, bits)
@@ -178,6 +185,7 @@ object NavIndex {
               col("a0p") === col("a0n"))))
       .persist()
     cls.count() // grow + flip sides both read it
+    lap("bucket classification")
     val flipB = cls.where(!col("grow")).select("b", "key")
     val growB = cls.where(col("grow")).select("b", "key", "bnn")
     val flipNodes = bands.join(flipB, Seq("b", "key"))
@@ -185,10 +193,12 @@ object NavIndex {
     val fullNodes = mat(
       flipNodes.unionByName(deltaIds.select(col("vec_id").as("node"))).distinct(),
       "full0")
+    lap("fullNodes")
     val growNodes = mat(
       bandsPrior.join(growB.select("b", "key"), Seq("b", "key"))
         .select(col("vec_id").as("node")).distinct()
         .join(fullNodes, Seq("node"), "left_anti"), "grow0")
+    lap("growNodes")
     // delta-contributed nbrs per grow bucket: every delta member of a
     // ≤cap bucket; only delta ANCHORS (quantized verdict at the NEXT
     // width) of an over-cap one
@@ -212,40 +222,49 @@ object NavIndex {
     // membership, so restriction commutes with generation
     val fullCand = Similarity.navSeedPairs(bands, Seq("b", "key"), Some(fullNodes))
     val affected0 = mat(growNodes.unionByName(fullNodes).distinct(), "aff0")
+    lap("affected0")
     var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
       affected0, Similarity.navTopK(spark, v, growCand.unionByName(fullCand))), "chg0")
     cls.unpersist()
+    lap("seed topK+splice")
 
     // ---- refinement rounds: frontier = changed endpoints + their
-    // old∪new neighbors; re-rank against the full new prior-round state
+    // old∪new neighbors; re-rank against the full new prior-round
+    // state. All adjacency work is INCIDENT-restricted
+    // ([[undIncident]]) — per round the landed tables are scanned,
+    // never globally symmetrized/distinct'd/windowed, so the round
+    // cost is O(frontier) shuffles over O(corpus) scans.
     for (r <- 1 to Rounds) {
-      val uPrior = Similarity.navUnd(spark.read.parquet(roundPath(priorRoot, r - 1)))
-      val uNext  = mat(Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, r - 1))), s"unext$r")
+      val ePri  = spark.read.parquet(roundPath(priorRoot, r - 1))
+      val ePrev = spark.read.parquet(roundPath(nextRoot, r - 1))
       val m = changed.select(col("node"))
         .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
       // frontier over the UNCAPPED adjacency: a superset of capped
       // reachability, so the affected set over-approximates (sound —
       // extra nodes re-rank to identical lists and splice clean)
       val affected = mat(m.unionByName(
-          uPrior.unionByName(uNext).join(m, "node")
+          undIncident(ePri, m).unionByName(undIncident(ePrev, m))
             .select(col("nbr_id").as("node")))
         .distinct(), s"aff$r")
+      lap(s"round $r affected")
       // candidates over the CAPPED adjacency + the prior round's
       // directed edges — byte-identical to buildState's rule
-      val uCap = mat(Similarity.navExpandAdj(uNext), s"ucap$r")
-      val aAff = uCap.join(affected, "node")
+      val aAff = mat(Similarity.navExpandAdj(undIncident(ePrev, affected)), s"ucap$r")
+      val mids = aAff.select(col("nbr_id").as("node")).distinct()
+      val midCap = Similarity.navExpandAdj(undIncident(ePrev, mids))
       val mid = aAff.select(col("nbr_id").as("node"), col("node").as("src"))
-      val hop2 = mid.join(uCap, "node")
+      val hop2 = mid.join(midCap, "node")
         .select(col("src").as("node"), col("nbr_id"))
         .where(col("node") =!= col("nbr_id"))
-      val prevE = spark.read.parquet(roundPath(nextRoot, r - 1))
-        .join(affected, Seq("node"), "left_semi")
+      val prevE = ePrev.join(affected, Seq("node"), "left_semi")
       val candAff = aAff.unionByName(hop2).unionByName(prevE)
       changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
         affected, Similarity.navTopK(spark, v, candAff)), s"chg$r")
+      lap(s"round $r topK+splice")
     }
     Writers.truncateLoad(
       Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
+    lap("final symmetrize")
     cleanup.release()
   }
 
@@ -313,22 +332,22 @@ object NavIndex {
       Similarity.navTopK(spark, v, seedCandAff)), "chg0")
 
     for (r <- 1 to Rounds) {
-      val uPrior = Similarity.navUnd(spark.read.parquet(roundPath(priorRoot, r - 1)))
-      val uNext  = mat(Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, r - 1))), s"unext$r")
+      val ePri  = spark.read.parquet(roundPath(priorRoot, r - 1))
+      val ePrev = spark.read.parquet(roundPath(nextRoot, r - 1))
       val m = changed.select(col("node"))
         .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
       val affected = mat(m.unionByName(
-          uPrior.unionByName(uNext).join(m, "node")
+          undIncident(ePri, m).unionByName(undIncident(ePrev, m))
             .select(col("nbr_id").as("node")))
         .distinct(), s"aff$r")
-      val uCap = mat(Similarity.navExpandAdj(uNext), s"ucap$r")
-      val aAff = uCap.join(affected, "node")
+      val aAff = mat(Similarity.navExpandAdj(undIncident(ePrev, affected)), s"ucap$r")
+      val mids = aAff.select(col("nbr_id").as("node")).distinct()
+      val midCap = Similarity.navExpandAdj(undIncident(ePrev, mids))
       val mid = aAff.select(col("nbr_id").as("node"), col("node").as("src"))
-      val hop2 = mid.join(uCap, "node")
+      val hop2 = mid.join(midCap, "node")
         .select(col("src").as("node"), col("nbr_id"))
         .where(col("node") =!= col("nbr_id"))
-      val prevE = spark.read.parquet(roundPath(nextRoot, r - 1))
-        .join(affected, Seq("node"), "left_semi")
+      val prevE = ePrev.join(affected, Seq("node"), "left_semi")
       val candAff = aAff.unionByName(hop2).unionByName(prevE)
       // deleted nodes stay in the drop side every round: navTopK
       // re-ranks only nodes present in `v`, so they never reappear,
@@ -340,6 +359,23 @@ object NavIndex {
     Writers.truncateLoad(
       Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
     cleanup.release()
+  }
+
+  /** Undirected adjacency rows INCIDENT to `nodes` (column `node`):
+    * navUnd(e) restricted to the set, computed WITHOUT materializing
+    * the full undirected adjacency — two semi-filtered scans of the
+    * landed directed table + a distinct over the frontier-sized
+    * result. Restriction commutes with symmetrize+distinct, and a
+    * node's [[Similarity.navExpandAdj]] cap depends only on its OWN
+    * rows, so capping the restricted adjacency equals restricting the
+    * capped full one. The full-adjacency forms (two O(corpus)
+    * distincts + one O(corpus) window per round) were the increment's
+    * cost floor at ×100 (PERF.md round 12). */
+  private def undIncident(e: DataFrame, nodes: DataFrame): DataFrame = {
+    val fwd = e.join(nodes, Seq("node"), "left_semi")
+    val rev = e.select(col("nbr_id").as("node"), col("node").as("nbr_id"))
+      .join(nodes, Seq("node"), "left_semi")
+    fwd.unionByName(rev).distinct()
   }
 
   /** Land round `r` of the next release: prior edges for nodes

@@ -29,9 +29,17 @@ import graft.pipelines.NavIndex
   * Versions are append-only and never mutated after commit, so
   * readers ([[currentGraph]]) see a complete graph at all times;
   * retiring old versions is release-policy, like `compactKeyed`'s
-  * vacuum. Scale: each micro-batch costs the CHANGE FRONTIER, not the
-  * corpus (NavIndex's contract) — the streaming form just decides
-  * version names and replay semantics.
+  * vacuum. Scale: each micro-batch RE-RANKS only the change frontier
+  * (NavIndex's contract) — the streaming form just decides version
+  * names and replay semantics. Measured guidance (×100/×10 mixture,
+  * PERF.md round 12): the increment pays corpus-sized state I/O
+  * regardless, so it beats a rebuild only for SMALL, LOCALIZED
+  * deltas (a new content domain: ~20% faster); a uniform delta
+  * perturbs every neighborhood — its true frontier IS the corpus —
+  * and a double-digit-percent batch of any shape belongs on the
+  * rebuild path (measured 2× faster). Operators sizing micro-batches
+  * should keep them small and expect rebuild-class cost on
+  * corpus-wide drops; exactness is identical on every path.
   */
 object IndexStreams {
 

@@ -76,9 +76,29 @@ object NavMaintainScale {
       val delta = emb.where(col("vec_id") >= cut)
       val rootA = s"$outBase/idx_vn$pct"
       val rootB = s"$outBase/idx_vn${pct}n"
-      time(s"x100 build vN ($cut vecs, $pct% held out)")(
+      time(s"x100 build vN ($cut vecs, $pct% held out, UNIFORM)")(
         NavIndex.buildState(spark, vN, rootA))
-      time(s"x100 incrementState (+${n - cut} vecs, $pct%)")(
+      time(s"x100 incrementState (+${n - cut} vecs, $pct% uniform)")(
+        NavIndex.incrementState(spark, delta, rootA, rootB))
+      assertGraphParity(rootB, fullRoot)
+      spark.catalog.clearCache()
+    }
+    // LOCALIZED delta — the "new content domain arrives" release
+    // regime: hold out ONE mid-mass planted cluster (~0.7% of the
+    // corpus), so the delta's neighborhoods — and therefore the TRUE
+    // change frontier — are confined. The uniform legs above are the
+    // adversarial bound (a delta hashed into every cluster perturbs
+    // every neighborhood, so the exact frontier IS the corpus and a
+    // rebuild is the honest recommendation there).
+    {
+      val delta = emb.where(col("label") === 32)
+      val vN = emb.where(col("label") =!= 32)
+      val nd = delta.count()
+      val rootA = s"$outBase/idx_vncl"
+      val rootB = s"$outBase/idx_vncln"
+      time(s"x100 build vN (${n - nd} vecs, cluster 32 held out)")(
+        NavIndex.buildState(spark, vN, rootA))
+      time(s"x100 incrementState (+$nd vecs, LOCALIZED)")(
         NavIndex.incrementState(spark, delta, rootA, rootB))
       assertGraphParity(rootB, fullRoot)
       spark.catalog.clearCache()
