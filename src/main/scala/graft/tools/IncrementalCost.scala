@@ -63,6 +63,34 @@ object IncrementalCost {
     val b = spark.read.parquet(s"$root/full/dedup_clusters")
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     println(s"decision rows incr=${a.count()} full=${b.count()} diff=$diff")
+    // same protocol for the DEFAULT (exact-first) composition: the
+    // increment probes the landed keeper mapping, absorbs exact dups
+    // as mapping rows, and runs the fuzzy increment on new-group
+    // keepers only
+    spark.catalog.clearCache()
+    time("exactFirst vN")(
+      graft.pipelines.Curation.buildStateExactFirst(spark, vN, s"$root/xvn"))
+    spark.catalog.clearCache()
+    // the pct >= 0 regime puts LOW ids in the delta, which can demote
+    // a landed exact keeper — the documented contract refuse (rebuild
+    // is the escape hatch); the abs (pct < 0, highest-ids) regime is
+    // the realistic release shape and increments cleanly
+    try {
+      time(s"exactFirst increment $pct%")(
+        graft.pipelines.Curation.incrementState(spark, delta, s"$root/xvn", s"$root/xvn1"))
+      spark.catalog.clearCache()
+      time("exactFirst full")(
+        graft.pipelines.Curation.buildStateExactFirst(spark, docs, s"$root/xfull"))
+      val xa = spark.read.parquet(s"$root/xvn1/dedup_clusters")
+      val xb = spark.read.parquet(s"$root/xfull/dedup_clusters")
+      val xdiff = xa.exceptAll(xb).count() + xb.exceptAll(xa).count()
+      println(s"exact-first decision rows incr=${xa.count()} full=${xb.count()} diff=$xdiff")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("keeper demotion") =>
+        println(s"exact-first increment REFUSED (keeper demotion) — " +
+          "expected under the low-id adversarial split; use pct < 0 for the release regime")
+    }
     spark.stop()
   }
 }
