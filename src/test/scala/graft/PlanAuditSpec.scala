@@ -194,6 +194,24 @@ class PlanAuditSpec extends SparkSpec {
       "dim join did not broadcast")
   }
 
+  test("navTopK broadcasts the vector sides under the small tier") {
+    // the round-12 build fix: the NN-descent scoring joins attach
+    // vectors to a candidate side orders of magnitude wider, so under
+    // graft.nav.broadcastVecsMax the vector table must plan as TWO
+    // broadcast attaches (measured 170 s -> 27 s at x100 when the
+    // shuffle join was replaced). Shape-pin it so a refactor cannot
+    // silently regress to the shuffle join at in-tier sizes.
+    val emb = Tables.embeddings(spark, sf)
+    val v = graft.ops.Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm")
+    val cand = v.select(col("vec_id").as("node"))
+      .crossJoin(v.select(col("vec_id").as("nbr_id")).limit(4))
+      .where(col("node") =!= col("nbr_id"))
+    val plan = graft.ops.Similarity.navTopK(spark, v, cand)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "navTopK must broadcast both vector attaches under the tier")
+  }
+
   test("bucketed co-located join: sort-merge with NO exchange below the join") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
