@@ -25,6 +25,42 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
     samples(g, n).foreach(body)
 
+  test("grow-splice lemma: top-k(S ∪ A) = top-k(top-k(S) ∪ A) on random vector sets") {
+    // the identity NavIndex.incrementState's seed round stands on: a
+    // node whose candidate set only GREW may merge its prior top-16
+    // with the additions instead of re-ranking the full set. Random
+    // vectors, random candidate pairs, random growth split.
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(20, 40)
+      dim <- Gen.choose(4, 8)
+      seed <- Gen.choose(1, 1000000)
+    } yield (n, dim, seed)
+    forAll(gen, 4) { case (n, dim, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until n).map { i =>
+        val a = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+        (i.toLong, a, math.sqrt(a.map(x => x * x).sum))
+      }
+      val v = vecs.toDF("vec_id", "v", "norm")
+      val all = for {
+        i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.6
+      } yield (i.toLong, j.toLong)
+      val grown = all.filter(_ => rnd.nextDouble() < 0.3) // A: the additions
+      val base = all.diff(grown)                          // S: the prior set
+      val full = graft.ops.Similarity.navTopK(spark, v,
+        all.toDF("node", "nbr_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val priorTop = graft.ops.Similarity.navTopK(spark, v,
+        base.toDF("node", "nbr_id"))
+      val spliced = graft.ops.Similarity.navTopK(spark, v,
+        priorTop.unionByName(grown.toDF("node", "nbr_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spliced === full,
+        s"grow-splice diverged: +${(spliced -- full).size} -${(full -- spliced).size} (n=$n dim=$dim seed=$seed)")
+    }
+  }
+
   test("psi: per-bin terms non-negative, cumsum monotone, zero on identical histograms") {
     import spark.implicits._
     val histGen: Gen[Seq[(Long, Long)]] =
