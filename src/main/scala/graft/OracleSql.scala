@@ -3075,28 +3075,33 @@ object OracleSql {
     * [−127, 127], exact int64 dot products (list_sum over BIGINT
     * products — integer arithmetic, so no rounding discipline is
     * needed anywhere after quantization). */
+  /** Shared SQ8 chain: normalize, global scale, int8 codes, the
+    * bounded query side, and the per-pair exact int64 dots. */
+  private lazy val sq8Ctes: String =
+    """nv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      NULLIF(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |        i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))), 0.0)) AS e
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT max(abs(u.x)) AS s
+      |  FROM (SELECT unnest(e) AS x FROM nv) u(x)),
+      |codes AS (
+      |  SELECT vec_id, list_transform(e, x ->
+      |    greatest(-127, least(127, COALESCE(
+      |      CAST(floor(x * 127.0 / NULLIF(s.s, 0.0) + 0.5) AS INT),
+      |      0)))) AS c
+      |  FROM nv, s),
+      |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
+      |d AS (
+      |  SELECT qid, vec_id AS nbr_id,
+      |    list_sum(list_transform(range(1, len(qc) + 1),
+      |      i -> CAST(qc[CAST(i AS INT)] AS BIGINT) * c[CAST(i AS INT)])) AS idot
+      |  FROM q, codes WHERE vec_id <> qid)""".stripMargin
+
   val simSq8Search: String =
-    s"""WITH nv AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-       |      NULLIF(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-       |        i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))), 0.0)) AS e
-       |  FROM embeddings),
-       |s AS (
-       |  SELECT max(abs(u.x)) AS s
-       |  FROM (SELECT unnest(e) AS x FROM nv) u(x)),
-       |codes AS (
-       |  SELECT vec_id, list_transform(e, x ->
-       |    greatest(-127, least(127, COALESCE(
-       |      CAST(floor(x * 127.0 / NULLIF(s.s, 0.0) + 0.5) AS INT),
-       |      0)))) AS c
-       |  FROM nv, s),
-       |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
-       |d AS (
-       |  SELECT qid, vec_id AS nbr_id,
-       |    list_sum(list_transform(range(1, len(qc) + 1),
-       |      i -> CAST(qc[CAST(i AS INT)] AS BIGINT) * c[CAST(i AS INT)])) AS idot
-       |  FROM q, codes WHERE vec_id <> qid),
+    s"""WITH $sq8Ctes,
        |r AS (
        |  SELECT qid, nbr_id, idot,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, nbr_id) AS rnk
@@ -3104,6 +3109,29 @@ object OracleSql {
        |SELECT qid AS vec_id, nbr_id, CAST(idot AS BIGINT) AS idot,
        |       CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** Two-stage SQ8: integer-dot top-32 overfetch, exact-cosine
+    * rerank to top-3 — mirrors `Similarity.sq8Rerank`. */
+  val simSq8Rerank: String =
+    s"""WITH $sq8Ctes,
+       |cand AS (
+       |  SELECT qid, nbr_id FROM (
+       |    SELECT qid, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, nbr_id) AS crn
+       |    FROM d)
+       |  WHERE crn <= 32),
+       |rr AS (
+       |  SELECT c.qid, c.nbr_id,
+       |    ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.nbr_id),
+       |rk AS (
+       |  SELECT qid, nbr_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM rr)
+       |SELECT qid AS vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
+       |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin
 
   /** `simRecall`'s shape over the SQ8 scan. */
   val simSq8Recall: String =

@@ -531,6 +531,44 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Two-stage SQ8 search — the production form of the quantized
+    * scan: the int8 scan OVERFETCHES the integer-dot top-32 per query
+    * (the bandwidth-bound stage, identical cost shape to
+    * [[sq8Search]]), then ONLY those 32 candidates are re-scored with
+    * exact fp32 cosine and the top-3 re-ranked (6-dp, id tiebreak).
+    * This is faiss's two-stage scan posture (quantized coarse scan +
+    * exact refine): the ×100 mixture measured the single-stage int8
+    * top-3 at 21/30 — int8 resolution blurs the tail of the ranking —
+    * while the 32-candidate exact rerank recovers the exact answer
+    * whenever the true top-3 survive into the quantized top-32, at
+    * 32 exact dots per query. Output: vec_id, nbr_id, cos, rank. */
+  def sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val codes = sq8Codes(spark, dir)
+    val q = codes.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    val wq = Window.partitionBy("qid").orderBy(col("idot").desc, col("nbr_id"))
+    val cand = codes.select(col("vec_id").as("nbr_id"), col("c"))
+      .join(broadcast(q), col("nbr_id") =!= col("qid"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qc"), col("c"), (a, b) => a.cast("bigint") * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("crn", row_number().over(wq))
+      .where(col("crn") <= 32)
+      .select("qid", "nbr_id")
+    val v = vecs(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr_id"))
+    cand
+      .join(v.select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn")), "qid")
+      .join(v.select(col("vec_id").as("nbr_id"), col("v").as("nv"), col("norm").as("nn")), "nbr_id")
+      .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 3)
+      .select(col("qid").as("vec_id"), col("nbr_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** SQ8 recall audit: the integer-dot top-3 LEFT-joined against the
     * exact cosine top-3 — [[annRecall]]'s discipline for the
     * quantized scan. Output: vec_id, nbr_id, in_top3, true_rank. */

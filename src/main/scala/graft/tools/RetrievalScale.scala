@@ -183,6 +183,15 @@ object RetrievalScale {
       println(f"x$scale sq8 recall: " +
         s"${sq.select(col("vec_id").as("qid"), col("nbr_id"))
           .join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
+      // two-stage posture: int8 top-32 overfetch + exact fp32 rerank
+      var sqr: org.apache.spark.sql.DataFrame = null
+      time(s"x$scale sq8 rerank scan (10 q)") {
+        sqr = Similarity.sq8Rerank(spark, dir)
+        sqr.count()
+      }
+      println(f"x$scale sq8 rerank recall: " +
+        s"${sqr.select(col("vec_id").as("qid"), col("nbr_id"))
+          .join(bf3, Seq("qid", "nbr_id")).count()}/${bf3.count()}")
       bf3.unpersist()
       // filtered dual-strategy search: first touch builds the answers
       // artifact over the already-landed graph (both walks + filter).

@@ -119,7 +119,10 @@ class PlanAuditSpec extends SparkSpec {
     // sim_topk pattern over int8 codes)
     "sim_sq8_search",
     // composes sim_sq8_search + sim_topk (both bounded as above)
-    "sim_sq8_recall")
+    "sim_sq8_recall",
+    // same bounded scan as sim_sq8_search; the rerank side joins
+    // only the <=32-candidates-per-query slice
+    "sim_sq8_rerank")
 
   test("no cartesian products; nested-loop joins only where bounded and whitelisted") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
