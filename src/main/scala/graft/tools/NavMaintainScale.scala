@@ -104,6 +104,24 @@ object NavMaintainScale {
       spark.catalog.clearCache()
     }
 
+    // ---- 1b. x100 RETIRE (the deletion path Curation.retireDropped
+    // drives): physically delete the same localized cluster from the
+    // FULL index and compare against building the reduced corpus
+    // from scratch — the dedup-decision-arrives-after-indexing
+    // release shape.
+    {
+      val del = emb.where(col("label") === 32).select("vec_id")
+      val nd = del.count()
+      val rootR = s"$outBase/idx_ret"
+      val refR = s"$outBase/idx_retref"
+      time(s"x100 retireState (-$nd vecs, LOCALIZED)")(
+        NavIndex.retireState(spark, del, fullRoot, rootR))
+      time(s"x100 build of the reduced corpus (${n - nd} vecs)")(
+        NavIndex.buildState(spark, emb.where(col("label") =!= 32), refR))
+      assertGraphParity(rootR, refR)
+      spark.catalog.clearCache()
+    }
+
     // ---- 2. x10 arrival sequence through the maintenance gate ----
     val dir10 = s"$outBase/mix10"
     RetrievalScale.mixture(spark, 20000L)
