@@ -68,6 +68,8 @@ object BpeScale {
         .toSeq
       println(s"x$scale learned merges: ${rows.length}")
       if (scale == 1) mergesX1 = rows
+      else if (mergesX1.isEmpty)
+        println(s"x$scale invariance SKIPPED (no x1 baseline in this run)")
       else {
         // duplication invariance: elections identical, counts ×scale
         val ok = rows.length == mergesX1.length && rows.zip(mergesX1).forall {
