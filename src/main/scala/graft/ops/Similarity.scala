@@ -513,6 +513,12 @@ object Similarity {
     * scan reads a quarter of fp32, and the integer
     * multiply-accumulate is the SIMD-friendliest kernel there is;
     * the query side stays a bounded broadcast like [[bruteForceTopK]].
+    * DEFAULT-CHOICE NOTE: this single-stage scan is the measurement
+    * baseline, not the serving form — int8 resolution blurs the
+    * ranking tail (21/30 at ×100 on the clustered mixture, PERF.md
+    * round 12); any serving gate or new SQ8 path should compose
+    * [[sq8Rerank]], the two-stage overfetch + exact-rerank form
+    * (30/30 at ×100 for 32 exact dots per query).
     * Output: vec_id, nbr_id, idot, rank. */
   def sq8Search(spark: SparkSession, dir: String): DataFrame = {
     val codes = sq8Codes(spark, dir) // landed artifact — both sides scan parquet
@@ -940,12 +946,28 @@ object Similarity {
     * the whole bucket — measured at ×100 as a 1% increment costing
     * MORE than a warm full rebuild (PERF.md round 12). Quantized,
     * growth inside a power-of-two band adds pairs without revoking
-    * any, which is what makes the seed round GROW-SPLICEABLE. IEEE
-    * log2/ceil/pow are identical across engines (exact at exact
-    * powers); the oracle repeats the expression verbatim. */
+    * any, which is what makes the seed round GROW-SPLICEABLE.
+    * The ceiling is computed ARITHMETICALLY ([[navPow2CeilBits]], the
+    * bit length of bn−1) rather than ceil(log2(bn)): Spark's log2 is
+    * ln(x)/ln(2), which lands a hair ABOVE the integer at bn = 2^29,
+    * 2^31, 2^39 and would double the quantized width there, while
+    * engines with an exact LOG2 (DuckDB — whose CEIL(LOG2) the oracle
+    * uses; non-power widths are >1 ulp from an integer, so its
+    * rounding never crosses) get the true ceiling — the bit-length
+    * form agrees with them at every width. */
   private[graft] def navAnchorPred(id: Column, bn: Column): Column =
     navAnchorDraw(id).cast("double") <
-      lit(2147483648.0 * NavAnchorRate) / pow(lit(2.0), ceil(log2(bn)))
+      lit(2147483648.0 * NavAnchorRate) / pow(lit(2.0), navPow2CeilBits(bn))
+
+  /** ceil(log2(bn)) for bn ≥ 2, exactly: the bit length of bn − 1
+    * (binary-string length via `conv`), pure integer arithmetic any
+    * engine reproduces — see [[navAnchorPred]] for why float log2 is
+    * not safe here. Shared by the anchor verdict and
+    * `NavIndex.incrementState`'s grow-bucket classification, which
+    * must quantize identically or the splice would carry edges whose
+    * anchor rule moved. */
+  private[graft] def navPow2CeilBits(bn: Column): Column =
+    length(conv(bn - 1, 10, 2))
 
   /** Seed candidates from band buckets: all pairs within cap-sized
     * buckets, member×anchor pairs within wider ones
@@ -965,15 +987,29 @@ object Similarity {
     * Above the ceiling (a billion-vector corpus) the plain shuffle
     * join is the right plan and is the fallback. */
   private def navBroadcastVecsMax(spark: SparkSession): Long =
-    spark.conf.getOption("graft.nav.broadcastVecsMax").map(_.toLong).getOrElse(250000L)
+    spark.conf.getOption("graft.nav.broadcastVecsMax").map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.nav.broadcastVecsMax must be an integer row count, got '$s'")
+      }
+    }.getOrElse(250000L)
 
   /** Rank a candidate (node, nbr_id) set to the directed
     * top-[[NavDegree]] per node by 6-dp cosine (nbr-id tiebreak) —
     * the one scoring rule every nav-graph stage shares. Identical
-    * rows at every tier; only the join strategy changes. */
-  private[graft] def navTopK(spark: SparkSession, v: DataFrame, cand: DataFrame): DataFrame = {
+    * rows at every tier; only the join strategy changes. `n` is the
+    * row count of `v`, threaded from the caller (a build/increment
+    * session counts its vector table ONCE and reuses the size across
+    * every round's call — an unlanded `v` plan would otherwise
+    * recompute per invocation); the no-`n` overload counts for
+    * one-off callers. */
+  private[graft] def navTopK(spark: SparkSession, v: DataFrame, cand: DataFrame): DataFrame =
+    navTopK(spark, v, cand, v.count())
+
+  private[graft] def navTopK(spark: SparkSession, v: DataFrame, cand: DataFrame,
+      n: Long): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val small = v.count() <= navBroadcastVecsMax(spark)
+    val small = n <= navBroadcastVecsMax(spark)
     def tier(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val nodes = tier(v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn")))
     val nbrs  = tier(v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn")))
@@ -1013,9 +1049,9 @@ object Similarity {
     * indexing (`pipelines.Curation` → `pipelines.AnnIndex`, the order
     * the engine already ships). */
   private[graft] def navTopKDiversified(spark: SparkSession, v: DataFrame,
-      cand: DataFrame, k0: Int = 32): DataFrame = {
+      cand: DataFrame, k0: Int = 32, nOpt: Option[Long] = None): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
-    val small = v.count() <= navBroadcastVecsMax(spark)
+    val small = nOpt.getOrElse(v.count()) <= navBroadcastVecsMax(spark)
     def tier(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val nodes = tier(v.select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nn")))
     val nbrs  = tier(v.select(col("vec_id").as("nbr_id"), col("v").as("wv"), col("norm").as("wn")))
@@ -1111,9 +1147,10 @@ object Similarity {
     * for free because shard node sets are disjoint). */
   private[graft] def navGraphRounds(spark: SparkSession, v: DataFrame,
       seedCand: DataFrame, diversified: Boolean = false): (DataFrame, () => Unit) = {
+    val n = v.count() // once per build session; every round's topK reuses it
     def topK(cand: DataFrame): DataFrame =
-      if (diversified) navTopKDiversified(spark, v, cand)
-      else navTopK(spark, v, cand)
+      if (diversified) navTopKDiversified(spark, v, cand, nOpt = Some(n))
+      else navTopK(spark, v, cand, n)
     def und(e: DataFrame): DataFrame = navUnd(e)
 
     val iterDir = s"${graft.ops.IterState.rootFor(spark)}/nav_${java.util.UUID.randomUUID().toString.take(8)}"

@@ -174,6 +174,13 @@ object Curation {
       st.release()
     } else {
       val priorMap = spark.read.parquet(exactPath(priorRoot))
+      // a mapping landed by a pre-h release (schema doc_id, keeper_id)
+      // passes the _SUCCESS probe above but cannot be probed by hash —
+      // refuse with the rebuild guidance instead of an AnalysisException
+      require(priorMap.columns.contains("h"),
+        s"prior exact mapping at ${exactPath(priorRoot)} lacks the h column " +
+          "(written by an earlier release of the exact-first state); " +
+          "rebuild the curation state with buildStateExactFirst")
       val deltaH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
       val priorKeeperByH = priorMap
         .where(col("doc_id") === col("keeper_id"))

@@ -53,8 +53,13 @@ object BpeScale {
         else {
           val out = s"$outBase/x$scale"
           val docs = spark.read.parquet(s"$src/documents.parquet")
+          // copy offset derived from the source's own id range — a
+          // fixed constant would collide ids across copies on a
+          // corpus whose doc_id already exceeds it and silently
+          // distort the duplication-invariance check
+          val off = docs.agg(max("doc_id")).head.getLong(0) + 1L
           (0 until scale).map { c =>
-            docs.withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+            docs.withColumn("doc_id", col("doc_id") + lit(c * off))
           }.reduce(_.unionByName(_))
             .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
           out
