@@ -1,9 +1,9 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Writers
+import graft.io.BucketedTable
 import graft.ops.Similarity
 
 /** Incrementally-maintained NAVIGABLE-graph index — the release-
@@ -52,12 +52,31 @@ import graft.ops.Similarity
   * (`PipelineSpec` pins it, including across a bucket-cap flip, the
   * one discontinuous knob).
   *
+  * STORAGE (round 13 — the splice I/O floor removed): every state
+  * table (vectors, the three round edge lists, the final graph) is a
+  * [[graft.io.BucketedTable]] — bucket-partitioned by [[PartBits]]
+  * sign-bit LOCALITY regions of the vector space and versioned by
+  * manifest. An increment physically rewrites ONLY the buckets its
+  * change frontier touches and carries every other bucket by
+  * manifest reference into the prior release; the delta's vectors
+  * land as a pure APPEND (zero prior-vector I/O). Before this, every
+  * spliced table was truncate-loaded WHOLE, so the increment's cost
+  * floor was corpus-sized write I/O no matter how small the frontier
+  * (PERF.md round 12 measured localized +0.7% increments at 35–49 s
+  * against a 51–60 s rebuild — most of it that floor). The bucket
+  * key is sign-bit LOCALITY, not a hash, deliberately: the regime
+  * where increments beat rebuilds is the LOCALIZED delta (a new
+  * content domain), whose frontier concentrates in few regions — a
+  * hash key would smear any frontier across every partition and
+  * reinstate the floor.
+  *
   * Scale (100 TB): every step is an equi-join against the landed
   * state; the recomputed set is |delta-touched buckets| then the
   * graph-distance-≤2 frontier per round — delta-proportional while
   * the graph's degree is capped (deg ≤ 16 directed, measured und
   * degree ≤ ~35), never a corpus-wide re-pair. Prior state is read,
-  * never recomputed.
+  * never recomputed, and untouched buckets are neither read NOR
+  * rewritten.
   */
 object NavIndex {
 
@@ -69,31 +88,94 @@ object NavIndex {
     * must match `Similarity.navGraphFrom`. */
   private val Rounds = 2
 
+  private[graft] val RoundSchema = "node BIGINT, nbr_id BIGINT"
+  private[graft] val VecsSchema  = "vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE"
+
+  /** Bucket-key width of the versioned state tables: 2^6 = 64
+    * sign-bit regions of the vector space (dims 1–6) — the
+    * `navEntries` signature idiom applied to STORAGE locality. A
+    * localized delta's change frontier concentrates in few regions,
+    * so the splice rewrites few buckets; density skew (a heavy
+    * region) only means the splice cost tracks the touched REGION's
+    * mass, still bounded by the old whole-table floor. At
+    * billion-vector scale a deployment widens this the same way the
+    * band-width ladder widens. */
+  private[graft] val PartBits = 6
+
+  /** Locality bucket of a vector — pure function of the immutable
+    * vector, so a node's rows land in the same bucket in every
+    * version and bucket-grain splices are well-defined. */
+  private def pbOf(v: Column): Column =
+    (0 until PartBits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def withPb(df: DataFrame): DataFrame =
+    df.withColumn("pb", pbOf(col("v")))
+
+  /** node → bucket map, derived from a vector table (broadcast-sized
+    * at 2 columns; materialized once per build/increment session). */
+  private def pbMap(v: DataFrame): DataFrame =
+    v.select(col("vec_id").as("node"), pbOf(col("v")).as("pb"))
+
+  /** Committed-version readers — the ONLY supported way to read the
+    * landed state (an incremented version's untouched buckets live in
+    * ancestor directories; a raw parquet read of the version root
+    * sees only what that version physically wrote). */
+  def readVecs(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, vecsPath(root), VecsSchema)
+
+  def round(spark: SparkSession, root: String, r: Int): DataFrame =
+    BucketedTable.read(spark, roundPath(root, r), RoundSchema)
+
+  /** The landed navigable graph — the same edge set
+    * `Similarity.navGraphShared` derives, here versioned per release. */
+  def graph(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, graphPath(root), RoundSchema)
+
+  /** A complete index version is committed at `root` (the graph —
+    * the last table every path lands — has a manifest). */
+  private[graft] def isCommitted(spark: SparkSession, root: String): Boolean =
+    BucketedTable.isCommitted(spark, graphPath(root))
+
+  /** Land ONLY the vector table (full write) — the seam the
+    * width-boundary guard spec uses to stage a prior state without
+    * paying a graph build. */
+  private[graft] def landVecs(spark: SparkSession, emb: DataFrame, root: String): Unit =
+    BucketedTable.write(
+      withPb(Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm")),
+      vecsPath(root))
+
   /** The vN full build: land vectors, the three directed round edge
     * lists, and the final symmetrized graph. `emb` is an
     * embeddings-format table (vec_id, embedding, label). */
   def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
-    Writers.truncateLoad(
-      Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm"), vecsPath(root))
+    landVecs(spark, emb, root)
     buildRounds(spark, root)
   }
 
   /** The round chain over ALREADY-landed vectors at `root` — the seam
     * [[buildState]] and the width-boundary full-rebuild fallback of
-    * `streaming.IndexStreams` share. */
+    * `streaming.IndexStreams` share. The corpus is counted ONCE and
+    * the size threaded through every `navTopK` tier decision. */
   private[pipelines] def buildRounds(spark: SparkSession, root: String): Unit = {
-    val v = spark.read.parquet(vecsPath(root))
-    Writers.truncateLoad(
-      Similarity.navTopK(spark, v, Similarity.navSeedCand(v)), roundPath(root, 0))
+    val v = readVecs(spark, root)
+    val n = v.count()
+    val bits = Similarity.navBitsFor(n)
+    val pbm = pbMap(v).persist()
+    def land(e: DataFrame, path: String): Unit =
+      BucketedTable.write(e.join(pbm, "node"), path)
+    land(Similarity.navTopK(spark, v,
+      Similarity.navSeedPairs(Similarity.navBands(v, bits), Seq("b", "key")), n),
+      roundPath(root, 0))
     for (r <- 1 to Rounds) {
-      val prev = spark.read.parquet(roundPath(root, r - 1))
+      val prev = round(spark, root, r - 1)
       val u = Similarity.navExpandAdj(Similarity.navUnd(prev))
-      Writers.truncateLoad(
-        Similarity.navTopK(spark, v,
-          Similarity.navRefineCand(u).unionByName(prev)), roundPath(root, r))
+      land(Similarity.navTopK(spark, v,
+        Similarity.navRefineCand(u).unionByName(prev), n), roundPath(root, r))
     }
-    Writers.truncateLoad(
-      Similarity.navUnd(spark.read.parquet(roundPath(root, Rounds))), graphPath(root))
+    land(Similarity.navUnd(round(spark, root, Rounds)), graphPath(root))
+    pbm.unpersist()
   }
 
   /** Full rebuild of `nextRoot` from `priorRoot`'s landed vectors
@@ -101,19 +183,49 @@ object NavIndex {
     * seed-band width boundary ([[incrementState]] refuses:
     * re-bucketing every seed is global by construction). Same landed
     * layout as [[buildState]], so readers cannot tell which path
-    * produced a version. */
+    * produced a version — and a rebuild references NO ancestor, so it
+    * restarts the manifest chain (the retention anchor). */
   def rebuildState(spark: SparkSession, deltaEmb: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
-    Writers.truncateLoad(
-      spark.read.parquet(vecsPath(priorRoot)).unionByName(dv), vecsPath(nextRoot))
+    BucketedTable.write(withPb(readVecs(spark, priorRoot).unionByName(dv)),
+      vecsPath(nextRoot))
     buildRounds(spark, nextRoot)
+  }
+
+  /** ESTIMATED seed-frontier fraction of absorbing `deltaEmb` against
+    * the state at `priorRoot`: (members of delta-touched band buckets
+    * + the delta itself) / next-corpus size — the same set
+    * [[incrementState]]'s seed round re-ranks or grow-splices, as a
+    * fraction of the corpus, at the cost of two band projections and
+    * one equi-join (no ranking, no state writes). The routing signal
+    * `streaming.IndexStreams.maintainBatch` reads: a LOCALIZED delta
+    * (new content domain) touches few buckets and increments beat
+    * rebuilds there; a UNIFORM delta of any size touches nearly every
+    * bucket — its true frontier IS the corpus — and the rebuild is
+    * measured cheaper (PERF.md rounds 12–13). Requires the prior and
+    * next corpus to share a band width; callers check the width
+    * boundary FIRST (a crossing routes to rebuild unconditionally). */
+  def seedFrontierFraction(spark: SparkSession, deltaEmb: DataFrame,
+      priorRoot: String): Double = {
+    val priorV = readVecs(spark, priorRoot)
+    val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
+    val nPrior = priorV.count()
+    val nd = dv.count()
+    val bits = Similarity.navBitsFor(nPrior + nd)
+    val touched = Similarity.navBands(dv, bits).select("b", "key").distinct()
+    val aff = Similarity.navBands(priorV, bits)
+      .join(touched, Seq("b", "key"))
+      .select("vec_id").distinct().count()
+    (aff + nd).toDouble / (nPrior + nd)
   }
 
   /** Release vN → vN+1: absorb `deltaEmb` (new vectors only; ids must
     * be disjoint from vN) against the state under `priorRoot`, land
     * the refreshed state under `nextRoot`. Only the change frontier
-    * re-ranks; everything else is carried forward by read. */
+    * re-ranks, and only frontier-touched BUCKETS rewrite — everything
+    * else is carried forward by manifest reference; the delta's
+    * vectors land as a pure append. */
   def incrementState(spark: SparkSession, deltaEmb: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
     var t0 = System.nanoTime()
@@ -122,10 +234,10 @@ object NavIndex {
       t0 = System.nanoTime()
     }
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
-    Writers.truncateLoad(
-      spark.read.parquet(vecsPath(priorRoot)).unionByName(dv), vecsPath(nextRoot))
-    val v = spark.read.parquet(vecsPath(nextRoot))
-    lap("land vecs")
+    BucketedTable.writeAppended(spark, withPb(dv),
+      vecsPath(priorRoot), vecsPath(nextRoot))
+    val v = readVecs(spark, nextRoot)
+    lap("land vecs (append)")
 
     // frontier tables (changed edges, affected node sets) are small —
     // delta-proportional — but each is READ several times per round
@@ -144,13 +256,14 @@ object NavIndex {
     // between the prior build and this increment: crossing a width
     // boundary re-buckets every seed, which only a full rebuild can
     // honor.
-    val priorV = spark.read.parquet(vecsPath(priorRoot))
+    val priorV = readVecs(spark, priorRoot)
     val nPrior = priorV.count()
     val nNext = v.count()
     require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
       s"corpus growth $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
     lap("width guard counts")
+    val pbm = mat(pbMap(v), "pbm")
     val bits = Similarity.navBitsFor(nNext)
     val bands = Similarity.navBands(v, bits)
     val bandsPrior = Similarity.navBands(priorV, bits)
@@ -181,7 +294,7 @@ object NavIndex {
         col("bnp").isNotNull &&
           ((col("bnp") <= cap) === (col("bnn") <= cap)) &&
           (col("bnn") <= cap ||
-            (ceil(log2(col("bnp"))) === ceil(log2(col("bnn"))) &&
+            (Similarity.navPow2CeilBits(col("bnp")) === Similarity.navPow2CeilBits(col("bnn")) &&
               col("a0p") === col("a0n"))))
       .persist()
     cls.count() // grow + flip sides both read it
@@ -212,7 +325,7 @@ object NavIndex {
       .join(deltaNbrs, Seq("b", "key"))
       .where(col("node") =!= col("nbr_id"))
       .select("node", "nbr_id")
-    val growCand = spark.read.parquet(roundPath(priorRoot, 0))
+    val growCand = round(spark, priorRoot, 0)
       .join(growNodes, Seq("node"), "left_semi")
       .unionByName(growPairs)
     // full-rank side: exact same per-bucket pairing verdicts as a
@@ -223,8 +336,9 @@ object NavIndex {
     val fullCand = Similarity.navSeedPairs(bands, Seq("b", "key"), Some(fullNodes))
     val affected0 = mat(growNodes.unionByName(fullNodes).distinct(), "aff0")
     lap("affected0")
-    var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
-      affected0, Similarity.navTopK(spark, v, growCand.unionByName(fullCand))), "chg0")
+    var changed = mat(splice(spark, pbm, roundPath(priorRoot, 0), roundPath(nextRoot, 0),
+      affected0,
+      Similarity.navTopK(spark, v, growCand.unionByName(fullCand), nNext)), "chg0")
     cls.unpersist()
     lap("seed topK+splice")
 
@@ -235,8 +349,8 @@ object NavIndex {
     // never globally symmetrized/distinct'd/windowed, so the round
     // cost is O(frontier) shuffles over O(corpus) scans.
     for (r <- 1 to Rounds) {
-      val ePri  = spark.read.parquet(roundPath(priorRoot, r - 1))
-      val ePrev = spark.read.parquet(roundPath(nextRoot, r - 1))
+      val ePri  = round(spark, priorRoot, r - 1)
+      val ePrev = round(spark, nextRoot, r - 1)
       val m = changed.select(col("node"))
         .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
       // frontier over the UNCAPPED adjacency: a superset of capped
@@ -258,13 +372,22 @@ object NavIndex {
         .where(col("node") =!= col("nbr_id"))
       val prevE = ePrev.join(affected, Seq("node"), "left_semi")
       val candAff = aAff.unionByName(hop2).unionByName(prevE)
-      changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
-        affected, Similarity.navTopK(spark, v, candAff)), s"chg$r")
+      changed = mat(splice(spark, pbm, roundPath(priorRoot, r), roundPath(nextRoot, r),
+        affected, Similarity.navTopK(spark, v, candAff, nNext)), s"chg$r")
       lap(s"round $r topK+splice")
     }
-    Writers.truncateLoad(
-      Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
-    lap("final symmetrize")
+    // ---- final graph: splice against the PRIOR graph. A node's
+    // undirected row set changes only if a changed final-round edge
+    // is incident to it (both endpoints of every changed edge are in
+    // affG), so recomputing undIncident over the frontier and
+    // carrying every other bucket by reference equals the full
+    // symmetrize row-for-row.
+    val eFin = round(spark, nextRoot, Rounds)
+    val affG = mat(changed.select(col("node"))
+      .unionByName(changed.select(col("nbr_id").as("node"))).distinct(), "affg")
+    splice(spark, pbm, graphPath(priorRoot), graphPath(nextRoot),
+      affG, undIncident(eFin, affG))
+    lap("final graph splice")
     cleanup.release()
   }
 
@@ -292,15 +415,22 @@ object NavIndex {
     * Exactness: same containment argument as [[incrementState]], so
     * the spliced state equals a full [[buildState]] over the reduced
     * corpus row-for-row (`PipelineSpec` pins it). Scale: cost is the
-    * delete-touched frontier, never the corpus; a physical delete
-    * (not a tombstone), so readers and the walk see no ghost nodes. */
+    * delete-touched frontier, never the corpus, and only
+    * frontier-touched buckets rewrite; a physical delete (not a
+    * tombstone), so readers and the walk see no ghost nodes. */
   def retireState(spark: SparkSession, deleteIds: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
     val del = deleteIds.select("vec_id").distinct()
-    val priorV = spark.read.parquet(vecsPath(priorRoot))
-    Writers.truncateLoad(
-      priorV.join(del, Seq("vec_id"), "left_anti"), vecsPath(nextRoot))
-    val v = spark.read.parquet(vecsPath(nextRoot))
+    val priorV = readVecs(spark, priorRoot)
+    // vector splice: only buckets that HELD a deleted vector rewrite
+    val delV = priorV.join(del, Seq("vec_id"), "left_semi")
+    val delPb = withPb(delV).select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    BucketedTable.writeSpliced(spark,
+      withPb(BucketedTable.readParts(spark, vecsPath(priorRoot), VecsSchema, delPb)
+        .join(del, Seq("vec_id"), "left_anti")),
+      delPb, vecsPath(priorRoot), vecsPath(nextRoot))
+    val v = readVecs(spark, nextRoot)
 
     val iterDir = s"${graft.ops.IterState.rootFor(spark)}/navret_${java.util.UUID.randomUUID().toString.take(8)}"
     val cleanup = graft.ops.IterState.register(spark, iterDir)
@@ -314,12 +444,14 @@ object NavIndex {
     require(Similarity.navBitsFor(nPrior) == Similarity.navBitsFor(nNext),
       s"corpus shrink $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
+    // the bucket map must cover DELETED nodes too (their prior rows
+    // drive splices), so it derives from the PRIOR vector table
+    val pbm = mat(pbMap(priorV), "pbm")
     // deleted nodes as a frontier seed (column `node`), and the
     // buckets they belonged to — band rows of the PRIOR vectors at
     // the shared width
     val delNodes = mat(del.select(col("vec_id").as("node")), "delnodes")
-    val touchedBuckets = Similarity.navBands(
-        priorV.join(del, Seq("vec_id"), "left_semi"), Similarity.navBitsFor(nNext))
+    val touchedBuckets = Similarity.navBands(delV, Similarity.navBitsFor(nNext))
       .select("b", "key").distinct()
     val bands = Similarity.navBands(v, Similarity.navBitsFor(nNext))
     val affected0 = mat(
@@ -327,13 +459,13 @@ object NavIndex {
         .select(col("vec_id").as("node")).distinct(), "aff0")
     val seedCandAff =
       Similarity.navSeedPairs(bands, Seq("b", "key"), Some(affected0))
-    var changed = mat(spliceRound(spark, v, priorRoot, nextRoot, 0,
+    var changed = mat(splice(spark, pbm, roundPath(priorRoot, 0), roundPath(nextRoot, 0),
       affected0.unionByName(delNodes).distinct(),
-      Similarity.navTopK(spark, v, seedCandAff)), "chg0")
+      Similarity.navTopK(spark, v, seedCandAff, nNext)), "chg0")
 
     for (r <- 1 to Rounds) {
-      val ePri  = spark.read.parquet(roundPath(priorRoot, r - 1))
-      val ePrev = spark.read.parquet(roundPath(nextRoot, r - 1))
+      val ePri  = round(spark, priorRoot, r - 1)
+      val ePrev = round(spark, nextRoot, r - 1)
       val m = changed.select(col("node"))
         .unionByName(changed.select(col("nbr_id").as("node"))).distinct()
       val affected = mat(m.unionByName(
@@ -352,12 +484,15 @@ object NavIndex {
       // deleted nodes stay in the drop side every round: navTopK
       // re-ranks only nodes present in `v`, so they never reappear,
       // and their prior rows must not splice through
-      changed = mat(spliceRound(spark, v, priorRoot, nextRoot, r,
+      changed = mat(splice(spark, pbm, roundPath(priorRoot, r), roundPath(nextRoot, r),
         affected.unionByName(delNodes).distinct(),
-        Similarity.navTopK(spark, v, candAff)), s"chg$r")
+        Similarity.navTopK(spark, v, candAff, nNext)), s"chg$r")
     }
-    Writers.truncateLoad(
-      Similarity.navUnd(spark.read.parquet(roundPath(nextRoot, Rounds))), graphPath(nextRoot))
+    val eFin = round(spark, nextRoot, Rounds)
+    val affG = mat(changed.select(col("node"))
+      .unionByName(changed.select(col("nbr_id").as("node"))).distinct(), "affg")
+    splice(spark, pbm, graphPath(priorRoot), graphPath(nextRoot),
+      affG, undIncident(eFin, affG))
     cleanup.release()
   }
 
@@ -378,27 +513,32 @@ object NavIndex {
     fwd.unionByName(rev).distinct()
   }
 
-  /** Land round `r` of the next release: prior edges for nodes
-    * outside `affected` (column `node`), the re-ranked `recomputed`
-    * for those inside; return the edge-level symmetric difference —
-    * the change set the next round's frontier grows from. (On the
-    * retire path `affected` includes the deleted nodes, whose prior
-    * rows are dropped with no replacement — pure removals in the
-    * returned diff.) */
-  private def spliceRound(spark: SparkSession, v: DataFrame,
-      priorRoot: String, nextRoot: String, r: Int,
+  /** Land one spliced table version: buckets touched by `affected`
+    * (column `node`) get prior-rows-minus-affected plus `recomputed`
+    * (whose nodes are all in `affected` by construction) through
+    * partition-level dynamic overwrite; every OTHER bucket is a
+    * manifest reference to the prior version — zero read, zero
+    * write. Returns the edge-level symmetric difference over the
+    * affected set — the change set the next round's frontier grows
+    * from — as a lazy plan (the final-graph call discards it). Both
+    * diff sides are partition-pruned to the touched buckets: an
+    * affected node's rows can only live there ([[pbOf]] is a pure
+    * function of its immutable vector). On the retire path `affected`
+    * includes the deleted nodes, whose prior rows are dropped with no
+    * replacement — pure removals in the returned diff. */
+  private def splice(spark: SparkSession, pbm: DataFrame,
+      priorPath: String, nextPath: String,
       affected: DataFrame, recomputed: DataFrame): DataFrame = {
-    val prior = spark.read.parquet(roundPath(priorRoot, r))
-    val oldAff = prior.join(affected, Seq("node"), "left_semi")
-    val keep = prior.join(affected, Seq("node"), "left_anti")
-    Writers.truncateLoad(keep.unionByName(recomputed), roundPath(nextRoot, r))
-    val newAff = spark.read.parquet(roundPath(nextRoot, r))
+    val affPb = affected.join(pbm, "node").select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
+    val priorTouched = BucketedTable.readParts(spark, priorPath, RoundSchema, affPb)
+    val keep = priorTouched.join(affected, Seq("node"), "left_anti")
+    BucketedTable.writeSpliced(spark,
+      keep.unionByName(recomputed).join(pbm, "node"),
+      affPb, priorPath, nextPath)
+    val oldAff = priorTouched.join(affected, Seq("node"), "left_semi")
+    val newAff = BucketedTable.readParts(spark, nextPath, RoundSchema, affPb)
       .join(affected, Seq("node"), "left_semi")
     oldAff.exceptAll(newAff).unionByName(newAff.exceptAll(oldAff))
   }
-
-  /** The landed navigable graph — the same edge set
-    * `Similarity.navGraphShared` derives, here versioned per release. */
-  def graph(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(graphPath(root))
 }

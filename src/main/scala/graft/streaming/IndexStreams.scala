@@ -23,27 +23,50 @@ import graft.pipelines.NavIndex
   * in place: at-least-once delivery collapses to exactly-once index
   * state, the posture `VecStreams.searchGate` takes for answers and
   * `Writers.mergeKeyed` for keyed tables. A version is COMMITTED when
-  * its graph parquet carries a `_SUCCESS` marker (the last file the
-  * version's last truncateLoad writes).
+  * its graph table carries a `BucketedTable` manifest (the last file
+  * the version's last landed table writes). Increment-landed versions
+  * REFERENCE unchanged buckets in ancestor versions, so retiring old
+  * versions must keep everything at or above the newest full
+  * build/rebuild (which references nothing) — see `BucketedTable`'s
+  * retention contract.
   *
   * Versions are append-only and never mutated after commit, so
   * readers ([[currentGraph]]) see a complete graph at all times;
   * retiring old versions is release-policy, like `compactKeyed`'s
   * vacuum. Scale: each micro-batch RE-RANKS only the change frontier
   * (NavIndex's contract) — the streaming form just decides version
-  * names and replay semantics. Measured guidance (×100/×10 mixture,
-  * PERF.md round 12): the increment pays corpus-sized state I/O
-  * regardless, so it beats a rebuild only for SMALL, LOCALIZED
-  * deltas (a new content domain: ~20% faster); a uniform delta
-  * perturbs every neighborhood — its true frontier IS the corpus —
-  * and a double-digit-percent batch of any shape belongs on the
-  * rebuild path (measured 2× faster). Operators sizing micro-batches
-  * should keep them small and expect rebuild-class cost on
-  * corpus-wide drops; exactness is identical on every path.
+  * names, replay semantics, and the PATH.
+  *
+  * ROUTING (round 13 — the round-12 guidance made behavior): a
+  * uniform delta perturbs every neighborhood, so its true frontier
+  * IS the corpus and the increment machinery pays MORE than a warm
+  * rebuild (measured ×10/×100, PERF.md round 12); only a LOCALIZED
+  * delta (a new content domain) has the concentrated frontier
+  * increments are built for. [[maintainBatch]] therefore measures
+  * the delta's estimated seed-frontier fraction
+  * (`NavIndex.seedFrontierFraction` — two band projections and one
+  * equi-join, no ranking) and routes to the rebuild path when it
+  * exceeds `graft.nav.rebuildFrontierFrac` (default 0.5), the same
+  * contract posture as the width-boundary fallback. Exactness is
+  * identical on every path, so routing can only change cost, never
+  * content.
   */
 object IndexStreams {
 
   private def versionRoot(root: String, b: Long): String = s"$root/v$b"
+
+  /** Estimated-frontier fraction above which a delta routes to the
+    * rebuild path. Default 0.5: measured localized deltas estimate
+    * well under it and uniform deltas estimate ≈ 1.0 at every scale
+    * (PERF.md round 13) — the regimes are separated by a wide gap,
+    * not a tuned edge. */
+  private def rebuildFrontierFrac(spark: SparkSession): Double =
+    spark.conf.getOption("graft.nav.rebuildFrontierFrac").map { s =>
+      try s.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.nav.rebuildFrontierFrac must be a fraction in [0,1], got '$s'")
+      }
+    }.getOrElse(0.5)
 
   /** Landed-and-committed version numbers under `root`, ascending. */
   private[graft] def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
@@ -53,8 +76,7 @@ object IndexStreams {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
       .map(_.getPath.getName.drop(1).toLong)
-      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
-        s"${NavIndex.graphPath(versionRoot(root, b))}/_SUCCESS")))
+      .filter(b => NavIndex.isCommitted(spark, versionRoot(root, b)))
       .sorted
   }
 
@@ -67,19 +89,31 @@ object IndexStreams {
 
   /** Absorb one micro-batch of embedding rows as index version
     * `v<batchId>` — the foreachBatch body, callable directly for the
-    * batch-parity and replay specs and for `tools.NavMaintainScale`'s
-    * per-batch cost measurement. */
+    * batch-parity, replay, and routing specs and for
+    * `tools.NavMaintainScale`'s per-batch cost measurement. Returns
+    * the path taken ("build" | "increment" | "rebuild(width)" |
+    * "rebuild(frontier)") — deterministic in (batch, prior state), so
+    * a replayed batch re-takes the same path. */
   private[graft] def maintainBatch(spark: SparkSession, batch: DataFrame,
-      root: String, batchId: Long): Unit = {
+      root: String, batchId: Long): String = {
     val next = versionRoot(root, batchId)
     committedVersions(spark, root).filter(_ < batchId).lastOption match {
-      case None => NavIndex.buildState(spark, batch, next)
+      case None =>
+        NavIndex.buildState(spark, batch, next); "build"
       case Some(prior) =>
         val priorRoot = versionRoot(root, prior)
-        try NavIndex.incrementState(spark, batch, priorRoot, next)
-        catch { case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("width boundary") =>
-          NavIndex.rebuildState(spark, batch, priorRoot, next)
+        val nPrior = NavIndex.readVecs(spark, priorRoot).count()
+        val nNext = nPrior + batch.count()
+        if (graft.ops.Similarity.navBitsFor(nPrior) !=
+            graft.ops.Similarity.navBitsFor(nNext)) {
+          // crossing a seed-band width boundary re-buckets every seed
+          // — the one growth step an increment cannot honor
+          NavIndex.rebuildState(spark, batch, priorRoot, next); "rebuild(width)"
+        } else if (NavIndex.seedFrontierFraction(spark, batch, priorRoot) >
+            rebuildFrontierFrac(spark)) {
+          NavIndex.rebuildState(spark, batch, priorRoot, next); "rebuild(frontier)"
+        } else {
+          NavIndex.incrementState(spark, batch, priorRoot, next); "increment"
         }
     }
   }
@@ -96,6 +130,7 @@ object IndexStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maintainBatch(spark, batch, root, batchId)
+        () // route label is for direct callers; the gate's contract is the landed version
       }
       .start()
   }

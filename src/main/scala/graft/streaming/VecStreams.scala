@@ -47,12 +47,12 @@ object VecStreams {
     * the sink write for deterministic per-batch reclamation. */
   private def searchBatchReleasable(spark: SparkSession, batch: DataFrame,
       root: String): (DataFrame, () => Unit) = {
-    val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
+    val corpus = NavIndex.readVecs(spark, root).persist()
     corpus.count() // materialize before the beam fans out over it
     val q = Similarity.vecsOf(spark, batch)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val (out, release) = Similarity.beamSearchReleasable(spark, corpus, q,
-      spark.read.parquet(NavIndex.graphPath(root)))
+      NavIndex.graph(spark, root))
     corpus.unpersist() // out's final stage is cached; safe to drop
     (out, release)
   }
@@ -68,12 +68,12 @@ object VecStreams {
 
   private def filteredSearchBatchReleasable(spark: SparkSession, batch: DataFrame,
       root: String, elig: DataFrame): (DataFrame, () => Unit) = {
-    val corpus = spark.read.parquet(NavIndex.vecsPath(root)).persist()
+    val corpus = NavIndex.readVecs(spark, root).persist()
     corpus.count() // materialize before the beam fans out over it
     val q = Similarity.vecsOf(spark, batch)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val (out, release) = Similarity.filteredBeamReleasable(spark, corpus, q,
-      spark.read.parquet(NavIndex.graphPath(root)), elig)
+      NavIndex.graph(spark, root), elig)
     corpus.unpersist() // out's final stage is cached; safe to drop
     (out, release)
   }

@@ -87,11 +87,11 @@ object CurateThenIndex {
         time(f"x$scale $leg index build ($n vecs)") {
           NavIndex.buildState(spark, served, root)
         }
-        val base = spark.read.parquet(NavIndex.vecsPath(root)).persist()
+        val base = NavIndex.readVecs(spark, root).persist()
         base.count()
         val q = base.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-        val edges = spark.read.parquet(NavIndex.graphPath(root))
+        val edges = NavIndex.graph(spark, root)
         var walk: DataFrame = null
         var release: () => Unit = () => ()
         time(f"x$scale $leg walk (10 q)") {

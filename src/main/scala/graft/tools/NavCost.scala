@@ -56,8 +56,8 @@ object NavCost {
     time("buildState (full)") {
       graft.pipelines.NavIndex.buildState(spark, emb, s"$base/full")
     }
-    val a = spark.read.parquet(graft.pipelines.NavIndex.graphPath(s"$base/vn1"))
-    val b = spark.read.parquet(graft.pipelines.NavIndex.graphPath(s"$base/full"))
+    val a = graft.pipelines.NavIndex.graph(spark, s"$base/vn1")
+    val b = graft.pipelines.NavIndex.graph(spark, s"$base/full")
     val ok = a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
     println(s"graphs identical: $ok (${a.count()} edges)")
     spark.stop()

@@ -53,8 +53,8 @@ object NavMaintainScale {
       r
     }
     def assertGraphParity(rootA: String, rootB: String): Unit = {
-      val a = spark.read.parquet(NavIndex.graphPath(rootA))
-      val b = spark.read.parquet(NavIndex.graphPath(rootB))
+      val a = NavIndex.graph(spark, rootA)
+      val b = NavIndex.graph(spark, rootB)
       val extra = a.exceptAll(b).count(); val missing = b.exceptAll(a).count()
       println(s"  graph parity vs full rebuild: " +
         (if (extra == 0 && missing == 0) s"IDENTICAL (${a.count()} edges)"
@@ -78,6 +78,8 @@ object NavMaintainScale {
       val rootB = s"$outBase/idx_vn${pct}n"
       time(s"x100 build vN ($cut vecs, $pct% held out, UNIFORM)")(
         NavIndex.buildState(spark, vN, rootA))
+      println(f"  est. seed-frontier fraction (routing signal): " +
+        f"${NavIndex.seedFrontierFraction(spark, delta, rootA)}%.3f")
       time(s"x100 incrementState (+${n - cut} vecs, $pct% uniform)")(
         NavIndex.incrementState(spark, delta, rootA, rootB))
       assertGraphParity(rootB, fullRoot)
@@ -98,6 +100,8 @@ object NavMaintainScale {
       val rootB = s"$outBase/idx_vncln"
       time(s"x100 build vN (${n - nd} vecs, cluster 32 held out)")(
         NavIndex.buildState(spark, vN, rootA))
+      println(f"  est. seed-frontier fraction (routing signal): " +
+        f"${NavIndex.seedFrontierFraction(spark, delta, rootA)}%.3f")
       time(s"x100 incrementState (+$nd vecs, LOCALIZED)")(
         NavIndex.incrementState(spark, delta, rootA, rootB))
       assertGraphParity(rootB, fullRoot)
@@ -131,13 +135,9 @@ object NavMaintainScale {
     val cuts = Seq(0L -> 14000L, 14000L -> 16000L, 16000L -> 18000L, 18000L -> 20000L)
     cuts.zipWithIndex.foreach { case ((lo, hi), b) =>
       val batch = emb10.where(col("vec_id") >= lo && col("vec_id") < hi)
-      val kind =
-        if (b == 0) "full build"
-        else if (graft.ops.Similarity.navBitsFor(lo) != graft.ops.Similarity.navBitsFor(hi))
-          "REBUILD fallback (width boundary)"
-        else "increment"
-      time(f"x10 batch $b (+${hi - lo} -> $hi vecs, $kind)")(
+      val route = time(f"x10 batch $b (+${hi - lo} -> $hi vecs)")(
         graft.streaming.IndexStreams.maintainBatch(spark, batch, root10, b.toLong))
+      println(s"  routed: $route")
       spark.catalog.clearCache()
     }
     // the sequence must land on the same graph as one full build
@@ -145,7 +145,7 @@ object NavMaintainScale {
     time("x10 reference full build (20000 vecs)")(
       NavIndex.buildState(spark, emb10, refRoot))
     val streamed = graft.streaming.IndexStreams.currentGraph(spark, root10)
-    val ref = spark.read.parquet(NavIndex.graphPath(refRoot))
+    val ref = NavIndex.graph(spark, refRoot)
     println(s"x10 sequence-final parity vs one-shot build: " +
       (if (streamed.exceptAll(ref).count() == 0 && ref.exceptAll(streamed).count() == 0)
         s"IDENTICAL (${ref.count()} edges)" else "DIVERGED"))

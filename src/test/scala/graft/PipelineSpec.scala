@@ -11,6 +11,16 @@ import graft.sources.{ChainSource, FixtureChainSource}
 /** Extract pipeline + idempotent writer semantics (reference S5-S9). */
 class PipelineSpec extends SparkSpec {
 
+  /** Every landed nav-index table of a version, via the committed-
+    * version readers (raw parquet reads cannot see an incremented
+    * version's referenced buckets). */
+  private def navTables(root: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    import graft.pipelines.NavIndex
+    Seq("vecs" -> NavIndex.readVecs(spark, root),
+      "graph" -> NavIndex.graph(spark, root)) ++
+      (0 to 2).map(r => s"e$r" -> NavIndex.round(spark, root, r))
+  }
+
   private def prices(start: String, days: Int, base: Double) = {
     import spark.implicits._
     spark.sql(
@@ -860,17 +870,13 @@ class PipelineSpec extends SparkSpec {
     NavIndex.buildState(spark, vN, rootA)
     NavIndex.incrementState(spark, delta, rootA, rootB)
     NavIndex.buildState(spark, emb, rootFull)
-    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
-      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
-    for (path <- paths) {
-      val incr = spark.read.parquet(path(rootB))
-      val full = spark.read.parquet(path(rootFull))
-      assert(incr.exceptAll(full).count() === 0, path(rootB))
-      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    for (((label, incr), (_, full)) <- navTables(rootB).zip(navTables(rootFull))) {
+      assert(incr.exceptAll(full).count() === 0, label)
+      assert(full.exceptAll(incr).count() === 0, label)
     }
     // non-vacuous: the delta actually added graph state
-    assert(spark.read.parquet(NavIndex.graphPath(rootB)).count() >
-      spark.read.parquet(NavIndex.graphPath(rootA)).count())
+    assert(NavIndex.graph(spark, rootB).count() >
+      NavIndex.graph(spark, rootA).count())
   }
 
   test("incremental nav graph: retire splices row-identical to a reduced rebuild") {
@@ -883,22 +889,18 @@ class PipelineSpec extends SparkSpec {
     NavIndex.buildState(spark, emb, rootA)
     NavIndex.retireState(spark, del, rootA, rootB)
     NavIndex.buildState(spark, emb.join(del, Seq("vec_id"), "left_anti"), rootFull)
-    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
-      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
-    for (path <- paths) {
-      val incr = spark.read.parquet(path(rootB))
-      val full = spark.read.parquet(path(rootFull))
-      assert(incr.exceptAll(full).count() === 0, path(rootB))
-      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    for (((label, incr), (_, full)) <- navTables(rootB).zip(navTables(rootFull))) {
+      assert(incr.exceptAll(full).count() === 0, label)
+      assert(full.exceptAll(incr).count() === 0, label)
     }
     // non-vacuous: vectors were actually retired, and no ghost node
     // or dangling edge survives anywhere in the landed state
     val delIds = del.collect().map(_.getLong(0)).toSet
     assert(delIds.nonEmpty)
-    val g = spark.read.parquet(NavIndex.graphPath(rootB))
+    val g = NavIndex.graph(spark, rootB)
     assert(g.collect().forall(r =>
       !delIds.contains(r.getAs[Long]("node")) && !delIds.contains(r.getAs[Long]("nbr_id"))))
-    assert(spark.read.parquet(NavIndex.vecsPath(rootB)).count() ===
+    assert(NavIndex.readVecs(spark, rootB).count() ===
       emb.count() - delIds.size)
   }
 
@@ -918,11 +920,11 @@ class PipelineSpec extends SparkSpec {
     NavIndex.buildState(spark, emb, idxA)
     Curation.retireDropped(spark, curRoot, idxA, idxB)
     NavIndex.buildState(spark, emb.join(dropped, Seq("vec_id"), "left_anti"), idxKept)
-    val ret = spark.read.parquet(NavIndex.graphPath(idxB))
-    val full = spark.read.parquet(NavIndex.graphPath(idxKept))
+    val ret = NavIndex.graph(spark, idxB)
+    val full = NavIndex.graph(spark, idxKept)
     assert(ret.exceptAll(full).count() === 0)
     assert(full.exceptAll(ret).count() === 0)
-    assert(spark.read.parquet(NavIndex.vecsPath(idxB)).count() ===
+    assert(NavIndex.readVecs(spark, idxB).count() ===
       emb.count() - droppedWithEmb)
   }
 
@@ -950,37 +952,33 @@ class PipelineSpec extends SparkSpec {
     NavIndex.buildState(spark, vN, rootA)
     NavIndex.incrementState(spark, delta, rootA, rootB)
     NavIndex.buildState(spark, vN.unionByName(delta), rootFull)
-    val incr = spark.read.parquet(NavIndex.graphPath(rootB))
-    val full = spark.read.parquet(NavIndex.graphPath(rootFull))
+    val incr = NavIndex.graph(spark, rootB)
+    val full = NavIndex.graph(spark, rootFull)
     assert(incr.exceptAll(full).count() === 0)
     assert(full.exceptAll(incr).count() === 0)
     // the flip actually happened: under the cap every clone saw every
     // clone as a seed candidate (distinct round-0 targets ≈ all 69
     // others); over it, out-edges can point only at the bucket's
     // ~17 anchors — far fewer distinct targets than members
-    assert(spark.read.parquet(NavIndex.graphPath(rootA))
+    assert(NavIndex.graph(spark, rootA)
       .where(col("node") < 100).count() > 0)
-    val e0 = spark.read.parquet(NavIndex.roundPath(rootB, 0))
+    val e0 = NavIndex.round(spark, rootB, 0)
       .where(col("node") < 100)
     assert(e0.count() > 0)
     val targets = e0.select("nbr_id").distinct().count()
     assert(targets < 40, s"expected anchor-limited targets, got $targets")
     // and the background subgraph survived untouched
     assert(incr.where(col("node") >= 100).count() ===
-      spark.read.parquet(NavIndex.graphPath(rootA)).where(col("node") >= 100).count())
+      NavIndex.graph(spark, rootA).where(col("node") >= 100).count())
     // ROUND TRIP — retiring the 10 delta clones flips the bucket BACK
     // under the cap (anchor pairing -> all-pairs, the symmetric
     // discontinuity), and the spliced state must equal the original
     // vN state at every landed table
     val rootC = Files.createTempDirectory("graft_nav_cap_vn2").toString
     NavIndex.retireState(spark, delta.select("vec_id"), rootB, rootC)
-    val paths = Seq(NavIndex.vecsPath _, NavIndex.graphPath _) ++
-      (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
-    for (path <- paths) {
-      val back = spark.read.parquet(path(rootC))
-      val orig = spark.read.parquet(path(rootA))
-      assert(back.exceptAll(orig).count() === 0, path(rootC))
-      assert(orig.exceptAll(back).count() === 0, path(rootC))
+    for (((label, back), (_, orig)) <- navTables(rootC).zip(navTables(rootA))) {
+      assert(back.exceptAll(orig).count() === 0, label)
+      assert(orig.exceptAll(back).count() === 0, label)
     }
   }
 
@@ -991,16 +989,12 @@ class PipelineSpec extends SparkSpec {
       Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 13 + i) % 7))
     def varied(id: Long): Array[Double] =
       Array.tabulate(64)(i => if (((id * 31 + i * 17) % 11) < 5) -1.0 - 0.01 * i else 1.0 + 0.01 * i)
-    def parity(rootB: String, rootFull: String): Unit = {
-      val paths = Seq(NavIndex.graphPath _) ++
-        (0 to 2).map(r => (root: String) => NavIndex.roundPath(root, r))
-      for (path <- paths) {
-        val incr = spark.read.parquet(path(rootB))
-        val full = spark.read.parquet(path(rootFull))
-        assert(incr.exceptAll(full).count() === 0, path(rootB))
-        assert(full.exceptAll(incr).count() === 0, path(rootB))
-      }
-    }
+    def parity(rootB: String, rootFull: String): Unit =
+      for (((label, incr), (_, full)) <- navTables(rootB).zip(navTables(rootFull)))
+        if (label != "vecs") {
+          assert(incr.exceptAll(full).count() === 0, label)
+          assert(full.exceptAll(incr).count() === 0, label)
+        }
     // case 1 — GROW-ONLY: 70 clones are already over the cap (anchor
     // pairing at quantized ceiling 128); 10 HIGHER-id delta clones
     // grow the bucket to 80 — same cap side, same ceiling, same min —
@@ -1021,9 +1015,9 @@ class PipelineSpec extends SparkSpec {
     // non-vacuous: the clique stayed anchor-limited (quantized rate
     // 16/128 over 80 members + the min-id anchor — far fewer distinct
     // round-0 targets than members)
-    val targets = spark.read.parquet(NavIndex.roundPath(rb1, 0))
+    val targets0 = NavIndex.round(spark, rb1, 0)
       .where(col("node") < 100).select("nbr_id").distinct().count()
-    assert(targets < 40, s"expected anchor-limited targets, got $targets")
+    assert(targets0 < 40, s"expected anchor-limited targets, got $targets0")
     // case 2 — QUANTIZED-WIDTH FLIP: 120 clones (ceiling 128) + 20
     // delta clones -> 140 crosses to ceiling 256; every member's
     // anchor threshold halves, so the bucket must full-re-rank — and

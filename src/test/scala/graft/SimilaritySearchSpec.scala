@@ -120,9 +120,7 @@ class SimilaritySearchSpec extends SparkSpec {
     // prior corpus 2000 vectors (bits = 8); +500 crosses to 2500 (bits = 9)
     val prior = (0 until 4).map(shifted).reduce(_.unionByName(_))
     val root = java.nio.file.Files.createTempDirectory("graft_navguard").toString
-    graft.io.Writers.truncateLoad(
-      ops.Similarity.vecsOf(spark, prior).select("vec_id", "v", "norm"),
-      NavIndex.vecsPath(s"$root/vn"))
+    NavIndex.landVecs(spark, prior, s"$root/vn")
     val e = intercept[IllegalArgumentException] {
       NavIndex.incrementState(spark, shifted(4), s"$root/vn", s"$root/vn1")
     }

@@ -382,7 +382,7 @@ class StreamingSpec extends SparkSpec {
     // batch parity: the maintained graph IS the one-shot build's graph
     val fullRoot = java.nio.file.Files.createTempDirectory("graft_idxm_full").toString
     NavIndex.buildState(spark, emb, fullRoot)
-    val full = spark.read.parquet(NavIndex.graphPath(fullRoot))
+    val full = NavIndex.graph(spark, fullRoot)
     val cur = IndexStreams.currentGraph(spark, root)
     assert(cur.count() === full.count())
     assert(cur.exceptAll(full).count() === 0)
@@ -400,6 +400,43 @@ class StreamingSpec extends SparkSpec {
     val cur2 = IndexStreams.currentGraph(spark, root)
     assert(cur2.exceptAll(full).count() === 0)
     assert(full.exceptAll(cur2).count() === 0)
+  }
+
+  test("maintenance gate routes deltas by estimated frontier fraction") {
+    import graft.streaming.IndexStreams
+    import graft.pipelines.NavIndex
+    import spark.implicits._
+    // two sign-separable regions (band signatures are pure sign
+    // patterns, so A and B never share a seed bucket): A is a small
+    // content domain, B the bulk corpus
+    def vecA(id: Long) = Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 7 + i) % 5))
+    def vecB(id: Long) = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0 + 0.001 * ((id * 11 + i) % 5) else -1.0 - 0.001 * ((id * 3 + i) % 5))
+    val base = ((0L until 30L).map(i => (i, vecA(i), 1L)) ++
+      (100L until 280L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_route_idx").toString
+    assert(IndexStreams.maintainBatch(spark, base, root, 0L) === "build")
+    // LOCALIZED delta — only region A's buckets touched, estimated
+    // frontier (30+10)/220 ≈ 0.18, well under the 0.5 threshold
+    val local = (30L until 40L).map(i => (i, vecA(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    assert(IndexStreams.maintainBatch(spark, local, root, 1L) === "increment")
+    // UNIFORM delta — both regions touched, estimated frontier ≈ 1.0:
+    // its true frontier is the corpus, so the gate takes the rebuild
+    val uniform = ((40L until 45L).map(i => (i, vecA(i), 1L)) ++
+      (280L until 285L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    assert(IndexStreams.maintainBatch(spark, uniform, root, 2L) === "rebuild(frontier)")
+    // routing is a cost decision, never a content one: the sequence
+    // lands on the one-shot build's graph bit-for-bit
+    val ref = java.nio.file.Files.createTempDirectory("graft_route_ref").toString
+    NavIndex.buildState(spark,
+      base.unionByName(local).unionByName(uniform), ref)
+    val got = IndexStreams.currentGraph(spark, root)
+    val want = NavIndex.graph(spark, ref)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
   }
 
   test("searchGate replays a micro-batch idempotently after a lost commit") {
