@@ -265,8 +265,12 @@ object NavIndex {
     lap("width guard counts")
     val pbm = mat(pbMap(v), "pbm")
     val bits = Similarity.navBitsFor(nNext)
-    val bands = Similarity.navBands(v, bits)
-    val bandsPrior = Similarity.navBands(priorV, bits)
+    // both band tables feed 3–4 consumers each (classification, node
+    // sets, grow pairs, the full-rank seed generator); landed once,
+    // every consumer scans ~16 B/row instead of re-exploding the
+    // 512 B/row vector table per use
+    val bands = mat(Similarity.navBands(v, bits), "bands")
+    val bandsPrior = mat(Similarity.navBands(priorV, bits), "bandsp")
     val deltaIds = dv.select(col("vec_id"))
     val deltaBands = bands.join(broadcast(deltaIds), "vec_id")
     val touched = deltaBands.select("b", "key").distinct()
@@ -453,7 +457,7 @@ object NavIndex {
     val delNodes = mat(del.select(col("vec_id").as("node")), "delnodes")
     val touchedBuckets = Similarity.navBands(delV, Similarity.navBitsFor(nNext))
       .select("b", "key").distinct()
-    val bands = Similarity.navBands(v, Similarity.navBitsFor(nNext))
+    val bands = mat(Similarity.navBands(v, Similarity.navBitsFor(nNext)), "bands")
     val affected0 = mat(
       bands.join(touchedBuckets, Seq("b", "key"))
         .select(col("vec_id").as("node")).distinct(), "aff0")
