@@ -1,9 +1,9 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Writers
+import graft.io.{BucketedTable, Writers}
 import graft.ops.Similarity
 
 /** Incrementally-maintained ANN index — the embedding-side analog of
@@ -12,10 +12,10 @@ import graft.ops.Similarity
   * costs the DELTA, not a from-scratch rebuild of the per-cell
   * self-join over the whole corpus.
   *
-  * State per release root (all `Writers.truncateLoad`-landed, so a
-  * re-run reproduces identical state):
+  * State per release root:
   *   - `ann_widths`: per-label corpus counts — the input to the IVF
-  *     re-tune ladder (`Similarity.bitsFor`);
+  *     re-tune ladder (`Similarity.bitsFor`); O(#labels), landed
+  *     whole (`Writers.truncateLoad`);
   *   - `ann_cells`:  (vec_id, label, cell, v, norm) — the bucketed
   *     vectors, i.e. the index payload an IVF index stores per list;
   *   - `ann_graph`:  (vec_id, nbr_id, cos, rank) — the top-3 kNN
@@ -31,11 +31,24 @@ import graft.ops.Similarity
   * row-identical to a full rebuild over vN ∪ delta
   * (`PipelineSpec` proves it, including across a tier crossing).
   *
+  * STORAGE (round 13, the `NavIndex` discipline): `ann_cells` and
+  * `ann_graph` are [[graft.io.BucketedTable]]s keyed by
+  * hash(label) mod 2^[[PartBits]] — the LABEL is the touch grain
+  * (touched cells belong to delta/re-celled labels by construction),
+  * so an increment physically rewrites only the buckets of labels
+  * the delta touched and carries every other bucket by manifest
+  * reference. Before, both tables were truncate-loaded whole per
+  * release, which put a corpus-sized write I/O floor (the 512 B/row
+  * vector payload!) under every increment no matter how small the
+  * delta.
+  *
   * Scale (100 TB): the touched-cell set is delta-proportional
   * (bounded by |delta| + members of tier-crossing labels — and a tier
   * crossing is itself amortized-rare: widths grow 8× between rungs).
   * The probe joins are hash equi-joins on cell against a broadcast of
-  * the touched-cell ids; prior state is read, never recomputed.
+  * the touched-cell ids; prior state is read partition-pruned to the
+  * touched buckets, never recomputed — and untouched buckets are
+  * neither read nor rewritten.
   */
 object AnnIndex {
 
@@ -43,33 +56,70 @@ object AnnIndex {
   def cellsPath(root: String): String  = s"$root/ann_cells"
   def graphPath(root: String): String  = s"$root/ann_graph"
 
+  private[graft] val CellsSchema =
+    "vec_id BIGINT, label BIGINT, cell STRING, v ARRAY<DOUBLE>, norm DOUBLE"
+  private[graft] val GraphSchema =
+    "vec_id BIGINT, nbr_id BIGINT, cos DOUBLE, rank BIGINT"
+
+  /** Bucket-key width: 2^6 = 64 label-hash buckets. Hash (not
+    * locality) is right HERE: the touch grain is whole labels, a
+    * bounded set per delta, and cells of one label always share a
+    * bucket — no frontier smearing to avoid. */
+  private[graft] val PartBits = 6
+
+  private def pbOf(label: Column): Column =
+    pmod(hash(label), lit(1 << PartBits))
+
+  /** Committed-version readers (see `NavIndex` — raw parquet reads
+    * cannot see an incremented version's referenced buckets). */
+  def cells(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, cellsPath(root), CellsSchema)
+
+  /** The landed kNN graph, ordered like `Similarity.knnGraph` — what
+    * downstream graph passes read. */
+  def graph(spark: SparkSession, root: String): DataFrame =
+    graphUnordered(spark, root).orderBy("vec_id", "rank")
+
+  private def graphUnordered(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, graphPath(root), GraphSchema)
+
+  /** Embeddings → (vec_id, label BIGINT, v, norm): the label is
+    * normalized to a stable type because it keys the bucketed state
+    * tables' declared schema. */
+  private def vecsNorm(spark: SparkSession, emb: DataFrame): DataFrame =
+    Similarity.vecsOf(spark, emb).withColumn("label", col("label").cast("bigint"))
+
   /** The vN full build: assign cells from corpus-wide label widths,
     * land the three state tables. `emb` is an embeddings-format table
     * (vec_id, embedding, label). */
   def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
-    val v0 = Similarity.vecsOf(spark, emb)
+    val v0 = vecsNorm(spark, emb)
     Writers.truncateLoad(
       v0.groupBy("label").agg(count(lit(1)).as("cn")), widthsPath(root))
     val widths = spark.read.parquet(widthsPath(root))
-    Writers.truncateLoad(
-      Similarity.assignCells(v0, widths).select("vec_id", "label", "cell", "v", "norm"),
+    BucketedTable.write(
+      Similarity.assignCells(v0, widths)
+        .select("vec_id", "label", "cell", "v", "norm")
+        .withColumn("pb", pbOf(col("label"))),
       cellsPath(root))
-    val cells = spark.read.parquet(cellsPath(root)).persist()
-    cells.count() // materialize before both self-join sides fan out
-    Writers.truncateLoad(Similarity.pairCells(spark, cells), graphPath(root))
-    cells.unpersist()
+    val cs = cells(spark, root).persist()
+    cs.count() // materialize before both self-join sides fan out
+    BucketedTable.write(
+      Similarity.pairCells(spark, cs)
+        .join(cs.select(col("vec_id"), pbOf(col("label")).as("pb")), "vec_id"),
+      graphPath(root))
+    cs.unpersist()
   }
 
   /** Release vN → vN+1: absorb `deltaEmb` (new vectors only; ids must
     * be disjoint from vN) against the state under `priorRoot`, land
     * the refreshed state under `nextRoot`. Only touched cells
-    * re-pair; everything else is carried forward by read. */
+    * re-pair, and only touched-label BUCKETS rewrite — everything
+    * else is carried forward by manifest reference. */
   def incrementState(spark: SparkSession, deltaEmb: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
     val priorW = spark.read.parquet(widthsPath(priorRoot))
-    val priorC = spark.read.parquet(cellsPath(priorRoot))
-    val priorG = spark.read.parquet(graphPath(priorRoot))
-    val dv = Similarity.vecsOf(spark, deltaEmb)
+    val dv = vecsNorm(spark, deltaEmb)
 
     // vN+1 label widths = vN widths + delta counts (full outer: a
     // delta-only label is new, a delta-free label keeps its width)
@@ -86,36 +136,47 @@ object AnnIndex {
     val rebuildLabels = nextW
       .where(Similarity.bitsFor(col("cn")) =!= Similarity.bitsFor(col("old_cn")))
       .select("label")
+    // touched buckets = buckets of delta labels + re-celled labels —
+    // a bounded label set per delta, collected bucket-grain only
+    val touchedPb = dv.select("label").unionByName(rebuildLabels)
+      .select(pbOf(col("label")).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values
+    val priorCT = BucketedTable.readParts(spark, cellsPath(priorRoot),
+      CellsSchema, touchedPb)
     // re-select the canonical column order: the label-keyed join moves
     // the key first, and state tables must keep a stable schema
-    val keepPrior = priorC.join(broadcast(rebuildLabels), Seq("label"), "left_anti")
+    val keepPriorT = priorCT.join(broadcast(rebuildLabels), Seq("label"), "left_anti")
       .select("vec_id", "label", "cell", "v", "norm")
-    val reassign = priorC.join(broadcast(rebuildLabels), Seq("label"), "left_semi")
+    val reassign = priorCT.join(broadcast(rebuildLabels), Seq("label"), "left_semi")
       .select("vec_id", "label", "v", "norm")
       .unionByName(dv.select("vec_id", "label", "v", "norm"))
     val assigned = Similarity.assignCells(reassign, widths)
       .select("vec_id", "label", "cell", "v", "norm")
-    Writers.truncateLoad(keepPrior.unionByName(assigned), cellsPath(nextRoot))
+    BucketedTable.writeSpliced(spark,
+      keepPriorT.unionByName(assigned).withColumn("pb", pbOf(col("label"))),
+      touchedPb, cellsPath(priorRoot), cellsPath(nextRoot))
 
     // touched cells = cells holding any newly-(re)assigned member;
-    // delta-proportional, so they broadcast
-    val cells = spark.read.parquet(cellsPath(nextRoot)).persist()
-    cells.count()
+    // delta-proportional, so they broadcast. All their members live
+    // in touched buckets, so the scan is partition-pruned.
+    val cellsT = BucketedTable.readParts(spark, cellsPath(nextRoot),
+      CellsSchema, touchedPb).persist()
+    cellsT.count() // materialize before both self-join sides fan out
     val touched = assigned.select("cell").distinct()
-    val touchedMembers = cells.join(broadcast(touched), "cell").persist()
+    val touchedMembers = cellsT.join(broadcast(touched), "cell").persist()
     touchedMembers.count() // materialize before both self-join sides fan out
     val rebuiltEdges = Similarity.pairCells(spark, touchedMembers)
-    val keptOwners = keepPrior.select("vec_id", "cell")
+    val keptOwnersT = keepPriorT.select("vec_id", "cell")
       .join(broadcast(touched), Seq("cell"), "left_anti")
       .select("vec_id")
-    val keptEdges = priorG.join(keptOwners, "vec_id")
+    val keptEdgesT = BucketedTable.readParts(spark, graphPath(priorRoot),
+        GraphSchema, touchedPb)
+      .join(keptOwnersT, "vec_id")
       .select("vec_id", "nbr_id", "cos", "rank")
-    Writers.truncateLoad(keptEdges.unionByName(rebuiltEdges), graphPath(nextRoot))
-    touchedMembers.unpersist(); cells.unpersist()
+    BucketedTable.writeSpliced(spark,
+      keptEdgesT.unionByName(rebuiltEdges)
+        .join(cellsT.select(col("vec_id"), pbOf(col("label")).as("pb")), "vec_id"),
+      touchedPb, graphPath(priorRoot), graphPath(nextRoot))
+    touchedMembers.unpersist(); cellsT.unpersist()
   }
-
-  /** The landed kNN graph, ordered like `Similarity.knnGraph` — what
-    * downstream graph passes read. */
-  def graph(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(graphPath(root)).orderBy("vec_id", "rank")
 }

@@ -75,6 +75,26 @@ object Curation {
 
   def exactPath(root: String): String = s"$root/exact_keepers"
 
+  private[graft] val ExactSchema = "doc_id BIGINT, keeper_id BIGINT, h STRING"
+
+  /** The exact keeper mapping is the one CORPUS-SIZED table of the
+    * release state (one row per doc), and the release chain only ever
+    * APPENDS to it (keeper demotion REFUSES toward the rebuild
+    * escape hatch) — so it is stored as a content-hash-bucketed
+    * [[graft.io.BucketedTable]] and each increment lands ONLY the
+    * delta's rows, referencing every prior bucket by manifest (the
+    * round-13 `NavIndex`/`AnnIndex` storage discipline; before, every
+    * release truncate-loaded the whole mapping). Read it through
+    * [[exactMap]]; a raw parquet read of an incremented version sees
+    * only that version's delta. */
+  def exactMap(spark: SparkSession, root: String): DataFrame =
+    graft.io.BucketedTable.read(spark, exactPath(root), ExactSchema)
+
+  private def withExactPb(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("pb", pmod(hash(col("h")), lit(64)))
+  }
+
   /** Exact-dedup pre-pass + near-dup state build — the production
     * DEFAULT composition: exact BEFORE fuzzy. Lands (doc_id,
     * keeper_id, h) for EVERY doc (identity rows for keepers) under
@@ -105,8 +125,8 @@ object Curation {
     * for the candidate join to stay bounded. */
   def buildStateExactFirst(spark: SparkSession, docs: DataFrame, root: String): Unit = {
     import org.apache.spark.sql.functions._
-    Writers.truncateLoad(Dedup.exactKeeperMap(docs), exactPath(root))
-    val mapping = spark.read.parquet(exactPath(root))
+    graft.io.BucketedTable.write(withExactPb(Dedup.exactKeeperMap(docs)), exactPath(root))
+    val mapping = exactMap(spark, root)
     val keepers = mapping.where(col("doc_id") === col("keeper_id")).select("doc_id")
     Writers.truncateLoad(
       Dedup.cappedBandsOf(docs.join(keepers, "doc_id")).select("doc_id", "b", "key"),
@@ -126,7 +146,7 @@ object Curation {
     * full doc-id universe. Same marginal cost as [[applyDeduped]]. */
   def keptExactFirst(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(exactPath(root)).select("doc_id")
+    exactMap(spark, root).select("doc_id")
       .join(spark.read.parquet(clustersPath(root))
         .where(!col("keep")).select("doc_id"),
         Seq("doc_id"), "left_anti")
@@ -164,7 +184,17 @@ object Curation {
     import org.apache.spark.sql.functions._
     val exactP = new org.apache.hadoop.fs.Path(s"${exactPath(priorRoot)}/_SUCCESS")
     val fs = exactP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(exactP)) {
+    // a top-level _SUCCESS marks a mapping landed by an earlier
+    // release layout (whole-table parquet, possibly pre-h schema) —
+    // the bucketed layout keeps its commit marker in `_parts`. Refuse
+    // with the rebuild guidance instead of silently incrementing
+    // fuzzy-only over a composed exact-first decision table (wrong
+    // state) or failing on a missing column mid-plan.
+    require(!fs.exists(exactP),
+      s"prior exact mapping at ${exactPath(priorRoot)} was written by an " +
+        "earlier release layout (whole-table parquet); " +
+        "rebuild the curation state with buildStateExactFirst")
+    if (!graft.io.BucketedTable.isCommitted(spark, exactPath(priorRoot))) {
       // fuzzy-only prior state: the legacy composition, unchanged
       val st = Dedup.incrementalClusters(newDocs,
         spark.read.parquet(bandsPath(priorRoot)),
@@ -173,14 +203,7 @@ object Curation {
       Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
       st.release()
     } else {
-      val priorMap = spark.read.parquet(exactPath(priorRoot))
-      // a mapping landed by a pre-h release (schema doc_id, keeper_id)
-      // passes the _SUCCESS probe above but cannot be probed by hash —
-      // refuse with the rebuild guidance instead of an AnalysisException
-      require(priorMap.columns.contains("h"),
-        s"prior exact mapping at ${exactPath(priorRoot)} lacks the h column " +
-          "(written by an earlier release of the exact-first state); " +
-          "rebuild the curation state with buildStateExactFirst")
+      val priorMap = exactMap(spark, priorRoot)
       val deltaH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
       val priorKeeperByH = priorMap
         .where(col("doc_id") === col("keeper_id"))
@@ -196,8 +219,12 @@ object Curation {
       val deltaMap = probed.join(newGroups, Seq("h"), "left")
         .select(col("doc_id"),
           coalesce(col("prior_keeper"), col("new_keeper")).as("keeper_id"), col("h"))
-      Writers.truncateLoad(priorMap.unionByName(deltaMap), exactPath(nextRoot))
-      val nextMap = spark.read.parquet(exactPath(nextRoot))
+      // the mapping is append-only under the demotion refuse above,
+      // so the next release lands ONLY the delta's rows — every prior
+      // bucket is a manifest reference, zero prior-mapping I/O
+      graft.io.BucketedTable.writeAppended(spark, withExactPb(deltaMap),
+        exactPath(priorRoot), exactPath(nextRoot))
+      val nextMap = exactMap(spark, nextRoot)
       // only NEW-group keepers enter the fuzzy chain; the prior fuzzy
       // decision is the composed table restricted to prior keepers
       // (exact-loser rows filtered back out — they carry no bands)

@@ -5,16 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** Measure incremental ANN index maintenance vs full rebuild — the
   * PERF.md evidence behind `pipelines.AnnIndex`'s claim that a
-  * release increment re-pairs only touched cells. Splits the
-  * embeddings by vec_id into vN and a fixed-size delta (the highest
-  * |n| ids — the realistic new-release regime), builds the vN state,
-  * then times `incrementState` against a timed full rebuild and
-  * checks graph equality. NOT part of the driver contract — local
-  * tooling. `runMain graft.tools.AnnCost <sfDir> [deltaRows]` */
+  * release increment re-pairs only touched cells (and, round 13,
+  * rewrites only touched-label buckets). Splits the embeddings by
+  * vec_id into vN and a fixed-size delta (the highest |n| ids — the
+  * realistic new-release regime), builds the vN state, then times
+  * `incrementState` against a timed full rebuild and checks graph
+  * equality.
+  *
+  * Optional ×k scaling (`dupFactor`): duplicates the corpus with
+  * per-copy LABEL offsets — per-label width stays constant while the
+  * label cardinality (and so the bucket-prune opportunity) scales,
+  * the shape a many-domain production corpus has. With `deltaLabels`
+  * set, the delta is all rows of the HIGHEST n labels instead of the
+  * highest ids — the "new content domain arrives" release regime the
+  * bucket splice is built for. (The planted-mixture corpus is the
+  * wrong input here: its clusters collapse into single mega-cells
+  * and the self-join quadratics dominate — the regime where
+  * `CurateThenIndex` shows dedup-before-index is mandatory.)
+  *
+  * NOT part of the driver contract — local tooling.
+  * `runMain graft.tools.AnnCost <sfDir> [deltaRows] [dupFactor] [deltaLabels]` */
 object AnnCost {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val deltaRows = args.lift(1).map(_.toInt).getOrElse(500)
+    val dupFactor = args.lift(2).map(_.toInt).getOrElse(1)
+    val deltaLabels = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +47,34 @@ object AnnCost {
       r
     }
 
-    val emb = graft.Tables.embeddings(spark, sfDir)
-    val cut = emb.select("vec_id").orderBy(col("vec_id").desc)
-      .limit(deltaRows).agg(min(col("vec_id"))).first().getLong(0)
-    val vN = emb.where(col("vec_id") < cut)
-    val delta = emb.where(col("vec_id") >= cut)
+    val emb0 = graft.Tables.embeddings(spark, sfDir)
+    val emb =
+      if (dupFactor <= 1) emb0
+      else {
+        val idOff = emb0.agg(max("vec_id")).head().getLong(0) + 1L
+        val labOff = emb0.agg(max(col("label").cast("bigint"))).head().getLong(0) + 1L
+        val dup = (0 until dupFactor).map { c =>
+          emb0.select((col("vec_id") + lit(c * idOff)).as("vec_id"),
+            col("embedding"),
+            (col("label").cast("bigint") + lit(c * labOff)).as("label"))
+        }.reduce(_.unionByName(_))
+        val out = s"/tmp/graft_anncost_x$dupFactor"
+        dup.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/embeddings.parquet")
+        spark.read.parquet(s"$out/embeddings.parquet")
+      }
+    val (vN, delta) =
+      if (deltaLabels > 0) {
+        val cutL = emb.select(col("label").cast("bigint").as("label")).distinct()
+          .orderBy(col("label").desc)
+          .limit(deltaLabels).agg(min(col("label"))).first().getLong(0)
+        println(s"delta = all rows of the $deltaLabels highest labels (>= $cutL)")
+        (emb.where(col("label") < cutL), emb.where(col("label") >= cutL))
+      } else {
+        val cut = emb.select("vec_id").orderBy(col("vec_id").desc)
+          .limit(deltaRows).agg(min(col("vec_id"))).first().getLong(0)
+        (emb.where(col("vec_id") < cut), emb.where(col("vec_id") >= cut))
+      }
     println(s"corpus ${emb.count()} vectors; delta ${delta.count()}")
 
     val base = java.nio.file.Files.createTempDirectory("graft_anncost").toString
@@ -48,8 +87,8 @@ object AnnCost {
     time("buildState (full)") {
       graft.pipelines.AnnIndex.buildState(spark, emb, s"$base/full")
     }
-    val g1 = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(s"$base/vn1"))
-    val g2 = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(s"$base/full"))
+    val g1 = graft.pipelines.AnnIndex.graph(spark, s"$base/vn1")
+    val g2 = graft.pipelines.AnnIndex.graph(spark, s"$base/full")
     println(s"graph equal: ${g1.exceptAll(g2).count() == 0 && g2.exceptAll(g1).count() == 0}")
     spark.stop()
   }

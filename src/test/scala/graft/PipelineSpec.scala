@@ -595,7 +595,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(Curation.clustersPath(rootEx))
       .where(!col("keep") && col("doc_id") < 70).count() === 69)
     // the landed mapping covers every doc, identity rows for keepers
-    val mapping = spark.read.parquet(Curation.exactPath(rootEx))
+    val mapping = Curation.exactMap(spark, rootEx)
     assert(mapping.count() === docs.count())
     assert(mapping.where(col("doc_id") < 70 && col("keeper_id") =!= 0).count() === 0)
     assert(mapping.where(col("doc_id") === col("keeper_id")).count() === 4)
@@ -618,11 +618,13 @@ class PipelineSpec extends SparkSpec {
     Curation.buildStateExactFirst(spark, vN, rootA)
     Curation.incrementState(spark, delta, rootA, rootB)
     Curation.buildStateExactFirst(spark, vN.unionByName(delta), rootFull)
-    for (p <- Seq(Curation.clustersPath _, Curation.bandsPath _, Curation.exactPath _)) {
-      val incr = spark.read.parquet(p(rootB))
-      val full = spark.read.parquet(p(rootFull))
-      assert(incr.exceptAll(full).count() === 0, s"extra rows under ${p(rootB)}")
-      assert(full.exceptAll(incr).count() === 0, s"missing rows under ${p(rootB)}")
+    val exTables = (root: String) => Seq(
+      "clusters" -> spark.read.parquet(Curation.clustersPath(root)),
+      "bands" -> spark.read.parquet(Curation.bandsPath(root)),
+      "exact" -> Curation.exactMap(spark, root))
+    for (((label, incr), (_, full)) <- exTables(rootB).zip(exTables(rootFull))) {
+      assert(incr.exceptAll(full).count() === 0, s"extra rows in $label")
+      assert(full.exceptAll(incr).count() === 0, s"missing rows in $label")
     }
     // non-vacuous: the synthetic exact dups were absorbed as losers
     // without entering the fuzzy chain (no bands for their ids)
@@ -817,17 +819,17 @@ class PipelineSpec extends SparkSpec {
     graft.pipelines.AnnIndex.buildState(spark, vN, rootA)
     graft.pipelines.AnnIndex.incrementState(spark, delta, rootA, rootB)
     graft.pipelines.AnnIndex.buildState(spark, emb, rootFull)
-    for (path <- Seq(graft.pipelines.AnnIndex.graphPath _,
-        graft.pipelines.AnnIndex.cellsPath _,
-        graft.pipelines.AnnIndex.widthsPath _)) {
-      val incr = spark.read.parquet(path(rootB))
-      val full = spark.read.parquet(path(rootFull))
-      assert(incr.exceptAll(full).count() === 0, path(rootB))
-      assert(full.exceptAll(incr).count() === 0, path(rootB))
+    val annTables = (root: String) => Seq(
+      "graph" -> graft.pipelines.AnnIndex.graph(spark, root),
+      "cells" -> graft.pipelines.AnnIndex.cells(spark, root),
+      "widths" -> spark.read.parquet(graft.pipelines.AnnIndex.widthsPath(root)))
+    for (((label, incr), (_, full)) <- annTables(rootB).zip(annTables(rootFull))) {
+      assert(incr.exceptAll(full).count() === 0, label)
+      assert(full.exceptAll(incr).count() === 0, label)
     }
     // non-vacuous: the delta actually added graph state
-    assert(spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootB)).count() >
-      spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootA)).count())
+    assert(graft.pipelines.AnnIndex.graph(spark, rootB).count() >
+      graft.pipelines.AnnIndex.graph(spark, rootA).count())
   }
 
   test("incremental ANN index: a width-tier crossing re-cells the label exactly") {
@@ -849,12 +851,12 @@ class PipelineSpec extends SparkSpec {
     graft.pipelines.AnnIndex.buildState(spark, vN, rootA)
     graft.pipelines.AnnIndex.incrementState(spark, delta, rootA, rootB)
     graft.pipelines.AnnIndex.buildState(spark, vN.unionByName(delta), rootFull)
-    val incr = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootB))
-    val full = spark.read.parquet(graft.pipelines.AnnIndex.graphPath(rootFull))
+    val incr = graft.pipelines.AnnIndex.graph(spark, rootB)
+    val full = graft.pipelines.AnnIndex.graph(spark, rootFull)
     assert(incr.exceptAll(full).count() === 0)
     assert(full.exceptAll(incr).count() === 0)
     // the crossing actually happened: label 7 cells are now split
-    val cellsB = spark.read.parquet(graft.pipelines.AnnIndex.cellsPath(rootB))
+    val cellsB = graft.pipelines.AnnIndex.cells(spark, rootB)
     assert(cellsB.where(col("label") === 7).select("cell").distinct().count() > 1)
     assert(cellsB.where(col("label") === 8).select("cell").distinct().count() === 1)
   }
