@@ -265,15 +265,22 @@ object NavIndex {
     lap("width guard counts")
     val pbm = mat(pbMap(v), "pbm")
     val bits = Similarity.navBitsFor(nNext)
-    // both band tables feed 3–4 consumers each (classification, node
-    // sets, grow pairs, the full-rank seed generator); landed once,
-    // every consumer scans ~16 B/row instead of re-exploding the
+    // the next-release band table feeds 3–4 consumers (classification,
+    // flip nodes, delta bands, the full-rank seed generator — which
+    // needs EVERY bucket of a full-rank node, touched or not); landed
+    // once, every consumer scans ~16 B/row instead of re-exploding the
     // 512 B/row vector table per use
     val bands = mat(Similarity.navBands(v, bits), "bands")
-    val bandsPrior = mat(Similarity.navBands(priorV, bits), "bandsp")
     val deltaIds = dv.select(col("vec_id"))
     val deltaBands = bands.join(broadcast(deltaIds), "vec_id")
     val touched = deltaBands.select("b", "key").distinct()
+    // the PRIOR band table's consumers (classification stats, grow
+    // node/pair derivation) all restrict to delta-touched buckets, so
+    // only that FRONTIER-sized slice is landed — one corpus-wide
+    // explode+join instead of one explode per consumer, and the landed
+    // rows scale with the delta, not the corpus
+    val bandsPrior = mat(
+      Similarity.navBands(priorV, bits).join(touched, Seq("b", "key")), "bandsp")
 
     // GROW-SPLICE classification (round 12 — the fix for "a 1%
     // increment costs a full rebuild", PERF.md): a touched bucket is
@@ -289,7 +296,7 @@ object NavIndex {
     // full build would — so the spliced round 0 is bit-identical to
     // the rebuild's (`PipelineSpec` pins both regimes).
     val cap = Similarity.NavBucketCap
-    val sp = bandsPrior.join(touched, Seq("b", "key"))
+    val sp = bandsPrior // already touched-bucket-restricted
       .groupBy("b", "key").agg(count(lit(1)).as("bnp"), min("vec_id").as("a0p"))
     val sn = bands.join(touched, Seq("b", "key"))
       .groupBy("b", "key").agg(count(lit(1)).as("bnn"), min("vec_id").as("a0n"))

@@ -881,6 +881,48 @@ class PipelineSpec extends SparkSpec {
       NavIndex.graph(spark, rootA).count())
   }
 
+  test("a localized increment rewrites only frontier-touched buckets") {
+    // the storage contract behind the round-13 splice: a delta
+    // confined to one sign-region must leave the other region's
+    // buckets as MANIFEST REFERENCES into the prior version (zero
+    // read, zero write), in every landed table; vectors land as a
+    // pure append (all prior buckets still referenced)
+    import graft.pipelines.NavIndex
+    import graft.io.BucketedTable
+    import spark.implicits._
+    def vecA(id: Long) = Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 7 + i) % 5))
+    def vecB(id: Long) = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0 + 0.001 * ((id * 11 + i) % 5) else -1.0 - 0.001 * ((id * 3 + i) % 5))
+    val base = ((0L until 30L).map(i => (i, vecA(i), 1L)) ++
+      (100L until 280L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val local = (30L until 40L).map(i => (i, vecA(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val rootA = Files.createTempDirectory("graft_prune_vn").toString
+    val rootB = Files.createTempDirectory("graft_prune_vn1").toString
+    NavIndex.buildState(spark, base, rootA)
+    NavIndex.incrementState(spark, local, rootA, rootB)
+    for (t <- Seq(NavIndex.graphPath(rootB)) ++
+        (0 to 2).map(r => NavIndex.roundPath(rootB, r))) {
+      val dirs = BucketedTable.parts(spark, t).values.flatten.toSeq
+      assert(dirs.exists(_.startsWith(rootA)),
+        s"$t carries no referenced prior buckets — the splice rewrote everything")
+      assert(dirs.exists(_.startsWith(rootB)),
+        s"$t wrote nothing locally — the frontier cannot be empty here")
+    }
+    val vdirs = BucketedTable.parts(spark, NavIndex.vecsPath(rootB)).values.flatten.toSeq
+    assert(vdirs.count(_.startsWith(rootA)) ===
+      BucketedTable.parts(spark, NavIndex.vecsPath(rootA)).values.flatten.size,
+      "vector append must keep every prior bucket referenced")
+    // and the spliced state still equals the full rebuild
+    val rootFull = Files.createTempDirectory("graft_prune_full").toString
+    NavIndex.buildState(spark, base.unionByName(local), rootFull)
+    val g1 = NavIndex.graph(spark, rootB)
+    val g2 = NavIndex.graph(spark, rootFull)
+    assert(g1.exceptAll(g2).count() === 0)
+    assert(g2.exceptAll(g1).count() === 0)
+  }
+
   test("incremental nav graph: retire splices row-identical to a reduced rebuild") {
     import graft.pipelines.NavIndex
     val emb = Tables.embeddings(spark, sf)
