@@ -158,6 +158,15 @@ object BucketedTable {
     commitManifest(spark, path, entries)
   }
 
+  /** The committed table at `path` is SELF-CONTAINED: every manifest
+    * entry points under `prefix` (a full write references nothing; an
+    * incremented version references ancestors). The retention
+    * primitive — a version whose tables are all self-contained is a
+    * chain ANCHOR, and everything strictly below the newest retained
+    * anchor is reclaimable (`streaming.IndexStreams.vacuum`). */
+  def isSelfContained(spark: SparkSession, path: String, prefix: String): Boolean =
+    parts(spark, path).values.flatten.forall(_.startsWith(prefix))
+
   /** Read the whole logical table (one multi-root parquet scan over
     * every referenced directory; the `pb` value is a derived function
     * of the row, not stored data, so it does not reappear). */

@@ -138,6 +138,16 @@ object NavIndex {
   private[graft] def isCommitted(spark: SparkSession, root: String): Boolean =
     BucketedTable.isCommitted(spark, graphPath(root))
 
+  /** The version at `root` is a chain ANCHOR: every state table
+    * references only its own directories (true of [[buildState]] and
+    * [[rebuildState]] outputs, never of increments, whose vector
+    * append always references the prior release) — the point below
+    * which older versions are reclaimable. */
+  private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
+    (Seq(vecsPath(root), graphPath(root)) ++
+      (0 to Rounds).map(roundPath(root, _)))
+      .forall(BucketedTable.isSelfContained(spark, _, root))
+
   /** Land ONLY the vector table (full write) — the seam the
     * width-boundary guard spec uses to stage a prior state without
     * paying a graph build. */

@@ -118,6 +118,37 @@ object IndexStreams {
     }
   }
 
+  /** Retire old index versions — the retention contract made
+    * behavior (round 13): an increment-landed version REFERENCES
+    * buckets in ancestor versions, so naive delete-the-oldest would
+    * tear newer versions' tables. This vacuum keeps the newest
+    * `keepLast` committed versions, finds the newest chain ANCHOR
+    * (a full build/rebuild — references nothing outside itself,
+    * `NavIndex.isAnchor`) at or below the oldest kept version, and
+    * deletes only versions strictly BELOW that anchor: everything
+    * kept resolves inside the kept set by construction. If no such
+    * anchor exists (the kept window is all increments of an older
+    * chain), nothing is deleted — safety over reclamation; the next
+    * rebuild (width-boundary or frontier-routed, both land anchors)
+    * re-opens the window. Same posture as `Writers.vacuumKeyed`, with
+    * the reference-counting the manifest layout requires. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val vs = committedVersions(spark, root)
+    if (vs.size > keepLast) {
+      val oldestKept = vs.takeRight(keepLast).head
+      vs.filter(_ <= oldestKept).reverse
+        .find(b => NavIndex.isAnchor(spark, versionRoot(root, b)))
+        .foreach { anchor =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          vs.filter(_ < anchor).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(versionRoot(root, b)), true)
+          }
+        }
+    }
+  }
+
   /** The maintenance gate: `stream` is an embeddings-format streaming
     * DataFrame (`VecStreams.readQueries` shape); each micro-batch
     * lands one index version per the replay contract above. */

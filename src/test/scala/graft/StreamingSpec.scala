@@ -439,6 +439,47 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("index vacuum reclaims only below the newest retained chain anchor") {
+    import graft.streaming.IndexStreams
+    import graft.pipelines.NavIndex
+    import spark.implicits._
+    def vecA(id: Long) = Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 7 + i) % 5))
+    def vecB(id: Long) = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0 + 0.001 * ((id * 11 + i) % 5) else -1.0 - 0.001 * ((id * 3 + i) % 5))
+    def dfA(lo: Long, hi: Long) = (lo until hi).map(i => (i, vecA(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val base = ((0L until 30L).map(i => (i, vecA(i), 1L)) ++
+      (100L until 280L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val uniform = ((40L until 45L).map(i => (i, vecA(i), 1L)) ++
+      (280L until 285L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_vac_idx").toString
+    assert(IndexStreams.maintainBatch(spark, base, root, 0L) === "build")            // anchor
+    assert(IndexStreams.maintainBatch(spark, dfA(30, 40), root, 1L) === "increment") // refs v0
+    assert(IndexStreams.maintainBatch(spark, uniform, root, 2L) === "rebuild(frontier)") // anchor
+    assert(IndexStreams.maintainBatch(spark, dfA(45, 55), root, 3L) === "increment") // refs v2
+    // keep 2 -> oldest kept v2 is an anchor -> v0, v1 reclaim
+    IndexStreams.vacuum(spark, root, 2)
+    assert(IndexStreams.committedVersions(spark, root) === Seq(2L, 3L))
+    // the kept increment still resolves after the reclaim, and its
+    // graph equals a one-shot build over everything it absorbed
+    val ref = java.nio.file.Files.createTempDirectory("graft_vac_ref").toString
+    NavIndex.buildState(spark,
+      base.unionByName(dfA(30, 40)).unionByName(uniform).unionByName(dfA(45, 55)), ref)
+    val got = IndexStreams.currentGraph(spark, root)
+    val want = NavIndex.graph(spark, ref)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // grow the chain with increments only; a kept window of increments
+    // must NOT reclaim the anchor they resolve through (safety wins)
+    assert(IndexStreams.maintainBatch(spark, dfA(55, 65), root, 4L) === "increment")
+    assert(IndexStreams.maintainBatch(spark, dfA(65, 75), root, 5L) === "increment")
+    IndexStreams.vacuum(spark, root, 2)
+    assert(IndexStreams.committedVersions(spark, root) === Seq(2L, 3L, 4L, 5L))
+    assert(IndexStreams.currentGraph(spark, root).count() > 0)
+  }
+
   test("searchGate replays a micro-batch idempotently after a lost commit") {
     import graft.streaming.VecStreams
     import graft.pipelines.NavIndex
