@@ -1136,6 +1136,197 @@ object Text {
     * replaces never threaten codegen/plan-depth limits. */
   private val BpeSeamEvery = 32
 
+  /** Vocabulary-row ceiling for [[bpeTrainTiered]]'s driver tier —
+    * the `Similarity.navBroadcastVecsMax` posture applied to the
+    * trainer. A weighted DISTINCT-TOKEN vocabulary is the bounded
+    * aggregate of a corpus (morphology, not corpus size, governs it);
+    * 2M types × ~50 B is ~100 MB driver-resident, the size a shipped
+    * tokenizer's training state occupies in every single-node trainer.
+    * Above the ceiling the distributed loop ([[bpeTrainLoop]]) is the
+    * honest plan and is the fallback. */
+  private def bpeDriverVocabMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.bpe.driverVocabMax").map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.bpe.driverVocabMax must be an integer row count, got '$s'")
+      }
+    }.getOrElse(2000000L)
+
+  /** BPE training to an arbitrary merge count, TIERED (round 14 —
+    * the per-merge-cost fix): the corpus-wide weighted vocabulary is
+    * aggregated ONCE distributed (the only corpus-sized pass), then
+    *
+    *   - vocabulary ≤ [[bpeDriverVocabMax]] → [[bpeTrainDriver]], the
+    *     classic trainer with INCREMENTAL pair counts: each merge
+    *     touches only the words containing the elected bigram, so a
+    *     round costs O(affected words), not O(vocabulary) — where
+    *     [[bpeTrainLoop]] re-aggregates the full vocabulary's pair
+    *     table every round (its per-merge floor, PERF.md round 13:
+    *     261–381 s at k = 1000);
+    *   - wider vocabularies → [[bpeTrainLoop]] unchanged (the
+    *     distributed fallback; correct at any scale, just per-round
+    *     corpus-vocabulary cost).
+    *
+    * Both tiers share the election rule (highest weighted count,
+    * (a, b) UTF-8 tiebreak — the driver tier compares raw UTF-8
+    * bytes, exactly Spark's binary string ordering) and the
+    * leftmost-nonoverlapping merge, so the learned merge list is
+    * BIT-IDENTICAL across tiers at every k (`TokenizerSpec` pins it;
+    * `tools.BpeScale` asserts ×1/×10/×100 invariance on the open
+    * corpus). Output: round, a, b, n. */
+  def bpeTrainTiered(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val max = bpeDriverVocabMax(spark)
+    val fetch = (math.min(max, Int.MaxValue.toLong - 1L) + 1L).toInt
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .limit(fetch)
+      .collect()
+    if (vocab.length > max) bpeTrainLoop(spark, docs, k)
+    else bpeTrainDriver(spark,
+      vocab.map(r => (r.getString(0), r.getLong(1))), k)
+  }
+
+  /** Spark's binary (UTF-8 byte) string ordering, replicated on the
+    * driver — `String.compareTo` is UTF-16-unit order, which diverges
+    * past the BMP, and a tiebreak that disagrees with the distributed
+    * tier would break the cross-tier bit-identity contract. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The classic single-node BPE trainer (Sennrich et al. 2016's
+    * algorithm, the shape every shipped tokenizer trains with) over a
+    * collected weighted vocabulary, with the textbook INCREMENTAL
+    * pair-count optimization: pair → weighted count and pair → word
+    * index are maintained across merges, and a merge re-derives pairs
+    * ONLY for words that contained the elected bigram (subtract the
+    * word's old adjacency multiset, merge leftmost-nonoverlapping,
+    * add the new one). Elections scan the pair-count map (n desc,
+    * then UTF-8 (a, b)); training stops when the best pair's count
+    * drops under 2, both exactly [[bpeTrainLoop]]'s rule — integer
+    * arithmetic throughout, so the two trainers are bit-identical. */
+  private[graft] def bpeTrainDriver(spark: SparkSession,
+      vocab: Array[(String, Long)], k: Int): DataFrame = {
+    import spark.implicits._
+    val syms = new Array[Array[String]](vocab.length)
+    val wts = new Array[Long](vocab.length)
+    var i = 0
+    while (i < vocab.length) {
+      syms(i) = vocab(i)._1.map(_.toString).toArray
+      wts(i) = vocab(i)._2
+      i += 1
+    }
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def pairsApply(w: Int, add: Boolean): Unit = {
+      val s = syms(w); val c = wts(w)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val n = pc.getOrElse(p, 0L) + (if (add) c else -c)
+        if (n == 0L) pc.remove(p) else pc.update(p, n)
+        if (add) occ.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += w
+        else occ.get(p).foreach(_ -= w)
+        j += 1
+      }
+    }
+    i = 0
+    while (i < syms.length) { pairsApply(i, add = true); i += 1 }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      var bp: (String, String) = null
+      var bn = 0L
+      for ((p, n) <- pc) {
+        if (bp == null || n > bn || (n == bn &&
+            (utf8Lt(p._1, bp._1) || (p._1 == bp._1 && utf8Lt(p._2, bp._2)))))
+          { bp = p; bn = n }
+      }
+      if (bp == null || bn < 2L) done = true
+      else {
+        merges += ((r.toLong, bp._1, bp._2, bn))
+        val affected = occ.getOrElse(bp,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        val (a, b) = bp
+        var ai = 0
+        while (ai < affected.length) {
+          val w = affected(ai)
+          pairsApply(w, add = false)
+          syms(w) = bpeMergeOnce(syms(w), a, b)
+          pairsApply(w, add = true)
+          ai += 1
+        }
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "a", "b", "n").orderBy("round")
+  }
+
+  /** One leftmost-nonoverlapping merge pass of (a, b) → ab — the
+    * driver twin of `replace(st, '|a||b|', '|ab|')`, shared by the
+    * trainer and the greedy encoder. */
+  private def bpeMergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    if (syms.length < 2) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** Merge count the DEEP tokenizer artifact trains to: deep enough
+    * that per-language fertility reflects a realistic vocabulary (the
+    * driver corpus saturates earlier and the stopping rule simply
+    * ends training there — saturation is data, not error). */
+  private val BpeDeepK = 500
+
+  /** The trained DEEP merge table as a release artifact — what
+    * round 13's verdict called the gap ("the trained artifact never
+    * reaches the query surface"): `text_bpe_merges` stays the 5-merge
+    * oracle-pinned chain, and THIS is the tokenizer a release would
+    * actually ship, trained once per corpus through [[bpeTrainTiered]]
+    * and landed via `ArtifactCache` like the nav graph. Its first 5
+    * merges equal `bpeTrain`'s exactly (same election rule, same
+    * corpus — `TokenizerSpec` pins the prefix). */
+  private def bpeDeepMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.table(spark, "text_bpe_merges_deep", dir)(
+      bpeTrainTiered(spark, Tables.documents(spark, dir), BpeDeepK))
+
+  /** Per-language fertility under the trained DEEP vocabulary — the
+    * driver-facing query surface of the deep tokenizer: token counts
+    * and fertility per language computed by [[bpeEncodeWith]] under
+    * the landed [[bpeDeepMergesArtifact]] merge list (reproducible
+    * from the artifact alone, the shipped-tokenizer contract). Not
+    * SQL-expressible at this depth (the oracle's unrolled-CTE chain
+    * pins the 5-merge form; hundreds of data-dependent merges have no
+    * feasible unrolling), so the driver records the rows-only check.
+    * Output: lang, n_docs, n_words, n_tokens, fertility,
+    * chars_per_tok. */
+  def bpeDeepFertility(spark: SparkSession, dir: String): DataFrame = {
+    val ms = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    fertilityRollup(spark, dir,
+      bpeEncodeWith(spark, Tables.documents(spark, dir), ms))
+  }
+
   /** ENCODE under an arbitrary-length merge list — the deep-vocab
     * counterpart of [[bpeApply]], whose fold of literal `replace`
     * steps is the right shape for 5 merges but nests k-deep in one
@@ -1162,22 +1353,45 @@ object Text {
       .as[(Long, String)]
     toks.mapPartitions { it =>
       val ms = bc.value
+      // RANK-SKIP greedy (round 14): a round whose pair is absent
+      // from the current symbols is a no-op, so instead of one full
+      // pass per merge (O(k·len) per token — the deep-vocab tax at
+      // k in the hundreds), find the lowest-rank pair PRESENT among
+      // the current adjacencies above the last applied rank and run
+      // only that round's pass. Rounds between two applied ranks are
+      // absent when skipped and nothing changed since, so they were
+      // no-ops in the sequential order too — output is identical
+      // (`TokenizerSpec` pins it against the literal-replace fold),
+      // and per-token cost drops to O(applied-rounds · len).
+      val ranks = new java.util.HashMap[(String, String), Int](ms.length * 2)
+      var mi = ms.length - 1
+      while (mi >= 0) { ranks.put(ms(mi), mi); mi -= 1 } // first occurrence wins
       it.map { case (id, tok) =>
         var syms: Array[String] = tok.map(_.toString).toArray
-        var mi = 0
-        while (mi < ms.length) {
-          val (a, b) = ms(mi)
-          if (syms.length >= 2) {
+        var last = -1
+        var cont = syms.length >= 2
+        while (cont) {
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i + 1 < syms.length) {
+            val rk = ranks.getOrDefault((syms(i), syms(i + 1)), Int.MaxValue)
+            if (rk > last && rk < bestRank) bestRank = rk
+            i += 1
+          }
+          if (bestRank == Int.MaxValue) cont = false
+          else {
+            val (a, b) = ms(bestRank)
             val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                out += a + b; i += 2
-              } else { out += syms(i); i += 1 }
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
             }
             syms = out.toArray
+            last = bestRank
+            cont = syms.length >= 2
           }
-          mi += 1
         }
         (id, tok.length.toLong, syms.length.toLong)
       }

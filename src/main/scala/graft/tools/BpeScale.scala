@@ -144,8 +144,12 @@ object BpeScale {
         }
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       println(s"== scale x$scale (${docs.count()} docs) ==")
+      // tiered trainer (round 14): driver-resident incremental pair
+      // counts when the vocab fits, the distributed loop above the
+      // ceiling; GRAFT_BPE_LOOP=1 forces the loop for cross-checking
       val trained = time(s"x$scale train $k merges")(
-        Text.bpeTrainLoop(spark, docs, k))
+        if (sys.env.contains("GRAFT_BPE_LOOP")) Text.bpeTrainLoop(spark, docs, k)
+        else Text.bpeTrainTiered(spark, docs, k))
       val rows = trained.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq

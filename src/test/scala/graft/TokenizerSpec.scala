@@ -29,6 +29,49 @@ class TokenizerSpec extends SparkSpec {
     assert(ref.exceptAll(enc).count() === 0)
   }
 
+  test("driver-tier trainer is bit-identical to the distributed loop") {
+    val docs = Tables.documents(spark, sf)
+    // 64 rounds crosses the loop's parquet seam AND exercises the
+    // driver tier's incremental pair-count maintenance well past the
+    // first elections; the two trainers must agree row-for-row
+    val fast = Text.bpeTrainTiered(spark, docs, 64)
+    val loop = Text.bpeTrainLoop(spark, docs, 64)
+    assert(fast.exceptAll(loop).count() === 0)
+    assert(loop.exceptAll(fast).count() === 0)
+    // and the tier ROUTES: a one-row ceiling forces the distributed
+    // fallback, which is the same trainer by the assertion above
+    spark.conf.set("graft.bpe.driverVocabMax", "1")
+    try {
+      val routed = Text.bpeTrainTiered(spark, docs, 5)
+      val unrolled = Text.bpeTrain(spark, sf)
+      assert(routed.exceptAll(unrolled).count() === 0)
+      assert(unrolled.exceptAll(routed).count() === 0)
+    } finally spark.conf.unset("graft.bpe.driverVocabMax")
+  }
+
+  test("deep artifact: 5-merge prefix equals the oracle-pinned trainer; encode matches apply") {
+    val docs = Tables.documents(spark, sf)
+    // the deep artifact trains under the same election rule on the
+    // same corpus, so its first five merges ARE text_bpe_train's —
+    // the prefix property that makes merges.take(j) the k=j tokenizer
+    val deep = Text.bpeDeepFertility(spark, sf) // forces the artifact
+    assert(deep.count() > 0)
+    val deepMerges = graft.ArtifactCache.table(spark, "text_bpe_merges_deep", sf)(
+      sys.error("artifact must already be landed")).orderBy("round")
+    val prefix5 = deepMerges.limit(5)
+    val unrolled = Text.bpeTrain(spark, sf)
+    assert(prefix5.exceptAll(unrolled).count() === 0)
+    assert(unrolled.exceptAll(prefix5).count() === 0)
+    // encode under the 5-merge prefix is row-identical to bpeApply —
+    // the deep-encode form degrades exactly to the oracle-pinned path
+    val ms5 = deepMerges.collect().take(5)
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc5 = Text.bpeEncodeWith(spark, docs, ms5)
+    val ref = Text.bpeApply(spark, sf)
+    assert(enc5.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(enc5).count() === 0)
+  }
+
   test("deep training run crosses the parquet seam with sane elections") {
     val docs = Tables.documents(spark, sf)
     // 64 rounds crosses the BpeSeamEvery = 32 seam: rounds are
