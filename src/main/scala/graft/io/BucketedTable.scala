@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * ```
   * <path>/data/pb=<k>/part-*.parquet   locally-written buckets
+  * <path>/cdata<N>/pb=<k>/...          compaction generations ([[compact]])
   * <path>/_parts                       the manifest (commit marker)
   * ```
   *
@@ -24,6 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot reuses unchanged data files and rewrites a manifest);
   * kept on Spark core the same way `Writers.mergeKeyed` keeps the
   * versioned upsert.
+  *
+  * Manifest entries are FULLY-QUALIFIED URIs (`file:/…`, `hdfs://nn/…`)
+  * — they are cross-version absolute references, and a scheme-stripped
+  * path would resolve against the session's default filesystem, which
+  * on any non-default FS (s3a, scheme-qualified hdfs) is the wrong
+  * one. The manifest also stamps the bucket-SCHEME identity (a caller
+  * id naming the key function + bit width, e.g. `navloc/6`): `pb` is a
+  * derived function of the row, so pruning a table written under one
+  * scheme with another's constants would silently drop rows —
+  * [[readParts]] / [[writeSpliced]] / [[writeAppended]] therefore
+  * require the stored scheme to match and refuse (toward the caller's
+  * rebuild escape hatch) when it does not.
   *
   * Commit contract: data first, manifest LAST (tmp + rename, the
   * `Writers.commitPointer` discipline) — manifest presence IS the
@@ -41,7 +54,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract lake formats carry). The index pipelines here retire
   * whole version CHAINS (or rebuild, which references nothing), so
   * the simple rule "vacuum only below the oldest retained full
-  * build" suffices.
+  * build" suffices; [[compact]] is what re-opens that rule for an
+  * increment-only chain (it turns the tip into a self-contained
+  * anchor without recomputing anything).
   *
   * Readers take an EXPLICIT schema: a manifest can resolve to zero
   * directories (an empty table) where inference has nothing to read,
@@ -51,6 +66,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BucketedTable {
 
   private val ManifestName = "_parts"
+  private val SchemeTag = "#scheme"
 
   private def dataDir(path: String): String = s"$path/data"
 
@@ -58,39 +74,66 @@ object BucketedTable {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def qualified(f: org.apache.hadoop.fs.FileSystem, path: String): String =
+    f.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+
   /** A committed version exists at `path` (manifest present). */
   def isCommitted(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestName"))
 
-  /** The bucket → physical-directories map of the committed version
-    * at `path`. Every directory is absolute and holds plain parquet
-    * part files for exactly that bucket. */
-  def parts(spark: SparkSession, path: String): Map[Int, Seq[String]] = {
+  private def manifestLines(spark: SparkSession, path: String): Seq[String] = {
     val f = fs(spark, path)
     val mp = new org.apache.hadoop.fs.Path(s"$path/$ManifestName")
     require(f.exists(mp), s"no committed bucketed table at $path (missing $ManifestName)")
     val in = f.open(mp)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     text.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The bucket → physical-directories map of the committed version
+    * at `path`. Every directory is an absolute fully-qualified URI
+    * holding plain parquet part files for exactly that bucket. */
+  def parts(spark: SparkSession, path: String): Map[Int, Seq[String]] =
+    manifestLines(spark, path)
+      .filterNot(_.startsWith("#"))
       .map { line =>
         val Array(k, dir) = line.split("\t", 2)
         k.toInt -> dir
       }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+  /** The bucket-scheme id the committed version was written under
+    * ("" for a pre-stamp manifest — treated as a mismatch against any
+    * declared scheme, routing old layouts to the rebuild path). */
+  def schemeOf(spark: SparkSession, path: String): String =
+    manifestLines(spark, path)
+      .collectFirst { case l if l.startsWith(s"$SchemeTag\t") =>
+        l.split("\t", 2)(1) }
+      .getOrElse("")
+
+  private def requireScheme(spark: SparkSession, path: String, scheme: String): Unit = {
+    val stored = schemeOf(spark, path)
+    require(stored == scheme,
+      s"bucketed table at $path was written under bucket scheme " +
+        s"'$stored' but this reader/writer derives buckets under '$scheme'; " +
+        "pruned reads and splices would silently drop rows — rebuild the " +
+        "state under the current scheme")
   }
 
-  /** Locally-written bucket dirs under `path`/data (pb=<k> children),
+  /** Locally-written bucket dirs under `dir` (pb=<k> children),
     * optionally restricted to an expected bucket set (replay hygiene:
     * stale dirs from a crashed attempt outside the re-derived touched
-    * set must not enter the manifest). */
-  private def localParts(spark: SparkSession, path: String,
+    * set must not enter the manifest). Returned dirs are
+    * fully-qualified URIs. */
+  private def localParts(spark: SparkSession, dir: String,
       expect: Option[Set[Int]]): Map[Int, Seq[String]] = {
-    val f = fs(spark, path)
-    val d = new org.apache.hadoop.fs.Path(dataDir(path))
+    val f = fs(spark, dir)
+    val d = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(d)) Map.empty
     else f.listStatus(d).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
-      .map(st => st.getPath.getName.drop(3).toInt -> st.getPath.toUri.getPath)
+      .map(st => st.getPath.getName.drop(3).toInt ->
+        f.makeQualified(st.getPath).toString)
       .filter { case (k, _) => expect.forall(_.contains(k)) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
   }
@@ -103,13 +146,13 @@ object BucketedTable {
   private def byBucket(df: DataFrame): DataFrame =
     df.repartition(org.apache.spark.sql.functions.col("pb"))
 
-  private def commitManifest(spark: SparkSession, path: String,
+  private def commitManifest(spark: SparkSession, path: String, scheme: String,
       entries: Map[Int, Seq[String]]): Unit = {
     val f = fs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/$ManifestName.tmp")
     val ptr = new org.apache.hadoop.fs.Path(s"$path/$ManifestName")
-    val body = entries.toSeq.sortBy(_._1)
-      .flatMap { case (k, dirs) => dirs.sorted.map(d => s"$k\t$d") }
+    val body = (s"$SchemeTag\t$scheme" +: entries.toSeq.sortBy(_._1)
+      .flatMap { case (k, dirs) => dirs.sorted.map(d => s"$k\t$d") })
       .mkString("\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -119,13 +162,16 @@ object BucketedTable {
 
   /** Land a FULL version: every row written locally. `df` must carry
     * an integer `pb` bucket column (dropped into the directory
-    * layout). Full truncate of the data dir — a replayed full build
-    * cannot inherit stale buckets. */
-  def write(df: DataFrame, path: String): Unit = {
+    * layout). The data dir is deleted EXPLICITLY first — a replayed
+    * full build cannot inherit stale buckets even under a session
+    * that set `partitionOverwriteMode=dynamic` globally (where
+    * SaveMode.Overwrite alone would keep untouched pb dirs). */
+  def write(df: DataFrame, path: String, scheme: String): Unit = {
+    val spark = df.sparkSession
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(dataDir(path)), true)
     byBucket(df).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("pb").parquet(dataDir(path))
-    val spark = df.sparkSession
-    commitManifest(spark, path, localParts(spark, path, None))
+    commitManifest(spark, path, scheme, localParts(spark, dataDir(path), None))
   }
 
   /** Land a SPLICED version: `touched` (rows of buckets in
@@ -135,37 +181,98 @@ object BucketedTable {
     * caller guarantees `touched` holds ALL surviving rows of the
     * touched buckets — this is a bucket-grain replace. */
   def writeSpliced(spark: SparkSession, touched: DataFrame, touchedPb: Set[Int],
-      priorPath: String, path: String): Unit = {
+      priorPath: String, path: String, scheme: String): Unit = {
+    requireScheme(spark, priorPath, scheme)
     val prior = parts(spark, priorPath)
     Writers.rangedOverwrite(byBucket(touched), dataDir(path), "pb")
     val entries = prior.filter { case (k, _) => !touchedPb.contains(k) } ++
-      localParts(spark, path, Some(touchedPb))
-    commitManifest(spark, path, entries)
+      localParts(spark, dataDir(path), Some(touchedPb))
+    commitManifest(spark, path, scheme, entries)
   }
 
   /** Land an APPENDED version: `delta` rows (with `pb`) written
     * locally; every prior bucket stays referenced, and buckets the
     * delta lands in carry BOTH directory lists. Zero prior-data I/O —
-    * the pure-insert fast path (new vectors joining an index). */
+    * the pure-insert fast path (new vectors joining an index). The
+    * delta's bucket set is derived FIRST and passed as the expected
+    * set, so a stale dir from a crashed foreign attempt cannot fold
+    * into the manifest. */
   def writeAppended(spark: SparkSession, delta: DataFrame,
-      priorPath: String, path: String): Unit = {
+      priorPath: String, path: String, scheme: String): Unit = {
+    requireScheme(spark, priorPath, scheme)
     val prior = parts(spark, priorPath)
-    Writers.rangedOverwrite(byBucket(delta), dataDir(path), "pb")
-    val local = localParts(spark, path, None)
+    val d = delta.persist()
+    val expect = d.select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
+    Writers.rangedOverwrite(byBucket(d), dataDir(path), "pb")
+    d.unpersist()
+    val local = localParts(spark, dataDir(path), Some(expect))
     val entries = (prior.keySet ++ local.keySet).map { k =>
       k -> (prior.getOrElse(k, Seq.empty) ++ local.getOrElse(k, Seq.empty))
     }.toMap
-    commitManifest(spark, path, entries)
+    commitManifest(spark, path, scheme, entries)
   }
+
+  /** Rewrite the committed version at `path` into SELF-CONTAINED,
+    * one-directory-per-bucket form — the compaction/anchorify
+    * primitive for increment chains. Pure I/O: rows are read from
+    * wherever the manifest says they live and land back byte-equal
+    * (no recompute, parity trivially row-identical), so a bucket that
+    * is already a single LOCAL directory is carried as-is at zero
+    * cost; only multi-dir buckets (append accumulation) and
+    * ancestor-referenced buckets rewrite. Rewritten buckets land
+    * under a fresh generation dir (`cdata<N>`) — never over
+    * directories the CURRENT manifest references, so a crash
+    * mid-compact leaves the old manifest fully valid (data-first /
+    * manifest-last, as everywhere). Nothing is deleted here: a
+    * non-tip version's directories may be referenced by descendants,
+    * and reclamation stays version-grain (`IndexStreams.vacuum`,
+    * which a compacted tip re-opens by becoming the chain anchor). */
+  def compact(spark: SparkSession, path: String, schemaDdl: String,
+      scheme: String): Unit = {
+    requireScheme(spark, path, scheme)
+    val f = fs(spark, path)
+    val prior = parts(spark, path)
+    val dataPrefix = qualified(f, dataDir(path))
+    def settled(dirs: Seq[String]) =
+      dirs.size == 1 && dirs.head.startsWith(s"$dataPrefix/")
+    val todo = prior.filter { case (_, dirs) => !settled(dirs) }
+    if (todo.nonEmpty) {
+      val gen = Iterator.from(1).map(i => s"$path/cdata$i")
+        .find(g => !f.exists(new org.apache.hadoop.fs.Path(g))).get
+      // bucket ids are directory metadata, not row data — restore
+      // each bucket's pb explicitly so the rewrite can re-partition
+      val df = todo.toSeq.sortBy(_._1).map { case (k, dirs) =>
+        readDirs(spark, dirs, schemaDdl)
+          .withColumn("pb", org.apache.spark.sql.functions.lit(k))
+      }.reduce(_.unionByName(_))
+      byBucket(df).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("pb").parquet(gen)
+      val entries = (prior -- todo.keySet) ++
+        localParts(spark, gen, Some(todo.keySet))
+      commitManifest(spark, path, scheme, entries)
+    }
+  }
+
+  /** The widest directory list any bucket of the committed version
+    * carries — the append-accumulation signal compaction routing
+    * reads (a long-lived append-only chain grows this linearly; a
+    * freshly built or compacted table reads 1). */
+  def maxDirsPerBucket(spark: SparkSession, path: String): Int =
+    parts(spark, path).values.foldLeft(0)((m, dirs) => m.max(dirs.size))
 
   /** The committed table at `path` is SELF-CONTAINED: every manifest
     * entry points under `prefix` (a full write references nothing; an
-    * incremented version references ancestors). The retention
-    * primitive — a version whose tables are all self-contained is a
-    * chain ANCHOR, and everything strictly below the newest retained
-    * anchor is reclaimable (`streaming.IndexStreams.vacuum`). */
-  def isSelfContained(spark: SparkSession, path: String, prefix: String): Boolean =
-    parts(spark, path).values.flatten.forall(_.startsWith(prefix))
+    * incremented version references ancestors). Compared on
+    * fully-qualified URIs, so a scheme-qualified root (s3a://…)
+    * matches its own entries. The retention primitive — a version
+    * whose tables are all self-contained is a chain ANCHOR, and
+    * everything strictly below the newest retained anchor is
+    * reclaimable (`streaming.IndexStreams.vacuum`). */
+  def isSelfContained(spark: SparkSession, path: String, prefix: String): Boolean = {
+    val q = qualified(fs(spark, prefix), prefix)
+    parts(spark, path).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
+  }
 
   /** Read the whole logical table (one multi-root parquet scan over
     * every referenced directory; the `pb` value is a derived function
@@ -173,15 +280,36 @@ object BucketedTable {
   def read(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     readDirs(spark, parts(spark, path).values.flatten.toSeq, schemaDdl)
 
+  /** [[read]] with each row's bucket id restored as an int `pb`
+    * column — a per-bucket union of literals, so the bucket id costs
+    * nothing to materialize and a projection that keeps only narrow
+    * columns never touches the wide payload (the node → bucket map an
+    * incremental splice joins on reads ONE slim column this way,
+    * instead of re-deriving buckets from the full vector payload). */
+  def readWithPb(spark: SparkSession, path: String, schemaDdl: String): DataFrame = {
+    val p = parts(spark, path)
+    if (p.isEmpty)
+      readDirs(spark, Seq.empty, schemaDdl)
+        .withColumn("pb", org.apache.spark.sql.functions.lit(0).cast("int"))
+    else p.toSeq.sortBy(_._1).map { case (k, dirs) =>
+      readDirs(spark, dirs, schemaDdl)
+        .withColumn("pb", org.apache.spark.sql.functions.lit(k))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Read ONLY the given buckets — the partition-pruned scan an
     * incremental splice stands on (untouched buckets are never
-    * opened). */
+    * opened). The caller's `scheme` must match the stored one: the
+    * bucket ids in `pbs` were derived with the caller's key function,
+    * and pruning a foreign layout with them would silently drop rows. */
   def readParts(spark: SparkSession, path: String, schemaDdl: String,
-      pbs: Set[Int]): DataFrame =
+      pbs: Set[Int], scheme: String): DataFrame = {
+    requireScheme(spark, path, scheme)
     readDirs(spark,
       parts(spark, path).filter { case (k, _) => pbs.contains(k) }
         .values.flatten.toSeq,
       schemaDdl)
+  }
 
   private def readDirs(spark: SparkSession, dirs: Seq[String],
       schemaDdl: String): DataFrame =

@@ -909,11 +909,18 @@ object Similarity {
     * 11/30 at 200k; anchors → 0 isolated, 30/30 in the 50k
     * simulation that chose this rule. */
   private[graft] def navSeedPairs(bands: DataFrame, keyCols: Seq[String],
-      restrict: Option[DataFrame] = None): DataFrame = {
+      restrict: Option[DataFrame] = None,
+      stats: Option[DataFrame] = None): DataFrame = {
     val keys = keyCols.map(col)
-    val stats = bands.groupBy(keys: _*)
-      .agg(count(lit(1)).as("_bn"), min("vec_id").as("_a0"))
-    val tagged = bands.join(stats, keyCols)
+    // `stats` (keyCols + bn, a0) lets a maintainer hand in the LANDED
+    // per-bucket width table instead of re-aggregating the full band
+    // table every call — the caller guarantees it equals the derived
+    // aggregate (the versioned-state contract `NavIndex` keeps; parity
+    // specs pin the equality through every maintenance path)
+    val st = stats.map(_.select((keys :+ col("bn").as("_bn")) :+ col("a0").as("_a0"): _*))
+      .getOrElse(bands.groupBy(keys: _*)
+        .agg(count(lit(1)).as("_bn"), min("vec_id").as("_a0")))
+    val tagged = bands.join(st, keyCols)
     val nodeSide0 = tagged.select(
       (col("vec_id").as("node") +: (keys :+ col("_bn"))): _*)
     val nodeSide = restrict match {
@@ -959,15 +966,19 @@ object Similarity {
     navAnchorDraw(id).cast("double") <
       lit(2147483648.0 * NavAnchorRate) / pow(lit(2.0), navPow2CeilBits(bn))
 
-  /** ceil(log2(bn)) for bn ≥ 2, exactly: the bit length of bn − 1
-    * (binary-string length via `conv`), pure integer arithmetic any
-    * engine reproduces — see [[navAnchorPred]] for why float log2 is
-    * not safe here. Shared by the anchor verdict and
-    * `NavIndex.incrementState`'s grow-bucket classification, which
-    * must quantize identically or the splice would carry edges whose
-    * anchor rule moved. */
+  /** ceil(log2(bn)) for bn ≥ 1, exactly: 0 at bn = 1 (the domain edge
+    * the bit-length form alone gets wrong — `length(conv(0,10,2))` is
+    * 1), else the bit length of bn − 1 (binary-string length via
+    * `conv`) — pure integer arithmetic any engine reproduces; see
+    * [[navAnchorPred]] for why float log2 is not safe here. Shared by
+    * the anchor verdict and `NavIndex.incrementState`'s grow-bucket
+    * classification, which must quantize identically or the splice
+    * would carry edges whose anchor rule moved. (Every consulted
+    * width today is > [[NavBucketCap]], so the bn = 1 case is
+    * unreachable from current call sites — fixed so the function
+    * matches its ceil-log2 contract everywhere.) */
   private[graft] def navPow2CeilBits(bn: Column): Column =
-    length(conv(bn - 1, 10, 2))
+    when(bn <= 1, lit(0)).otherwise(length(conv(bn - 1, 10, 2)))
 
   /** Seed candidates from band buckets: all pairs within cap-sized
     * buckets, member×anchor pairs within wider ones

@@ -67,6 +67,10 @@ object AnnIndex {
     * bucket — no frontier smearing to avoid. */
   private[graft] val PartBits = 6
 
+  /** Bucket-scheme id stamped into every ann-state manifest:
+    * hash(label) over [[PartBits]] bits. */
+  private[graft] val Scheme = s"labelhash/$PartBits"
+
   private def pbOf(label: Column): Column =
     pmod(hash(label), lit(1 << PartBits))
 
@@ -101,13 +105,13 @@ object AnnIndex {
       Similarity.assignCells(v0, widths)
         .select("vec_id", "label", "cell", "v", "norm")
         .withColumn("pb", pbOf(col("label"))),
-      cellsPath(root))
+      cellsPath(root), Scheme)
     val cs = cells(spark, root).persist()
     cs.count() // materialize before both self-join sides fan out
     BucketedTable.write(
       Similarity.pairCells(spark, cs)
         .join(cs.select(col("vec_id"), pbOf(col("label")).as("pb")), "vec_id"),
-      graphPath(root))
+      graphPath(root), Scheme)
     cs.unpersist()
   }
 
@@ -142,7 +146,7 @@ object AnnIndex {
       .select(pbOf(col("label")).as("pb")).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values
     val priorCT = BucketedTable.readParts(spark, cellsPath(priorRoot),
-      CellsSchema, touchedPb)
+      CellsSchema, touchedPb, Scheme)
     // re-select the canonical column order: the label-keyed join moves
     // the key first, and state tables must keep a stable schema
     val keepPriorT = priorCT.join(broadcast(rebuildLabels), Seq("label"), "left_anti")
@@ -154,13 +158,13 @@ object AnnIndex {
       .select("vec_id", "label", "cell", "v", "norm")
     BucketedTable.writeSpliced(spark,
       keepPriorT.unionByName(assigned).withColumn("pb", pbOf(col("label"))),
-      touchedPb, cellsPath(priorRoot), cellsPath(nextRoot))
+      touchedPb, cellsPath(priorRoot), cellsPath(nextRoot), Scheme)
 
     // touched cells = cells holding any newly-(re)assigned member;
     // delta-proportional, so they broadcast. All their members live
     // in touched buckets, so the scan is partition-pruned.
     val cellsT = BucketedTable.readParts(spark, cellsPath(nextRoot),
-      CellsSchema, touchedPb).persist()
+      CellsSchema, touchedPb, Scheme).persist()
     cellsT.count() // materialize before both self-join sides fan out
     val touched = assigned.select("cell").distinct()
     val touchedMembers = cellsT.join(broadcast(touched), "cell").persist()
@@ -170,13 +174,13 @@ object AnnIndex {
       .join(broadcast(touched), Seq("cell"), "left_anti")
       .select("vec_id")
     val keptEdgesT = BucketedTable.readParts(spark, graphPath(priorRoot),
-        GraphSchema, touchedPb)
+        GraphSchema, touchedPb, Scheme)
       .join(keptOwnersT, "vec_id")
       .select("vec_id", "nbr_id", "cos", "rank")
     BucketedTable.writeSpliced(spark,
       keptEdgesT.unionByName(rebuiltEdges)
         .join(cellsT.select(col("vec_id"), pbOf(col("label")).as("pb")), "vec_id"),
-      touchedPb, graphPath(priorRoot), graphPath(nextRoot))
+      touchedPb, graphPath(priorRoot), graphPath(nextRoot), Scheme)
     touchedMembers.unpersist(); cellsT.unpersist()
   }
 }

@@ -77,6 +77,17 @@ object Curation {
 
   private[graft] val ExactSchema = "doc_id BIGINT, keeper_id BIGINT, h STRING"
 
+  /** Bucket-key width of the exact keeper mapping: 2^6 = 64
+    * content-hash buckets — the same grain as `NavIndex.PartBits` /
+    * `AnnIndex.PartBits`, named here so the three tables' bucket
+    * schemes cannot silently drift apart in a future edit (the
+    * hardcoded `lit(64)` the round-13 advice flagged). */
+  private[graft] val ExactPartBits = 6
+
+  /** Bucket-scheme id of the exact keeper mapping's manifests:
+    * hash(md5 content hash) over [[ExactPartBits]] bits. */
+  private[graft] val ExactScheme = s"md5hash/$ExactPartBits"
+
   /** The exact keeper mapping is the one CORPUS-SIZED table of the
     * release state (one row per doc), and the release chain only ever
     * APPENDS to it (keeper demotion REFUSES toward the rebuild
@@ -92,7 +103,7 @@ object Curation {
 
   private def withExactPb(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn("pb", pmod(hash(col("h")), lit(64)))
+    df.withColumn("pb", pmod(hash(col("h")), lit(1 << ExactPartBits)))
   }
 
   /** Exact-dedup pre-pass + near-dup state build — the production
@@ -125,7 +136,8 @@ object Curation {
     * for the candidate join to stay bounded. */
   def buildStateExactFirst(spark: SparkSession, docs: DataFrame, root: String): Unit = {
     import org.apache.spark.sql.functions._
-    graft.io.BucketedTable.write(withExactPb(Dedup.exactKeeperMap(docs)), exactPath(root))
+    graft.io.BucketedTable.write(withExactPb(Dedup.exactKeeperMap(docs)),
+      exactPath(root), ExactScheme)
     val mapping = exactMap(spark, root)
     val keepers = mapping.where(col("doc_id") === col("keeper_id")).select("doc_id")
     Writers.truncateLoad(
@@ -182,6 +194,14 @@ object Curation {
   def incrementState(spark: SparkSession, newDocs: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
     import org.apache.spark.sql.functions._
+    // GRAFT_DEBUG lap prints (the navinc discipline): the release's
+    // write-cost anatomy — delta-append mapping vs the two documented
+    // whole-write floors (keeper bands, composed decision)
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (sys.env.contains("GRAFT_DEBUG")) {
+      System.err.println(f"[curinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val exactP = new org.apache.hadoop.fs.Path(s"${exactPath(priorRoot)}/_SUCCESS")
     val fs = exactP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a top-level _SUCCESS marks a mapping landed by an earlier
@@ -222,8 +242,10 @@ object Curation {
       // the mapping is append-only under the demotion refuse above,
       // so the next release lands ONLY the delta's rows — every prior
       // bucket is a manifest reference, zero prior-mapping I/O
+      lap("demotion probe")
       graft.io.BucketedTable.writeAppended(spark, withExactPb(deltaMap),
-        exactPath(priorRoot), exactPath(nextRoot))
+        exactPath(priorRoot), exactPath(nextRoot), ExactScheme)
+      lap("exact mapping delta append")
       val nextMap = exactMap(spark, nextRoot)
       // only NEW-group keepers enter the fuzzy chain; the prior fuzzy
       // decision is the composed table restricted to prior keepers
@@ -236,9 +258,12 @@ object Curation {
         .join(priorKeepers, Seq("doc_id"), "left_semi")
       val st = Dedup.incrementalClusters(newKeeperDocs,
         spark.read.parquet(bandsPath(priorRoot)), priorFuzzy)
+      lap("fuzzy increment plan")
       Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
+      lap("keeper band truncate-load (whole-write floor)")
       Writers.truncateLoad(
         Dedup.augmentWithExactLosers(st.clusters, nextMap), clustersPath(nextRoot))
+      lap("composed decision truncate-load (whole-write floor)")
       st.release()
     }
   }

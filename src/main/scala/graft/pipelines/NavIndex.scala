@@ -53,10 +53,12 @@ import graft.ops.Similarity
   * one discontinuous knob).
   *
   * STORAGE (round 13 — the splice I/O floor removed): every state
-  * table (vectors, the three round edge lists, the final graph) is a
-  * [[graft.io.BucketedTable]] — bucket-partitioned by [[PartBits]]
-  * sign-bit LOCALITY regions of the vector space and versioned by
-  * manifest. An increment physically rewrites ONLY the buckets its
+  * table (vectors, the three round edge lists, the final graph, and —
+  * round 14 — the seed band table with its per-bucket width stats) is
+  * a [[graft.io.BucketedTable]] — the node-keyed tables
+  * bucket-partitioned by [[PartBits]] sign-bit LOCALITY regions of
+  * the vector space, the band-keyed ones by hash(b, key)
+  * ([[BandScheme]]), all versioned by manifest. An increment physically rewrites ONLY the buckets its
   * change frontier touches and carries every other bucket by
   * manifest reference into the prior release; the delta's vectors
   * land as a pure APPEND (zero prior-vector I/O). Before this, every
@@ -83,6 +85,8 @@ object NavIndex {
   def vecsPath(root: String): String       = s"$root/nav_vecs"
   def roundPath(root: String, r: Int): String = s"$root/nav_e$r"
   def graphPath(root: String): String      = s"$root/nav_graph"
+  def bandsPath(root: String): String      = s"$root/nav_bands"
+  def bstatsPath(root: String): String     = s"$root/nav_bstats"
 
   /** Number of NN-descent refinement rounds (after the seed round) —
     * must match `Similarity.navGraphFrom`. */
@@ -90,6 +94,8 @@ object NavIndex {
 
   private[graft] val RoundSchema = "node BIGINT, nbr_id BIGINT"
   private[graft] val VecsSchema  = "vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE"
+  private[graft] val BandsSchema = "vec_id BIGINT, b INT, key STRING"
+  private[graft] val BStatsSchema = "b INT, key STRING, bn BIGINT, a0 BIGINT"
 
   /** Bucket-key width of the versioned state tables: 2^6 = 64
     * sign-bit regions of the vector space (dims 1–6) — the
@@ -102,6 +108,49 @@ object NavIndex {
     * band-width ladder widens. */
   private[graft] val PartBits = 6
 
+  /** Bucket-scheme id stamped into every nav-state manifest
+    * ([[graft.io.BucketedTable]]): sign-bit locality over [[PartBits]]
+    * dims. Splices/pruned reads refuse tables stamped otherwise. */
+  private[graft] val Scheme = s"navloc/$PartBits"
+
+  /** Bucket scheme of the VERSIONED BAND STATE (round 14 — the
+    * increment's last O(corpus) term removed): the seed band table
+    * (vec_id, b, key) and its per-bucket width stats (b, key, bn, a0)
+    * are landed state, keyed by hash(b, key) — the touch grain there
+    * is the BAND BUCKET (an increment perturbs exactly the delta's
+    * (b, key) set), so pruned reads hand back a touched bucket's
+    * members/stats without scanning, let alone re-exploding, the
+    * corpus. Before, every increment re-derived both from the vector
+    * table: two 16-way explodes of the 512 B/row payload plus a
+    * corpus-sized band materialization and a corpus-wide width
+    * aggregate — PERF.md round 13 measured that at ~12 s of the
+    * 29.8 s localized ×100 increment, re-deriving state the prior
+    * release had already computed (the `AnnIndex.ann_widths` posture,
+    * generalized). */
+  private[graft] val BandScheme = s"bandhash/$PartBits"
+
+  /** hash(b, key) bucket of a band row — pure function of the
+    * immutable band coordinates. */
+  private def bandPbOf(b: Column, key: Column): Column =
+    pmod(hash(b, key), lit(1 << PartBits))
+
+  private def withBandPb(df: DataFrame): DataFrame =
+    df.withColumn("pb", bandPbOf(col("b"), col("key")))
+
+  /** The landed band table / width stats of a committed version. */
+  private[graft] def bands(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, bandsPath(root), BandsSchema)
+
+  private[graft] def bstats(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.read(spark, bstatsPath(root), BStatsSchema)
+
+  /** The prior version carries the versioned band state (absent on
+    * pre-round-14 layouts — `IndexStreams.maintainBatch` routes those
+    * to a rebuild, which lands the new layout). */
+  private[graft] def hasBandState(spark: SparkSession, root: String): Boolean =
+    BucketedTable.isCommitted(spark, bandsPath(root)) &&
+      BucketedTable.isCommitted(spark, bstatsPath(root))
+
   /** Locality bucket of a vector — pure function of the immutable
     * vector, so a node's rows land in the same bucket in every
     * version and bucket-grain splices are well-defined. */
@@ -113,10 +162,13 @@ object NavIndex {
   private def withPb(df: DataFrame): DataFrame =
     df.withColumn("pb", pbOf(col("v")))
 
-  /** node → bucket map, derived from a vector table (broadcast-sized
-    * at 2 columns; materialized once per build/increment session). */
-  private def pbMap(v: DataFrame): DataFrame =
-    v.select(col("vec_id").as("node"), pbOf(col("v")).as("pb"))
+  /** node → bucket map read off the LANDED vector layout: bucket ids
+    * are directory metadata ([[graft.io.BucketedTable.readWithPb]]),
+    * so the scan touches one slim id column — deriving the same
+    * values via [[pbOf]] would scan the full vector payload. */
+  private def readVecsPbMap(spark: SparkSession, root: String): DataFrame =
+    BucketedTable.readWithPb(spark, vecsPath(root), VecsSchema)
+      .select(col("vec_id").as("node"), col("pb"))
 
   /** Committed-version readers — the ONLY supported way to read the
     * landed state (an incremented version's untouched buckets live in
@@ -138,23 +190,77 @@ object NavIndex {
   private[graft] def isCommitted(spark: SparkSession, root: String): Boolean =
     BucketedTable.isCommitted(spark, graphPath(root))
 
+  /** Every state table of a version, with its declared schema — the
+    * one list [[isAnchor]], [[compactState]] and the dir-count
+    * routing signal share, so a new state table cannot silently fall
+    * out of the anchor/compaction contract. */
+  private def stateTables(root: String): Seq[(String, String, String)] =
+    Seq((vecsPath(root), VecsSchema, Scheme),
+      (graphPath(root), RoundSchema, Scheme),
+      (bandsPath(root), BandsSchema, BandScheme),
+      (bstatsPath(root), BStatsSchema, BandScheme)) ++
+      (0 to Rounds).map(r => (roundPath(root, r), RoundSchema, Scheme))
+
   /** The version at `root` is a chain ANCHOR: every state table
     * references only its own directories (true of [[buildState]] and
-    * [[rebuildState]] outputs, never of increments, whose vector
-    * append always references the prior release) — the point below
-    * which older versions are reclaimable. */
+    * [[rebuildState]] outputs, and of increments AFTER
+    * [[compactState]]; never of a freshly-landed increment, whose
+    * vector append always references the prior release) — the point
+    * below which older versions are reclaimable. */
   private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
-    (Seq(vecsPath(root), graphPath(root)) ++
-      (0 to Rounds).map(roundPath(root, _)))
-      .forall(BucketedTable.isSelfContained(spark, _, root))
+    stateTables(root).forall { case (p, _, _) =>
+      BucketedTable.isSelfContained(spark, p, root) }
 
-  /** Land ONLY the vector table (full write) — the seam the
-    * width-boundary guard spec uses to stage a prior state without
-    * paying a graph build. */
-  private[graft] def landVecs(spark: SparkSession, emb: DataFrame, root: String): Unit =
+  /** ANCHORIFY the committed version at `root`: rewrite every state
+    * table into self-contained one-dir-per-bucket form
+    * ([[graft.io.BucketedTable.compact]]) — pure I/O, zero graph
+    * recompute, rows byte-equal, so parity is trivial. This is the
+    * lifecycle step an increment-only chain was missing (round-13
+    * verdict #1): a purely-localized workload appends a directory per
+    * increment to its hot vector buckets forever, and no version ever
+    * anchors, so `IndexStreams.vacuum` correctly refuses to reclaim
+    * anything. Compacting the tip (a) caps the per-read dir-list tax
+    * at ~1 dir/bucket and (b) turns the tip into a chain anchor, so
+    * the next vacuum reclaims the whole pre-compact chain — minor
+    * compaction + checkpointing, the lake-format lifecycle, on the
+    * same Hadoop-FS primitives. Buckets already settled (one local
+    * dir) are carried at zero cost, so the rewrite cost tracks the
+    * referenced+appended mass, bounded by one corpus-sized read+write
+    * with no ranking work. */
+  def compactState(spark: SparkSession, root: String): Unit =
+    stateTables(root).foreach { case (p, s, sch) =>
+      BucketedTable.compact(spark, p, s, sch) }
+
+  /** The widest per-bucket directory list across the version's state
+    * tables — the signal `IndexStreams.maintainBatch` routes
+    * compaction on (manifest-only driver reads, no data I/O). */
+  private[graft] def maxDirsPerBucket(spark: SparkSession, root: String): Int =
+    stateTables(root).map { case (p, _, _) =>
+      BucketedTable.maxDirsPerBucket(spark, p) }.max
+
+  /** Land the vector table (full write) plus its band state — the
+    * seam the width-boundary guard spec uses to stage a prior state
+    * without paying a graph build. */
+  private[graft] def landVecs(spark: SparkSession, emb: DataFrame, root: String): Unit = {
     BucketedTable.write(
       withPb(Similarity.vecsOf(spark, emb).select("vec_id", "v", "norm")),
-      vecsPath(root))
+      vecsPath(root), Scheme)
+    val v = readVecs(spark, root)
+    landBandState(spark, root, v, Similarity.navBitsFor(v.count()))
+  }
+
+  /** Land the versioned band state of `root`'s vectors: the band
+    * table (the one explode of a full build) and, from its landed
+    * narrow rows, the per-bucket width stats. */
+  private def landBandState(spark: SparkSession, root: String,
+      v: DataFrame, bits: Int): Unit = {
+    BucketedTable.write(withBandPb(Similarity.navBands(v, bits)),
+      bandsPath(root), BandScheme)
+    BucketedTable.write(withBandPb(
+      bands(spark, root).groupBy("b", "key")
+        .agg(count(lit(1)).as("bn"), min("vec_id").as("a0"))),
+      bstatsPath(root), BandScheme)
+  }
 
   /** The vN full build: land vectors, the three directed round edge
     * lists, and the final symmetrized graph. `emb` is an
@@ -172,11 +278,19 @@ object NavIndex {
     val v = readVecs(spark, root)
     val n = v.count()
     val bits = Similarity.navBitsFor(n)
-    val pbm = pbMap(v).persist()
+    // node → bucket from the landed layout itself (bucket ids are
+    // directory metadata): one slim vec_id column scanned, not the
+    // 512 B/row vector payload pbOf would re-derive from
+    val pbm = readVecsPbMap(spark, root).persist()
     def land(e: DataFrame, path: String): Unit =
-      BucketedTable.write(e.join(pbm, "node"), path)
+      BucketedTable.write(e.join(pbm, "node"), path, Scheme)
+    // land the versioned band state the maintenance paths stand on
+    // (idempotent if [[landVecs]] already staged it: same derivation,
+    // full overwrite), then seed off the landed narrow tables
+    landBandState(spark, root, v, bits)
     land(Similarity.navTopK(spark, v,
-      Similarity.navSeedPairs(Similarity.navBands(v, bits), Seq("b", "key")), n),
+      Similarity.navSeedPairs(bands(spark, root), Seq("b", "key"),
+        stats = Some(bstats(spark, root))), n),
       roundPath(root, 0))
     for (r <- 1 to Rounds) {
       val prev = round(spark, root, r - 1)
@@ -199,7 +313,7 @@ object NavIndex {
       priorRoot: String, nextRoot: String): Unit = {
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
     BucketedTable.write(withPb(readVecs(spark, priorRoot).unionByName(dv)),
-      vecsPath(nextRoot))
+      vecsPath(nextRoot), Scheme)
     buildRounds(spark, nextRoot)
   }
 
@@ -207,8 +321,9 @@ object NavIndex {
     * the state at `priorRoot`: (members of delta-touched band buckets
     * + the delta itself) / next-corpus size — the same set
     * [[incrementState]]'s seed round re-ranks or grow-splices, as a
-    * fraction of the corpus, at the cost of two band projections and
-    * one equi-join (no ranking, no state writes). The routing signal
+    * fraction of the corpus, at the cost of one delta-sized band
+    * projection and a partition-pruned read of the landed band table
+    * (no ranking, no state writes). The routing signal
     * `streaming.IndexStreams.maintainBatch` reads: a LOCALIZED delta
     * (new content domain) touches few buckets and increments beat
     * rebuilds there; a UNIFORM delta of any size touches nearly every
@@ -218,15 +333,34 @@ object NavIndex {
     * boundary FIRST (a crossing routes to rebuild unconditionally). */
   def seedFrontierFraction(spark: SparkSession, deltaEmb: DataFrame,
       priorRoot: String): Double = {
-    val priorV = readVecs(spark, priorRoot)
+    val nPrior = readVecs(spark, priorRoot).count()
+    val nd = Similarity.vecsOf(spark, deltaEmb).count()
+    seedFrontierFraction(spark, deltaEmb, priorRoot, nPrior, nd)
+  }
+
+  /** [[seedFrontierFraction]] with the prior/delta sizes THREADED from
+    * the caller — `streaming.IndexStreams.maintainBatch` already
+    * counted both for its width-boundary check, and re-counting here
+    * was two redundant jobs per micro-batch (the `navTopK` lesson
+    * applied to routing). */
+  private[graft] def seedFrontierFraction(spark: SparkSession, deltaEmb: DataFrame,
+      priorRoot: String, nPrior: Long, nd: Long): Double = {
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
-    val nPrior = priorV.count()
-    val nd = dv.count()
     val bits = Similarity.navBitsFor(nPrior + nd)
-    val touched = Similarity.navBands(dv, bits).select("b", "key").distinct()
-    val aff = Similarity.navBands(priorV, bits)
-      .join(touched, Seq("b", "key"))
+    // delta-touched buckets from the DELTA's explode only; prior
+    // membership from the landed band table, partition-pruned to the
+    // touched hash buckets — the routing probe is frontier-
+    // proportional (round 14; before, it re-exploded the full prior
+    // vector table per micro-batch)
+    val db = withBandPb(Similarity.navBands(dv, bits))
+      .select("b", "key", "pb").distinct().persist()
+    val pbs = db.select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
+    val aff = BucketedTable.readParts(spark, bandsPath(priorRoot),
+        BandsSchema, pbs, BandScheme)
+      .join(db.select("b", "key"), Seq("b", "key"), "left_semi")
       .select("vec_id").distinct().count()
+    db.unpersist()
     (aff + nd).toDouble / (nPrior + nd)
   }
 
@@ -243,9 +377,12 @@ object NavIndex {
       System.err.println(f"[navinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
+    require(hasBandState(spark, priorRoot),
+      s"prior nav-index version at $priorRoot predates the versioned band " +
+        "state (pre-round-14 layout); rebuild the navigable graph with buildState")
     val dv = Similarity.vecsOf(spark, deltaEmb).select("vec_id", "v", "norm")
     BucketedTable.writeAppended(spark, withPb(dv),
-      vecsPath(priorRoot), vecsPath(nextRoot))
+      vecsPath(priorRoot), vecsPath(nextRoot), Scheme)
     val v = readVecs(spark, nextRoot)
     lap("land vecs (append)")
 
@@ -273,24 +410,28 @@ object NavIndex {
       s"corpus growth $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
     lap("width guard counts")
-    val pbm = mat(pbMap(v), "pbm")
+    val pbm = mat(readVecsPbMap(spark, nextRoot), "pbm")
     val bits = Similarity.navBitsFor(nNext)
-    // the next-release band table feeds 3–4 consumers (classification,
-    // flip nodes, delta bands, the full-rank seed generator — which
-    // needs EVERY bucket of a full-rank node, touched or not); landed
-    // once, every consumer scans ~16 B/row instead of re-exploding the
-    // 512 B/row vector table per use
-    val bands = mat(Similarity.navBands(v, bits), "bands")
+    // the delta's band rows — the ONLY explode of the increment
+    // (round 14: the corpus-wide band explode + materialization and
+    // the corpus-wide width aggregate are gone; the prior release's
+    // band table and per-bucket width stats are LANDED state, read
+    // partition-pruned to the delta-touched hash buckets)
+    val deltaBands = mat(withBandPb(Similarity.navBands(dv, bits)), "dbands")
     val deltaIds = dv.select(col("vec_id"))
-    val deltaBands = bands.join(broadcast(deltaIds), "vec_id")
     val touched = deltaBands.select("b", "key").distinct()
-    // the PRIOR band table's consumers (classification stats, grow
-    // node/pair derivation) all restrict to delta-touched buckets, so
-    // only that FRONTIER-sized slice is landed — one corpus-wide
-    // explode+join instead of one explode per consumer, and the landed
-    // rows scale with the delta, not the corpus
+    val touchedBandPb = deltaBands.select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
+    // next band table = prior ∪ delta: a pure append (band rows are
+    // immutable per vector at a shared width)
+    BucketedTable.writeAppended(spark, deltaBands,
+      bandsPath(priorRoot), bandsPath(nextRoot), BandScheme)
+    // prior membership of touched buckets: partition-pruned read
     val bandsPrior = mat(
-      Similarity.navBands(priorV, bits).join(touched, Seq("b", "key")), "bandsp")
+      BucketedTable.readParts(spark, bandsPath(priorRoot), BandsSchema,
+          touchedBandPb, BandScheme)
+        .join(touched, Seq("b", "key"), "left_semi"), "bandsp")
+    lap("delta bands + prior membership")
 
     // GROW-SPLICE classification (round 12 — the fix for "a 1%
     // increment costs a full rebuild", PERF.md): a touched bucket is
@@ -305,25 +446,43 @@ object NavIndex {
     // all delta nodes) full-ranks through navSeedPairs exactly as a
     // full build would — so the spliced round 0 is bit-identical to
     // the rebuild's (`PipelineSpec` pins both regimes).
+    // Widths come from the VERSIONED stats (the `AnnIndex.ann_widths`
+    // posture): prior counts are a pruned read, next counts are
+    // prior + delta via one frontier-sized join — no corpus aggregate.
     val cap = Similarity.NavBucketCap
-    val sp = bandsPrior // already touched-bucket-restricted
-      .groupBy("b", "key").agg(count(lit(1)).as("bnp"), min("vec_id").as("a0p"))
-    val sn = bands.join(touched, Seq("b", "key"))
-      .groupBy("b", "key").agg(count(lit(1)).as("bnn"), min("vec_id").as("a0n"))
-    val cls = sn.join(sp, Seq("b", "key"), "left")
+    val dCnt = deltaBands.groupBy("b", "key")
+      .agg(count(lit(1)).as("dn"), min("vec_id").as("da0"))
+    val priorStatsT = BucketedTable.readParts(spark, bstatsPath(priorRoot),
+      BStatsSchema, touchedBandPb, BandScheme)
+    val cls = mat(dCnt
+      .join(priorStatsT.select(col("b"), col("key"),
+        col("bn").as("bnp"), col("a0").as("a0p")), Seq("b", "key"), "left")
+      .select(col("b"), col("key"), col("bnp"), col("a0p"),
+        (coalesce(col("bnp"), lit(0L)) + col("dn")).as("bnn"),
+        least(col("a0p"), col("da0")).as("a0n"))
       .withColumn("grow",
         col("bnp").isNotNull &&
           ((col("bnp") <= cap) === (col("bnn") <= cap)) &&
           (col("bnn") <= cap ||
             (Similarity.navPow2CeilBits(col("bnp")) === Similarity.navPow2CeilBits(col("bnn")) &&
-              col("a0p") === col("a0n"))))
-      .persist()
-    cls.count() // grow + flip sides both read it
-    lap("bucket classification")
+              col("a0p") === col("a0n")))), "cls")
+    // land the next width stats: touched buckets' rows replaced by
+    // the merged counts, every other bucket a manifest reference
+    BucketedTable.writeSpliced(spark,
+      withBandPb(priorStatsT.join(touched, Seq("b", "key"), "left_anti")
+        .unionByName(cls.select(col("b"), col("key"),
+          col("bnn").as("bn"), col("a0n").as("a0")))),
+      touchedBandPb, bstatsPath(priorRoot), bstatsPath(nextRoot), BandScheme)
+    lap("bucket classification + stats splice")
     val flipB = cls.where(!col("grow")).select("b", "key")
     val growB = cls.where(col("grow")).select("b", "key", "bnn")
-    val flipNodes = bands.join(flipB, Seq("b", "key"))
-      .select(col("vec_id").as("node")).distinct()
+    // next-release members of flip buckets = prior members + delta
+    // members — both already frontier-sized slices
+    val flipNodes = bandsPrior.join(flipB, Seq("b", "key"))
+      .select(col("vec_id").as("node"))
+      .unionByName(deltaBands.join(flipB, Seq("b", "key"))
+        .select(col("vec_id").as("node")))
+      .distinct()
     val fullNodes = mat(
       flipNodes.unionByName(deltaIds.select(col("vec_id").as("node"))).distinct(),
       "full0")
@@ -351,16 +510,19 @@ object NavIndex {
       .unionByName(growPairs)
     // full-rank side: exact same per-bucket pairing verdicts as a
     // full build (widths, anchor draws — all functions of the FULL
-    // next-release band table), restricted to the full-rank node
-    // side: a node's pair set is a pure function of its buckets'
-    // membership, so restriction commutes with generation
-    val fullCand = Similarity.navSeedPairs(bands, Seq("b", "key"), Some(fullNodes))
+    // next-release band table, here the LANDED one with the LANDED
+    // width stats), restricted to the full-rank node side: a node's
+    // pair set is a pure function of its buckets' membership, so
+    // restriction commutes with generation. One narrow flat scan of
+    // the landed band table — the 16 B/row nbr side of the full-rank
+    // joins — is the increment's only corpus-sized read here.
+    val fullCand = Similarity.navSeedPairs(bands(spark, nextRoot), Seq("b", "key"),
+      Some(fullNodes), Some(bstats(spark, nextRoot)))
     val affected0 = mat(growNodes.unionByName(fullNodes).distinct(), "aff0")
     lap("affected0")
     var changed = mat(splice(spark, pbm, roundPath(priorRoot, 0), roundPath(nextRoot, 0),
       affected0,
       Similarity.navTopK(spark, v, growCand.unionByName(fullCand), nNext)), "chg0")
-    cls.unpersist()
     lap("seed topK+splice")
 
     // ---- refinement rounds: frontier = changed endpoints + their
@@ -441,6 +603,9 @@ object NavIndex {
     * tombstone), so readers and the walk see no ghost nodes. */
   def retireState(spark: SparkSession, deleteIds: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
+    require(hasBandState(spark, priorRoot),
+      s"prior nav-index version at $priorRoot predates the versioned band " +
+        "state (pre-round-14 layout); rebuild the navigable graph with buildState")
     val del = deleteIds.select("vec_id").distinct()
     val priorV = readVecs(spark, priorRoot)
     // vector splice: only buckets that HELD a deleted vector rewrite
@@ -448,9 +613,9 @@ object NavIndex {
     val delPb = withPb(delV).select("pb").distinct()
       .collect().map(_.getInt(0)).toSet
     BucketedTable.writeSpliced(spark,
-      withPb(BucketedTable.readParts(spark, vecsPath(priorRoot), VecsSchema, delPb)
+      withPb(BucketedTable.readParts(spark, vecsPath(priorRoot), VecsSchema, delPb, Scheme)
         .join(del, Seq("vec_id"), "left_anti")),
-      delPb, vecsPath(priorRoot), vecsPath(nextRoot))
+      delPb, vecsPath(priorRoot), vecsPath(nextRoot), Scheme)
     val v = readVecs(spark, nextRoot)
 
     val iterDir = s"${graft.ops.IterState.rootFor(spark)}/navret_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -466,20 +631,43 @@ object NavIndex {
       s"corpus shrink $nPrior -> $nNext crosses a seed-band width boundary; " +
         "rebuild the navigable graph with buildState")
     // the bucket map must cover DELETED nodes too (their prior rows
-    // drive splices), so it derives from the PRIOR vector table
-    val pbm = mat(pbMap(priorV), "pbm")
+    // drive splices), so it derives from the PRIOR vector layout
+    val pbm = mat(readVecsPbMap(spark, priorRoot), "pbm")
     // deleted nodes as a frontier seed (column `node`), and the
-    // buckets they belonged to — band rows of the PRIOR vectors at
-    // the shared width
+    // buckets they belonged to — band rows of the DELETED vectors at
+    // the shared width (the retire path's only explode)
     val delNodes = mat(del.select(col("vec_id").as("node")), "delnodes")
-    val touchedBuckets = Similarity.navBands(delV, Similarity.navBitsFor(nNext))
-      .select("b", "key").distinct()
-    val bands = mat(Similarity.navBands(v, Similarity.navBitsFor(nNext)), "bands")
+    val delBands = mat(
+      withBandPb(Similarity.navBands(delV, Similarity.navBitsFor(nNext))), "delbands")
+    val touchedBuckets = delBands.select("b", "key").distinct()
+    val tPbs = delBands.select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
+    // band-table splice: a deleted node's band rows all live in the
+    // touched hash buckets (its buckets ARE the touched set), so
+    // dropping them there and carrying the rest by reference equals
+    // re-deriving the table over the reduced corpus
+    BucketedTable.writeSpliced(spark,
+      withBandPb(BucketedTable.readParts(spark, bandsPath(priorRoot), BandsSchema,
+          tPbs, BandScheme)
+        .join(del, Seq("vec_id"), "left_anti")),
+      tPbs, bandsPath(priorRoot), bandsPath(nextRoot), BandScheme)
+    // width-stats splice: recount ONLY the touched buckets from the
+    // spliced band table (pruned read); an emptied bucket recounts to
+    // no row, exactly as a full rebuild would derive
+    val nextTouchedRows = BucketedTable.readParts(spark, bandsPath(nextRoot),
+        BandsSchema, tPbs, BandScheme)
+      .join(touchedBuckets, Seq("b", "key"), "left_semi")
+    BucketedTable.writeSpliced(spark,
+      withBandPb(BucketedTable.readParts(spark, bstatsPath(priorRoot), BStatsSchema,
+          tPbs, BandScheme)
+        .join(touchedBuckets, Seq("b", "key"), "left_anti")
+        .unionByName(nextTouchedRows.groupBy("b", "key")
+          .agg(count(lit(1)).as("bn"), min("vec_id").as("a0")))),
+      tPbs, bstatsPath(priorRoot), bstatsPath(nextRoot), BandScheme)
     val affected0 = mat(
-      bands.join(touchedBuckets, Seq("b", "key"))
-        .select(col("vec_id").as("node")).distinct(), "aff0")
-    val seedCandAff =
-      Similarity.navSeedPairs(bands, Seq("b", "key"), Some(affected0))
+      nextTouchedRows.select(col("vec_id").as("node")).distinct(), "aff0")
+    val seedCandAff = Similarity.navSeedPairs(bands(spark, nextRoot), Seq("b", "key"),
+      Some(affected0), Some(bstats(spark, nextRoot)))
     var changed = mat(splice(spark, pbm, roundPath(priorRoot, 0), roundPath(nextRoot, 0),
       affected0.unionByName(delNodes).distinct(),
       Similarity.navTopK(spark, v, seedCandAff, nNext)), "chg0")
@@ -552,13 +740,13 @@ object NavIndex {
       affected: DataFrame, recomputed: DataFrame): DataFrame = {
     val affPb = affected.join(pbm, "node").select("pb").distinct()
       .collect().map(_.getInt(0)).toSet // ≤ 2^PartBits values — driver-bounded
-    val priorTouched = BucketedTable.readParts(spark, priorPath, RoundSchema, affPb)
+    val priorTouched = BucketedTable.readParts(spark, priorPath, RoundSchema, affPb, Scheme)
     val keep = priorTouched.join(affected, Seq("node"), "left_anti")
     BucketedTable.writeSpliced(spark,
       keep.unionByName(recomputed).join(pbm, "node"),
-      affPb, priorPath, nextPath)
+      affPb, priorPath, nextPath, Scheme)
     val oldAff = priorTouched.join(affected, Seq("node"), "left_semi")
-    val newAff = BucketedTable.readParts(spark, nextPath, RoundSchema, affPb)
+    val newAff = BucketedTable.readParts(spark, nextPath, RoundSchema, affPb, Scheme)
       .join(affected, Seq("node"), "left_semi")
     oldAff.exceptAll(newAff).unionByName(newAff.exceptAll(oldAff))
   }

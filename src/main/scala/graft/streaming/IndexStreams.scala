@@ -44,8 +44,9 @@ import graft.pipelines.NavIndex
   * delta (a new content domain) has the concentrated frontier
   * increments are built for. [[maintainBatch]] therefore measures
   * the delta's estimated seed-frontier fraction
-  * (`NavIndex.seedFrontierFraction` — two band projections and one
-  * equi-join, no ranking) and routes to the rebuild path when it
+  * (`NavIndex.seedFrontierFraction` — one delta-sized band projection
+  * against a pruned read of the landed band table, no ranking) and
+  * routes to the rebuild path when it
   * exceeds `graft.nav.rebuildFrontierFrac` (default 0.5), the same
   * contract posture as the width-boundary fallback. Exactness is
   * identical on every path, so routing can only change cost, never
@@ -67,6 +68,26 @@ object IndexStreams {
           s"graft.nav.rebuildFrontierFrac must be a fraction in [0,1], got '$s'")
       }
     }.getOrElse(0.5)
+
+  /** Per-bucket directory-count ceiling above which a freshly-landed
+    * increment version is compacted in place
+    * ([[NavIndex.compactState]]). Appends accumulate one directory
+    * per increment in their hot buckets (splices do not), so a
+    * localized-only stream crosses this every ~`threshold` batches
+    * and pays one pure-I/O rewrite that (a) returns reads to
+    * ~1 dir/bucket and (b) lands a chain ANCHOR so [[vacuum]] can
+    * reclaim the pre-compact chain — without it an increment-only
+    * chain grows directories and retained versions without bound.
+    * Default 8: the rewrite (no recompute) amortizes over ~7
+    * zero-prior-I/O appends. Set it very large to defer compaction
+    * to an explicit [[compact]] call. */
+  private def compactMaxDirs(spark: SparkSession): Int =
+    spark.conf.getOption("graft.nav.compactMaxDirs").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.nav.compactMaxDirs must be an integer dir count, got '$s'")
+      }
+    }.getOrElse(8)
 
   /** Landed-and-committed version numbers under `root`, ascending. */
   private[graft] def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
@@ -103,19 +124,40 @@ object IndexStreams {
       case Some(prior) =>
         val priorRoot = versionRoot(root, prior)
         val nPrior = NavIndex.readVecs(spark, priorRoot).count()
-        val nNext = nPrior + batch.count()
+        val nd = batch.count()
+        val nNext = nPrior + nd
         if (graft.ops.Similarity.navBitsFor(nPrior) !=
             graft.ops.Similarity.navBitsFor(nNext)) {
           // crossing a seed-band width boundary re-buckets every seed
           // — the one growth step an increment cannot honor
           NavIndex.rebuildState(spark, batch, priorRoot, next); "rebuild(width)"
-        } else if (NavIndex.seedFrontierFraction(spark, batch, priorRoot) >
-            rebuildFrontierFrac(spark)) {
+        } else if (!NavIndex.hasBandState(spark, priorRoot)) {
+          // prior version predates the versioned band state (round-14
+          // layout): a rebuild lands it and re-opens the increment path
+          NavIndex.rebuildState(spark, batch, priorRoot, next); "rebuild(layout)"
+        } else if (NavIndex.seedFrontierFraction(spark, batch, priorRoot,
+            nPrior, nd) > rebuildFrontierFrac(spark)) {
           NavIndex.rebuildState(spark, batch, priorRoot, next); "rebuild(frontier)"
         } else {
-          NavIndex.incrementState(spark, batch, priorRoot, next); "increment"
+          NavIndex.incrementState(spark, batch, priorRoot, next)
+          if (NavIndex.maxDirsPerBucket(spark, next) > compactMaxDirs(spark)) {
+            NavIndex.compactState(spark, next); "increment+compact"
+          } else "increment"
         }
     }
+  }
+
+  /** ANCHORIFY the newest committed version under `root` —
+    * [[NavIndex.compactState]] on the chain tip (the tip has no
+    * descendants, so no other manifest can reference the directories
+    * the rewrite supersedes). After it, the tip is a chain anchor and
+    * [[vacuum]] reclaims every version below; [[maintainBatch]] runs
+    * this automatically past the `graft.nav.compactMaxDirs` dir-count
+    * threshold, this entrypoint is the explicit/scheduled form. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val vs = committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed index version under $root")
+    NavIndex.compactState(spark, versionRoot(root, vs.last))
   }
 
   /** Retire old index versions — the retention contract made

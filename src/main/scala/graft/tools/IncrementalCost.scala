@@ -31,7 +31,23 @@ object IncrementalCost {
       r
     }
 
-    val docs = graft.Tables.documents(spark, sfDir)
+    // arg 3: duplication factor — ×100 exact-dup density is the
+    // regime where the mapping IS the corpus and the round-13 delta
+    // append vs the remaining whole-write floors (keeper bands,
+    // composed decision) actually separate; run with GRAFT_DEBUG=1
+    // for the per-write lap breakdown inside incrementState
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
+    val base = graft.Tables.documents(spark, sfDir)
+    val docs = if (factor <= 1) base else {
+      val off = base.agg(max("doc_id")).head().getLong(0) + 1L
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_incr_xcorpus").toString + "/documents.parquet"
+      (0 until factor).map(c =>
+          base.withColumn("doc_id", col("doc_id") + lit(c * off)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
     // pct mode: delta = pct% of the corpus by id hash — includes LOW
     // ids, which evict capped bucket members and force cold restarts
     // (the adversarial regime). abs mode (pct < 0): delta = the |pct|

@@ -126,6 +126,49 @@ object NavMaintainScale {
       spark.catalog.clearCache()
     }
 
+    // ---- 1c. x100 COMPACTION/ANCHORIFY lifecycle (round 14): a
+    // localized-only arrival sequence appends one directory per batch
+    // to its hot vector buckets and never lands an anchor, so before
+    // compaction existed, vacuum refused forever and per-read dir
+    // lists grew without bound. Measure: dir growth over ten
+    // localized micro-batches, read cost pre/post compact, the
+    // compact itself (pure I/O), vacuum reclaiming the chain, and
+    // graph parity with the one-shot full build.
+    {
+      val delta = emb.where(col("label") === 32)
+      val vN = emb.where(col("label") =!= 32)
+      val rootC = s"$outBase/idx_chain"
+      spark.conf.set("graft.nav.compactMaxDirs", s"${Int.MaxValue}") // explicit compact below
+      time("x100 chain build vN (cluster 32 held out)")(
+        graft.streaming.IndexStreams.maintainBatch(spark, vN, rootC, 0L))
+      for (b <- 1 to 10) {
+        val slice = delta.where(pmod(col("vec_id"), lit(10)) === lit(b - 1))
+        val route = time(f"x100 chain batch $b (localized micro-slice)")(
+          graft.streaming.IndexStreams.maintainBatch(spark, slice, rootC, b.toLong))
+        if (route != "increment") println(s"  UNEXPECTED route: $route")
+      }
+      spark.conf.unset("graft.nav.compactMaxDirs")
+      val tip = s"$rootC/v10"
+      println(s"  pre-compact: maxDirs/bucket=${NavIndex.maxDirsPerBucket(spark, tip)} " +
+        s"anchor=${NavIndex.isAnchor(spark, tip)}")
+      time("x100 read graph+vecs (pre-compact)") {
+        NavIndex.graph(spark, tip).count(); NavIndex.readVecs(spark, tip).count()
+      }
+      time("x100 compactState (anchorify tip, pure I/O)")(
+        NavIndex.compactState(spark, tip))
+      println(s"  post-compact: maxDirs/bucket=${NavIndex.maxDirsPerBucket(spark, tip)} " +
+        s"anchor=${NavIndex.isAnchor(spark, tip)}")
+      time("x100 read graph+vecs (post-compact)") {
+        NavIndex.graph(spark, tip).count(); NavIndex.readVecs(spark, tip).count()
+      }
+      time("x100 vacuum (reclaims the 10-version chain)")(
+        graft.streaming.IndexStreams.vacuum(spark, rootC, 1))
+      println(s"  versions after vacuum: " +
+        graft.streaming.IndexStreams.committedVersions(spark, rootC).mkString(","))
+      assertGraphParity(tip, fullRoot)
+      spark.catalog.clearCache()
+    }
+
     // ---- 2. x10 arrival sequence through the maintenance gate ----
     val dir10 = s"$outBase/mix10"
     RetrievalScale.mixture(spark, 20000L)

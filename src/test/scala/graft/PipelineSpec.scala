@@ -17,7 +17,11 @@ class PipelineSpec extends SparkSpec {
   private def navTables(root: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
     import graft.pipelines.NavIndex
     Seq("vecs" -> NavIndex.readVecs(spark, root),
-      "graph" -> NavIndex.graph(spark, root)) ++
+      "graph" -> NavIndex.graph(spark, root),
+      // the round-14 versioned band state is parity-checked like any
+      // other table: maintained counts must equal the full re-derive
+      "bands" -> NavIndex.bands(spark, root),
+      "bstats" -> NavIndex.bstats(spark, root)) ++
       (0 to 2).map(r => s"e$r" -> NavIndex.round(spark, root, r))
   }
 
@@ -904,14 +908,16 @@ class PipelineSpec extends SparkSpec {
     NavIndex.incrementState(spark, local, rootA, rootB)
     for (t <- Seq(NavIndex.graphPath(rootB)) ++
         (0 to 2).map(r => NavIndex.roundPath(rootB, r))) {
+      // manifest entries are fully-qualified URIs (file:/…), so
+      // membership is checked by containment of the unqualified root
       val dirs = BucketedTable.parts(spark, t).values.flatten.toSeq
-      assert(dirs.exists(_.startsWith(rootA)),
+      assert(dirs.exists(_.contains(rootA)),
         s"$t carries no referenced prior buckets — the splice rewrote everything")
-      assert(dirs.exists(_.startsWith(rootB)),
+      assert(dirs.exists(_.contains(rootB)),
         s"$t wrote nothing locally — the frontier cannot be empty here")
     }
     val vdirs = BucketedTable.parts(spark, NavIndex.vecsPath(rootB)).values.flatten.toSeq
-    assert(vdirs.count(_.startsWith(rootA)) ===
+    assert(vdirs.count(_.contains(rootA)) ===
       BucketedTable.parts(spark, NavIndex.vecsPath(rootA)).values.flatten.size,
       "vector append must keep every prior bucket referenced")
     // and the spliced state still equals the full rebuild
@@ -921,6 +927,46 @@ class PipelineSpec extends SparkSpec {
     val g2 = NavIndex.graph(spark, rootFull)
     assert(g1.exceptAll(g2).count() === 0)
     assert(g2.exceptAll(g1).count() === 0)
+  }
+
+  test("bucketed tables refuse pruned reads and splices under a foreign bucket scheme") {
+    // the pb column is a derived function of the row, not stored
+    // data: pruning a table written under one key function with
+    // another's bucket ids would silently drop rows, so the manifest
+    // stamps the scheme and mismatches refuse toward a rebuild
+    import graft.io.BucketedTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scheme").toString
+    val df = (0L until 100L).map(i => (i, i % 64)).toDF("id", "pb")
+      .withColumn("pb", col("pb").cast("int"))
+    BucketedTable.write(df, s"$root/t", "hashA/6")
+    assert(BucketedTable.read(spark, s"$root/t", "id BIGINT").count() === 100)
+    val e1 = intercept[IllegalArgumentException] {
+      BucketedTable.readParts(spark, s"$root/t", "id BIGINT", Set(0, 1), "hashB/6")
+    }
+    assert(e1.getMessage.contains("bucket scheme"))
+    val e2 = intercept[IllegalArgumentException] {
+      BucketedTable.writeAppended(spark, df.limit(5), s"$root/t", s"$root/t2", "hashB/6")
+    }
+    assert(e2.getMessage.contains("bucket scheme"))
+    val e3 = intercept[IllegalArgumentException] {
+      BucketedTable.writeSpliced(spark, df.limit(5), Set(0), s"$root/t", s"$root/t3", "hashB/6")
+    }
+    assert(e3.getMessage.contains("bucket scheme"))
+    // matching scheme passes — and compact on a multi-dir appended
+    // chain returns every bucket to one directory with rows intact
+    BucketedTable.writeAppended(spark,
+      (100L until 150L).map(i => (i, i % 64)).toDF("id", "pb")
+        .withColumn("pb", col("pb").cast("int")),
+      s"$root/t", s"$root/t2", "hashA/6")
+    assert(BucketedTable.maxDirsPerBucket(spark, s"$root/t2") === 2)
+    assert(!BucketedTable.isSelfContained(spark, s"$root/t2", s"$root/t2"))
+    BucketedTable.compact(spark, s"$root/t2", "id BIGINT", "hashA/6")
+    assert(BucketedTable.maxDirsPerBucket(spark, s"$root/t2") === 1)
+    assert(BucketedTable.isSelfContained(spark, s"$root/t2", s"$root/t2"))
+    val got = BucketedTable.read(spark, s"$root/t2", "id BIGINT")
+    assert(got.count() === 150)
+    assert(got.select("id").exceptAll((0L until 150L).toDF("id")).count() === 0)
   }
 
   test("incremental nav graph: retire splices row-identical to a reduced rebuild") {

@@ -726,4 +726,65 @@ class StreamingSpec extends SparkSpec {
     assert(live.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(live).count() === 0)
   }
+
+  test("tip compaction anchorifies an increment-only chain and re-opens vacuum") {
+    import graft.streaming.IndexStreams
+    import graft.pipelines.NavIndex
+    import spark.implicits._
+    def vecA(id: Long) = Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 7 + i) % 5))
+    def vecB(id: Long) = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0 + 0.001 * ((id * 11 + i) % 5) else -1.0 - 0.001 * ((id * 3 + i) % 5))
+    def dfA(lo: Long, hi: Long) = (lo until hi).map(i => (i, vecA(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val base = ((0L until 30L).map(i => (i, vecA(i), 1L)) ++
+      (100L until 280L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_idx").toString
+    // a purely-localized stream: every batch takes the increment path,
+    // so the chain never lands an anchor on its own and the vector
+    // table's hot buckets accumulate one appended directory per batch
+    assert(IndexStreams.maintainBatch(spark, base, root, 0L) === "build")
+    assert(IndexStreams.maintainBatch(spark, dfA(30, 40), root, 1L) === "increment")
+    assert(IndexStreams.maintainBatch(spark, dfA(40, 50), root, 2L) === "increment")
+    assert(IndexStreams.maintainBatch(spark, dfA(50, 60), root, 3L) === "increment")
+    val tip = s"$root/v3"
+    assert(!NavIndex.isAnchor(spark, tip))
+    assert(NavIndex.maxDirsPerBucket(spark, tip) > 1)
+    // increments only -> no anchor in the kept window -> vacuum
+    // refuses (safety over reclamation), the round-13 contract
+    IndexStreams.vacuum(spark, root, 1)
+    assert(IndexStreams.committedVersions(spark, root) === Seq(0L, 1L, 2L, 3L))
+    // compaction is pure I/O: self-contained tip, ~1 dir/bucket,
+    // graph row-identical to the one-shot build over all absorbed
+    IndexStreams.compact(spark, root)
+    assert(NavIndex.isAnchor(spark, tip))
+    assert(NavIndex.maxDirsPerBucket(spark, tip) === 1)
+    val ref = java.nio.file.Files.createTempDirectory("graft_compact_ref").toString
+    NavIndex.buildState(spark, base.unionByName(dfA(30, 60)), ref)
+    val want = NavIndex.graph(spark, ref)
+    val got = IndexStreams.currentGraph(spark, root)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // the compacted tip is an anchor, so the SAME vacuum now reclaims
+    // the whole pre-compact chain, and the tip still resolves
+    IndexStreams.vacuum(spark, root, 1)
+    assert(IndexStreams.committedVersions(spark, root) === Seq(3L))
+    val got2 = IndexStreams.currentGraph(spark, root)
+    assert(got2.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got2).count() === 0)
+    // routed form: past the dir-count threshold maintainBatch compacts
+    // the version it just landed, which anchors it immediately
+    spark.conf.set("graft.nav.compactMaxDirs", "1")
+    try {
+      assert(IndexStreams.maintainBatch(spark, dfA(60, 70), root, 4L) === "increment+compact")
+      assert(NavIndex.isAnchor(spark, s"$root/v4"))
+      assert(NavIndex.maxDirsPerBucket(spark, s"$root/v4") === 1)
+      val ref2 = java.nio.file.Files.createTempDirectory("graft_compact_ref2").toString
+      NavIndex.buildState(spark, base.unionByName(dfA(30, 70)), ref2)
+      val want2 = NavIndex.graph(spark, ref2)
+      val got3 = IndexStreams.currentGraph(spark, root)
+      assert(got3.exceptAll(want2).count() === 0)
+      assert(want2.exceptAll(got3).count() === 0)
+    } finally spark.conf.unset("graft.nav.compactMaxDirs")
+  }
 }
