@@ -233,9 +233,13 @@ object BucketedTable {
     requireScheme(spark, path, scheme)
     val f = fs(spark, path)
     val prior = parts(spark, path)
-    val dataPrefix = qualified(f, dataDir(path))
+    // settled = one LOCAL directory, whether from the original full
+    // write (data/) or an earlier compaction generation (cdataN/) —
+    // re-compacting after further appends must not rewrite buckets a
+    // prior compact already settled
+    val selfPrefix = qualified(f, path)
     def settled(dirs: Seq[String]) =
-      dirs.size == 1 && dirs.head.startsWith(s"$dataPrefix/")
+      dirs.size == 1 && dirs.head.startsWith(s"$selfPrefix/")
     val todo = prior.filter { case (_, dirs) => !settled(dirs) }
     if (todo.nonEmpty) {
       val gen = Iterator.from(1).map(i => s"$path/cdata$i")

@@ -88,6 +88,22 @@ object Curation {
     * hash(md5 content hash) over [[ExactPartBits]] bits. */
   private[graft] val ExactScheme = s"md5hash/$ExactPartBits"
 
+  /** Per-bucket directory-count ceiling for the exact keeper mapping,
+    * above which a freshly-appended release compacts it in place
+    * (`BucketedTable.compact` — pure I/O, the `IndexStreams`
+    * `graft.nav.compactMaxDirs` posture): every release appends one
+    * directory to each delta-touched content-hash bucket, so a daily
+    * release chain is ~365 dirs/bucket/year of small-file scan tax
+    * without it. The tip has no descendants yet, so the rewrite can
+    * never tear an existing reader. */
+  private def compactMaxDirs(spark: SparkSession): Int =
+    spark.conf.getOption("graft.curation.compactMaxDirs").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.curation.compactMaxDirs must be an integer dir count, got '$s'")
+      }
+    }.getOrElse(8)
+
   /** The exact keeper mapping is the one CORPUS-SIZED table of the
     * release state (one row per doc), and the release chain only ever
     * APPENDS to it (keeper demotion REFUSES toward the rebuild
@@ -101,6 +117,50 @@ object Curation {
   def exactMap(spark: SparkSession, root: String): DataFrame =
     graft.io.BucketedTable.read(spark, exactPath(root), ExactSchema)
 
+  private def layoutMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_decision_layout")
+
+  /** The exact-first state stores the FUZZY decision (keepers only)
+    * under [[clustersPath]] and derives exact-loser rows from the
+    * mapping AT READ TIME ([[decision]]) — round 14, removing the
+    * last O(corpus) WRITE from the release increment: the composed
+    * table is one row per doc (at ×100 exact-dup density 497k of
+    * 500k rows are exact losers — rows the delta-appended mapping
+    * already carries), and landing it whole per release was the one
+    * term that grew with the corpus instead of the delta (measured
+    * 0.93 s of a 5.42 s increment at ×100; dominant at another
+    * 1000×). This marker, landed LAST (after every state table),
+    * stamps the layout; [[incrementState]] refuses a mapping-bearing
+    * root without it (a pre-round-14 root landed the composed table,
+    * and composing again at read time would duplicate loser rows). */
+  private def stampFuzzyLayout(spark: SparkSession, root: String): Unit = {
+    val p = layoutMarker(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write("fuzzy+map/1".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def hasFuzzyLayout(spark: SparkSession, root: String): Boolean = {
+    val p = layoutMarker(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The COMPOSED per-doc dedup decision of the state under `root` —
+    * the uniform (doc_id, cluster_id, keep) table every consumer
+    * (apply, curate, leak-free split, index retire) reads. For an
+    * exact-first state this composes the landed fuzzy decision with
+    * the exact mapping on read (`Dedup.augmentWithExactLosers` — one
+    * join against the keeper-only fuzzy table, which broadcasts); a
+    * fuzzy-only state reads its decision table as-is. Row-identical
+    * to the composed table previous layouts materialized
+    * (`PipelineSpec`), without any release ever writing it. */
+  def decision(spark: SparkSession, root: String): DataFrame = {
+    val fuzzy = spark.read.parquet(clustersPath(root))
+    if (hasFuzzyLayout(spark, root))
+      Dedup.augmentWithExactLosers(fuzzy, exactMap(spark, root))
+    else fuzzy
+  }
+
   private def withExactPb(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     df.withColumn("pb", pmod(hash(col("h")), lit(1 << ExactPartBits)))
@@ -110,13 +170,14 @@ object Curation {
     * DEFAULT composition: exact BEFORE fuzzy. Lands (doc_id,
     * keeper_id, h) for EVERY doc (identity rows for keepers) under
     * [[exactPath]], the keeper-only capped bands under [[bandsPath]],
-    * and — under [[clustersPath]] — the COMPOSED decision: the fuzzy
-    * cluster rows over keepers plus one keep=false row per exact
-    * loser carrying its keeper's cluster
-    * (`Dedup.augmentWithExactLosers`). Because the composed table
-    * reads exactly like an LSH decision table, every downstream
-    * consumer (apply, curate, leak-free split, release, index retire)
-    * works unchanged; the `dedup_exact_first` driver query pins the
+    * and — under [[clustersPath]] — the FUZZY decision over keepers.
+    * The uniform composed decision (fuzzy rows plus one keep=false
+    * row per exact loser carrying its keeper's cluster) is a READ
+    * VIEW ([[decision]], `Dedup.augmentWithExactLosers`): it reads
+    * exactly like an LSH decision table, so every downstream consumer
+    * (apply, curate, leak-free split, release, index retire) works
+    * unchanged — and no release ever writes the corpus-sized composed
+    * table (round 14). The `dedup_exact_first` driver query pins the
     * same composition against the DuckDB oracle.
     *
     * Measured motivation (`tools.CurateThenIndex`, PERF.md round 12):
@@ -145,21 +206,22 @@ object Curation {
       bandsPath(root))
     val (clusters, iterHandle) =
       Dedup.clustersFromCappedReleasable(spark.read.parquet(bandsPath(root)))
-    Writers.truncateLoad(
-      Dedup.augmentWithExactLosers(clusters, mapping), clustersPath(root))
+    Writers.truncateLoad(clusters, clustersPath(root))
     iterHandle.release()
+    stampFuzzyLayout(spark, root)
   }
 
   /** Kept doc ids under an exact-first state ([[buildStateExactFirst]]):
     * a doc survives iff its decision row (if any) keeps it — the
-    * composed table already folds exact losers in as keep=false rows,
-    * so this is the standard anti-join against the O(docs-in-pairs +
-    * exact losers) decision table; the exact mapping supplies the
-    * full doc-id universe. Same marginal cost as [[applyDeduped]]. */
+    * composed [[decision]] view folds exact losers in as keep=false
+    * rows, so this is the standard anti-join against the
+    * O(docs-in-pairs + exact losers) decision rows; the exact mapping
+    * supplies the full doc-id universe. Same marginal cost as
+    * [[applyDeduped]]. */
   def keptExactFirst(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.functions._
     exactMap(spark, root).select("doc_id")
-      .join(spark.read.parquet(clustersPath(root))
+      .join(decision(spark, root)
         .where(!col("keep")).select("doc_id"),
         Seq("doc_id"), "left_anti")
   }
@@ -195,8 +257,9 @@ object Curation {
       priorRoot: String, nextRoot: String): Unit = {
     import org.apache.spark.sql.functions._
     // GRAFT_DEBUG lap prints (the navinc discipline): the release's
-    // write-cost anatomy — delta-append mapping vs the two documented
-    // whole-write floors (keeper bands, composed decision)
+    // write-cost anatomy — delta-append mapping vs the remaining
+    // keeper-grain floors (keeper bands, keeper-pairs fuzzy decision;
+    // the corpus-sized composed-decision write is gone — round 14)
     var t0 = System.nanoTime()
     def lap(label: String): Unit = if (sys.env.contains("GRAFT_DEBUG")) {
       System.err.println(f"[curinc] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -223,6 +286,11 @@ object Curation {
       Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
       st.release()
     } else {
+      require(hasFuzzyLayout(spark, priorRoot),
+        s"prior exact-first state at $priorRoot landed the composed decision " +
+          "table (pre-round-14 layout) — composing again at read time would " +
+          "duplicate exact-loser rows; rebuild the curation state with " +
+          "buildStateExactFirst")
       val priorMap = exactMap(spark, priorRoot)
       val deltaH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
       val priorKeeperByH = priorMap
@@ -245,26 +313,30 @@ object Curation {
       lap("demotion probe")
       graft.io.BucketedTable.writeAppended(spark, withExactPb(deltaMap),
         exactPath(priorRoot), exactPath(nextRoot), ExactScheme)
-      lap("exact mapping delta append")
+      if (graft.io.BucketedTable.maxDirsPerBucket(spark, exactPath(nextRoot)) >
+          compactMaxDirs(spark)) {
+        graft.io.BucketedTable.compact(spark, exactPath(nextRoot),
+          ExactSchema, ExactScheme)
+        lap("exact mapping delta append + compact")
+      } else lap("exact mapping delta append")
       val nextMap = exactMap(spark, nextRoot)
       // only NEW-group keepers enter the fuzzy chain; the prior fuzzy
       // decision is the composed table restricted to prior keepers
       // (exact-loser rows filtered back out — they carry no bands)
       val newKeeperDocs = newDocs.join(
         nextMap.where(col("doc_id") === col("keeper_id")).select("doc_id"), "doc_id")
-      val priorKeepers = priorMap
-        .where(col("doc_id") === col("keeper_id")).select("doc_id")
+      // the landed fuzzy decision is already keeper-only under the
+      // fuzzy+map layout — no composed-table filtering needed
       val priorFuzzy = spark.read.parquet(clustersPath(priorRoot))
-        .join(priorKeepers, Seq("doc_id"), "left_semi")
       val st = Dedup.incrementalClusters(newKeeperDocs,
         spark.read.parquet(bandsPath(priorRoot)), priorFuzzy)
       lap("fuzzy increment plan")
       Writers.truncateLoad(st.bands.select("doc_id", "b", "key"), bandsPath(nextRoot))
-      lap("keeper band truncate-load (whole-write floor)")
-      Writers.truncateLoad(
-        Dedup.augmentWithExactLosers(st.clusters, nextMap), clustersPath(nextRoot))
-      lap("composed decision truncate-load (whole-write floor)")
+      lap("keeper band truncate-load (keeper-corpus floor)")
+      Writers.truncateLoad(st.clusters, clustersPath(nextRoot))
+      lap("fuzzy decision truncate-load (keeper-pairs floor)")
       st.release()
+      stampFuzzyLayout(spark, nextRoot)
     }
   }
 
@@ -283,7 +355,7 @@ object Curation {
   def retireDropped(spark: SparkSession, curationRoot: String,
       priorIndexRoot: String, nextIndexRoot: String): Unit = {
     import org.apache.spark.sql.functions._
-    val dropped = spark.read.parquet(clustersPath(curationRoot))
+    val dropped = decision(spark, curationRoot)
       .where(!col("keep")).select(col("doc_id").as("vec_id"))
     graft.pipelines.NavIndex.retireState(spark, dropped, priorIndexRoot, nextIndexRoot)
   }
@@ -314,11 +386,11 @@ object Curation {
     * materialized cluster table — row-identical to `Dedup.applyDedup`
     * at one-join cost. */
   def applyDeduped(spark: SparkSession, dir: String, root: String): DataFrame =
-    Dedup.applyFrom(spark, dir, spark.read.parquet(clustersPath(root)))
+    Dedup.applyFrom(spark, dir, decision(spark, root))
 
   /** Stage 2b: the composed curation decision, same derivation. */
   def curationDecision(spark: SparkSession, dir: String, root: String): DataFrame =
-    Text.curateFrom(spark, dir, spark.read.parquet(clustersPath(root)))
+    Text.curateFrom(spark, dir, decision(spark, root))
 
   /** Stage 2c: the fully near-dup-safe train/val/test split, derived
     * from the materialized cluster table: every doc is keyed by its
@@ -332,7 +404,7 @@ object Curation {
   def leakFreeSplit(spark: SparkSession, dir: String, root: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir)
-    val cl = spark.read.parquet(clustersPath(root)).select("doc_id", "cluster_id")
+    val cl = decision(spark, root).select("doc_id", "cluster_id")
     val keyed = docs.select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("key_doc"))

@@ -121,7 +121,7 @@ object CurateThenIndex {
       // table (unpaired) are kept
       def keptIds(root: String): DataFrame =
         docs.select("doc_id").join(
-          spark.read.parquet(Curation.clustersPath(root))
+          Curation.decision(spark, root)
             .where(!col("keep")).select("doc_id"),
           Seq("doc_id"), "left_anti")
 
@@ -147,7 +147,7 @@ object CurateThenIndex {
         Curation.buildState(spark, docsX, s"$dir/cur_ex")
       }
       val exKeep = docsX.select("doc_id").join(
-        spark.read.parquet(Curation.clustersPath(s"$dir/cur_ex"))
+        Curation.decision(spark, s"$dir/cur_ex")
           .where(!col("keep")).select("doc_id"),
         Seq("doc_id"), "left_anti").persist()
       println(s"x$scale exact+lsh kept docs: ${exKeep.count()} of ${docs.count()}")

@@ -577,7 +577,7 @@ class PipelineSpec extends SparkSpec {
     val rootEx = Files.createTempDirectory("graft_exf_ex").toString
     Curation.buildState(spark, docs, rootLsh)
     def kept(root: String) = docs.select("doc_id").join(
-      spark.read.parquet(Curation.clustersPath(root))
+      Curation.decision(spark, root)
         .where(!col("keep")).select("doc_id"),
       Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).toSet
     // the leak: keeper 0 plus every cap-evicted id (64..69) survives
@@ -591,13 +591,16 @@ class PipelineSpec extends SparkSpec {
     // collapse through the fuzzy stage that runs on exact keepers
     assert(!(exKept.contains(1000L) && exKept.contains(1001L)))
     // the DEFAULT-consumer derivation (anti-join !keep rows of the
-    // landed composed decision — what applyDeduped/release/retire
-    // read) sees the SAME collapse: the exact-loser rows are folded
-    // into the decision table itself, so no consumer needs to know
-    // which composition built the state
+    // composed decision VIEW — what applyDeduped/release/retire read)
+    // sees the SAME collapse: exact-loser rows are derived from the
+    // mapping at read time, so no consumer needs to know which
+    // composition built the state — and no release writes them
     assert(kept(rootEx) === exKept)
-    assert(spark.read.parquet(Curation.clustersPath(rootEx))
+    assert(Curation.decision(spark, rootEx)
       .where(!col("keep") && col("doc_id") < 70).count() === 69)
+    // the LANDED fuzzy table stays keeper-grain: no exact-loser rows
+    assert(spark.read.parquet(Curation.clustersPath(rootEx))
+      .where(col("doc_id") < 70).count() === 0)
     // the landed mapping covers every doc, identity rows for keepers
     val mapping = Curation.exactMap(spark, rootEx)
     assert(mapping.count() === docs.count())
@@ -625,14 +628,15 @@ class PipelineSpec extends SparkSpec {
     val exTables = (root: String) => Seq(
       "clusters" -> spark.read.parquet(Curation.clustersPath(root)),
       "bands" -> spark.read.parquet(Curation.bandsPath(root)),
-      "exact" -> Curation.exactMap(spark, root))
+      "exact" -> Curation.exactMap(spark, root),
+      "decision view" -> Curation.decision(spark, root))
     for (((label, incr), (_, full)) <- exTables(rootB).zip(exTables(rootFull))) {
       assert(incr.exceptAll(full).count() === 0, s"extra rows in $label")
       assert(full.exceptAll(incr).count() === 0, s"missing rows in $label")
     }
     // non-vacuous: the synthetic exact dups were absorbed as losers
     // without entering the fuzzy chain (no bands for their ids)
-    assert(spark.read.parquet(Curation.clustersPath(rootB))
+    assert(Curation.decision(spark, rootB)
       .where(col("doc_id") >= 1000000L && !col("keep")).count() === 5)
     assert(spark.read.parquet(Curation.bandsPath(rootB))
       .where(col("doc_id") >= 1000000L).count() === 0)
@@ -647,6 +651,35 @@ class PipelineSpec extends SparkSpec {
       Curation.incrementState(spark, demote, rootA, rootC)
     }
     assert(e.getMessage.contains("keeper demotion"))
+  }
+
+  test("exact mapping release chain auto-compacts past the dir-count ceiling") {
+    // every release appends one directory per delta-touched content-
+    // hash bucket; past graft.curation.compactMaxDirs the tip rewrites
+    // in place (pure I/O) so read fan-out stays bounded over a long
+    // chain — rows identical before/after by construction
+    import graft.pipelines.Curation
+    val docs = Tables.documents(spark, sf)
+    val vN = docs.where(col("doc_id") % 4 === 0)
+    val roots = (0 to 3).map(i =>
+      Files.createTempDirectory(s"graft_excmp_v$i").toString)
+    Curation.buildStateExactFirst(spark, vN, roots(0))
+    spark.conf.set("graft.curation.compactMaxDirs", "2")
+    try {
+      for (i <- 1 to 3) {
+        val delta = docs.where(col("doc_id") % 4 === i)
+        Curation.incrementState(spark, delta, roots(i - 1), roots(i))
+      }
+    } finally spark.conf.unset("graft.curation.compactMaxDirs")
+    import graft.io.BucketedTable
+    assert(BucketedTable.maxDirsPerBucket(spark, Curation.exactPath(roots(3))) <= 2,
+      "the chain tip must have compacted past the ceiling")
+    val rootFull = Files.createTempDirectory("graft_excmp_full").toString
+    Curation.buildStateExactFirst(spark, docs, rootFull)
+    val a = Curation.exactMap(spark, roots(3))
+    val b = Curation.exactMap(spark, rootFull)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
   }
 
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
@@ -967,6 +1000,26 @@ class PipelineSpec extends SparkSpec {
     val got = BucketedTable.read(spark, s"$root/t2", "id BIGINT")
     assert(got.count() === 150)
     assert(got.select("id").exceptAll((0L until 150L).toDF("id")).count() === 0)
+    // a SECOND compact after further appends rewrites only the buckets
+    // the new delta touched — buckets already settled in an earlier
+    // compaction generation carry by reference, not by rewrite
+    val settledBefore = BucketedTable.parts(spark, s"$root/t2")
+    BucketedTable.writeAppended(spark,
+      Seq((150L, 0), (151L, 1)).toDF("id", "pb").withColumn("pb", col("pb").cast("int")),
+      s"$root/t2", s"$root/t4", "hashA/6")
+    BucketedTable.compact(spark, s"$root/t4", "id BIGINT", "hashA/6")
+    assert(BucketedTable.maxDirsPerBucket(spark, s"$root/t4") === 1)
+    assert(BucketedTable.isSelfContained(spark, s"$root/t4", s"$root/t4"))
+    val after = BucketedTable.parts(spark, s"$root/t4")
+    // t4's untouched buckets referenced t2's dirs (not under t4), so
+    // anchorifying t4 rewrites them; skipping settled buckets applies
+    // only to a version's OWN earlier compaction generations:
+    BucketedTable.compact(spark, s"$root/t2", "id BIGINT", "hashA/6")
+    val settledAfter = BucketedTable.parts(spark, s"$root/t2")
+    assert(settledAfter === settledBefore,
+      "re-compacting an already-compacted table must be a no-op")
+    assert(after.values.forall(_.size === 1))
+    assert(BucketedTable.read(spark, s"$root/t4", "id BIGINT").count() === 152)
   }
 
   test("incremental nav graph: retire splices row-identical to a reduced rebuild") {
@@ -999,7 +1052,7 @@ class PipelineSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val curRoot = Files.createTempDirectory("graft_curret_cur").toString
     Curation.buildClusters(spark, sf, curRoot)
-    val dropped = spark.read.parquet(Curation.clustersPath(curRoot))
+    val dropped = Curation.decision(spark, curRoot)
       .where(!col("keep")).select(col("doc_id").as("vec_id"))
     // non-vacuous only if the corpus has near-dup drops WITH embeddings
     val droppedWithEmb = dropped.join(emb, Seq("vec_id"), "left_semi").count()
