@@ -362,25 +362,52 @@ object Curation {
 
   def winnowPath(root: String): String = s"$root/winnow_fps"
 
+  private[graft] val WinnowSchema = "doc_id BIGINT, pos BIGINT, fp STRING"
+
+  /** Bucket-scheme id of the winnow index manifests: hash(fp) over
+    * [[ExactPartBits]] bits (fp-grain — the partial-copy gates probe
+    * by fp equi-join). */
+  private[graft] val WinnowScheme = s"fphash/$ExactPartBits"
+
+  private def withWinnowPb(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("pb", pmod(hash(col("fp")), lit(1 << ExactPartBits)))
+  }
+
   /** Landed winnow-fingerprint index (doc_id, pos, fp) — the
     * versioned-release form of the `text_winnow_fps` artifact; the
     * streaming partial-copy gate (`DocStreams.partialCopyGate`)
-    * probes exactly this table. */
+    * probes exactly this table. Stored as an fp-hash-bucketed
+    * [[graft.io.BucketedTable]]: fingerprints are PER-DOC independent
+    * and a release only ever adds docs, so increments land as pure
+    * delta appends (round 14 — before, every release truncate-loaded
+    * the whole O(corpus·2/(w+1)) fingerprint table). */
   def buildWinnowIndex(spark: SparkSession, docs: DataFrame, root: String): Unit =
-    Writers.truncateLoad(Text.winnowFrom(docs), winnowPath(root))
+    graft.io.BucketedTable.write(withWinnowPb(Text.winnowFrom(docs)),
+      winnowPath(root), WinnowScheme)
+
+  /** Read the committed winnow index under `root`. */
+  def winnowIndex(spark: SparkSession, root: String): DataFrame =
+    graft.io.BucketedTable.read(spark, winnowPath(root), WinnowSchema)
 
   /** Release vN → vN+1 for the winnow index. Winnow fingerprints are
     * PER-DOC independent (no cross-doc state in the selection), so
     * the increment is exact by construction: winnow ONLY the delta
-    * and append to the prior table under the next versioned root —
-    * delta-proportional cost, row-identical to a full rebuild
-    * (`PipelineSpec` pins it). */
+    * and land it as a delta append under the next versioned root —
+    * zero prior-table I/O, row-identical to a full rebuild
+    * (`PipelineSpec` pins it). Auto-compacts past the same
+    * `graft.curation.compactMaxDirs` ceiling as the exact mapping, so
+    * a long release chain keeps ~1 dir/bucket. */
   def incrementWinnowIndex(spark: SparkSession, newDocs: DataFrame,
-      priorRoot: String, nextRoot: String): Unit =
-    Writers.truncateLoad(
-      spark.read.parquet(winnowPath(priorRoot))
-        .unionByName(Text.winnowFrom(newDocs)),
-      winnowPath(nextRoot))
+      priorRoot: String, nextRoot: String): Unit = {
+    graft.io.BucketedTable.writeAppended(spark,
+      withWinnowPb(Text.winnowFrom(newDocs)),
+      winnowPath(priorRoot), winnowPath(nextRoot), WinnowScheme)
+    if (graft.io.BucketedTable.maxDirsPerBucket(spark, winnowPath(nextRoot)) >
+        compactMaxDirs(spark))
+      graft.io.BucketedTable.compact(spark, winnowPath(nextRoot),
+        WinnowSchema, WinnowScheme)
+  }
 
   /** Stage 2a: the deduplicated corpus, derived by READING the
     * materialized cluster table — row-identical to `Dedup.applyDedup`

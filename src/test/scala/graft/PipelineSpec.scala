@@ -1200,12 +1200,16 @@ class PipelineSpec extends SparkSpec {
     Curation.buildWinnowIndex(spark, vN, rootA)
     Curation.incrementWinnowIndex(spark, delta, rootA, rootB)
     Curation.buildWinnowIndex(spark, vN.union(delta), rootFull)
-    val inc = spark.read.parquet(Curation.winnowPath(rootB))
-    val full = spark.read.parquet(Curation.winnowPath(rootFull))
+    val inc = Curation.winnowIndex(spark, rootB)
+    val full = Curation.winnowIndex(spark, rootFull)
     assert(inc.exceptAll(full).count() === 0)
     assert(full.exceptAll(inc).count() === 0)
     // non-vacuous: the delta actually contributed fingerprints
     assert(inc.join(delta.select("doc_id"), "doc_id").count() > 0)
+    // the increment landed ONLY the delta's rows — every prior bucket
+    // is a manifest reference into the vN version, zero prior-table I/O
+    assert(!graft.io.BucketedTable.isSelfContained(
+      spark, Curation.winnowPath(rootB), Curation.winnowPath(rootB)))
   }
 
   test("jsonl corpus drop round-trips partitioned+gzipped and prunes on source") {
