@@ -74,6 +74,34 @@ object AnnIndex {
   private def pbOf(label: Column): Column =
     pmod(hash(label), lit(1 << PartBits))
 
+  /** The two bucketed state tables of a version with their schemas —
+    * the shared list of the anchor/compaction lifecycle (widths is
+    * O(#labels) plain parquet, landed whole, and needs neither). */
+  private def stateTables(root: String): Seq[(String, String)] =
+    Seq((cellsPath(root), CellsSchema), (graphPath(root), GraphSchema))
+
+  /** The version at `root` is a chain ANCHOR: both bucketed tables
+    * reference only their own directories (true of [[buildState]]
+    * outputs and of increments after [[compactState]]; never of a
+    * freshly-landed increment, whose untouched buckets reference the
+    * prior release) — the point below which older versions are
+    * reclaimable. */
+  private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
+    stateTables(root).forall { case (p, _) =>
+      BucketedTable.isSelfContained(spark, p, root) }
+
+  /** ANCHORIFY the committed version at `root` — the `NavIndex`
+    * compaction lifecycle applied to the ann chain: rewrite every
+    * ancestor-referenced bucket locally (`BucketedTable.compact`,
+    * pure I/O, rows byte-equal, zero pairing recompute) so the
+    * version becomes self-contained and every older version of the
+    * chain is reclaimable. Splice-landed increments never grow
+    * per-bucket dir lists, so the only cost here is re-homing
+    * referenced buckets — bounded by one corpus-sized read+write. */
+  def compactState(spark: SparkSession, root: String): Unit =
+    stateTables(root).foreach { case (p, s) =>
+      BucketedTable.compact(spark, p, s, Scheme) }
+
   /** Committed-version readers (see `NavIndex` — raw parquet reads
     * cannot see an incremented version's referenced buckets). */
   def cells(spark: SparkSession, root: String): DataFrame =

@@ -90,6 +90,20 @@ object AnnCost {
     val g1 = graft.pipelines.AnnIndex.graph(spark, s"$base/vn1")
     val g2 = graft.pipelines.AnnIndex.graph(spark, s"$base/full")
     println(s"graph equal: ${g1.exceptAll(g2).count() == 0 && g2.exceptAll(g1).count() == 0}")
+    // lifecycle: anchorify the increment tip (round 14) — pure I/O
+    // re-homing of the referenced buckets; after it, every earlier
+    // version of the chain is reclaimable
+    spark.catalog.clearCache()
+    println(s"tip anchor pre-compact: " +
+      s"${graft.pipelines.AnnIndex.isAnchor(spark, s"$base/vn1")}")
+    time("compactState (anchorify tip)") {
+      graft.pipelines.AnnIndex.compactState(spark, s"$base/vn1")
+    }
+    println(s"tip anchor post-compact: " +
+      s"${graft.pipelines.AnnIndex.isAnchor(spark, s"$base/vn1")}")
+    val g3 = graft.pipelines.AnnIndex.graph(spark, s"$base/vn1")
+    println(s"graph equal post-compact: " +
+      s"${g3.exceptAll(g2).count() == 0 && g2.exceptAll(g3).count() == 0}")
     spark.stop()
   }
 }

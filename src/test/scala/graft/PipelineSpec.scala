@@ -867,6 +867,22 @@ class PipelineSpec extends SparkSpec {
     // non-vacuous: the delta actually added graph state
     assert(graft.pipelines.AnnIndex.graph(spark, rootB).count() >
       graft.pipelines.AnnIndex.graph(spark, rootA).count())
+    // lifecycle: an increment confined to ONE label touches only that
+    // label's bucket and references every other bucket in its prior
+    // (not an anchor — the uniform delta above may touch all buckets
+    // on this small corpus, so it can't pin this); compactState
+    // re-homes the references — pure I/O, rows identical — so the
+    // chain below becomes reclaimable
+    import graft.pipelines.AnnIndex
+    val more = emb.where(col("label") === 0 && col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    val rootC = Files.createTempDirectory("graft_ann_cmp").toString
+    AnnIndex.incrementState(spark, more, rootB, rootC)
+    assert(!AnnIndex.isAnchor(spark, rootC))
+    val pre = AnnIndex.graph(spark, rootC).collect()
+    AnnIndex.compactState(spark, rootC)
+    assert(AnnIndex.isAnchor(spark, rootC))
+    assert(AnnIndex.graph(spark, rootC).collect() === pre)
   }
 
   test("incremental ANN index: a width-tier crossing re-cells the label exactly") {
