@@ -1139,11 +1139,15 @@ object Text {
   /** Vocabulary-row ceiling for [[bpeTrainTiered]]'s driver tier —
     * the `Similarity.navBroadcastVecsMax` posture applied to the
     * trainer. A weighted DISTINCT-TOKEN vocabulary is the bounded
-    * aggregate of a corpus (morphology, not corpus size, governs it);
-    * 2M types × ~50 B is ~100 MB driver-resident, the size a shipped
-    * tokenizer's training state occupies in every single-node trainer.
-    * Above the ceiling the distributed loop ([[bpeTrainLoop]]) is the
-    * honest plan and is the fallback. */
+    * aggregate of a corpus (morphology, not corpus size, governs it).
+    * Budget the INDEXES, not just the strings: the trainer holds a
+    * pair-count map plus a pair → word-set occurrence index whose
+    * entry count is ~vocab × avg-token-length adjacencies — at the
+    * 2M-type default that is a few GB of boxed driver heap (every
+    * shipped single-node tokenizer trainer carries the same state),
+    * so size the driver accordingly or lower this conf. Above the
+    * ceiling the distributed loop ([[bpeTrainLoop]]) is the honest
+    * plan and is the fallback. */
   private def bpeDriverVocabMax(spark: SparkSession): Long =
     spark.conf.getOption("graft.bpe.driverVocabMax").map { s =>
       try s.toLong catch {
@@ -1204,6 +1208,25 @@ object Text {
     a.length < b.length
   }
 
+  /** A string as whole-code-point symbols — the driver twin of the
+    * distributed tier's `transform(sequence(1, length(tok)), i ->
+    * substring(tok, i, 1))`, which is CODE-POINT based (Spark string
+    * functions are); a UTF-16 `map(_.toString)` would split astral
+    * characters into lone surrogates, electing different merges past
+    * the BMP and breaking the cross-tier bit-identity contract (and
+    * lone surrogates encode as '?' under UTF-8, corrupting the
+    * tiebreak too). */
+  private def codePointSyms(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      out += new String(Character.toChars(cp))
+      j += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** The classic single-node BPE trainer (Sennrich et al. 2016's
     * algorithm, the shape every shipped tokenizer trains with) over a
     * collected weighted vocabulary, with the textbook INCREMENTAL
@@ -1222,7 +1245,7 @@ object Text {
     val wts = new Array[Long](vocab.length)
     var i = 0
     while (i < vocab.length) {
-      syms(i) = vocab(i)._1.map(_.toString).toArray
+      syms(i) = codePointSyms(vocab(i)._1)
       wts(i) = vocab(i)._2
       i += 1
     }
@@ -1276,9 +1299,11 @@ object Text {
   }
 
   /** One leftmost-nonoverlapping merge pass of (a, b) → ab — the
-    * driver twin of `replace(st, '|a||b|', '|ab|')`, shared by the
-    * trainer and the greedy encoder. */
-  private def bpeMergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    * driver/executor twin of `replace(st, '|a||b|', '|ab|')`, shared
+    * by the driver-tier trainer and the rank-skip greedy encoder (one
+    * copy: the cross-path row-identity contract rides on this loop's
+    * exact semantics). */
+  private[graft] def bpeMergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
     if (syms.length < 2) syms
     else {
       val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -1367,7 +1392,8 @@ object Text {
       var mi = ms.length - 1
       while (mi >= 0) { ranks.put(ms(mi), mi); mi -= 1 } // first occurrence wins
       it.map { case (id, tok) =>
-        var syms: Array[String] = tok.map(_.toString).toArray
+        var syms: Array[String] = codePointSyms(tok)
+        val n0 = syms.length.toLong
         var last = -1
         var cont = syms.length >= 2
         while (cont) {
@@ -1381,19 +1407,12 @@ object Text {
           if (bestRank == Int.MaxValue) cont = false
           else {
             val (a, b) = ms(bestRank)
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var j = 0
-            while (j < syms.length) {
-              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-                out += a + b; j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            syms = out.toArray
+            syms = bpeMergeOnce(syms, a, b)
             last = bestRank
             cont = syms.length >= 2
           }
         }
-        (id, tok.length.toLong, syms.length.toLong)
+        (id, n0, syms.length.toLong)
       }
     }.toDF("doc_id", "n0", "n_sym")
       .groupBy("doc_id")

@@ -85,10 +85,13 @@ object AnnIndex {
     * outputs and of increments after [[compactState]]; never of a
     * freshly-landed increment, whose untouched buckets reference the
     * prior release) — the point below which older versions are
-    * reclaimable. */
+    * reclaimable. A version missing a table (old layout, torn
+    * landing) is NOT an anchor rather than an error — retention scans
+    * must refuse, not crash (the `NavIndex.isAnchor` contract). */
   private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
     stateTables(root).forall { case (p, _) =>
-      BucketedTable.isSelfContained(spark, p, root) }
+      BucketedTable.isCommitted(spark, p) &&
+        BucketedTable.isSelfContained(spark, p, root) }
 
   /** ANCHORIFY the committed version at `root` — the `NavIndex`
     * compaction lifecycle applied to the ann chain: rewrite every

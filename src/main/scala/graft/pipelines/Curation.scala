@@ -400,6 +400,10 @@ object Curation {
     * a long release chain keeps ~1 dir/bucket. */
   def incrementWinnowIndex(spark: SparkSession, newDocs: DataFrame,
       priorRoot: String, nextRoot: String): Unit = {
+    require(graft.io.BucketedTable.isCommitted(spark, winnowPath(priorRoot)),
+      s"prior winnow index at ${winnowPath(priorRoot)} was landed by an " +
+        "earlier release layout (whole-table parquet); rebuild it with " +
+        "buildWinnowIndex")
     graft.io.BucketedTable.writeAppended(spark,
       withWinnowPb(Text.winnowFrom(newDocs)),
       winnowPath(priorRoot), winnowPath(nextRoot), WinnowScheme)

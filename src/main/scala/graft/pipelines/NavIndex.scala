@@ -206,10 +206,15 @@ object NavIndex {
     * [[rebuildState]] outputs, and of increments AFTER
     * [[compactState]]; never of a freshly-landed increment, whose
     * vector append always references the prior release) — the point
-    * below which older versions are reclaimable. */
+    * below which older versions are reclaimable. A version missing a
+    * state table (a pre-band-state layout, or a torn landing) is NOT
+    * an anchor rather than an error: `IndexStreams.vacuum` scans
+    * every retained version through this predicate, and an upgraded
+    * chain must make it refuse toward the next rebuild, not crash. */
   private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
     stateTables(root).forall { case (p, _, _) =>
-      BucketedTable.isSelfContained(spark, p, root) }
+      BucketedTable.isCommitted(spark, p) &&
+        BucketedTable.isSelfContained(spark, p, root) }
 
   /** ANCHORIFY the committed version at `root`: rewrite every state
     * table into self-contained one-dir-per-bucket form
@@ -284,10 +289,12 @@ object NavIndex {
     val pbm = readVecsPbMap(spark, root).persist()
     def land(e: DataFrame, path: String): Unit =
       BucketedTable.write(e.join(pbm, "node"), path, Scheme)
-    // land the versioned band state the maintenance paths stand on
-    // (idempotent if [[landVecs]] already staged it: same derivation,
-    // full overwrite), then seed off the landed narrow tables
-    landBandState(spark, root, v, bits)
+    // land the versioned band state the maintenance paths stand on —
+    // unless [[landVecs]] already staged it for this root (same
+    // derivation from the same landed vectors, so re-landing would
+    // pay the corpus-wide band explode twice per full build); the
+    // [[rebuildState]] path lands vectors only and takes this branch
+    if (!hasBandState(spark, root)) landBandState(spark, root, v, bits)
     land(Similarity.navTopK(spark, v,
       Similarity.navSeedPairs(bands(spark, root), Seq("b", "key"),
         stats = Some(bstats(spark, root))), n),

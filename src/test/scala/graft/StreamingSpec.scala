@@ -478,6 +478,16 @@ class StreamingSpec extends SparkSpec {
     IndexStreams.vacuum(spark, root, 2)
     assert(IndexStreams.committedVersions(spark, root) === Seq(2L, 3L, 4L, 5L))
     assert(IndexStreams.currentGraph(spark, root).count() > 0)
+    // a version missing a state table (pre-band-state layout, torn
+    // landing) is NOT-an-anchor, never an error: vacuum scans every
+    // retained version through isAnchor, and an upgraded chain must
+    // refuse toward the next rebuild instead of crashing the scan
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v2/nav_bstats/_parts"), false)
+    assert(!NavIndex.isAnchor(spark, s"$root/v2"))
+    IndexStreams.vacuum(spark, root, 2) // must not throw; v3 is no anchor either
+    assert(IndexStreams.committedVersions(spark, root) === Seq(2L, 3L, 4L, 5L))
   }
 
   test("searchGate replays a micro-batch idempotently after a lost commit") {

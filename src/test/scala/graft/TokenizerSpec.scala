@@ -49,6 +49,31 @@ class TokenizerSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bpe.driverVocabMax")
   }
 
+  test("driver-tier trainer splits code points, not UTF-16 units (cross-tier identity past the BMP)") {
+    // an astral-plane character is two UTF-16 units but ONE symbol to
+    // Spark's code-point string functions — a surrogate-splitting
+    // driver tier would elect different merges (and corrupt the UTF-8
+    // tiebreak: lone surrogates encode as '?'), silently flipping the
+    // learned vocabulary when the corpus crosses the routing ceiling
+    import spark.implicits._
+    val astral = new String(Character.toChars(0x1F600)) // 😀
+    val docs = Seq(
+      (1L, s"${astral}ab ${astral}ab ${astral}ac"),
+      (2L, s"${astral}ab xy${astral} xy${astral}")).toDF("doc_id", "text")
+    val fast = Text.bpeTrainTiered(spark, docs, 8)
+    val loop = Text.bpeTrainLoop(spark, docs, 8)
+    assert(fast.exceptAll(loop).count() === 0)
+    assert(loop.exceptAll(fast).count() === 0)
+    // non-vacuous: the astral char participates in a learned merge
+    assert(fast.where(col("a").contains(astral) || col("b").contains(astral))
+      .count() > 0)
+    // and the rank-skip encoder counts it as one symbol, like the
+    // distributed apply chain would: three 3-code-point tokens = 9
+    val ms = fast.orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Text.bpeEncodeWith(spark, docs, ms)
+    assert(enc.where(col("doc_id") === 1L).head().getAs[Long]("n_chars") === 9L)
+  }
+
   test("deep artifact: 5-merge prefix equals the oracle-pinned trainer; encode matches apply") {
     val docs = Tables.documents(spark, sf)
     // the deep artifact trains under the same election rule on the
