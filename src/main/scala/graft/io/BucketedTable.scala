@@ -278,6 +278,21 @@ object BucketedTable {
     parts(spark, path).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
   }
 
+  /** [[isSelfContained]] with absent treated as false — ONE manifest
+    * probe instead of an exists() round trip followed by a manifest
+    * read (anchor scans walk every state table of every retained
+    * version; on an object store the extra exists() per table would
+    * double the scan's metadata requests). An uncommitted table is
+    * not an anchor constituent, never an error: retention scans over
+    * chains landed by earlier layouts must refuse toward the next
+    * rebuild, not crash. */
+  def isSelfContainedIfCommitted(spark: SparkSession, path: String,
+      prefix: String): Boolean = {
+    val f = fs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestName"))) false
+    else isSelfContained(spark, path, prefix)
+  }
+
   /** Read the whole logical table (one multi-root parquet scan over
     * every referenced directory; the `pb` value is a derived function
     * of the row, not stored data, so it does not reappear). */

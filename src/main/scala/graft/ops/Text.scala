@@ -1303,7 +1303,7 @@ object Text {
     * by the driver-tier trainer and the rank-skip greedy encoder (one
     * copy: the cross-path row-identity contract rides on this loop's
     * exact semantics). */
-  private[graft] def bpeMergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+  private def bpeMergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
     if (syms.length < 2) syms
     else {
       val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)

@@ -90,8 +90,7 @@ object AnnIndex {
     * must refuse, not crash (the `NavIndex.isAnchor` contract). */
   private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
     stateTables(root).forall { case (p, _) =>
-      BucketedTable.isCommitted(spark, p) &&
-        BucketedTable.isSelfContained(spark, p, root) }
+      BucketedTable.isSelfContainedIfCommitted(spark, p, root) }
 
   /** ANCHORIFY the committed version at `root` — the `NavIndex`
     * compaction lifecycle applied to the ann chain: rewrite every

@@ -213,8 +213,7 @@ object NavIndex {
     * chain must make it refuse toward the next rebuild, not crash. */
   private[graft] def isAnchor(spark: SparkSession, root: String): Boolean =
     stateTables(root).forall { case (p, _, _) =>
-      BucketedTable.isCommitted(spark, p) &&
-        BucketedTable.isSelfContained(spark, p, root) }
+      BucketedTable.isSelfContainedIfCommitted(spark, p, root) }
 
   /** ANCHORIFY the committed version at `root`: rewrite every state
     * table into self-contained one-dir-per-bucket form
@@ -232,9 +231,14 @@ object NavIndex {
     * dir) are carried at zero cost, so the rewrite cost tracks the
     * referenced+appended mass, bounded by one corpus-sized read+write
     * with no ranking work. */
-  def compactState(spark: SparkSession, root: String): Unit =
+  def compactState(spark: SparkSession, root: String): Unit = {
+    require(hasBandState(spark, root),
+      s"nav-index version at $root predates the versioned band state " +
+        "(pre-round-14 layout) — compacting it cannot land an anchor; " +
+        "rebuild the navigable graph with buildState")
     stateTables(root).foreach { case (p, s, sch) =>
       BucketedTable.compact(spark, p, s, sch) }
+  }
 
   /** The widest per-bucket directory list across the version's state
     * tables — the signal `IndexStreams.maintainBatch` routes
@@ -272,14 +276,15 @@ object NavIndex {
     * embeddings-format table (vec_id, embedding, label). */
   def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
     landVecs(spark, emb, root)
-    buildRounds(spark, root)
+    buildRounds(spark, root, bandStateStaged = true)
   }
 
   /** The round chain over ALREADY-landed vectors at `root` — the seam
     * [[buildState]] and the width-boundary full-rebuild fallback of
     * `streaming.IndexStreams` share. The corpus is counted ONCE and
     * the size threaded through every `navTopK` tier decision. */
-  private[pipelines] def buildRounds(spark: SparkSession, root: String): Unit = {
+  private[pipelines] def buildRounds(spark: SparkSession, root: String,
+      bandStateStaged: Boolean = false): Unit = {
     val v = readVecs(spark, root)
     val n = v.count()
     val bits = Similarity.navBitsFor(n)
@@ -290,11 +295,15 @@ object NavIndex {
     def land(e: DataFrame, path: String): Unit =
       BucketedTable.write(e.join(pbm, "node"), path, Scheme)
     // land the versioned band state the maintenance paths stand on —
-    // unless [[landVecs]] already staged it for this root (same
-    // derivation from the same landed vectors, so re-landing would
-    // pay the corpus-wide band explode twice per full build); the
-    // [[rebuildState]] path lands vectors only and takes this branch
-    if (!hasBandState(spark, root)) landBandState(spark, root, v, bits)
+    // unless the CALLER just staged it for this root ([[buildState]]
+    // via [[landVecs]]: same derivation from the same landed vectors,
+    // so re-landing would pay the corpus-wide band explode twice per
+    // full build). An explicit flag, not a hasBandState probe: a
+    // crashed increment attempt can leave committed ancestor-
+    // referencing band manifests at this root, and a rebuild that
+    // adopted them would never become a chain anchor (and could
+    // disagree with the landed vectors)
+    if (!bandStateStaged) landBandState(spark, root, v, bits)
     land(Similarity.navTopK(spark, v,
       Similarity.navSeedPairs(bands(spark, root), Seq("b", "key"),
         stats = Some(bstats(spark, root))), n),
