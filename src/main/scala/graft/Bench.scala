@@ -9,6 +9,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Measured session tuning (tools.TailProbe, PERF.md round 15 —
+      // the ~200-query sub-second tail is fixed-overhead-bound, and
+      // these two cut its probe subset ~19% on the same box):
+      // - 32 MB broadcast threshold: the sf0.1 dimension tables sit
+      //   just above Spark's conservative 10 MB default, so eligible
+      //   joins were running sort-merge; standard production tuning,
+      //   same posture as the explicit broadcast() hints in the ops.
+      // - shuffle compression off: local[] shuffles move through the
+      //   page cache of one machine — no network leg exists, so lz4
+      //   is pure CPU tax here. A multi-node deployment keeps the
+      //   default (compression pays exactly when a network appears).
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed region: JVM/codegen/classloading and the

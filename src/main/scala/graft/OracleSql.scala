@@ -2269,6 +2269,77 @@ object OracleSql {
       |FROM enc JOIN d USING (doc_id)
       |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** Deep-vocab fertility (`Text.bpeDeepFertility`): the TRAINER is
+    * the one non-SQL-expressible step (k ≤ 500 data-dependent merge
+    * rounds), so the merge list is read from the landed release
+    * artifact (`Text.bpeDeepExportRoot` — fixed path, filtered to the
+    * corpus fingerprint this query recomputes from `documents`); the
+    * ENCODE is then re-run here independently as a sequential
+    * recursive-CTE fold over the distinct-token vocabulary — round r
+    * applies merge r's leftmost-nonoverlapping replace, exactly the
+    * 5-merge oracles' per-round `replace` semantics extended to
+    * arbitrary k — and the per-doc/per-lang rollup is recomputed from
+    * scratch. Only the merge list itself is shared with the engine
+    * (the qclf landed-model posture); its first 5 rows are separately
+    * oracle-pinned through `text_bpe_train`. */
+  val textBpeDeep: String =
+    """WITH RECURSIVE f AS (
+      |  SELECT CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 13)
+      |                       AS BIGINT) % 1000000007) AS BIGINT) AS fp
+      |  FROM documents
+      |),
+      |m AS (
+      |  SELECT CAST(round AS BIGINT) AS round, a, b
+      |  FROM read_parquet('/root/repo/artifacts/bpe_deep_merges_v1/*/*.parquet')
+      |  WHERE fp = (SELECT fp FROM f)
+      |),
+      |mk AS (SELECT COALESCE(MAX(round), 0) AS k FROM m),
+      |v0 AS (
+      |  SELECT tok,
+      |         '|' || array_to_string(list_transform(range(1, length(tok) + 1),
+      |           i -> substr(tok, CAST(i AS INT), 1)), '||') || '|' AS st
+      |  FROM (SELECT DISTINCT u.tok
+      |        FROM (SELECT string_split(text, ' ') AS t FROM documents) s,
+      |             UNNEST(s.t) AS u(tok) WHERE length(u.tok) >= 1) toks
+      |),
+      |enc AS (
+      |  SELECT tok, st, CAST(0 AS BIGINT) AS rnd FROM v0
+      |  UNION ALL
+      |  SELECT e.tok,
+      |         replace(e.st, '|' || m.a || '||' || m.b || '|',
+      |                       '|' || m.a || m.b || '|') AS st,
+      |         e.rnd + 1 AS rnd
+      |  FROM enc e JOIN m ON m.round = e.rnd + 1
+      |),
+      |encf AS (
+      |  SELECT tok, length(tok) AS n0,
+      |         len(string_split(substr(st, 2, length(st) - 2), '||')) AS n_sym
+      |  FROM enc WHERE rnd = (SELECT k FROM mk)
+      |),
+      |dtok AS (
+      |  SELECT doc_id, u.tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+      |       UNNEST(s.t) AS u(tok)
+      |  WHERE length(u.tok) >= 1
+      |),
+      |doc AS (
+      |  SELECT doc_id, CAST(SUM(e.n0) AS BIGINT) AS n_chars,
+      |         CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens
+      |  FROM dtok JOIN encf e USING (tok) GROUP BY doc_id
+      |),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(words) AS BIGINT) AS n_words,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(words), 6) AS fertility,
+      |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_tok
+      |FROM doc JOIN d USING (doc_id)
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the
     * per-doc mean's summation order differs, absorbed by 6 dp. */

@@ -11,8 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of the operator code needs to change.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Process-level parquet-schema memo keyed by (path, mtime, length):
+  // every `spark.read.parquet` call re-infers the schema with a
+  // driver-side footer read, and the bench/verify mains load the same
+  // handful of tables thousands of times — passing the cached schema
+  // skips the footer round trip (and at 100 TB, a declared schema
+  // also skips the footer-sampling pass over many files, the same
+  // argument as BucketedTable's explicit-schema readers). The
+  // mtime/length key drops the memo when a tool regenerates a corpus
+  // file in place.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = s"$path:${st.getLen}:${st.getModificationTime}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

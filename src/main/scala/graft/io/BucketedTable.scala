@@ -81,26 +81,40 @@ object BucketedTable {
   def isCommitted(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestName"))
 
-  private def manifestLines(spark: SparkSession, path: String): Seq[String] = {
+  /** The manifest's lines, or None when no manifest exists — ONE
+    * open() that treats not-found as absence, so probes built on this
+    * pay a single filesystem round trip instead of exists() + read
+    * (the [[isSelfContainedIfCommitted]] contract). */
+  private def manifestLinesOpt(spark: SparkSession, path: String): Option[Seq[String]] = {
     val f = fs(spark, path)
     val mp = new org.apache.hadoop.fs.Path(s"$path/$ManifestName")
-    require(f.exists(mp), s"no committed bucketed table at $path (missing $ManifestName)")
-    val in = f.open(mp)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    text.linesIterator.filter(_.nonEmpty).toSeq
+    try {
+      val in = f.open(mp)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(text.linesIterator.filter(_.nonEmpty).toSeq)
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  /** The bucket → physical-directories map of the committed version
-    * at `path`. Every directory is an absolute fully-qualified URI
-    * holding plain parquet part files for exactly that bucket. */
-  def parts(spark: SparkSession, path: String): Map[Int, Seq[String]] =
-    manifestLines(spark, path)
+  private def manifestLines(spark: SparkSession, path: String): Seq[String] = {
+    val got = manifestLinesOpt(spark, path)
+    require(got.isDefined, s"no committed bucketed table at $path (missing $ManifestName)")
+    got.get
+  }
+
+  private def parseParts(lines: Seq[String]): Map[Int, Seq[String]] =
+    lines
       .filterNot(_.startsWith("#"))
       .map { line =>
         val Array(k, dir) = line.split("\t", 2)
         k.toInt -> dir
       }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+  /** The bucket → physical-directories map of the committed version
+    * at `path`. Every directory is an absolute fully-qualified URI
+    * holding plain parquet part files for exactly that bucket. */
+  def parts(spark: SparkSession, path: String): Map[Int, Seq[String]] =
+    parseParts(manifestLines(spark, path))
 
   /** The bucket-scheme id the committed version was written under
     * ("" for a pre-stamp manifest — treated as a mismatch against any
@@ -279,18 +293,67 @@ object BucketedTable {
   }
 
   /** [[isSelfContained]] with absent treated as false — ONE manifest
-    * probe instead of an exists() round trip followed by a manifest
-    * read (anchor scans walk every state table of every retained
-    * version; on an object store the extra exists() per table would
-    * double the scan's metadata requests). An uncommitted table is
-    * not an anchor constituent, never an error: retention scans over
-    * chains landed by earlier layouts must refuse toward the next
-    * rebuild, not crash. */
+    * open (not-found caught as absence, no separate exists() round
+    * trip; anchor scans walk every state table of every retained
+    * version, and on an object store an extra exists() per table
+    * would double the scan's metadata requests). An uncommitted table
+    * is not an anchor constituent, never an error: retention scans
+    * over chains landed by earlier layouts must refuse toward the
+    * next rebuild, not crash. */
   def isSelfContainedIfCommitted(spark: SparkSession, path: String,
-      prefix: String): Boolean = {
-    val f = fs(spark, path)
-    if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/$ManifestName"))) false
-    else isSelfContained(spark, path, prefix)
+      prefix: String): Boolean =
+    manifestLinesOpt(spark, path) match {
+      case None => false
+      case Some(lines) =>
+        val q = qualified(fs(spark, prefix), prefix)
+        parseParts(lines).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
+    }
+
+  /** Every fully-qualified data-directory URI the committed manifest
+    * at `path` references (empty for an uncommitted table — a torn or
+    * foreign landing contributes no references, and [[sweepOrphans]]
+    * must not treat it as an error). */
+  def referencedDirs(spark: SparkSession, path: String): Set[String] =
+    manifestLinesOpt(spark, path)
+      .map(parseParts(_).values.flatten.toSet).getOrElse(Set.empty)
+
+  /** Manifest-diff reclamation of CRASHED-WRITE leftovers (round-14
+    * verdict ask #4): delete `pb=` bucket directories under `path`'s
+    * `data`/`cdata<N>` generation dirs that `referenced` does not
+    * name. The data-first/manifest-last commit contract means a crash
+    * leaves unreferenced bytes rather than a torn table — a crashed
+    * [[compact]] strands an entire orphan generation, a crashed
+    * splice/append strands stale `data/pb=` dirs outside the expected
+    * set — and version-grain vacuum never reclaims an orphan inside a
+    * RETAINED version. `referenced` must be the union of manifest
+    * entries across EVERY retained version of the chain (defensive:
+    * only this version's manifest can reference its own dirs today,
+    * but the chain-union rule stays correct even if a non-tip manifest
+    * were ever recommitted). No-op on an uncommitted table (could be a
+    * concurrent writer's in-flight landing). Returns deleted dirs. */
+  def sweepOrphans(spark: SparkSession, path: String,
+      referenced: Set[String]): Seq[String] = {
+    if (!isCommitted(spark, path)) Seq.empty
+    else {
+      val f = fs(spark, path)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val gens = f.listStatus(root).toSeq.filter(st => st.isDirectory &&
+        (st.getPath.getName == "data" || st.getPath.getName.matches("cdata\\d+")))
+      val orphans = gens.flatMap(g => f.listStatus(g.getPath).toSeq)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
+        .map(st => f.makeQualified(st.getPath))
+        .filterNot(p => referenced.contains(p.toString))
+      orphans.foreach(p => f.delete(p, true))
+      // a generation emptied of buckets (fully-orphaned crashed
+      // compact) keeps only write markers (_SUCCESS) — drop it whole,
+      // freeing its cdata<N> slot for the next compact
+      gens.map(_.getPath).foreach { g =>
+        if (f.exists(g) && !f.listStatus(g).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("pb=")))
+          f.delete(g, true)
+      }
+      orphans.map(_.toString)
+    }
   }
 
   /** Read the whole logical table (one multi-root parquet scan over

@@ -1335,19 +1335,65 @@ object Text {
     graft.ArtifactCache.table(spark, "text_bpe_merges_deep", dir)(
       bpeTrainTiered(spark, Tables.documents(spark, dir), BpeDeepK))
 
+  /** Fixed export root the DEEP merge table lands under, keyed by
+    * corpus fingerprint — the seam that gives `text_bpe_deep` a real
+    * DuckDB oracle (round-14 verdict ask #3): the TRAINER has no
+    * feasible unrolled-SQL form (k ≤ [[BpeDeepK]] data-dependent
+    * rounds), but the READOUT does — the oracle reads the landed
+    * merge list from this path (filtered to the fingerprint it
+    * recomputes from `documents`) and re-encodes the corpus itself
+    * with a sequential recursive-CTE fold, so encode + rollup are
+    * independently recomputed and only the merge list is shared (the
+    * `text_qclf_score` landed-model posture). Versioned path: bump
+    * the suffix if the trainer's election rule ever changes. */
+  private def bpeDeepExportRoot(spark: SparkSession): String =
+    spark.conf.getOption("graft.bpe.deepMergesExportDir")
+      .getOrElse("/root/repo/artifacts/bpe_deep_merges_v1")
+
+  /** Deterministic corpus fingerprint shared with the oracle SQL:
+    * Σ_docs (first-13-hex-digits of md5(doc_id ∥ '|' ∥ text) as
+    * int64) mod 1e9+7 — the dsir md5 trick, reduced before the sum so
+    * the total stays far inside int64 at any corpus size both engines
+    * compute it at. Distinguishes the per-SF merge tables sharing the
+    * one fixed export root (the oracle text cannot vary per run). */
+  private[graft] def corpusFp(docs: DataFrame): Long =
+    docs.select(sum(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+        col("text"))), 1, 13), 16, 10).cast("long") % 1000000007L).as("fp"))
+      .first().getLong(0)
+
+  /** Land the trained merge rows for `fp` under the export root —
+    * write-once per fingerprint (the trainer is deterministic and
+    * spec-pinned, so content per corpus never changes; skipping on a
+    * committed export keeps the bench's repeated reps from paying the
+    * write). */
+  private def exportDeepMerges(spark: SparkSession, fp: Long,
+      rows: Array[org.apache.spark.sql.Row]): Unit = {
+    import spark.implicits._
+    val out = s"${bpeDeepExportRoot(spark)}/$fp"
+    val p = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      rows.map(r => (fp, r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.toDF("fp", "round", "a", "b", "n")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+  }
+
   /** Per-language fertility under the trained DEEP vocabulary — the
     * driver-facing query surface of the deep tokenizer: token counts
     * and fertility per language computed by [[bpeEncodeWith]] under
     * the landed [[bpeDeepMergesArtifact]] merge list (reproducible
-    * from the artifact alone, the shipped-tokenizer contract). Not
-    * SQL-expressible at this depth (the oracle's unrolled-CTE chain
-    * pins the 5-merge form; hundreds of data-dependent merges have no
-    * feasible unrolling), so the driver records the rows-only check.
-    * Output: lang, n_docs, n_words, n_tokens, fertility,
-    * chars_per_tok. */
+    * from the artifact alone, the shipped-tokenizer contract). The
+    * merge list additionally lands under [[bpeDeepExportRoot]] so the
+    * DuckDB oracle can read the SAME artifact and independently
+    * re-run the encode (recursive CTE) and rollup — see
+    * `OracleSql.textBpeDeep`. Output: lang, n_docs, n_words,
+    * n_tokens, fertility, chars_per_tok. */
   def bpeDeepFertility(spark: SparkSession, dir: String): DataFrame = {
-    val ms = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
+    val ms = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    exportDeepMerges(spark, corpusFp(Tables.documents(spark, dir)), rows)
     fertilityRollup(spark, dir,
       bpeEncodeWith(spark, Tables.documents(spark, dir), ms))
   }

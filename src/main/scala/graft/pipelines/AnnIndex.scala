@@ -100,9 +100,20 @@ object AnnIndex {
     * chain is reclaimable. Splice-landed increments never grow
     * per-bucket dir lists, so the only cost here is re-homing
     * referenced buckets — bounded by one corpus-sized read+write. */
-  def compactState(spark: SparkSession, root: String): Unit =
+  def compactState(spark: SparkSession, root: String): Unit = {
+    // committed/legacy guard (the NavIndex.compactState posture): on
+    // an old-layout or torn root, refuse toward rebuild instead of
+    // failing inside BucketedTable with the generic missing-manifest
+    // require
+    require(stateTables(root).forall { case (p, _) =>
+        BucketedTable.isCommitted(spark, p) },
+      s"ann-index version at $root is missing a committed bucketed " +
+        "state table (pre-bucketed layout or torn landing) — " +
+        "compacting it cannot land an anchor; rebuild the ann state " +
+        "with buildState")
     stateTables(root).foreach { case (p, s) =>
       BucketedTable.compact(spark, p, s, Scheme) }
+  }
 
   /** Committed-version readers (see `NavIndex` — raw parquet reads
     * cannot see an incremented version's referenced buckets). */

@@ -136,8 +136,14 @@ object Curation {
   private def stampFuzzyLayout(spark: SparkSession, root: String): Unit = {
     val p = layoutMarker(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
+    // tmp + rename, the same commit discipline as every other marker
+    // (BucketedTable.commitManifest, Writers.commitPointer): a crash
+    // mid-create must not leave a present-but-torn marker
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_decision_layout.tmp")
+    val out = f.create(tmp, true)
     try out.write("fuzzy+map/1".getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"layout-marker commit failed for $root")
   }
 
   private def hasFuzzyLayout(spark: SparkSession, root: String): Boolean = {
@@ -154,10 +160,19 @@ object Curation {
     * fuzzy-only state reads its decision table as-is. Row-identical
     * to the composed table previous layouts materialized
     * (`PipelineSpec`), without any release ever writing it. */
-  def decision(spark: SparkSession, root: String): DataFrame = {
+  def decision(spark: SparkSession, root: String): DataFrame =
+    decisionWith(spark, root, None)
+
+  /** [[decision]] with the exact mapping THREADED from a caller that
+    * already read it ([[keptExactFirst]]) — on an object store the
+    * mapping's manifest read is a driver metadata round trip, and the
+    * hot consumers were paying it twice per job. */
+  private def decisionWith(spark: SparkSession, root: String,
+      mapping: Option[DataFrame]): DataFrame = {
     val fuzzy = spark.read.parquet(clustersPath(root))
     if (hasFuzzyLayout(spark, root))
-      Dedup.augmentWithExactLosers(fuzzy, exactMap(spark, root))
+      Dedup.augmentWithExactLosers(fuzzy,
+        mapping.getOrElse(exactMap(spark, root)))
     else fuzzy
   }
 
@@ -220,8 +235,9 @@ object Curation {
     * [[applyDeduped]]. */
   def keptExactFirst(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    exactMap(spark, root).select("doc_id")
-      .join(decision(spark, root)
+    val mapping = exactMap(spark, root)
+    mapping.select("doc_id")
+      .join(decisionWith(spark, root, Some(mapping))
         .where(!col("keep")).select("doc_id"),
         Seq("doc_id"), "left_anti")
   }

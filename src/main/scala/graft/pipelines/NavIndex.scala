@@ -240,6 +240,23 @@ object NavIndex {
       BucketedTable.compact(spark, p, s, sch) }
   }
 
+  /** Union of every data-directory URI the version's state-table
+    * manifests reference — one version's contribution to the
+    * chain-wide live set `IndexStreams.vacuum`'s orphan sweep
+    * subtracts from. */
+  private[graft] def referencedDirs(spark: SparkSession, root: String): Set[String] =
+    stateTables(root).flatMap { case (p, _, _) =>
+      BucketedTable.referencedDirs(spark, p) }.toSet
+
+  /** Manifest-diff sweep of crashed-write leftovers across the
+    * version's state tables ([[graft.io.BucketedTable.sweepOrphans]]);
+    * `referenced` must union [[referencedDirs]] over every retained
+    * version. Returns the deleted directories. */
+  private[graft] def sweepOrphans(spark: SparkSession, root: String,
+      referenced: Set[String]): Seq[String] =
+    stateTables(root).flatMap { case (p, _, _) =>
+      BucketedTable.sweepOrphans(spark, p, referenced) }
+
   /** The widest per-bucket directory list across the version's state
     * tables — the signal `IndexStreams.maintainBatch` routes
     * compaction on (manifest-only driver reads, no data I/O). */

@@ -189,6 +189,20 @@ object IndexStreams {
           }
         }
     }
+    // Manifest-diff orphan sweep over the RETAINED versions (round-14
+    // verdict ask #4): version-grain deletion above can never reclaim
+    // a crashed compact's orphan generation (or a crashed splice's
+    // stale data/pb= dirs) INSIDE a version that stays retained —
+    // those dirs sit next to live ones and appear in no manifest.
+    // Subtracting the chain-wide referenced union from each retained
+    // version's on-disk generation dirs reclaims exactly the bytes no
+    // manifest can ever reach again (a dir absent from every retained
+    // manifest can never become referenced: manifests only carry
+    // forward prior entries or their own local writes).
+    val kept = committedVersions(spark, root)
+    val live = kept.flatMap(b =>
+      NavIndex.referencedDirs(spark, versionRoot(root, b))).toSet
+    kept.foreach(b => NavIndex.sweepOrphans(spark, versionRoot(root, b), live))
   }
 
   /** The maintenance gate: `stream` is an embeddings-format streaming

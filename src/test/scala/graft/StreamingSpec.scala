@@ -797,4 +797,62 @@ class StreamingSpec extends SparkSpec {
       assert(want2.exceptAll(got3).count() === 0)
     } finally spark.conf.unset("graft.nav.compactMaxDirs")
   }
+
+  test("vacuum sweeps crashed-compact orphans inside retained versions") {
+    import graft.streaming.IndexStreams
+    import graft.pipelines.NavIndex
+    import spark.implicits._
+    def vecA(id: Long) = Array.tabulate(64)(i => 1.0 + 0.001 * ((id * 7 + i) % 5))
+    def vecB(id: Long) = Array.tabulate(64)(i =>
+      if (i % 2 == 0) 1.0 + 0.001 * ((id * 11 + i) % 5) else -1.0 - 0.001 * ((id * 3 + i) % 5))
+    def dfA(lo: Long, hi: Long) = (lo until hi).map(i => (i, vecA(i), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val base = ((0L until 30L).map(i => (i, vecA(i), 1L)) ++
+      (100L until 280L).map(i => (i, vecB(i), 2L)))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_sweep_idx").toString
+    assert(IndexStreams.maintainBatch(spark, base, root, 0L) === "build")
+    assert(IndexStreams.maintainBatch(spark, dfA(30, 40), root, 1L) === "increment")
+    val tipVecs = NavIndex.vecsPath(s"$root/v1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkOrphan(dir: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "part-00000.parquet"), true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+      p
+    }
+    // crash-simulated partial compact: a full generation dir no
+    // manifest references, plus a stale local bucket a crashed
+    // foreign splice attempt left outside the expected set
+    val orphanGen = mkOrphan(s"$tipVecs/cdata1/pb=0")
+    mkOrphan(s"$tipVecs/cdata1/pb=1")
+    // a stale LOCAL bucket must go into a pb slot the manifest does
+    // not reference (writing into a live dir would corrupt the table,
+    // which is not the crash mode the expected-set filter leaves)
+    val usedLocal = graft.io.BucketedTable.referencedDirs(spark, tipVecs)
+      .filter(_.contains("/data/pb=")).map(_.split("/data/pb=").last.toInt)
+    val freePb = (0 until 64).find(k => !usedLocal.contains(k)).get
+    val orphanStale = mkOrphan(s"$tipVecs/data/pb=$freePb")
+    assert(!graft.io.BucketedTable.referencedDirs(spark, tipVecs)
+      .exists(_.endsWith("/cdata1/pb=0")))
+    val before = NavIndex.readVecs(spark, s"$root/v1").collect().toSet
+    val liveDirs = (0L to 1L).flatMap(b =>
+      NavIndex.referencedDirs(spark, s"$root/v$b")).toSet
+    IndexStreams.vacuum(spark, root, 2)
+    // both retained versions survive; orphans are gone, the emptied
+    // cdata1 generation slot is freed whole
+    assert(IndexStreams.committedVersions(spark, root) === Seq(0L, 1L))
+    assert(!fs.exists(orphanGen))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tipVecs/cdata1")))
+    assert(!fs.exists(orphanStale))
+    // every referenced directory is untouched and reads are identical
+    liveDirs.foreach(d => assert(fs.exists(new org.apache.hadoop.fs.Path(d))))
+    assert(NavIndex.readVecs(spark, s"$root/v1").collect().toSet === before)
+    // a later real compact reuses the swept cdata1 slot and anchors
+    IndexStreams.compact(spark, root)
+    assert(NavIndex.isAnchor(spark, s"$root/v1"))
+    assert(NavIndex.readVecs(spark, s"$root/v1").collect().toSet === before)
+  }
 }
