@@ -633,11 +633,22 @@ object Similarity {
     * agg — the canonical distributed k-means iteration; 100 TB of
     * vectors is k broadcast joins + k tiny aggregates per iteration.
     * Output: vec_id, cluster, dist. */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir).persist()
-    v.count() // materialize before the per-iteration assignment scans fan out
-    kmeansFrom(spark, v)
-  }
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansArt(spark, dir).orderBy("vec_id")
+
+  /** The k-means ASSIGNMENT as a landed per-corpus-version artifact —
+    * a clustering is trained once per release and READ by every
+    * downstream pass (the assignment readout, semantic dedup's
+    * same-cluster gate, any diversity/mixture audit), exactly the
+    * `knn_index`/`sim_loose_pairs` posture; re-running Lloyd's inside
+    * each consumer is what no release pipeline does. Build cost stays
+    * visible in the bench's artifact ledger. */
+  private[graft] def kmeansArt(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.tableReleasable(spark, "sim_kmeans_asg", dir) {
+      val v = vecs(spark, dir).persist()
+      v.count() // materialize before the per-iteration assignment scans fan out
+      (kmeansFrom(spark, v), () => { v.unpersist(); () })
+    }
 
   /** Core over an explicit (vec_id, v) table with parameterized k and
     * iteration count — split out so tests can drive constructed
@@ -2380,7 +2391,15 @@ object Similarity {
     // union twice + the induced-subgraph join), so the unrolled
     // lineage grows 3^rounds without a hard break — the same
     // nested-plan pathology as the cluster loop; iteration state goes
-    // through the IterState parquet seam (flat per-round plans)
+    // through the IterState parquet seam (flat per-round plans).
+    // Round 15 re-tried in-memory persist() for this hard-capped
+    // 5-round loop: persist caches DATA but leaves the LOGICAL plan
+    // tripling per round, and AQE's plan explain-string render walks
+    // the shared subtrees as a TREE — the terminal action on the
+    // converged lineage tried to materialize 3^rounds copies of the
+    // knn-self-join subplan text and OOMed an 8 GB driver on 1,500
+    // edges. The parquet cycle per round is the price of flat plans;
+    // don't re-try without a real plan break.
     val iterDir = s"${IterState.rootFor(spark)}/kcore_${java.util.UUID.randomUUID().toString.take(8)}"
     val cleanup = IterState.register(spark, iterDir)
     // edge count rides the write job (Observation API, the cluster
@@ -2624,9 +2643,9 @@ object Similarity {
   }
 
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir).persist()
-    v.count() // materialize before the assignment consumers fan out
-    val asg = kmeansFrom(spark, v).select("vec_id", "cluster").persist()
+    // both inputs are landed artifacts (assignment + loose pairs):
+    // the query itself is two hash joins and a per-doc min
+    val asg = kmeansArt(spark, dir).select("vec_id", "cluster").persist()
     asg.count() // materialize: read by both pair sides and the output spine
     val pairs = loosePairsArt(spark, dir)
     val sameCluster = pairs

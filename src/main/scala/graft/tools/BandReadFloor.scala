@@ -60,7 +60,8 @@ object BandReadFloor {
     // per-delta band-space coverage: how many clusters until the
     // pruned probe degenerates to all 64 buckets
     for (k <- Seq(1, 2, 4, 8)) {
-      val ids = emb.where(col("label") < k).select(col("vec_id"))
+      // labels are 1-based: label <= k selects k whole clusters
+      val ids = emb.where(col("label") <= k).select(col("vec_id"))
       val keys = bandPb(bands.join(ids, "vec_id"))
         .agg(countDistinct(struct(col("b"), col("key"))).as("keys"),
           countDistinct(col("pb")).as("pbs"), count(lit(1)).as("rows"))
@@ -72,8 +73,12 @@ object BandReadFloor {
     // (a) pruned read at 1-cluster coverage vs (b) the degenerate
     // full narrow read — both as count() over the same landed layout,
     // min-of-3 (first touch pays footer/codegen)
+    // the genuinely-pruned case is a MICRO-SLICE delta (the chain
+    // protocol's ~1/10-cluster batches); whole-cluster deltas already
+    // span > 64 band keys and degenerate (see the coverage table)
     val pbs1 = bandPb(bands.join(
-        emb.where(col("label") < 1).select(col("vec_id")), "vec_id"))
+        emb.where(col("label") === 1 && pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id")), "vec_id"))
       .select("pb").distinct().collect().map(_.getInt(0)).toSet
     def minOf3(f: => Long): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -49,7 +49,7 @@ object TailProbe {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case e: Throwable =>
-          println(s"  $name FAILED: ${e.getMessage}"); -1L }
+          println(s"  $name FAILED: ${e.getMessage}"); e.printStackTrace(); -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> reps.min
