@@ -592,4 +592,116 @@ object Curation {
           .as("checksum"))
     Writers.truncateLoad(manifest, s"$root/training_manifest")
   }
+
+  // ---- Release-chain retention (round 15) — the `IndexStreams`
+  // vacuum/compact/anchor lifecycle applied to the CURATION chain.
+  // A release chain lands versioned roots `<chain>/v<N>` (the
+  // `incrementState` convention); the exact keeper mapping and the
+  // winnow index are bucketed delta-append tables whose increments
+  // REFERENCE ancestor versions' buckets by manifest, so deleting an
+  // old release naively would tear every newer one — the identical
+  // reference-counting problem the nav chain solved, with the
+  // identical resolution: compaction turns the tip self-contained
+  // (an ANCHOR), and vacuum deletes only strictly below the newest
+  // retained anchor, then manifest-diff-sweeps crashed-write orphans
+  // inside what stays.
+
+  private def chainVersionRoot(root: String, b: Long): String = s"$root/v$b"
+
+  /** The bucketed chain tables PRESENT under a release root (the
+    * whole-landed tables — bands, fuzzy decision — are self-contained
+    * per release by construction and need no lifecycle). */
+  private def chainTables(spark: SparkSession, vroot: String): Seq[(String, String, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(vroot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((exactPath(vroot), ExactSchema, ExactScheme),
+      (winnowPath(vroot), WinnowSchema, WinnowScheme))
+      .filter { case (p, _, _) => fs.exists(new org.apache.hadoop.fs.Path(p)) }
+  }
+
+  /** Committed release versions under `root`, ascending. A release is
+    * committed when its LAST-landed state artifact is: the layout
+    * marker for an exact-first release, the fuzzy decision's
+    * `_SUCCESS` for a fuzzy-only one, the winnow manifest for a
+    * winnow-only chain. */
+  private[graft] def committedReleases(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong)
+      .filter { b =>
+        val vr = chainVersionRoot(root, b)
+        hasFuzzyLayout(spark, vr) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"${clustersPath(vr)}/_SUCCESS")) ||
+          graft.io.BucketedTable.isCommitted(spark, winnowPath(vr))
+      }
+      .sorted
+  }
+
+  /** The release at `vroot` is a chain ANCHOR: every bucketed chain
+    * table present references only its own directories. True of full
+    * builds and of tips after [[compactReleases]]; never of a
+    * freshly-incremented release (its mapping append references the
+    * prior release). A torn table (dir without manifest) is NOT an
+    * anchor rather than an error — retention must refuse, not crash
+    * (the `NavIndex.isAnchor` contract). */
+  private[graft] def isReleaseAnchor(spark: SparkSession, vroot: String): Boolean =
+    chainTables(spark, vroot).forall { case (p, _, _) =>
+      graft.io.BucketedTable.isSelfContainedIfCommitted(spark, p, vroot) }
+
+  /** ANCHORIFY the newest committed release: compact each bucketed
+    * chain table of the tip into self-contained one-dir-per-bucket
+    * form (pure I/O, rows byte-equal — `BucketedTable.compact`). The
+    * tip has no descendants, so no other manifest references the
+    * superseded directories. After this, [[vacuumReleases]] can
+    * reclaim the whole pre-compact chain. */
+  def compactReleases(spark: SparkSession, root: String): Unit = {
+    val vs = committedReleases(spark, root)
+    require(vs.nonEmpty, s"no committed release under $root")
+    val tip = chainVersionRoot(root, vs.last)
+    chainTables(spark, tip).foreach { case (p, s, sch) =>
+      require(graft.io.BucketedTable.isCommitted(spark, p),
+        s"release state table at $p has no committed manifest (earlier " +
+          "layout or torn landing) — rebuild the release with " +
+          "buildStateExactFirst/buildWinnowIndex")
+      graft.io.BucketedTable.compact(spark, p, s, sch)
+    }
+  }
+
+  /** Retire old releases — keep the newest `keepLast` committed
+    * versions, find the newest chain anchor at or below the oldest
+    * kept one, delete only versions strictly BELOW that anchor
+    * (everything kept then resolves inside the kept set), and finally
+    * manifest-diff-sweep crashed-write orphans inside the retained
+    * versions (`BucketedTable.sweepOrphans` against the chain-wide
+    * referenced union). If no anchor exists in the kept window,
+    * nothing is deleted — safety over reclamation; [[compactReleases]]
+    * re-opens the window. */
+  def vacuumReleases(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the current release")
+    val vs = committedReleases(spark, root)
+    if (vs.size > keepLast) {
+      val oldestKept = vs.takeRight(keepLast).head
+      vs.filter(_ <= oldestKept).reverse
+        .find(b => isReleaseAnchor(spark, chainVersionRoot(root, b)))
+        .foreach { anchor =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          vs.filter(_ < anchor).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(chainVersionRoot(root, b)), true)
+          }
+        }
+    }
+    val kept = committedReleases(spark, root)
+    val live = kept.flatMap { b =>
+      chainTables(spark, chainVersionRoot(root, b)).flatMap { case (p, _, _) =>
+        graft.io.BucketedTable.referencedDirs(spark, p) }
+    }.toSet
+    kept.foreach { b =>
+      chainTables(spark, chainVersionRoot(root, b)).foreach { case (p, _, _) =>
+        graft.io.BucketedTable.sweepOrphans(spark, p, live); () }
+    }
+  }
 }

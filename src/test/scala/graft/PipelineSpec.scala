@@ -682,6 +682,46 @@ class PipelineSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("curation release chain: compact anchors the tip, vacuum reclaims below and sweeps orphans") {
+    import graft.pipelines.Curation
+    import graft.io.BucketedTable
+    val docs = Tables.documents(spark, sf)
+    val chain = Files.createTempDirectory("graft_curvac").toString
+    def vr(b: Int) = s"$chain/v$b"
+    Curation.buildStateExactFirst(spark, docs.where(col("doc_id") % 4 === 0), vr(0))
+    Curation.buildWinnowIndex(spark, docs.where(col("doc_id") % 4 === 0), vr(0))
+    for (i <- 1 to 2) {
+      val delta = docs.where(col("doc_id") % 4 === i)
+      Curation.incrementState(spark, delta, vr(i - 1), vr(i))
+      Curation.incrementWinnowIndex(spark, delta, vr(i - 1), vr(i))
+    }
+    assert(Curation.committedReleases(spark, chain) === Seq(0L, 1L, 2L))
+    // a freshly-incremented tip references ancestors — not an anchor,
+    // so vacuum refuses (safety over reclamation)
+    assert(!Curation.isReleaseAnchor(spark, vr(2)))
+    val wantDecision = Curation.decision(spark, vr(2)).collect().toSet
+    val wantWinnow = Curation.winnowIndex(spark, vr(2)).collect().toSet
+    Curation.vacuumReleases(spark, chain, 1)
+    assert(Curation.committedReleases(spark, chain) === Seq(0L, 1L, 2L))
+    // crash-simulated partial compact: a generation no manifest
+    // references, inside the RETAINED tip
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"${Curation.exactPath(vr(2))}/cdata7/pb=0")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true)
+    try out.write(Array[Byte](9, 9)) finally out.close()
+    // compact anchors the tip; the same vacuum then reclaims v0/v1
+    // whole AND sweeps the orphan generation inside v2
+    Curation.compactReleases(spark, chain)
+    assert(Curation.isReleaseAnchor(spark, vr(2)))
+    Curation.vacuumReleases(spark, chain, 1)
+    assert(Curation.committedReleases(spark, chain) === Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${Curation.exactPath(vr(2))}/cdata7")))
+    assert(Curation.decision(spark, vr(2)).collect().toSet === wantDecision)
+    assert(Curation.winnowIndex(spark, vr(2)).collect().toSet === wantWinnow)
+  }
+
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
     // 70 identical vN docs share every band bucket; MaxBucket = 64
     // caps membership to the lowest 64 ids (100..163 — ids 164..169
