@@ -55,6 +55,8 @@ object TailProbe {
       name -> reps.min
     }
     results.foreach { case (k, v) => println(f"  $k%-24s $v%7.3f") }
+    graft.ArtifactCache.buildLog.foreach { case (k, v) =>
+      println(f"  [artifact] $k%-24s $v%7.2f") }
     println(f"TAILPROBE total=${results.map(_._2).sum}%.3f confs=${args.mkString(",")}")
     spark.stop()
   }
