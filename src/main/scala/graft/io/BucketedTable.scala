@@ -287,10 +287,14 @@ object BucketedTable {
     * whose tables are all self-contained is a chain ANCHOR, and
     * everything strictly below the newest retained anchor is
     * reclaimable (`streaming.IndexStreams.vacuum`). */
-  def isSelfContained(spark: SparkSession, path: String, prefix: String): Boolean = {
+  private def entriesUnderPrefix(spark: SparkSession, lines: Seq[String],
+      prefix: String): Boolean = {
     val q = qualified(fs(spark, prefix), prefix)
-    parts(spark, path).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
+    parseParts(lines).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
   }
+
+  def isSelfContained(spark: SparkSession, path: String, prefix: String): Boolean =
+    entriesUnderPrefix(spark, manifestLines(spark, path), prefix)
 
   /** [[isSelfContained]] with absent treated as false — ONE manifest
     * open (not-found caught as absence, no separate exists() round
@@ -302,12 +306,8 @@ object BucketedTable {
     * next rebuild, not crash. */
   def isSelfContainedIfCommitted(spark: SparkSession, path: String,
       prefix: String): Boolean =
-    manifestLinesOpt(spark, path) match {
-      case None => false
-      case Some(lines) =>
-        val q = qualified(fs(spark, prefix), prefix)
-        parseParts(lines).values.flatten.forall(d => d == q || d.startsWith(s"$q/"))
-    }
+    manifestLinesOpt(spark, path)
+      .exists(lines => entriesUnderPrefix(spark, lines, prefix))
 
   /** Every fully-qualified data-directory URI the committed manifest
     * at `path` references (empty for an uncommitted table — a torn or
@@ -330,27 +330,51 @@ object BucketedTable {
     * only this version's manifest can reference its own dirs today,
     * but the chain-union rule stays correct even if a non-tip manifest
     * were ever recommitted). No-op on an uncommitted table (could be a
-    * concurrent writer's in-flight landing). Returns deleted dirs. */
+    * concurrent writer's in-flight landing).
+    *
+    * CONCURRENCY FENCE: within a committed table, an IN-FLIGHT
+    * [[compact]] also looks like orphans — it writes a full `cdata<N>`
+    * generation data-first and only then commits the manifest, and a
+    * scheduled vacuum is an independent entry point. Two guards keep
+    * the sweep from tearing it: a generation carrying an in-flight
+    * Spark write (`_temporary` present) is skipped whole, and an
+    * orphan is only deleted once its directory modification time is
+    * older than `graft.vacuum.orphanMinAgeMs` (default 1 h) — a live
+    * compact commits its manifest long before a genuinely crashed
+    * attempt's leftovers reach the horizon. (Single-maintainer chains
+    * can set the horizon to 0.) Returns deleted dirs. */
   def sweepOrphans(spark: SparkSession, path: String,
       referenced: Set[String]): Seq[String] = {
     if (!isCommitted(spark, path)) Seq.empty
     else {
+      val minAge = spark.conf.getOption("graft.vacuum.orphanMinAgeMs").map { s =>
+        try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.vacuum.orphanMinAgeMs must be an integer millisecond age, got '$s'")
+        }
+      }.getOrElse(3600000L)
+      val horizon = System.currentTimeMillis() - minAge
       val f = fs(spark, path)
       val root = new org.apache.hadoop.fs.Path(path)
       val gens = f.listStatus(root).toSeq.filter(st => st.isDirectory &&
         (st.getPath.getName == "data" || st.getPath.getName.matches("cdata\\d+")))
+        .filterNot(g => f.exists(new org.apache.hadoop.fs.Path(g.getPath, "_temporary")))
       val orphans = gens.flatMap(g => f.listStatus(g.getPath).toSeq)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb=") &&
+          st.getModificationTime < horizon)
         .map(st => f.makeQualified(st.getPath))
         .filterNot(p => referenced.contains(p.toString))
       orphans.foreach(p => f.delete(p, true))
       // a generation emptied of buckets (fully-orphaned crashed
       // compact) keeps only write markers (_SUCCESS) — drop it whole,
-      // freeing its cdata<N> slot for the next compact
-      gens.map(_.getPath).foreach { g =>
-        if (f.exists(g) && !f.listStatus(g).exists(st =>
-            st.isDirectory && st.getPath.getName.startsWith("pb=")))
-          f.delete(g, true)
+      // freeing its cdata<N> slot for the next compact. Same age
+      // fence, judged on the PRE-delete listing's mtime (deleting the
+      // orphan children above bumps the parent's mtime)
+      gens.foreach { g =>
+        if (g.getModificationTime < horizon && f.exists(g.getPath) &&
+            !f.listStatus(g.getPath).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("pb=")))
+          f.delete(g.getPath, true)
       }
       orphans.map(_.toString)
     }

@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** The one copy of the version-chain retention algorithm that the
+  * nav-index chain (`streaming.IndexStreams`) and the curation
+  * release chain (`pipelines.Curation`) share, parameterized by the
+  * chain's own predicates. Both chains land versioned roots
+  * `<root>/v<N>` whose bucketed tables reference ancestor versions'
+  * buckets by manifest, so both need the identical rule: keep the
+  * newest `keepLast` committed versions, find the newest ANCHOR (a
+  * version whose bucketed tables are self-contained) at or below the
+  * oldest kept one, delete only versions strictly below that anchor,
+  * then manifest-diff-sweep crashed-write orphans inside what stays
+  * ([[BucketedTable.sweepOrphans]], with its in-flight-write fences).
+  * Keeping the algorithm here means a fix to the retention rule lands
+  * once (the round-15 review caught the two chains drifting apart the
+  * day the second copy was written). */
+object ChainRetention {
+
+  def versionRoot(root: String, b: Long): String = s"$root/v$b"
+
+  /** Committed version numbers under `root`, ascending, judged by the
+    * chain's own commit predicate. */
+  def committedVersions(spark: SparkSession, root: String,
+      isCommitted: String => Boolean): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong)
+      .filter(b => isCommitted(versionRoot(root, b)))
+      .sorted
+  }
+
+  /** Anchor-bounded retention + orphan sweep. `isAnchor` decides
+    * whether a version can terminate the reference chain (no anchor
+    * in the kept window → nothing is deleted: safety over
+    * reclamation); `referencedDirs`/`sweep` are the chain's wrappers
+    * over its bucketed state tables. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+      isCommitted: String => Boolean,
+      isAnchor: (Long, String) => Boolean,
+      referencedDirs: String => Set[String],
+      sweep: (String, Set[String]) => Unit): Unit = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val vs = committedVersions(spark, root, isCommitted)
+    if (vs.size > keepLast) {
+      val oldestKept = vs.takeRight(keepLast).head
+      vs.filter(_ <= oldestKept).reverse
+        .find(b => isAnchor(b, versionRoot(root, b)))
+        .foreach { anchor =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          vs.filter(_ < anchor).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(versionRoot(root, b)), true)
+          }
+        }
+    }
+    // Manifest-diff orphan sweep over the RETAINED versions:
+    // version-grain deletion above can never reclaim a crashed
+    // compact's orphan generation (or a crashed splice's stale
+    // data/pb= dirs) INSIDE a version that stays retained — those
+    // dirs sit next to live ones and appear in no manifest.
+    // Subtracting the chain-wide referenced union from each retained
+    // version's on-disk generation dirs reclaims exactly the bytes no
+    // manifest can ever reach again (a dir absent from every retained
+    // manifest can never become referenced: manifests only carry
+    // forward prior entries or their own local writes).
+    val kept = committedVersions(spark, root, isCommitted)
+    val live = kept.flatMap(b => referencedDirs(versionRoot(root, b))).toSet
+    kept.foreach(b => sweep(versionRoot(root, b), live))
+  }
+}

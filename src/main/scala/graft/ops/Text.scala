@@ -1362,6 +1362,22 @@ object Text {
         col("text"))), 1, 13), 16, 10).cast("long") % 1000000007L).as("fp"))
       .first().getLong(0)
 
+  // corpusFp is a pure function of the corpus file; memoized on the
+  // same (path, len, mtime) key as Tables' schema memo so the bench's
+  // repeated reps of the deep readout don't each pay a full-corpus
+  // md5 aggregate just to decide the export already exists
+  private val corpusFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusFpFor(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    corpusFpCache.computeIfAbsent(
+      s"$dir:${st.getLen}:${st.getModificationTime}",
+      _ => corpusFp(Tables.documents(spark, dir))).longValue()
+  }
+
   /** Land the trained merge rows for `fp` under the export root —
     * write-once per fingerprint (the trainer is deterministic and
     * spec-pinned, so content per corpus never changes; skipping on a
@@ -1393,7 +1409,7 @@ object Text {
   def bpeDeepFertility(spark: SparkSession, dir: String): DataFrame = {
     val rows = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
     val ms = rows.map(r => (r.getString(1), r.getString(2))).toSeq
-    exportDeepMerges(spark, corpusFp(Tables.documents(spark, dir)), rows)
+    exportDeepMerges(spark, corpusFpFor(spark, dir), rows)
     fertilityRollup(spark, dir,
       bpeEncodeWith(spark, Tables.documents(spark, dir), ms))
   }

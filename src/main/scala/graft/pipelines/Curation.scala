@@ -136,14 +136,20 @@ object Curation {
   private def stampFuzzyLayout(spark: SparkSession, root: String): Unit = {
     val p = layoutMarker(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // tmp + rename, the same commit discipline as every other marker
-    // (BucketedTable.commitManifest, Writers.commitPointer): a crash
-    // mid-create must not leave a present-but-torn marker
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/_decision_layout.tmp")
-    val out = f.create(tmp, true)
-    try out.write("fuzzy+map/1".getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p), s"layout-marker commit failed for $root")
+    // tmp + rename on FIRST commit (a crash mid-create must not leave
+    // a present-but-torn marker); a replay onto an already-stamped
+    // root is a NO-OP rather than delete+rename — the marker is
+    // existence-checked and content-free, so re-stamping has nothing
+    // to fix, and a delete-then-rename would open an absent-marker
+    // window in which a concurrent decision() read (or a crash) sees
+    // a committed mapping without the marker and drops the exact-loser
+    // augmentation
+    if (!f.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_decision_layout.tmp")
+      val out = f.create(tmp, true)
+      try out.write("fuzzy+map/1".getBytes("UTF-8")) finally out.close()
+      require(f.rename(tmp, p), s"layout-marker commit failed for $root")
+    }
   }
 
   private def hasFuzzyLayout(spark: SparkSession, root: String): Boolean = {
@@ -606,8 +612,6 @@ object Curation {
   // retained anchor, then manifest-diff-sweeps crashed-write orphans
   // inside what stays.
 
-  private def chainVersionRoot(root: String, b: Long): String = s"$root/v$b"
-
   /** The bucketed chain tables PRESENT under a release root (the
     * whole-landed tables — bands, fuzzy decision — are self-contained
     * per release by construction and need no lifecycle). */
@@ -619,26 +623,28 @@ object Curation {
       .filter { case (p, _, _) => fs.exists(new org.apache.hadoop.fs.Path(p)) }
   }
 
-  /** Committed release versions under `root`, ascending. A release is
-    * committed when its LAST-landed state artifact is: the layout
-    * marker for an exact-first release, the fuzzy decision's
-    * `_SUCCESS` for a fuzzy-only one, the winnow manifest for a
-    * winnow-only chain. */
-  private[graft] def committedReleases(spark: SparkSession, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.drop(1).toLong)
-      .filter { b =>
-        val vr = chainVersionRoot(root, b)
-        hasFuzzyLayout(spark, vr) ||
-          fs.exists(new org.apache.hadoop.fs.Path(s"${clustersPath(vr)}/_SUCCESS")) ||
-          graft.io.BucketedTable.isCommitted(spark, winnowPath(vr))
-      }
-      .sorted
+  /** The release at `vroot` is COMMITTED — judged by its composition's
+    * LAST-landed artifact, so a crash mid-release can never count:
+    * an exact-first release (mapping present) commits with the layout
+    * marker (landed after bands + clusters — a mapping WITHOUT the
+    * marker is a torn landing, not a legacy layout, which the
+    * increment path refuses separately); a fuzzy-only release commits
+    * with the clusters `_SUCCESS` (its last write); a winnow-only
+    * chain commits with the winnow manifest. */
+  private def isReleaseCommitted(spark: SparkSession, vroot: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(vroot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.io.BucketedTable.isCommitted(spark, exactPath(vroot)))
+      hasFuzzyLayout(spark, vroot)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(clustersPath(vroot))))
+      fs.exists(new org.apache.hadoop.fs.Path(s"${clustersPath(vroot)}/_SUCCESS"))
+    else graft.io.BucketedTable.isCommitted(spark, winnowPath(vroot))
   }
+
+  /** Committed release versions under `root`, ascending. */
+  private[graft] def committedReleases(spark: SparkSession, root: String): Seq[Long] =
+    graft.io.ChainRetention.committedVersions(spark, root,
+      isReleaseCommitted(spark, _))
 
   /** The release at `vroot` is a chain ANCHOR: every bucketed chain
     * table present references only its own directories. True of full
@@ -660,7 +666,7 @@ object Curation {
   def compactReleases(spark: SparkSession, root: String): Unit = {
     val vs = committedReleases(spark, root)
     require(vs.nonEmpty, s"no committed release under $root")
-    val tip = chainVersionRoot(root, vs.last)
+    val tip = graft.io.ChainRetention.versionRoot(root, vs.last)
     chainTables(spark, tip).foreach { case (p, s, sch) =>
       require(graft.io.BucketedTable.isCommitted(spark, p),
         s"release state table at $p has no committed manifest (earlier " +
@@ -670,38 +676,30 @@ object Curation {
     }
   }
 
-  /** Retire old releases — keep the newest `keepLast` committed
-    * versions, find the newest chain anchor at or below the oldest
-    * kept one, delete only versions strictly BELOW that anchor
-    * (everything kept then resolves inside the kept set), and finally
-    * manifest-diff-sweep crashed-write orphans inside the retained
-    * versions (`BucketedTable.sweepOrphans` against the chain-wide
-    * referenced union). If no anchor exists in the kept window,
-    * nothing is deleted — safety over reclamation; [[compactReleases]]
-    * re-opens the window. */
+  /** Retire old releases through the shared chain-retention rule
+    * (`graft.io.ChainRetention.vacuum`): keep the newest `keepLast`
+    * committed versions, delete only strictly below the newest
+    * retained anchor, sweep crashed-write orphans inside what stays.
+    * One guard beyond the nav chain's (whose table set is fixed): an
+    * anchor candidate must CARRY every chain-table kind any OLDER
+    * committed release carries — a tip that lost a kind to a crash
+    * (e.g. incrementState landed but incrementWinnowIndex never ran)
+    * must not let vacuum delete the ancestors holding that kind's
+    * only state; repair the tip first. */
   def vacuumReleases(spark: SparkSession, root: String, keepLast: Int): Unit = {
-    require(keepLast >= 1, "must keep at least the current release")
     val vs = committedReleases(spark, root)
-    if (vs.size > keepLast) {
-      val oldestKept = vs.takeRight(keepLast).head
-      vs.filter(_ <= oldestKept).reverse
-        .find(b => isReleaseAnchor(spark, chainVersionRoot(root, b)))
-        .foreach { anchor =>
-          val fs = new org.apache.hadoop.fs.Path(root)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          vs.filter(_ < anchor).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(chainVersionRoot(root, b)), true)
-          }
-        }
-    }
-    val kept = committedReleases(spark, root)
-    val live = kept.flatMap { b =>
-      chainTables(spark, chainVersionRoot(root, b)).flatMap { case (p, _, _) =>
-        graft.io.BucketedTable.referencedDirs(spark, p) }
-    }.toSet
-    kept.foreach { b =>
-      chainTables(spark, chainVersionRoot(root, b)).foreach { case (p, _, _) =>
-        graft.io.BucketedTable.sweepOrphans(spark, p, live); () }
-    }
+    def kinds(b: Long): Set[String] =
+      chainTables(spark, graft.io.ChainRetention.versionRoot(root, b))
+        .map { case (p, _, _) => p.split("/").last }.toSet
+    graft.io.ChainRetention.vacuum(spark, root, keepLast,
+      isReleaseCommitted(spark, _),
+      (b, vr) => {
+        val older = vs.filter(_ < b).flatMap(kinds).toSet
+        isReleaseAnchor(spark, vr) && older.subsetOf(kinds(b))
+      },
+      vr => chainTables(spark, vr).flatMap { case (p, _, _) =>
+        graft.io.BucketedTable.referencedDirs(spark, p) }.toSet,
+      (vr, live) => chainTables(spark, vr).foreach { case (p, _, _) =>
+        graft.io.BucketedTable.sweepOrphans(spark, p, live); () })
   }
 }

@@ -131,7 +131,10 @@ object NavIndex {
 
   /** hash(b, key) bucket of a band row — pure function of the
     * immutable band coordinates. */
-  private def bandPbOf(b: Column, key: Column): Column =
+  // private[graft]: tools.BandReadFloor measures the REAL layout's
+  // pruning with the engine's own bucket function (a replicated
+  // constant would silently diverge if PartBits changed)
+  private[graft] def bandPbOf(b: Column, key: Column): Column =
     pmod(hash(b, key), lit(1 << PartBits))
 
   private def withBandPb(df: DataFrame): DataFrame =

@@ -90,16 +90,9 @@ object IndexStreams {
     }.getOrElse(8)
 
   /** Landed-and-committed version numbers under `root`, ascending. */
-  private[graft] def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.drop(1).toLong)
-      .filter(b => NavIndex.isCommitted(spark, versionRoot(root, b)))
-      .sorted
-  }
+  private[graft] def committedVersions(spark: SparkSession, root: String): Seq[Long] =
+    graft.io.ChainRetention.committedVersions(spark, root,
+      NavIndex.isCommitted(spark, _))
 
   /** The newest committed graph under `root` (throws if none yet). */
   def currentGraph(spark: SparkSession, root: String): DataFrame = {
@@ -174,36 +167,12 @@ object IndexStreams {
     * rebuild (width-boundary or frontier-routed, both land anchors)
     * re-opens the window. Same posture as `Writers.vacuumKeyed`, with
     * the reference-counting the manifest layout requires. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
-    require(keepLast >= 1, "must keep at least the current version")
-    val vs = committedVersions(spark, root)
-    if (vs.size > keepLast) {
-      val oldestKept = vs.takeRight(keepLast).head
-      vs.filter(_ <= oldestKept).reverse
-        .find(b => NavIndex.isAnchor(spark, versionRoot(root, b)))
-        .foreach { anchor =>
-          val fs = new org.apache.hadoop.fs.Path(root)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          vs.filter(_ < anchor).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(versionRoot(root, b)), true)
-          }
-        }
-    }
-    // Manifest-diff orphan sweep over the RETAINED versions (round-14
-    // verdict ask #4): version-grain deletion above can never reclaim
-    // a crashed compact's orphan generation (or a crashed splice's
-    // stale data/pb= dirs) INSIDE a version that stays retained —
-    // those dirs sit next to live ones and appear in no manifest.
-    // Subtracting the chain-wide referenced union from each retained
-    // version's on-disk generation dirs reclaims exactly the bytes no
-    // manifest can ever reach again (a dir absent from every retained
-    // manifest can never become referenced: manifests only carry
-    // forward prior entries or their own local writes).
-    val kept = committedVersions(spark, root)
-    val live = kept.flatMap(b =>
-      NavIndex.referencedDirs(spark, versionRoot(root, b))).toSet
-    kept.foreach(b => NavIndex.sweepOrphans(spark, versionRoot(root, b), live))
-  }
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit =
+    graft.io.ChainRetention.vacuum(spark, root, keepLast,
+      NavIndex.isCommitted(spark, _),
+      (_, vr) => NavIndex.isAnchor(spark, vr),
+      NavIndex.referencedDirs(spark, _),
+      (vr, live) => { NavIndex.sweepOrphans(spark, vr, live); () })
 
   /** The maintenance gate: `stream` is an embeddings-format streaming
     * DataFrame (`VecStreams.readQueries` shape); each micro-batch

@@ -52,9 +52,10 @@ object BandReadFloor {
     time(s"x100 landVecs (vecs + band state, $n vecs)")(
       NavIndex.landVecs(spark, emb, root))
 
-    // the probe's bucket arithmetic, replicated: hash(b, key) mod 64
+    // the probe's bucket arithmetic, from the engine itself
+    val nPb = 1 << NavIndex.PartBits
     def bandPb(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("pb", pmod(hash(col("b"), col("key")), lit(64)))
+      df.withColumn("pb", NavIndex.bandPbOf(col("b"), col("key")))
     val bands = NavIndex.bands(spark, root)
 
     // per-delta band-space coverage: how many clusters until the
@@ -67,7 +68,7 @@ object BandReadFloor {
           countDistinct(col("pb")).as("pbs"), count(lit(1)).as("rows"))
         .first()
       println(s"  delta=$k clusters: distinct band keys=${keys.getLong(0)} " +
-        s"touched hash buckets=${keys.getLong(1)}/64 member rows=${keys.getLong(2)}")
+        s"touched hash buckets=${keys.getLong(1)}/$nPb member rows=${keys.getLong(2)}")
     }
 
     // (a) pruned read at 1-cluster coverage vs (b) the degenerate
@@ -86,9 +87,9 @@ object BandReadFloor {
     def readBands(pbs: Set[Int]) = graft.io.BucketedTable.readParts(spark,
       NavIndex.bandsPath(root), NavIndex.BandsSchema, pbs, NavIndex.BandScheme)
     val prunedSec = minOf3(readBands(pbs1).count())
-    val fullSec = minOf3(readBands((0 until 64).toSet).count())
+    val fullSec = minOf3(readBands((0 until nPb).toSet).count())
     println(f"  pruned read (${pbs1.size} buckets, 1-cluster delta): $prunedSec%.2f s")
-    println(f"  DEGENERATE full narrow read (64 buckets):            $fullSec%.2f s")
+    println(f"  DEGENERATE full narrow read ($nPb buckets):            $fullSec%.2f s")
     println(f"  wide-delta floor = full - pruned = ${fullSec - prunedSec}%.2f s " +
       "(vs ~30 s localized x100 increment wall, PERF.md round 14)")
     spark.stop()

@@ -712,10 +712,13 @@ class PipelineSpec extends SparkSpec {
     val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true)
     try out.write(Array[Byte](9, 9)) finally out.close()
     // compact anchors the tip; the same vacuum then reclaims v0/v1
-    // whole AND sweeps the orphan generation inside v2
+    // whole AND sweeps the orphan generation inside v2 (horizon
+    // dropped: this single-writer test just created the orphan)
     Curation.compactReleases(spark, chain)
     assert(Curation.isReleaseAnchor(spark, vr(2)))
-    Curation.vacuumReleases(spark, chain, 1)
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try Curation.vacuumReleases(spark, chain, 1)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
     assert(Curation.committedReleases(spark, chain) === Seq(2L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${Curation.exactPath(vr(2))}/cdata7")))
     assert(Curation.decision(spark, vr(2)).collect().toSet === wantDecision)

@@ -840,7 +840,17 @@ class StreamingSpec extends SparkSpec {
     val before = NavIndex.readVecs(spark, s"$root/v1").collect().toSet
     val liveDirs = (0L to 1L).flatMap(b =>
       NavIndex.referencedDirs(spark, s"$root/v$b")).toSet
+    // under the DEFAULT horizon the freshly-written dirs look like a
+    // concurrent maintainer's in-flight write — the fence must keep
+    // the sweep's hands off them
     IndexStreams.vacuum(spark, root, 2)
+    assert(fs.exists(orphanGen) && fs.exists(orphanStale),
+      "young orphans must survive the default concurrent-maintenance horizon")
+    // the sweep's concurrent-maintenance fence skips young orphans;
+    // this single-writer test just created them, so drop the horizon
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try IndexStreams.vacuum(spark, root, 2)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
     // both retained versions survive; orphans are gone, the emptied
     // cdata1 generation slot is freed whole
     assert(IndexStreams.committedVersions(spark, root) === Seq(0L, 1L))
