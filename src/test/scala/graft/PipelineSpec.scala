@@ -723,6 +723,20 @@ class PipelineSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${Curation.exactPath(vr(2))}/cdata7")))
     assert(Curation.decision(spark, vr(2)).collect().toSet === wantDecision)
     assert(Curation.winnowIndex(spark, vr(2)).collect().toSet === wantWinnow)
+    // kind-loss guard: a tip landed WITHOUT the winnow increment (the
+    // crash-between-calls shape) must not anchor past the ancestors
+    // holding the chain's only winnow state — vacuum keeps v2
+    val extra = docs.where(col("doc_id") % 4 === 3)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"),
+        col("source"), col("lang"), col("n_chars"))
+    Curation.incrementState(spark, extra, vr(2), vr(3))
+    Curation.compactReleases(spark, chain)
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try Curation.vacuumReleases(spark, chain, 1)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    assert(Curation.committedReleases(spark, chain) === Seq(2L, 3L),
+      "a winnow-less tip must not let vacuum delete the winnow-bearing ancestor")
+    assert(Curation.winnowIndex(spark, vr(2)).collect().toSet === wantWinnow)
   }
 
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
