@@ -19,18 +19,23 @@ object Tables {
   // also skips the footer-sampling pass over many files, the same
   // argument as BucketedTable's explicit-schema readers). The
   // mtime/length key drops the memo when a tool regenerates a corpus
-  // file in place.
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // file in place. ONE entry per path, replaced when the (len, mtime)
+  // stamp changes — keying the map by the stamp itself would grow an
+  // entry per regeneration and never evict the stale ones (a scale
+  // tool regenerating a corpus hundreds of times would leak a schema
+  // per lap).
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val key = s"$path:${st.getLen}:${st.getModificationTime}"
-    val schema = schemaCache.computeIfAbsent(key,
-      _ => spark.read.parquet(path).schema)
+    val stamp = s"${st.getLen}:${st.getModificationTime}"
+    val schema = schemaCache.compute(path, (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, spark.read.parquet(path).schema))._2
     spark.read.schema(schema).parquet(path)
   }
 

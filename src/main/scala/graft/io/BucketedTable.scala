@@ -332,20 +332,40 @@ object BucketedTable {
     * were ever recommitted). No-op on an uncommitted table (could be a
     * concurrent writer's in-flight landing).
     *
-    * CONCURRENCY FENCE: within a committed table, an IN-FLIGHT
-    * [[compact]] also looks like orphans — it writes a full `cdata<N>`
-    * generation data-first and only then commits the manifest, and a
-    * scheduled vacuum is an independent entry point. Two guards keep
-    * the sweep from tearing it: a generation carrying an in-flight
-    * Spark write (`_temporary` present) is skipped whole, and an
-    * orphan is only deleted once its directory modification time is
-    * older than `graft.vacuum.orphanMinAgeMs` (default 1 h) — a live
-    * compact commits its manifest long before a genuinely crashed
-    * attempt's leftovers reach the horizon. (Single-maintainer chains
-    * can set the horizon to 0.) Returns deleted dirs. */
+    * CONCURRENCY FENCE (rename-filesystem-only): within a committed
+    * table, an IN-FLIGHT [[compact]] also looks like orphans — it
+    * writes a full `cdata<N>` generation data-first and only then
+    * commits the manifest, and a scheduled vacuum is an independent
+    * entry point. Two guards keep the sweep from tearing it: a
+    * generation carrying an in-flight Spark write (`_temporary`
+    * present) is skipped whole, and an orphan is only deleted once
+    * its newest timestamp — the MAX of the directory's own mtime and
+    * its immediate children's mtimes, because object stores report 0
+    * (or the listing time) for fake directories while child FILE
+    * mtimes are real — is older than `graft.vacuum.orphanMinAgeMs`
+    * (default 1 h). A live compact commits its manifest long before a
+    * genuinely crashed attempt's leftovers reach the horizon.
+    * (Single-maintainer chains can set the horizon to 0.)
+    *
+    * Both guards assume rename-FS semantics (HDFS, local, viewfs):
+    * S3A-style committers do not stage under `_temporary`, so the
+    * in-flight fence cannot see a live object-store compact at all.
+    * On an object-store scheme the sweep therefore REFUSES (returns
+    * empty) unless `graft.vacuum.objectStoreSweep=true` — an explicit
+    * opt-in for deployments that serialize maintenance externally
+    * (one maintainer, or a lock service). Returns deleted dirs. */
   def sweepOrphans(spark: SparkSession, path: String,
       referenced: Set[String]): Seq[String] = {
+    val objectStoreSchemes =
+      Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+        "wasb", "wasbs", "abfs", "abfss")
+    lazy val scheme = Option(fs(spark, path)
+      .makeQualified(new org.apache.hadoop.fs.Path(path)).toUri.getScheme)
+      .getOrElse("")
     if (!isCommitted(spark, path)) Seq.empty
+    else if (objectStoreSchemes.contains(scheme) &&
+        !spark.conf.getOption("graft.vacuum.objectStoreSweep").contains("true"))
+      Seq.empty
     else {
       val minAge = spark.conf.getOption("graft.vacuum.orphanMinAgeMs").map { s =>
         try s.toLong catch {
@@ -356,14 +376,23 @@ object BucketedTable {
       val horizon = System.currentTimeMillis() - minAge
       val f = fs(spark, path)
       val root = new org.apache.hadoop.fs.Path(path)
+      // newest timestamp under a directory, one level deep: dir mtime
+      // OR any immediate child's — a part file still being written
+      // keeps its parent young even where dir mtimes are unreliable
+      def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+        (st.getModificationTime +:
+          f.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
       val gens = f.listStatus(root).toSeq.filter(st => st.isDirectory &&
         (st.getPath.getName == "data" || st.getPath.getName.matches("cdata\\d+")))
         .filterNot(g => f.exists(new org.apache.hadoop.fs.Path(g.getPath, "_temporary")))
+      // unreferenced first, THEN the age probe: the probe lists each
+      // candidate's children, and referenced (live) buckets — the
+      // overwhelming majority — must not pay that listing
       val orphans = gens.flatMap(g => f.listStatus(g.getPath).toSeq)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb=") &&
-          st.getModificationTime < horizon)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("pb="))
+        .filterNot(st => referenced.contains(f.makeQualified(st.getPath).toString))
+        .filter(st => newestMtime(st) < horizon)
         .map(st => f.makeQualified(st.getPath))
-        .filterNot(p => referenced.contains(p.toString))
       orphans.foreach(p => f.delete(p, true))
       // a generation emptied of buckets (fully-orphaned crashed
       // compact) keeps only write markers (_SUCCESS) — drop it whole,

@@ -92,6 +92,51 @@ object AnnIndex {
     stateTables(root).forall { case (p, _) =>
       BucketedTable.isSelfContainedIfCommitted(spark, p, root) }
 
+  /** The ann-index version at `vroot` is COMMITTED: both bucketed
+    * state tables carry manifests. Both [[buildState]] and
+    * [[incrementState]] land widths → cells → graph in that order, so
+    * the graph manifest is the release's LAST write and a crash
+    * mid-landing can never count as a version. */
+  private def isStateCommitted(spark: SparkSession, vroot: String): Boolean =
+    stateTables(vroot).forall { case (p, _) =>
+      BucketedTable.isCommitted(spark, p) }
+
+  /** Committed ann-index versions under the chain `root` (layout
+    * `<root>/v<N>`, the shared `ChainRetention` convention). */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] =
+    graft.io.ChainRetention.committedVersions(spark, root,
+      isStateCommitted(spark, _))
+
+  /** ANCHORIFY the newest committed version of the chain at `root` —
+    * [[compactState]] addressed the way the other two chains address
+    * their tips (`Curation.compactReleases`, the maintainer-facing
+    * entry point [[vacuum]] pairs with). The tip has no descendants,
+    * so no other manifest references the directories it supersedes. */
+  def compactTip(spark: SparkSession, root: String): Unit = {
+    val vs = committedVersions(spark, root)
+    require(vs.nonEmpty, s"no committed ann-index version under $root")
+    compactState(spark, graft.io.ChainRetention.versionRoot(root, vs.last))
+  }
+
+  /** Retire old ann-index versions through the shared chain-retention
+    * rule (`graft.io.ChainRetention.vacuum` — the same lifecycle the
+    * nav chain and the curation release chain got in round 15): keep
+    * the newest `keepLast` committed versions, delete only strictly
+    * below the newest retained ANCHOR ([[isAnchor]] — a version whose
+    * untouched buckets still reference an ancestor pins that ancestor
+    * alive; safety over reclamation), then manifest-diff-sweep
+    * crashed-write orphans inside what stays. The ann chain's table
+    * set is fixed (cells + graph, like the nav chain), so no
+    * kind-loss guard beyond the anchor rule is needed. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit =
+    graft.io.ChainRetention.vacuum(spark, root, keepLast,
+      isStateCommitted(spark, _),
+      (_, vr) => isAnchor(spark, vr),
+      vr => stateTables(vr).flatMap { case (p, _) =>
+        BucketedTable.referencedDirs(spark, p) }.toSet,
+      (vr, live) => stateTables(vr).foreach { case (p, _) =>
+        BucketedTable.sweepOrphans(spark, p, live); () })
+
   /** ANCHORIFY the committed version at `root` — the `NavIndex`
     * compaction lifecycle applied to the ann chain: rewrite every
     * ancestor-referenced bucket locally (`BucketedTable.compact`,

@@ -145,10 +145,24 @@ object Curation {
     // a committed mapping without the marker and drops the exact-loser
     // augmentation
     if (!f.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/_decision_layout.tmp")
+      // per-attempt tmp name: two concurrent stampers (replayed jobs
+      // racing the same root) must not share one tmp path, or the
+      // loser's create(overwrite) can truncate the winner's mid-write
+      // bytes out from under its rename
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/_decision_layout.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, true)
       try out.write("fuzzy+map/1".getBytes("UTF-8")) finally out.close()
-      require(f.rename(tmp, p), s"layout-marker commit failed for $root")
+      if (!f.rename(tmp, p)) {
+        // rename-onto-existing returns false when a concurrent
+        // stamper won the race between our exists() probe and the
+        // rename — marker-present IS success (it is existence-checked
+        // and content-free), so a harmless replay must not turn into
+        // a hard failure; only a rename that failed with NO marker
+        // landed is a real commit error
+        f.delete(tmp, false)
+        require(f.exists(p), s"layout-marker commit failed for $root")
+      }
     }
   }
 

@@ -78,16 +78,21 @@ object AnnCost {
     println(s"corpus ${emb.count()} vectors; delta ${delta.count()}")
 
     val base = java.nio.file.Files.createTempDirectory("graft_anncost").toString
-    graft.pipelines.AnnIndex.buildState(spark, vN, s"$base/vn")
+    // chain layout (<chain>/v<N>) so the retention lifecycle below
+    // runs on exactly the versioned-root convention AnnIndex.vacuum
+    // governs — the paths ARE the measured state, not copies
+    val chain = s"$base/chain"
+    def vr(b: Int) = s"$chain/v$b"
+    graft.pipelines.AnnIndex.buildState(spark, vN, vr(0))
     spark.catalog.clearCache()
     time("incrementState (delta)") {
-      graft.pipelines.AnnIndex.incrementState(spark, delta, s"$base/vn", s"$base/vn1")
+      graft.pipelines.AnnIndex.incrementState(spark, delta, vr(0), vr(1))
     }
     spark.catalog.clearCache()
     time("buildState (full)") {
       graft.pipelines.AnnIndex.buildState(spark, emb, s"$base/full")
     }
-    val g1 = graft.pipelines.AnnIndex.graph(spark, s"$base/vn1")
+    val g1 = graft.pipelines.AnnIndex.graph(spark, vr(1))
     val g2 = graft.pipelines.AnnIndex.graph(spark, s"$base/full")
     println(s"graph equal: ${g1.exceptAll(g2).count() == 0 && g2.exceptAll(g1).count() == 0}")
     // lifecycle: anchorify the increment tip (round 14) — pure I/O
@@ -95,15 +100,34 @@ object AnnCost {
     // version of the chain is reclaimable
     spark.catalog.clearCache()
     println(s"tip anchor pre-compact: " +
-      s"${graft.pipelines.AnnIndex.isAnchor(spark, s"$base/vn1")}")
+      s"${graft.pipelines.AnnIndex.isAnchor(spark, vr(1))}")
     time("compactState (anchorify tip)") {
-      graft.pipelines.AnnIndex.compactState(spark, s"$base/vn1")
+      graft.pipelines.AnnIndex.compactTip(spark, chain)
     }
     println(s"tip anchor post-compact: " +
-      s"${graft.pipelines.AnnIndex.isAnchor(spark, s"$base/vn1")}")
-    val g3 = graft.pipelines.AnnIndex.graph(spark, s"$base/vn1")
+      s"${graft.pipelines.AnnIndex.isAnchor(spark, vr(1))}")
+    val g3 = graft.pipelines.AnnIndex.graph(spark, vr(1))
     println(s"graph equal post-compact: " +
       s"${g3.exceptAll(g2).count() == 0 && g2.exceptAll(g3).count() == 0}")
+    // retention (round 16): the anchored tip lets vacuum reclaim the
+    // whole pre-compact chain — measure the reclaimed bytes and that
+    // the surviving tip still reads identically
+    val fs = new org.apache.hadoop.fs.Path(chain)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(chain)).getLength
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try time("vacuum (keepLast=1)") {
+      graft.pipelines.AnnIndex.vacuum(spark, chain, 1)
+    } finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    val postBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(chain)).getLength
+    println(f"chain bytes ${preBytes / 1e6}%.1f MB -> ${postBytes / 1e6}%.1f MB " +
+      f"(reclaimed ${(preBytes - postBytes) / 1e6}%.1f MB); " +
+      s"versions ${graft.pipelines.AnnIndex.committedVersions(spark, chain)}")
+    val g4 = graft.pipelines.AnnIndex.graph(spark, vr(1))
+    println(s"graph equal post-vacuum: " +
+      s"${g4.exceptAll(g2).count() == 0 && g2.exceptAll(g4).count() == 0}")
     spark.stop()
   }
 }

@@ -739,6 +739,52 @@ class PipelineSpec extends SparkSpec {
     assert(Curation.winnowIndex(spark, vr(2)).collect().toSet === wantWinnow)
   }
 
+  test("ann release chain: compact anchors the tip, vacuum reclaims below and sweeps orphans") {
+    // the round-15 gap: the ann chain had isAnchor + compactState but
+    // no retention entry point — this is the curation/nav lifecycle
+    // applied to the third chain through the same ChainRetention rule
+    import graft.pipelines.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+    val chain = Files.createTempDirectory("graft_annvac").toString
+    def vr(b: Int) = s"$chain/v$b"
+    // LABEL-grain deltas (the "new content domain arrives" release
+    // regime the bucket splice is built for): an id-uniform split
+    // would touch every label and rewrite every bucket, leaving no
+    // ancestor references for retention to be careful about
+    AnnIndex.buildState(spark, emb.where(col("label") < 8), vr(0))
+    for (i <- 1 to 2)
+      AnnIndex.incrementState(spark, emb.where(col("label") === 7 + i),
+        vr(i - 1), vr(i))
+    assert(AnnIndex.committedVersions(spark, chain) === Seq(0L, 1L, 2L))
+    // a freshly-incremented tip references ancestors — not an anchor,
+    // so vacuum refuses to reclaim past it (safety over reclamation)
+    assert(!AnnIndex.isAnchor(spark, vr(2)))
+    val wantGraph = AnnIndex.graph(spark, vr(2)).collect().toSeq
+    val wantCells = AnnIndex.cells(spark, vr(2)).collect().toSet
+    AnnIndex.vacuum(spark, chain, 1)
+    assert(AnnIndex.committedVersions(spark, chain) === Seq(0L, 1L, 2L))
+    // crash-simulated partial compact: an orphan generation no
+    // manifest references, inside the RETAINED tip
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"${AnnIndex.cellsPath(vr(2))}/cdata7/pb=0")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"), true)
+    try out.write(Array[Byte](9, 9)) finally out.close()
+    // compact anchors the tip; the same vacuum then reclaims v0/v1
+    // whole AND sweeps the orphan generation inside v2
+    AnnIndex.compactTip(spark, chain)
+    assert(AnnIndex.isAnchor(spark, vr(2)))
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try AnnIndex.vacuum(spark, chain, 1)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    assert(AnnIndex.committedVersions(spark, chain) === Seq(2L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${AnnIndex.cellsPath(vr(2))}/cdata7")))
+    assert(AnnIndex.graph(spark, vr(2)).collect().toSeq === wantGraph)
+    assert(AnnIndex.cells(spark, vr(2)).collect().toSet === wantCells)
+  }
+
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {
     // 70 identical vN docs share every band bucket; MaxBucket = 64
     // caps membership to the lowest 64 ids (100..163 — ids 164..169
