@@ -25,6 +25,11 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // single-partition window warnings: inventoried + asserted by
+    // PlanAuditSpec, suppressed here (bounded parity rollups only)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup outside the timed region: JVM/codegen/classloading and the
     // parquet footer reads, so the first timed query isn't charged for
     // session bring-up.

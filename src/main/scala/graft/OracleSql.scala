@@ -2281,16 +2281,21 @@ object OracleSql {
     * arbitrary k — and the per-doc/per-lang rollup is recomputed from
     * scratch. Only the merge list itself is shared with the engine
     * (the qclf landed-model posture); its first 5 rows are separately
-    * oracle-pinned through `text_bpe_train`. */
-  val textBpeDeep: String =
-    """WITH RECURSIVE f AS (
+    * oracle-pinned through `text_bpe_train`, and the trained table's
+    * own invariants are gated by `textBpeMergeAudit` below. A `def`
+    * rendered at dump time: the export glob derives from the SAME
+    * configuration the engine writes under
+    * (`Text.oracleDeepMergesGlob` — round-15 ADVICE closed the
+    * hardcoded-path divergence). */
+  def textBpeDeep: String =
+    s"""WITH RECURSIVE f AS (
       |  SELECT CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 13)
       |                       AS BIGINT) % 1000000007) AS BIGINT) AS fp
       |  FROM documents
       |),
       |m AS (
       |  SELECT CAST(round AS BIGINT) AS round, a, b
-      |  FROM read_parquet('/root/repo/artifacts/bpe_deep_merges_v1/*/*.parquet')
+      |  FROM read_parquet('${graft.ops.Text.oracleDeepMergesGlob}')
       |  WHERE fp = (SELECT fp FROM f)
       |),
       |mk AS (SELECT COALESCE(MAX(round), 0) AS k FROM m),
@@ -2339,6 +2344,48 @@ object OracleSql {
       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_tok
       |FROM doc JOIN d USING (doc_id)
       |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** Invariant audit of the landed deep-merge table
+    * (`Text.bpeMergeAudit`): monotone non-increasing elected-pair
+    * counts and formability of every multi-char merge side from
+    * earlier merges — properties ANY correct BPE trainer satisfies,
+    * checked here directly in DuckDB so a wrong pair election in
+    * rounds 6..k turns the gate RED (`error()`) instead of
+    * hash-matching a shared wrong artifact to green. Same
+    * fingerprint filter and templated glob as `textBpeDeep`. */
+  def textBpeMergeAudit: String =
+    s"""WITH f AS (
+       |  SELECT CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 13)
+       |                       AS BIGINT) % 1000000007) AS BIGINT) AS fp
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT CAST(round AS BIGINT) AS round, a, b, CAST(n AS BIGINT) AS n
+       |  FROM read_parquet('${graft.ops.Text.oracleDeepMergesGlob}')
+       |  WHERE fp = (SELECT fp FROM f)
+       |),
+       |mono AS (
+       |  SELECT COUNT(*) AS mv FROM (
+       |    SELECT n, LAG(n) OVER (ORDER BY round) AS pn FROM m) t
+       |  WHERE pn IS NOT NULL AND n > pn
+       |),
+       |voc AS (
+       |  SELECT (SELECT COUNT(*) FROM m WHERE length(a) > 1 AND NOT EXISTS (
+       |            SELECT 1 FROM m p WHERE p.round < m.round AND p.a || p.b = m.a))
+       |       + (SELECT COUNT(*) FROM m WHERE length(b) > 1 AND NOT EXISTS (
+       |            SELECT 1 FROM m p WHERE p.round < m.round AND p.a || p.b = m.b)) AS vv
+       |),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_merges,
+       |             CAST(MAX(n) AS BIGINT) AS max_n,
+       |             CAST(MIN(n) AS BIGINT) AS min_n FROM m)
+       |SELECT s.n_merges, s.max_n, s.min_n,
+       |       CASE WHEN mono.mv = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(error('deep-BPE count monotonicity violated: ' || mono.mv) AS BIGINT) END
+       |         AS monotone_violations,
+       |       CASE WHEN voc.vv = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(error('deep-BPE symbol formability violated: ' || voc.vv) AS BIGINT) END
+       |         AS vocab_violations
+       |FROM s, mono, voc""".stripMargin
 
   /** Add-one-smoothed bigram LM score: every log term is a ratio of
     * exact integer counts (bit-identical across engines); only the

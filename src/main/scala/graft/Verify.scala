@@ -16,6 +16,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-by-construction parity windows WARN once per plan —
+    // suppressed here because PlanAuditSpec ASSERTS the inventory of
+    // queries allowed an unpartitioned window (the warning's job)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    // one knob governs the engine's deep-merge export AND the oracle's
+    // read glob: the oracle text is rendered from the system property
+    // (OracleSql is session-free), so mirror the spark-conf spelling
+    // into it before any oracle string is built
+    spark.conf.getOption("graft.bpe.deepMergesExportDir")
+      .foreach(sys.props.update("graft.bpe.deepMergesExportDir", _))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -29,6 +41,17 @@ object Verify {
       // fan-out; release them so caches don't accumulate across the
       // 60-query run (the runner-side contract the ops rely on)
       spark.catalog.clearCache()
+    }
+    // oracle precheck (round-15 ADVICE): DuckDB's read_parquet errors
+    // on a no-match glob, so if the deep-merge export never landed
+    // (fresh checkout with the deep queries filtered out of a partial
+    // run, or a failed training) land it now — the oracle must reach
+    // a verdict, not a bind error
+    if (only.isEmpty || only("text_bpe_deep") || only("text_bpe_merge_audit")) {
+      try graft.ops.Text.ensureDeepMergesExport(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] deep-merge export precheck failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -617,9 +617,12 @@ object Events {
     * shuffles on the target day. Output: date, dau, wau, mau,
     * stickiness. */
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
-    val uw = Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-      .withColumn("maxd", max(col("d")).over(Window.partitionBy()))
+    // global max date as a 1-row broadcast carrier (the ev_dormancy
+    // pattern) — the previous unpartitioned window moved the whole
+    // user×day rollup through a single partition just to stamp it
+    val uw = base.crossJoin(broadcast(base.agg(max(col("d")).as("maxd"))))
     uw.select(col("user_id"), col("d"), col("maxd"),
         explode(expr("sequence(0, 29)")).as("off"))
       .withColumn("t", date_add(col("d"), col("off")))
@@ -690,14 +693,17 @@ object Events {
     *
     * Scale: one distinct (user, day) shuffle; both windows partition
     * by user; the day-level joins run on the O(#days) rollup. The
-    * global max date rides a window over the bounded per-user rollup,
-    * not a driver collect. Output: date, n_new, n_retained,
+    * global max date rides a 1-row broadcast carrier, not a driver
+    * collect or a global window. Output: date, n_new, n_retained,
     * n_resurrected, n_churned. */
   def lifecycle(spark: SparkSession, dir: String): DataFrame = {
     val wU = Window.partitionBy("user_id").orderBy("d")
-    val st = Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-      .withColumn("maxd", max(col("d")).over(Window.partitionBy()))
+    // global max date as a 1-row broadcast carrier (the ev_dormancy
+    // pattern) — not an unpartitioned window over the user×day rollup
+    val st = base
+      .crossJoin(broadcast(base.agg(max(col("d")).as("maxd"))))
       .withColumn("prev", lag(col("d"), 1).over(wU))
       .withColumn("nxt", lead(col("d"), 1).over(wU))
     val states = st.groupBy(col("d").as("date")).agg(

@@ -2384,8 +2384,76 @@ object Similarity {
 
   /** The peel over an explicit undirected (a, b) edge list — split
     * out so the property test drives constructed graphs through the
-    * distributed rounds against a reference peel. */
-  private[graft] def kcoreFrom(spark: SparkSession, und: DataFrame): DataFrame = {
+    * distributed rounds against a reference peel.
+    *
+    * DRIVER TIER (round 16 — the `pagerankFrom`/`labelPropFrom`
+    * pattern, same `graft.graph.collectEdgesMax` threshold): at most
+    * collectEdgesMax edges collect once and the 5 peel rounds run
+    * over plain long arrays — integer degree counting, so the tiers
+    * are trivially bit-identical (pinned by `SimilarityTierSpec`).
+    * Below the threshold the distributed loop's per-round parquet
+    * barrier (the mandatory IterState seam — see the in-code note) is
+    * pure fixed overhead on a KB-sized edge table; above it the
+    * seam-broken loop below is the right plan and unchanged. */
+  private[graft] def kcoreFrom(spark: SparkSession, und0in: DataFrame): DataFrame = {
+    val und = und0in.select("a", "b").persist()
+    val nUnd = und.count()
+    val collectMax = collectEdgesMax(spark)
+    if (collectMax >= 0L && nUnd <= collectMax) {
+      // ---- driver tier: long arrays + up-to-5 synchronous peels ----
+      import spark.implicits._
+      val ea = new Array[Long](nUnd.toInt)
+      val eb = new Array[Long](nUnd.toInt)
+      val it = und.toLocalIterator()
+      var e = 0
+      while (it.hasNext) {
+        val r = it.next()
+        ea(e) = r.getLong(0); eb(e) = r.getLong(1); e += 1
+      }
+      und.unpersist()
+      val alive = new Array[Boolean](e)
+      java.util.Arrays.fill(alive, true)
+      def degrees(): java.util.HashMap[java.lang.Long, java.lang.Long] = {
+        val d = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        var i = 0
+        while (i < e) {
+          if (alive(i)) {
+            d.merge(ea(i), 1L, (x, y) => x + y)
+            d.merge(eb(i), 1L, (x, y) => x + y)
+          }
+          i += 1
+        }
+        d
+      }
+      var removed = true
+      var round = 1
+      while (round <= 5 && removed) {
+        val d = degrees()
+        removed = false
+        var i = 0
+        while (i < e) {
+          if (alive(i) &&
+              (d.get(ea(i)) < 2L || d.get(eb(i)) < 2L)) {
+            alive(i) = false; removed = true
+          }
+          i += 1
+        }
+        round += 1
+      }
+      val fin = degrees()
+      val out = new Array[(Long, Long)](fin.size())
+      val en = fin.entrySet().iterator()
+      var j = 0
+      while (en.hasNext) {
+        val kv = en.next()
+        out(j) = (kv.getKey.longValue(), kv.getValue.longValue()); j += 1
+      }
+      spark.createDataset(out.toSeq.sortBy(_._1)).toDF("vec_id", "deg")
+    } else kcoreDistributed(spark, und)
+  }
+
+  /** The seam-broken distributed peel (the above-threshold tier). */
+  private def kcoreDistributed(spark: SparkSession, und: DataFrame): DataFrame = {
     val k = 2
     // each round references the previous edge set three times (degree
     // union twice + the induced-subgraph join), so the unrolled
@@ -2418,6 +2486,7 @@ object Similarity {
       (spark.read.parquet(path), n)
     }
     var (edges, nEdges) = mat(und.select("a", "b"), 0)
+    und.unpersist() // e_0 is landed; the tier probe's cache is done
     var i = 1
     var converged = false
     while (i <= 5 && !converged) {

@@ -1346,9 +1346,34 @@ object Text {
     * independently recomputed and only the merge list is shared (the
     * `text_qclf_score` landed-model posture). Versioned path: bump
     * the suffix if the trainer's election rule ever changes. */
+  private[graft] val BpeDeepExportDefault = "/root/repo/artifacts/bpe_deep_merges_v1"
+
   private def bpeDeepExportRoot(spark: SparkSession): String =
     spark.conf.getOption("graft.bpe.deepMergesExportDir")
-      .getOrElse("/root/repo/artifacts/bpe_deep_merges_v1")
+      .orElse(sys.props.get("graft.bpe.deepMergesExportDir"))
+      .getOrElse(BpeDeepExportDefault)
+
+  /** The glob the DuckDB oracle reads the landed merge table through —
+    * derived from the SAME configuration as the engine's export path
+    * (round-15 ADVICE: the oracle hardcoded the default while the
+    * engine honored the conf, so setting the conf silently divorced
+    * the two). The oracle text is rendered driver-side at dump time,
+    * so the system-property leg is the shared source; `Verify` mirrors
+    * the spark conf into it before the dump. */
+  private[graft] def oracleDeepMergesGlob: String =
+    s"${sys.props.getOrElse("graft.bpe.deepMergesExportDir", BpeDeepExportDefault)}/*/*.parquet"
+
+  /** Land the deep-merge export for `dir`'s corpus if absent — the
+    * oracle PRECHECK seam (round-15 ADVICE): DuckDB's `read_parquet`
+    * errors on a no-match glob, so before the oracle SQL is dumped the
+    * runner makes sure the export exists rather than letting a fresh
+    * checkout (or an export-path change) turn a clean verdict into a
+    * bind error. Idempotent: artifact and export are both
+    * landed-once-per-corpus. */
+  def ensureDeepMergesExport(spark: SparkSession, dir: String): Unit = {
+    val rows = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
+    exportDeepMerges(spark, corpusFpFor(spark, dir), rows)
+  }
 
   /** Deterministic corpus fingerprint shared with the oracle SQL:
     * Σ_docs (first-13-hex-digits of md5(doc_id ∥ '|' ∥ text) as
@@ -1363,19 +1388,22 @@ object Text {
       .first().getLong(0)
 
   // corpusFp is a pure function of the corpus file; memoized on the
-  // same (path, len, mtime) key as Tables' schema memo so the bench's
+  // same (len, mtime) stamp as Tables' schema memo so the bench's
   // repeated reps of the deep readout don't each pay a full-corpus
-  // md5 aggregate just to decide the export already exists
+  // md5 aggregate just to decide the export already exists. One entry
+  // per path, replaced on stamp change (an entry per regeneration
+  // would never evict — the Tables.schemaCache bound).
   private val corpusFpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   private def corpusFpFor(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    corpusFpCache.computeIfAbsent(
-      s"$dir:${st.getLen}:${st.getModificationTime}",
-      _ => corpusFp(Tables.documents(spark, dir))).longValue()
+    val stamp = s"${st.getLen}:${st.getModificationTime}"
+    corpusFpCache.compute(dir, (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else (stamp, corpusFp(Tables.documents(spark, dir))))._2
   }
 
   /** Land the trained merge rows for `fp` under the export root —
@@ -1412,6 +1440,64 @@ object Text {
     exportDeepMerges(spark, corpusFpFor(spark, dir), rows)
     fertilityRollup(spark, dir,
       bpeEncodeWith(spark, Tables.documents(spark, dir), ms))
+  }
+
+  /** Invariant audit over the TRAINED deep vocabulary (round-15
+    * ADVICE: `text_bpe_deep` verifies encode + rollup against the
+    * landed merge list, so a wrong pair election in rounds 6..k would
+    * pass undetected — the merge table itself was unchecked past the
+    * 5 rounds `text_bpe_train` pins). Two properties hold of EVERY
+    * correct BPE training run, regardless of corpus:
+    *
+    *  - MONOTONE counts: the elected pair's count never increases
+    *    round-over-round — merging the argmax pair only removes
+    *    adjacencies or creates pairs bounded by the merged pair's own
+    *    count, so the max pair count is non-increasing;
+    *  - FORMABLE symbols: every multi-character side of a merge must
+    *    be the output of an EARLIER merge (BPE symbols are built from
+    *    single characters by merges alone).
+    *
+    * A violation FAILS the run outright (`raise_error` here, DuckDB
+    * `error()` in the oracle twin) instead of hash-matching its way
+    * to green — both engines audit the same landed artifact, so a
+    * trainer bug turns the gate red rather than reproducing on both
+    * sides. All bounded ops: the merge table is ≤ [[BpeDeepK]] rows
+    * (the unpartitioned lag window and the formability self-join are
+    * vocabulary-sized, never corpus-sized).
+    * Output: n_merges, max_n, min_n, monotone_violations,
+    * vocab_violations (the violation counts are 0 by construction —
+    * the guard raises before a nonzero could land). */
+  def bpeMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val rows = bpeDeepMergesArtifact(spark, dir).orderBy("round").collect()
+    exportDeepMerges(spark, corpusFpFor(spark, dir), rows) // oracle reads the export
+    mergeAuditFrom(spark, bpeDeepMergesArtifact(spark, dir))
+  }
+
+  /** The audit core over an explicit (round, a, b, n) merge table —
+    * split out so the unit test can prove the guard FIRES on a
+    * violated invariant (a gate that cannot go red gates nothing). */
+  private[graft] def mergeAuditFrom(spark: SparkSession, merges: DataFrame): DataFrame = {
+    val m = merges
+      .select(col("round").cast("bigint").as("round"), col("a"), col("b"),
+        col("n").cast("bigint").as("n"))
+    val mono = m
+      .withColumn("pn", lag(col("n"), 1).over(Window.orderBy("round")))
+      .where(col("pn").isNotNull && col("n") > col("pn"))
+      .agg(count(lit(1)).as("mv"))
+    val outputs = m.select(col("round").as("pr"), concat(col("a"), col("b")).as("sym"))
+    // a multi-char side with NO earlier merge producing it = violation
+    def unformable(side: String) = m.where(length(col(side)) > 1)
+      .join(outputs, col("sym") === col(side) && col("pr") < col("round"), "left_anti")
+    val vv = unformable("a").count() + unformable("b").count()
+    def guarded(c: org.apache.spark.sql.Column, what: String) =
+      when(c === 0L, lit(0L)).otherwise(raise_error(
+        concat(lit(s"deep-BPE $what violated: "), c.cast("string"))).cast("long"))
+    m.agg(count(lit(1)).as("n_merges"), max(col("n")).as("max_n"),
+        min(col("n")).as("min_n"))
+      .crossJoin(mono) // 1-row × 1-row scalar carrier
+      .select(col("n_merges"), col("max_n"), col("min_n"),
+        guarded(col("mv"), "count monotonicity").as("monotone_violations"),
+        guarded(lit(vv), "symbol formability").as("vocab_violations"))
   }
 
   /** ENCODE under an arbitrary-length merge list — the deep-vocab

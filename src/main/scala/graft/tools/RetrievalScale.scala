@@ -196,9 +196,22 @@ object RetrievalScale {
       // filtered dual-strategy search: first touch builds the answers
       // artifact over the already-landed graph (both walks + filter).
       // Needs the documents metadata side — absent in mixture mode.
-      if (src != "mixture")
+      if (src != "mixture") {
         time(s"x$scale filtered dual walk (10 q)")(
           Similarity.filteredSearch(spark, dir).count())
+        // per-strategy recall floor vs the FILTERED brute-force top-3
+        // (round 16: the sf0.1 floors — in-walk 30/30 vs overfetch
+        // 25/30 — recorded at every scale, so recall-vs-scale is
+        // measured, not asserted)
+        Similarity.filteredRecall(spark, dir)
+          .groupBy("strategy")
+          .agg(sum(when(col("in_top3"), 1L).otherwise(0L)).as("hits"),
+            count(lit(1)).as("n"))
+          .orderBy("strategy")
+          .collect()
+          .foreach(r => println(s"x$scale filtered recall ${r.getString(0)}: " +
+            s"${r.getLong(1)}/${r.getLong(2)}"))
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -25,8 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_clusters", "sim_clusters_loose", "mm_dedup_apply",
     "ts_drawdown", "ts_drawdown_by_segment",
     // sim_kcore's peeling rounds and bpe's merge table materialize
-    // through IterState/ArtifactCache during construction
-    "sim_kcore", "text_bpe_apply", "text_bpe_train",
+    // through IterState/ArtifactCache during construction (the merge
+    // audit also collects + exports the trained table at construction)
+    "sim_kcore", "text_bpe_apply", "text_bpe_train", "text_bpe_merge_audit",
     // walk-answer artifacts (one walk per corpus, shared by the
     // search readout and its recall audit) build at construction
     "sim_graph_search", "sim_graph_recall",
@@ -90,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     "rel_abc_pareto",
     // 1-row max-date carrier (dormancy reference point)
     "ev_dormancy",
+    // 1-row max-date carriers (round 16: replaced the unpartitioned
+    // global-max windows over the user×day rollup)
+    "ev_active_users", "ev_lifecycle",
     // 1-row row-count carrier (file-cut arithmetic) + O(#partitions)
     // offset join inside withGlobalRank (the rel_ntile pattern)
     "rel_zorder",
@@ -136,6 +140,70 @@ class PlanAuditSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  /** Queries whose optimized plan carries a Window with NO partition
+    * keys — legal ONLY over an input bounded by construction, because
+    * a global window single-partitions its input (SURVEY §7.4's named
+    * hazard: fine on a one-row-per-day parity series, fatal on a
+    * corpus-sized table at 100×). Every entry here is bounded by one
+    * of: the daily/monthly calendar rollup (O(#days) rows), a
+    * per-query/per-threshold dimension, a quantile/bucket spine, or
+    * the ≤BpeDeepK-row merge table. The test asserts BOTH directions:
+    * a new unpartitioned window outside this set fails (the 100×
+    * foot-gun), and a stale entry that stopped windowing globally
+    * fails (inventory rot). */
+  private val boundedUnpartitionedWindow: Set[String] = Set(
+    // the single-series daily parity family: every window runs over
+    // the O(#days) calendar rollup of orders (the reference's
+    // one-row-per-day tables), bounded by the calendar at any corpus
+    "risk", "ts_anomaly", "ts_autocorr", "ts_bands", "ts_benchmark",
+    "ts_changepoint", "ts_forecast", "ts_gotk", "ts_interpolate",
+    "ts_moving_avg", "ts_rolling_corr", "ts_stl", "ts_total_return",
+    "ts_trailing_return", "ts_tvl", "ts_var",
+    // daily rollups on the events side: as-of over the union of two
+    // day series; cumulative acquisition over the first-seen day rollup
+    "ev_asof", "ev_cumulative_users",
+    // count-of-counts spine (distinct per-user event counts — the
+    // compressed Lorenz-curve input, not users)
+    "ev_gini",
+    // entity-dim order statistics where the GLOBAL rank IS the
+    // operator's semantics (ntile quintiles / exact median+p90 /
+    // cumulative revenue share over the per-entity rollup, orders of
+    // magnitude below the fact stream; documented at each operator)
+    "ev_rfm", "ev_ttc", "rel_abc_pareto",
+    // source/lang dimension spines (waterfill allocation, chi-square
+    // dense cell spine)
+    "text_budget_apply", "text_budget_mix", "text_chi2",
+    // per-score histograms: scores are 6dp-rounded so the window
+    // input is ≤ 10⁶+1 rows regardless of corpus size
+    "text_qclf_auc", "text_qclf_cal_eval", "text_qclf_calibration",
+    "text_qclf_isotonic", "text_qclf_op_point", "text_qclf_pr",
+    "text_qclf_psi",
+    // top-50 vocabulary slice (rank bounded by k, not the vocabulary)
+    "text_zipf")
+
+  test("unpartitioned windows only over inputs bounded by construction") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !executesAtConstruction(name)) {
+      val unpart = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty && !boundedUnpartitionedWindow(name)) offenders += name
+      if (unpart.isEmpty && boundedUnpartitionedWindow(name)) stale += name
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"queries with a NEW unpartitioned window (prove the input bounded, " +
+        s"then inventory it): ${offenders.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"inventory entries with no unpartitioned window left (tighten the " +
+        s"list): ${stale.sorted.mkString(", ")}")
   }
 
   test("artifact-backed consumers read the landed parquet, not the derivation") {

@@ -127,9 +127,18 @@ class PropertySpec extends AnyFunSuite {
     forAll(edgeGen, n = 4) { es =>
       import spark.implicits._
       val und = es.toDF("a", "b")
+      // default tier (driver arrays at these sizes, round 16) …
       val got = graft.ops.Similarity.kcoreFrom(spark, und).collect()
         .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
       assert(got === referencePeel(es.toSet))
+      // … AND the distributed peel rounds the property originally
+      // pinned (forced past the driver tier, the TierSpec seam)
+      spark.conf.set("graft.graph.collectEdgesMax", "-1")
+      val gotDist =
+        try graft.ops.Similarity.kcoreFrom(spark, und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+        finally spark.conf.unset("graft.graph.collectEdgesMax")
+      assert(gotDist === referencePeel(es.toSet))
       spark.catalog.clearCache()
     }
   }

@@ -54,6 +54,22 @@ class SimilarityTierSpec extends SparkSpec {
     assert(driver === dist)
   }
 
+  test("kcore tiers agree on the real kNN graph and a hand peel") {
+    // real graph: the same edges sim_kcore runs on
+    val driver = Similarity.kcore(spark, sf).collect().toSeq
+    val dist = forceLoopTier(Similarity.kcore(spark, sf).collect().toSeq)
+    assert(driver.nonEmpty)
+    assert(driver === dist)
+    // hand graph: a triangle with a 2-edge tail — the tail must peel
+    // over two rounds in BOTH tiers (integer degrees, bit-identical)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val d1 = Similarity.kcoreFrom(spark, und).collect().toSeq
+    val d2 = forceLoopTier(Similarity.kcoreFrom(spark, und).collect().toSeq)
+    assert(d1 === d2)
+    assert(d1.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("tiers agree on a hand graph with dangling and isolated nodes") {
     // 1→2→3→1 cycle, 4→1 (so 4 is dangling-in… has out-edge; 5 is
     // fully dangling/isolated: no edges at all)

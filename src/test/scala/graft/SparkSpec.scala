@@ -15,6 +15,16 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The bounded single-series parity queries (one-row-per-day
+    // inputs) legitimately run unpartitioned windows, and WindowExec
+    // WARNs once per plan — hundreds of identical lines that drown
+    // real warnings in the suite log. The warning's substance is not
+    // lost: PlanAuditSpec ASSERTS the exact inventory of queries
+    // allowed an unpartitioned window, so a new one fails the suite
+    // instead of scrolling past in the flood.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
   val sf: String = "/root/testdata/sf0.001"

@@ -97,6 +97,33 @@ class TokenizerSpec extends SparkSpec {
     assert(ref.exceptAll(enc5).count() === 0)
   }
 
+  test("merge audit passes a legal table and RAISES on each violated invariant") {
+    import spark.implicits._
+    // legal: counts non-increasing, every multi-char side formed earlier
+    val ok = Seq((1L, "a", "b", 9L), (2L, "ab", "c", 7L), (3L, "d", "abc", 7L))
+      .toDF("round", "a", "b", "n")
+    val row = Text.mergeAuditFrom(spark, ok).collect().head
+    assert(row.getLong(0) === 3L) // n_merges
+    assert(row.getLong(3) === 0L && row.getLong(4) === 0L)
+    // count monotonicity violated (7 -> 8): the gate must go RED, not
+    // hash-match a wrong artifact to green
+    val mono = Seq((1L, "a", "b", 7L), (2L, "ab", "c", 8L))
+      .toDF("round", "a", "b", "n")
+    val e1 = intercept[Exception] {
+      Text.mergeAuditFrom(spark, mono).collect()
+    }
+    assert(e1.getMessage.contains("monotonicity") ||
+      Option(e1.getCause).exists(_.getMessage.contains("monotonicity")))
+    // formability violated: "xy" was never produced by an earlier merge
+    val voc = Seq((1L, "a", "b", 9L), (2L, "xy", "c", 7L))
+      .toDF("round", "a", "b", "n")
+    val e2 = intercept[Exception] {
+      Text.mergeAuditFrom(spark, voc).collect()
+    }
+    assert(e2.getMessage.contains("formability") ||
+      Option(e2.getCause).exists(_.getMessage.contains("formability")))
+  }
+
   test("deep training run crosses the parquet seam with sane elections") {
     val docs = Tables.documents(spark, sf)
     // 64 rounds crosses the BpeSeamEvery = 32 seam: rounds are
