@@ -2061,8 +2061,14 @@ object Similarity {
     pagerankFrom(spark, graph.select(col("vec_id"), col("nbr_id")), nodesDf)
   }
 
-  /** Directed-edge driver tier threshold, shared with `labelPropFrom`;
-    * -1 forces the distributed loop (test seam). */
+  /** Edge-count driver-tier threshold, shared by `pagerankFrom` /
+    * `labelPropFrom` / `kcoreFrom`; -1 forces the distributed loop
+    * (test seam). Default 1M is MEASURED (`tools.GraphTierLap`,
+    * 3-out-regular graphs, both tiers same session, PERF.md round 16):
+    * per-algorithm crossovers sit at ~1.2M (kcore), ~2M (labelProp),
+    * ~4M (pagerank) edges, so one shared 1M default keeps every
+    * algorithm inside its driver-win region while bounding the
+    * driver's edge-array footprint (~32 MB at the threshold). */
   private def collectEdgesMax(spark: SparkSession): Long =
     spark.conf.getOption("graft.graph.collectEdgesMax").map(_.toLong).getOrElse(1000000L)
 

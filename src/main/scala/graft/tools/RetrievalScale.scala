@@ -84,6 +84,14 @@ object RetrievalScale {
         val out = s"$outBase/mix$scale"
         mixture(spark, 2000L * scale)
           .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+        // minimal documents side so the FILTERED walk runs in the
+        // clustered regime too (round 16): hash-derived lang at the
+        // testdata's ~1/5 'de' selectivity — eligibleIds reads only
+        // (doc_id, lang)
+        mixture(spark, 2000L * scale).select(
+            col("vec_id").as("doc_id"),
+            expr("array('de','en','es','fr','zh')[pmod(hash(vec_id, 31), 5)]").as("lang"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
         out
       } else if (scale == 1) src
       else {
@@ -195,23 +203,22 @@ object RetrievalScale {
       bf3.unpersist()
       // filtered dual-strategy search: first touch builds the answers
       // artifact over the already-landed graph (both walks + filter).
-      // Needs the documents metadata side — absent in mixture mode.
-      if (src != "mixture") {
-        time(s"x$scale filtered dual walk (10 q)")(
-          Similarity.filteredSearch(spark, dir).count())
-        // per-strategy recall floor vs the FILTERED brute-force top-3
-        // (round 16: the sf0.1 floors — in-walk 30/30 vs overfetch
-        // 25/30 — recorded at every scale, so recall-vs-scale is
-        // measured, not asserted)
-        Similarity.filteredRecall(spark, dir)
-          .groupBy("strategy")
-          .agg(sum(when(col("in_top3"), 1L).otherwise(0L)).as("hits"),
-            count(lit(1)).as("n"))
-          .orderBy("strategy")
-          .collect()
-          .foreach(r => println(s"x$scale filtered recall ${r.getString(0)}: " +
-            s"${r.getLong(1)}/${r.getLong(2)}"))
-      }
+      // The documents metadata side is real testdata here or the
+      // hash-derived lang spine in mixture mode.
+      time(s"x$scale filtered dual walk (10 q)")(
+        Similarity.filteredSearch(spark, dir).count())
+      // per-strategy recall floor vs the FILTERED brute-force top-3
+      // (round 16: the sf0.1 floors — in-walk 30/30 vs overfetch
+      // 25/30 — recorded at every scale, so recall-vs-scale is
+      // measured, not asserted)
+      Similarity.filteredRecall(spark, dir)
+        .groupBy("strategy")
+        .agg(sum(when(col("in_top3"), 1L).otherwise(0L)).as("hits"),
+          count(lit(1)).as("n"))
+        .orderBy("strategy")
+        .collect()
+        .foreach(r => println(s"x$scale filtered recall ${r.getString(0)}: " +
+          s"${r.getLong(1)}/${r.getLong(2)}"))
       spark.catalog.clearCache()
     }
     spark.stop()
