@@ -9,6 +9,13 @@ import graft.ops.Finance
 import graft.sources.{ChainSource, FixtureChainSource}
 
 /** Extract pipeline + idempotent writer semantics (reference S5-S9). */
+/** Test-only: a local filesystem wearing the `s3a` scheme, so the
+  * object-store sweep refusal is pinned without a real object store
+  * (RawLocalFileSystem itself rejects foreign schemes in checkPath). */
+class FakeS3LocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
 class PipelineSpec extends SparkSpec {
 
   /** Every landed nav-index table of a version, via the committed-
@@ -737,6 +744,40 @@ class PipelineSpec extends SparkSpec {
     assert(Curation.committedReleases(spark, chain) === Seq(2L, 3L),
       "a winnow-less tip must not let vacuum delete the winnow-bearing ancestor")
     assert(Curation.winnowIndex(spark, vr(2)).collect().toSet === wantWinnow)
+  }
+
+  test("orphan sweep refuses on object-store schemes without the explicit opt-in") {
+    // the round-15 ADVICE medium: the sweep's fences (dir mtimes,
+    // _temporary staging) are rename-FS semantics — on an object
+    // store it must refuse, not delete a live compact's generation.
+    // RawLocalFileSystem impersonates the s3a scheme so the refusal
+    // is pinned without a real object store.
+    import graft.io.BucketedTable
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[FakeS3LocalFs].getName)
+    val dir = Files.createTempDirectory("graft_s3sweep").toString
+    val path = s"s3a://$dir" // RawLocal maps the path part to local disk
+    import spark.implicits._
+    BucketedTable.write(
+      Seq((1L, 0), (2L, 1)).toDF("k", "pb"), path, "test/1")
+    // a crashed-compact orphan generation next to the live data
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/cdata1/pb=0")
+    val fs = orphan.getFileSystem(hc)
+    fs.mkdirs(orphan)
+    val live = BucketedTable.referencedDirs(spark, path)
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      // default: REFUSE (returns empty, deletes nothing)
+      assert(BucketedTable.sweepOrphans(spark, path, live).isEmpty)
+      assert(fs.exists(orphan))
+      // explicit opt-in: the sweep runs and reclaims the orphan
+      spark.conf.set("graft.vacuum.objectStoreSweep", "true")
+      try assert(BucketedTable.sweepOrphans(spark, path, live).nonEmpty)
+      finally spark.conf.unset("graft.vacuum.objectStoreSweep")
+      assert(!fs.exists(orphan))
+      // the rename-FS path is unaffected by the gate (local scheme)
+      assert(BucketedTable.referencedDirs(spark, path) === live)
+    } finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
   }
 
   test("ann release chain: compact anchors the tip, vacuum reclaims below and sweeps orphans") {
