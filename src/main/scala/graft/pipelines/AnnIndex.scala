@@ -182,8 +182,25 @@ object AnnIndex {
   /** The vN full build: assign cells from corpus-wide label widths,
     * land the three state tables. `emb` is an embeddings-format table
     * (vec_id, embedding, label). */
-  def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit = {
-    val v0 = vecsNorm(spark, emb)
+  def buildState(spark: SparkSession, emb: DataFrame, root: String): Unit =
+    buildFromVecs(spark, vecsNorm(spark, emb), root)
+
+  /** WARM full rebuild: vN+1 = full build over the PRIOR version's
+    * landed vectors ∪ `deltaEmb` — the streaming maintainer's routing
+    * escape hatch (a label-uniform delta touches every cell, so the
+    * increment machinery re-pairs everything anyway and the rebuild
+    * is the honest plan; `IndexStreams`' frontier-routing argument).
+    * Lands an ANCHOR (full writes reference nothing), re-opening
+    * retention below it. Row-identical to incrementState over the
+    * same inputs — `pairCells` is deterministic given membership. */
+  def rebuildState(spark: SparkSession, deltaEmb: DataFrame,
+      priorRoot: String, nextRoot: String): Unit =
+    buildFromVecs(spark,
+      cells(spark, priorRoot).select("vec_id", "label", "v", "norm")
+        .unionByName(vecsNorm(spark, deltaEmb)),
+      nextRoot)
+
+  private def buildFromVecs(spark: SparkSession, v0: DataFrame, root: String): Unit = {
     Writers.truncateLoad(
       v0.groupBy("label").agg(count(lit(1)).as("cn")), widthsPath(root))
     val widths = spark.read.parquet(widthsPath(root))

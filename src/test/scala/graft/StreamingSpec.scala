@@ -439,6 +439,87 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming ANN maintenance equals the one-shot build and replays idempotently") {
+    import graft.streaming.AnnStreams
+    import graft.pipelines.AnnIndex
+    // LABEL-grain drops (the ann chain's touch grain): bulk corpus,
+    // then two single-label domain arrivals
+    val emb = Tables.embeddings(spark, sf)
+    val d = java.nio.file.Files.createTempDirectory("graft_annm_drops").toString
+    emb.where(col("label") < 8).coalesce(1).write.parquet(s"$d/h1")
+    emb.where(col("label") === 8).coalesce(1).write.parquet(s"$d/h2")
+    emb.where(col("label") === 9).coalesce(1).write.parquet(s"$d/h3")
+    val root = java.nio.file.Files.createTempDirectory("graft_annm_root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annm_ck").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$sf/embeddings.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$d/*")
+      val q = AnnStreams.annMaintainGate(spark, stream, root, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    assert(AnnIndex.committedVersions(spark, root).size === 3)
+    // batch parity: the maintained graph IS the one-shot build's
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft_annm_full").toString
+    AnnIndex.buildState(spark, emb, fullRoot)
+    val full = AnnIndex.graph(spark, fullRoot)
+    val cur = AnnStreams.currentGraph(spark, root)
+    assert(cur.count() === full.count())
+    assert(cur.exceptAll(full).count() === 0)
+    assert(full.exceptAll(cur).count() === 0)
+    // crash-replay: lose the last batch's commit; the replayed batch
+    // must re-land ITS OWN version from the same prior
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    assert(AnnIndex.committedVersions(spark, root).size === 3)
+    val cur2 = AnnStreams.currentGraph(spark, root)
+    assert(cur2.exceptAll(full).count() === 0)
+    assert(full.exceptAll(cur2).count() === 0)
+  }
+
+  test("ANN maintenance gate routes label-uniform deltas to the warm rebuild") {
+    import graft.streaming.AnnStreams
+    import graft.pipelines.AnnIndex
+    import spark.implicits._
+    def vec(id: Long) = Array.tabulate(64)(i => 0.1 + 0.001 * ((id * 7 + i) % 5))
+    def df(rows: Seq[(Long, Long)]) = rows.map { case (id, lab) => (id, vec(id), lab) }
+      .toDF("vec_id", "embedding", "label")
+    val base = df((0L until 60L).map(i => (i, 1L + i % 2))) // labels 1, 2
+    val root = java.nio.file.Files.createTempDirectory("graft_annroute").toString
+    assert(AnnStreams.maintainBatch(spark, base, root, 0L) === "build")
+    // one NEW label = 1/2 of the prior label count — at, not over,
+    // the 0.5 threshold: increments (the localized domain arrival)
+    val local = df((100L until 110L).map(i => (i, 3L)))
+    assert(AnnStreams.maintainBatch(spark, local, root, 1L) === "increment")
+    // a delta touching every prior label (3/3 > 0.5) routes to the
+    // warm rebuild — its touched set IS the corpus
+    val uniform = df(Seq((200L, 1L), (201L, 2L), (202L, 3L)))
+    assert(AnnStreams.maintainBatch(spark, uniform, root, 2L) === "rebuild(labels)")
+    // routing is a cost decision, never a content one
+    val ref = java.nio.file.Files.createTempDirectory("graft_annroute_ref").toString
+    AnnIndex.buildState(spark,
+      base.unionByName(local).unionByName(uniform), ref)
+    val got = AnnStreams.currentGraph(spark, root)
+    val want = AnnIndex.graph(spark, ref)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // the rebuild landed an ANCHOR: vacuum can retire everything below
+    AnnIndex.vacuum(spark, root, 1)
+    assert(AnnIndex.committedVersions(spark, root) === Seq(2L))
+    val after = AnnStreams.currentGraph(spark, root)
+    assert(after.exceptAll(want).count() === 0)
+  }
+
   test("index vacuum reclaims only below the newest retained chain anchor") {
     import graft.streaming.IndexStreams
     import graft.pipelines.NavIndex
