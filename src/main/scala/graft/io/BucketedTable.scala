@@ -353,20 +353,57 @@ object BucketedTable {
     * On an object-store scheme the sweep therefore REFUSES (returns
     * empty) unless `graft.vacuum.objectStoreSweep=true` — an explicit
     * opt-in for deployments that serialize maintenance externally
-    * (one maintainer, or a lock service). Returns deleted dirs. */
+    * (one maintainer, or a lock service). Returns deleted dirs.
+    *
+    * The refusal is OBSERVABLE (round-16 verdict ask #3): a scheduled
+    * vacuum on an object store that quietly never reclaims is
+    * indistinguishable from "nothing to sweep" unless something says
+    * why — so the refusal WARNs once per table root (naming the scheme
+    * and the opt-in conf), and [[sweepOrphansOutcome]] exposes the
+    * refused scheme as data for callers that must branch on it. */
   def sweepOrphans(spark: SparkSession, path: String,
-      referenced: Set[String]): Seq[String] = {
+      referenced: Set[String]): Seq[String] =
+    sweepOrphansOutcome(spark, path, referenced).swept
+
+  /** The distinguishable result of an orphan sweep: `swept` is the
+    * deleted dirs; `refusedScheme` carries the object-store scheme
+    * when the sweep REFUSED to run (no opt-in) — empty-and-refused and
+    * empty-and-clean are different states an operator must be able to
+    * tell apart. */
+  final case class SweepOutcome(swept: Seq[String],
+      refusedScheme: Option[String]) {
+    def refused: Boolean = refusedScheme.isDefined
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Table roots whose object-store refusal already WARNed this JVM —
+    * one signal per root, not one per scheduled-vacuum tick
+    * (`private[graft]` so the refusal spec can assert the signal
+    * actually fired, not just the no-op). */
+  private[graft] val warnedRefusals =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[sweepOrphans]] with the refusal exposed. */
+  def sweepOrphansOutcome(spark: SparkSession, path: String,
+      referenced: Set[String]): SweepOutcome = {
     val objectStoreSchemes =
       Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
         "wasb", "wasbs", "abfs", "abfss")
     lazy val scheme = Option(fs(spark, path)
       .makeQualified(new org.apache.hadoop.fs.Path(path)).toUri.getScheme)
       .getOrElse("")
-    if (!isCommitted(spark, path)) Seq.empty
+    if (!isCommitted(spark, path)) SweepOutcome(Seq.empty, None)
     else if (objectStoreSchemes.contains(scheme) &&
-        !spark.conf.getOption("graft.vacuum.objectStoreSweep").contains("true"))
-      Seq.empty
-    else {
+        !spark.conf.getOption("graft.vacuum.objectStoreSweep").contains("true")) {
+      if (warnedRefusals.add(path))
+        log.warn(s"orphan sweep REFUSED on object-store scheme '$scheme' " +
+          s"for $path: the in-flight-write fences are rename-FS-only; " +
+          "set graft.vacuum.objectStoreSweep=true to opt in once " +
+          "maintenance is externally serialized (chains will not " +
+          "reclaim crashed-write orphans until then)")
+      SweepOutcome(Seq.empty, Some(scheme))
+    } else {
       val minAge = spark.conf.getOption("graft.vacuum.orphanMinAgeMs").map { s =>
         try s.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -378,10 +415,14 @@ object BucketedTable {
       val root = new org.apache.hadoop.fs.Path(path)
       // newest timestamp under a directory, one level deep: dir mtime
       // OR any immediate child's — a part file still being written
-      // keeps its parent young even where dir mtimes are unreliable
+      // keeps its parent young even where dir mtimes are unreliable.
+      // A candidate that VANISHES between the generation listing and
+      // this probe was reclaimed by a concurrent maintainer — treat it
+      // as young (skip it) instead of aborting the whole sweep
       def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
-        (st.getModificationTime +:
+        try (st.getModificationTime +:
           f.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       val gens = f.listStatus(root).toSeq.filter(st => st.isDirectory &&
         (st.getPath.getName == "data" || st.getPath.getName.matches("cdata\\d+")))
         .filterNot(g => f.exists(new org.apache.hadoop.fs.Path(g.getPath, "_temporary")))
@@ -405,7 +446,7 @@ object BucketedTable {
               st.isDirectory && st.getPath.getName.startsWith("pb=")))
           f.delete(g.getPath, true)
       }
-      orphans.map(_.toString)
+      SweepOutcome(orphans.map(_.toString), None)
     }
   }
 

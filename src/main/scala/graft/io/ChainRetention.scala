@@ -34,18 +34,59 @@ object ChainRetention {
       .sorted
   }
 
+  /** Version-count threshold for the AUTO-COMPACT trigger inside
+    * [[vacuum]]: when the chain holds this many committed versions
+    * ABOVE its newest anchor (all of them splice-landed increments —
+    * nothing for version-grain retention to delete), [[vacuum]]
+    * compacts the tip first so retention can advance. Without it an
+    * increment-only maintainer accumulates versions forever: splices
+    * never cross the nav chain's per-bucket DIR-count trigger (they
+    * keep one dir per bucket), and vacuum alone refuses on an
+    * anchorless window — correctly, but permanently. Default 16
+    * (one corpus-sized pure-I/O rewrite amortized over ≥15 cheap
+    * splice landings); ≤ 0 disables, deferring to explicit compact
+    * calls. */
+  private def autoCompactVersions(spark: SparkSession): Int =
+    spark.conf.getOption("graft.chain.autoCompactVersions").map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.chain.autoCompactVersions must be an integer version count, got '$s'")
+      }
+    }.getOrElse(16)
+
   /** Anchor-bounded retention + orphan sweep. `isAnchor` decides
     * whether a version can terminate the reference chain (no anchor
     * in the kept window → nothing is deleted: safety over
     * reclamation); `referencedDirs`/`sweep` are the chain's wrappers
-    * over its bucketed state tables. */
+    * over its bucketed state tables; `compactTip` anchorifies the
+    * chain's newest version (the chain's own compact entry point —
+    * only the TIP is safe to anchorify in place, because descendants
+    * of a version reference its pre-compact directories by manifest)
+    * and is invoked by the [[autoCompactVersions]] trigger when an
+    * increment-only chain has outgrown the threshold. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       isCommitted: String => Boolean,
       isAnchor: (Long, String) => Boolean,
       referencedDirs: String => Set[String],
-      sweep: (String, Set[String]) => Unit): Unit = {
+      sweep: (String, Set[String]) => Unit,
+      compactTip: () => Unit = () => ()): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val vs = committedVersions(spark, root, isCommitted)
+    // auto-compact trigger: committed versions strictly above the
+    // newest anchor ≥ threshold → anchorify the tip before the
+    // retention pass (the new anchor ages into the ≤ oldest-kept
+    // window as the chain grows — immediately at keepLast = 1 —
+    // bounding chain length at ~threshold + keepLast instead of
+    // unbounded). The anchor probe walks newest-down and stops at the
+    // first hit, so its cost is bounded by the chain length the
+    // trigger itself bounds.
+    val auto = autoCompactVersions(spark)
+    if (auto > 0 && vs.size >= auto) {
+      val sinceAnchor = vs.reverse
+        .find(b => isAnchor(b, versionRoot(root, b)))
+        .map(a => vs.count(_ > a)).getOrElse(vs.size)
+      if (sinceAnchor >= auto) compactTip()
+    }
     if (vs.size > keepLast) {
       val oldestKept = vs.takeRight(keepLast).head
       vs.filter(_ <= oldestKept).reverse

@@ -1638,10 +1638,43 @@ object Similarity {
     * enough that the two strategies genuinely diverge. */
   private[graft] val FilteredLang = "de"
 
-  /** Overfetch beam width: the unfiltered walk must carry enough
-    * frontier that ~13% selectivity still leaves ≥3 eligible answers
-    * — the [[PqBeamWidth]] tradeoff applied to filtering. */
+  /** Overfetch beam width AT DRIVER SCALES: the unfiltered walk must
+    * carry enough frontier that ~13% selectivity still leaves ≥3
+    * eligible answers — the [[PqBeamWidth]] tradeoff applied to
+    * filtering. Past n = 2048 the width scales ([[filteredOverfetchFor]]). */
   private[graft] val FilteredOverfetch = 48
+
+  /** In-walk (ACORN-1) beam width for an n-vector filtered walk: 16
+    * at the driver scales (n ≤ 2048 — the oracle unrolls the walk at
+    * exactly this width, like [[navHopsFor]]'s 3-stage pin), +8 per
+    * corpus doubling beyond, capped at 128 (the ef-scaling posture:
+    * hold beam/corpus coverage as diameter grows). The constant-16
+    * width is WHY round 16's ×10 mixture lap read in-walk 24/30 vs
+    * overfetch 30/30 — the eligible beam starves as the corpus grows
+    * while the 48-wide overfetch still carries enough frontier; with
+    * this ladder both strategies hold their floor at ×1/×10/×100
+    * (PERF.md round 17). Deterministic in n, so any engine and the
+    * recall audit derive the same width. */
+  private[graft] def filteredBeamFor(n: Long): Int = {
+    var w = 16
+    var m = n
+    while (m > 2048 && w < 128) { w += 8; m >>= 1 }
+    w
+  }
+
+  /** Overfetch width for an n-vector filtered walk:
+    * [[FilteredOverfetch]] at the driver scales, +16 per corpus
+    * doubling beyond, capped at 192 — the same ladder shape as
+    * [[filteredBeamFor]] scaled by the ~3× width the end-filter
+    * demands (expected eligible answers in the final beam is
+    * width × selectivity, so the unfiltered walk needs the wider
+    * frontier at every scale, not just the driver one). */
+  private[graft] def filteredOverfetchFor(n: Long): Int = {
+    var w = FilteredOverfetch
+    var m = n
+    while (m > 2048 && w < 192) { w += 16; m >>= 1 }
+    w
+  }
 
   /** Eligible vec_ids: embeddings row-aligned to `documents`
     * (vec_id = doc_id), filter on document metadata — P2/P4's
@@ -1657,11 +1690,12 @@ object Similarity {
     * navigable-graph artifact so the tradeoff is pinned by the
     * oracle + recall audit rather than folklore:
     *
-    *  - `overfetch`: the plain walk with a [[FilteredOverfetch]]-wide
+    *  - `overfetch`: the plain walk with a [[filteredOverfetchFor]]-wide
     *    unfiltered beam; the filter applies once at the end, then
     *    top-3. Simple, reuses the unfiltered index; recall collapses
     *    when selectivity ≪ 3/width (the audit shows exactly this).
-    *  - `inwalk`: the beam holds only ELIGIBLE nodes, but each hop
+    *  - `inwalk`: the beam (width [[filteredBeamFor]]) holds only
+    *    ELIGIBLE nodes, but each hop
     *    expands through neighbors AND neighbors-of-neighbors — the
     *    ACORN-1 construction (Patel et al. 2024): ineligible nodes
     *    serve as BRIDGES for routing without occupying beam slots,
@@ -1744,7 +1778,7 @@ object Similarity {
 
       val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
       val entO = navEntries(base, None, nBase)
-      val ovf = walk(entO, FilteredOverfetch, eligOnly = false, bridge = false)
+      val ovf = walk(entO, filteredOverfetchFor(nBase), eligOnly = false, bridge = false)
         .join(broadcast(elig), "node")
         .withColumn("rank", row_number().over(wg))
         .where(col("rank") <= 3)
@@ -1752,7 +1786,7 @@ object Similarity {
           col("cos"), col("rank"))
 
       val entI = navEntries(base, Some(elig), nBase)
-      val inw = walk(entI, 16, eligOnly = true, bridge = true)
+      val inw = walk(entI, filteredBeamFor(nBase), eligOnly = true, bridge = true)
         .where(col("rn") <= 3)
         .select(lit("inwalk").as("strategy"), col("qid"), col("node"),
           col("cos"), col("rn").as("rank"))
@@ -2069,8 +2103,15 @@ object Similarity {
     * ~4M (pagerank) edges, so one shared 1M default keeps every
     * algorithm inside its driver-win region while bounding the
     * driver's edge-array footprint (~32 MB at the threshold). */
-  private def collectEdgesMax(spark: SparkSession): Long =
-    spark.conf.getOption("graft.graph.collectEdgesMax").map(_.toLong).getOrElse(1000000L)
+  private def collectEdgesMax(spark: SparkSession): Long = {
+    val m = spark.conf.getOption("graft.graph.collectEdgesMax")
+      .map(_.toLong).getOrElse(1000000L)
+    // the driver tiers size Int-indexed arrays from the edge count, so
+    // a user-set threshold past Int range must clamp (not wrap in
+    // toInt to a negative/truncated size); negative stays the
+    // force-distributed test seam
+    if (m < 0L) m else math.min(m, Int.MaxValue - 8L)
+  }
 
   /** Core over explicit directed edges + node spine — split out so the
     * tier-invariance test can drive both tiers on the same graph. */

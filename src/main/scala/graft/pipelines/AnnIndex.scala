@@ -135,7 +135,8 @@ object AnnIndex {
       vr => stateTables(vr).flatMap { case (p, _) =>
         BucketedTable.referencedDirs(spark, p) }.toSet,
       (vr, live) => stateTables(vr).foreach { case (p, _) =>
-        BucketedTable.sweepOrphans(spark, p, live); () })
+        BucketedTable.sweepOrphans(spark, p, live); () },
+      () => compactTip(spark, root))
 
   /** ANCHORIFY the committed version at `root` — the `NavIndex`
     * compaction lifecycle applied to the ann chain: rewrite every
@@ -186,19 +187,29 @@ object AnnIndex {
     buildFromVecs(spark, vecsNorm(spark, emb), root)
 
   /** WARM full rebuild: vN+1 = full build over the PRIOR version's
-    * landed vectors ∪ `deltaEmb` — the streaming maintainer's routing
-    * escape hatch (a label-uniform delta touches every cell, so the
-    * increment machinery re-pairs everything anyway and the rebuild
-    * is the honest plan; `IndexStreams`' frontier-routing argument).
-    * Lands an ANCHOR (full writes reference nothing), re-opening
-    * retention below it. Row-identical to incrementState over the
-    * same inputs — `pairCells` is deterministic given membership. */
+    * landed vectors ∪ `deltaEmb`, with the delta REPLACING prior rows
+    * that share a vec_id (anti-join on the delta's ids) — the
+    * streaming maintainer's routing escape hatch (a label-uniform
+    * delta touches every cell, so the increment machinery re-pairs
+    * everything anyway and the rebuild is the honest plan;
+    * `IndexStreams`' frontier-routing argument). Replace-not-union
+    * matters precisely for the delta shape that routes here: a
+    * uniform RE-EMBEDDING sweep re-submits existing ids with new
+    * vectors, and a plain union would silently index both the stale
+    * and the fresh embedding of every document. For id-disjoint
+    * deltas the anti-join drops nothing and the result is unchanged
+    * (row-identical to incrementState — `pairCells` is deterministic
+    * given membership). Lands an ANCHOR (full writes reference
+    * nothing), re-opening retention below it. */
   def rebuildState(spark: SparkSession, deltaEmb: DataFrame,
-      priorRoot: String, nextRoot: String): Unit =
+      priorRoot: String, nextRoot: String): Unit = {
+    val dv = vecsNorm(spark, deltaEmb)
     buildFromVecs(spark,
       cells(spark, priorRoot).select("vec_id", "label", "v", "norm")
-        .unionByName(vecsNorm(spark, deltaEmb)),
+        .join(dv.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(dv),
       nextRoot)
+  }
 
   private def buildFromVecs(spark: SparkSession, v0: DataFrame, root: String): Unit = {
     Writers.truncateLoad(

@@ -714,6 +714,7 @@ object Curation {
       vr => chainTables(spark, vr).flatMap { case (p, _, _) =>
         graft.io.BucketedTable.referencedDirs(spark, p) }.toSet,
       (vr, live) => chainTables(spark, vr).foreach { case (p, _, _) =>
-        graft.io.BucketedTable.sweepOrphans(spark, p, live); () })
+        graft.io.BucketedTable.sweepOrphans(spark, p, live); () },
+      () => compactReleases(spark, root))
   }
 }

@@ -13,13 +13,18 @@ import graft.pipelines.AnnIndex
   * `root/v<batchId>` — the first batch as a full build, every later
   * one as the label-grain delta increment.
   *
-  * CRASH-REPLAY CONTRACT (identical to `IndexStreams`): a batch's
-  * prior state is the newest COMMITTED version numbered BELOW its own
-  * batchId, never a mutable pointer — a replayed batch re-derives the
-  * same next version from the same prior and overwrites its own
-  * half-landed attempt in place (truncate-load widths, ranged
-  * partition overwrite + manifest recommit for the bucketed tables),
-  * so at-least-once delivery collapses to exactly-once index state.
+  * CRASH-REPLAY CONTRACT (identical to `IndexStreams`): a batch whose
+  * OWN version is already committed no-ops — the landed version is
+  * authoritative (a replay can arrive AFTER a vacuum retired the
+  * prior the original derivation used, so re-derivation is not even
+  * well-defined, and re-landing would tear a committed version if the
+  * replay crashed mid-overwrite). Otherwise the batch's prior state
+  * is the newest COMMITTED version numbered BELOW its own batchId,
+  * never a mutable pointer — a replayed TORN attempt re-derives the
+  * same next version from the same prior and overwrites its
+  * half-landed files in place (truncate-load widths, ranged partition
+  * overwrite + manifest recommit for the bucketed tables), so
+  * at-least-once delivery collapses to exactly-once index state.
   * A version is COMMITTED when both bucketed tables carry manifests
   * (the graph manifest is each landing's last write).
   *
@@ -70,7 +75,17 @@ object AnnStreams {
   private[graft] def maintainBatch(spark: SparkSession, batch: DataFrame,
       root: String, batchId: Long): String = {
     val next = versionRoot(root, batchId)
-    AnnIndex.committedVersions(spark, root).filter(_ < batchId).lastOption match {
+    val vs = AnnIndex.committedVersions(spark, root)
+    // replay-after-vacuum guard: a batch whose OWN version is already
+    // committed is a replay of a fully-landed attempt — the landed
+    // version is authoritative (batch content is deterministic in
+    // batchId). Re-deriving here would be wrong twice: vacuum may have
+    // retired the prior the original derivation spliced from (the
+    // None/full-build branch would then silently overwrite the corpus
+    // with the delta alone), and re-landing TEARS a committed version
+    // mid-overwrite if the replay itself crashes.
+    if (vs.contains(batchId)) return "replay(noop)"
+    vs.filter(_ < batchId).lastOption match {
       case None =>
         AnnIndex.buildState(spark, batch, next); "build"
       case Some(prior) =>

@@ -111,7 +111,14 @@ object IndexStreams {
   private[graft] def maintainBatch(spark: SparkSession, batch: DataFrame,
       root: String, batchId: Long): String = {
     val next = versionRoot(root, batchId)
-    committedVersions(spark, root).filter(_ < batchId).lastOption match {
+    val vs = committedVersions(spark, root)
+    // replay-after-vacuum guard (see `AnnStreams.maintainBatch` — the
+    // shared hazard): a batch whose own version is already committed
+    // treats it as authoritative and no-ops, instead of re-deriving
+    // from a prior that vacuum may have retired (the None branch would
+    // full-build from the delta alone, vanishing the prior corpus).
+    if (vs.contains(batchId)) return "replay(noop)"
+    vs.filter(_ < batchId).lastOption match {
       case None =>
         NavIndex.buildState(spark, batch, next); "build"
       case Some(prior) =>
@@ -172,7 +179,8 @@ object IndexStreams {
       NavIndex.isCommitted(spark, _),
       (_, vr) => NavIndex.isAnchor(spark, vr),
       NavIndex.referencedDirs(spark, _),
-      (vr, live) => { NavIndex.sweepOrphans(spark, vr, live); () })
+      (vr, live) => { NavIndex.sweepOrphans(spark, vr, live); () },
+      () => compact(spark, root))
 
   /** The maintenance gate: `stream` is an embeddings-format streaming
     * DataFrame (`VecStreams.readQueries` shape); each micro-batch

@@ -767,7 +767,16 @@ class PipelineSpec extends SparkSpec {
     val live = BucketedTable.referencedDirs(spark, path)
     spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
     try {
-      // default: REFUSE (returns empty, deletes nothing)
+      // default: REFUSE (deletes nothing) — and the refusal must be
+      // OBSERVABLE, not an empty result indistinguishable from
+      // "nothing to sweep": the outcome names the refusing scheme and
+      // the one-per-root WARN registry records the signal fired
+      val outcome = BucketedTable.sweepOrphansOutcome(spark, path, live)
+      assert(outcome.refused && outcome.refusedScheme === Some("s3a"))
+      assert(outcome.swept.isEmpty)
+      assert(BucketedTable.warnedRefusals.contains(path),
+        "refusal did not register the one-time WARN for this root")
+      // the Seq-facing entry point refuses identically
       assert(BucketedTable.sweepOrphans(spark, path, live).isEmpty)
       assert(fs.exists(orphan))
       // explicit opt-in: the sweep runs and reclaims the orphan
@@ -824,6 +833,77 @@ class PipelineSpec extends SparkSpec {
       s"${AnnIndex.cellsPath(vr(2))}/cdata7")))
     assert(AnnIndex.graph(spark, vr(2)).collect().toSeq === wantGraph)
     assert(AnnIndex.cells(spark, vr(2)).collect().toSet === wantCells)
+  }
+
+  test("increment-only chain self-compacts past the version threshold, then reclaims") {
+    // the round-16 verdict ask #6: an operator who only ever
+    // increments never lands an anchor, so vacuum alone refuses
+    // forever and versions accumulate without bound. The shared
+    // ChainRetention trigger (graft.chain.autoCompactVersions) must
+    // compact the tip inside vacuum once the anchorless run is long
+    // enough — no explicit compactTip call anywhere in this test.
+    import graft.pipelines.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+    val chain = Files.createTempDirectory("graft_annauto").toString
+    def vr(b: Int) = s"$chain/v$b"
+    AnnIndex.buildState(spark, emb.where(col("label") < 6), vr(0))
+    for (i <- 1 to 3)
+      AnnIndex.incrementState(spark, emb.where(col("label") === 5 + i),
+        vr(i - 1), vr(i))
+    val want = AnnIndex.graph(spark, vr(3)).collect().toSeq
+    // below the threshold: vacuum refuses (v0 is the build anchor but
+    // the kept window holds only the anchorless tip) and does NOT
+    // auto-compact — 3 versions since the v0 anchor < threshold 4
+    spark.conf.set("graft.chain.autoCompactVersions", "4")
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      AnnIndex.vacuum(spark, chain, 1)
+      assert(AnnIndex.committedVersions(spark, chain) === Seq(0L, 1L, 2L, 3L))
+      assert(!AnnIndex.isAnchor(spark, vr(3)))
+      // one more increment crosses the threshold: the SAME vacuum call
+      // self-compacts the tip, then reclaims everything below it
+      AnnIndex.incrementState(spark, emb.where(col("label") === 9),
+        vr(3), vr(4))
+      val want4 = AnnIndex.graph(spark, vr(4)).collect().toSeq
+      AnnIndex.vacuum(spark, chain, 1)
+      assert(AnnIndex.committedVersions(spark, chain) === Seq(4L))
+      assert(AnnIndex.isAnchor(spark, vr(4)))
+      assert(AnnIndex.graph(spark, vr(4)).collect().toSeq === want4)
+    } finally {
+      spark.conf.unset("graft.chain.autoCompactVersions")
+      spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    }
+    assert(want.nonEmpty) // the pre-reclaim reference really had rows
+  }
+
+  test("warm rebuild REPLACES re-submitted vec_ids (re-embedding sweep)") {
+    // the ADVICE gap: rebuildState unioned prior ∪ delta without id
+    // disjointness, so the exact delta shape the label-routing sends
+    // to rebuild — a uniform re-embedding sweep re-submitting every
+    // id with new vectors — would silently index both embeddings.
+    import graft.pipelines.AnnIndex
+    import spark.implicits._
+    def df(ids: Range, shift: Double) = ids
+      .map(i => (i.toLong, Array.tabulate(64)(j => shift + 0.001 * ((i * 7 + j) % 5)),
+        1L + i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val v0 = Files.createTempDirectory("graft_rebuild_v0").toString
+    val v1 = Files.createTempDirectory("graft_rebuild_v1").toString
+    AnnIndex.buildState(spark, df(0 until 40, 0.1), v0)
+    // re-embed ALL 40 ids (new geometry) + 5 genuinely new ids
+    val sweep = df(0 until 45, 0.9)
+    AnnIndex.rebuildState(spark, sweep, v0, v1)
+    val cells = AnnIndex.cells(spark, v1)
+    assert(cells.count() === 45, "stale rows survived the re-embedding rebuild")
+    assert(cells.groupBy("vec_id").count().where(col("count") > 1).count() === 0)
+    // the fresh embedding won: rebuilt state equals a cold build over
+    // the sweep alone
+    val ref = Files.createTempDirectory("graft_rebuild_ref").toString
+    AnnIndex.buildState(spark, sweep, ref)
+    val got = AnnIndex.graph(spark, v1)
+    val wantG = AnnIndex.graph(spark, ref)
+    assert(got.exceptAll(wantG).count() === 0)
+    assert(wantG.exceptAll(got).count() === 0)
   }
 
   test("incremental dedup: bucket-cap eviction by lower-id delta docs is exact") {

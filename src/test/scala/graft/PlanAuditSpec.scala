@@ -283,6 +283,63 @@ class PlanAuditSpec extends SparkSpec {
       "navTopK must broadcast both vector attaches under the tier")
   }
 
+  test("1-row-carrier rollups shuffle the corpus-grain distinct exactly once") {
+    // round-16 ask #4: ev_active_users / ev_lifecycle reference the
+    // distinct user×day rollup twice (main branch + max-date carrier;
+    // lifecycle also twice through its states/churn window branches).
+    // The 100×-scale contract is that the corpus-grain distinct
+    // EXCHANGE is paid once per query — either via AQE's
+    // ReusedExchange (lifecycle: the churn branch reuses the states
+    // branch's rollup shuffle) or because every other consumer reads a
+    // column-pruned raw scan instead (active_users: the max-date
+    // carrier needs no rollup at all). A silent plan regression that
+    // re-computes the rollup shuffle would double the dominant cost.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val u = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case q: QueryStageExec        => q.plan
+        case other                    => other
+      }
+      if (u eq p) u +: u.children.flatMap(subtree) else subtree(u)
+    }
+    def rollupExchanges(nodes: Seq[SparkPlan]): Seq[SparkPlan] = nodes.collect {
+      case e: ShuffleExchangeExec
+        if (e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.size == 2 && h.expressions.forall(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) &&
+              h.expressions.map(_.asInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.AttributeReference].name)
+                .toSet == Set("user_id", "d")
+          case _ => false
+        }) => e
+    }
+    // active_users: the single-exchange shape — one (user_id, d)
+    // rollup shuffle, no reuse needed (the carrier branch reads a
+    // pruned raw scan)
+    val au = ops.Events.activeUsers(spark, sf)
+    au.collect()
+    val auNodes = subtree(au.queryExecution.executedPlan)
+    assert(rollupExchanges(auNodes).size === 1,
+      s"active_users must shuffle the user×day rollup exactly once, got " +
+        s"${rollupExchanges(auNodes).size}")
+    // lifecycle: the rollup exchange computes once and the second
+    // consumer is a ReusedExchange — both facts pinned
+    val lc = ops.Events.lifecycle(spark, sf)
+    lc.collect()
+    val lcNodes = subtree(lc.queryExecution.executedPlan)
+    assert(rollupExchanges(lcNodes).size === 1,
+      s"lifecycle must compute the user×day rollup shuffle exactly once, got " +
+        s"${rollupExchanges(lcNodes).size}")
+    assert(lcNodes.exists(_.isInstanceOf[ReusedExchangeExec]),
+      "lifecycle's second rollup consumer must be a ReusedExchange")
+    spark.catalog.clearCache()
+  }
+
   test("bucketed co-located join: sort-merge with NO exchange below the join") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

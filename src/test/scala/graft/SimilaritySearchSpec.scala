@@ -113,6 +113,29 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("filtered walk widths: oracle-pinned at driver scales, ef ladder beyond") {
+    import ops.Similarity.{filteredBeamFor, filteredOverfetchFor, FilteredOverfetch}
+    // driver scales (every SF's corpus, hence both walk oracles):
+    // the historical constants, exactly
+    for (n <- Seq(1L, 500L, 2000L, 2048L)) {
+      assert(filteredBeamFor(n) === 16, s"beam at n=$n")
+      assert(filteredOverfetchFor(n) === FilteredOverfetch, s"overfetch at n=$n")
+    }
+    // +8 / +16 per corpus doubling beyond — the ×10/×100 mixture laps
+    // (PERF.md round 17) run at exactly these widths; the round-16
+    // reversal (in-walk 24/30 vs overfetch 30/30 at ×10) was the
+    // CONSTANT 16-wide eligible beam starving as the corpus grew
+    assert(filteredBeamFor(20000L) === 48)
+    assert(filteredOverfetchFor(20000L) === 112)
+    assert(filteredBeamFor(200000L) === 72)
+    assert(filteredOverfetchFor(200000L) === 160)
+    // monotone in n, capped (the walk stays Q×width-bounded per hop)
+    val pts = Seq(2048L, 4096L, 100000L, 10000000L, Long.MaxValue / 2)
+    assert(pts.map(filteredBeamFor(_)) === pts.map(filteredBeamFor(_)).sorted)
+    assert(filteredBeamFor(Long.MaxValue / 2) === 128)
+    assert(filteredOverfetchFor(Long.MaxValue / 2) === 192)
+  }
+
   test("incremental nav maintenance refuses a seed-band width boundary crossing") {
     import graft.pipelines.NavIndex
     val emb = Tables.embeddings(spark, sf) // 500 rows

@@ -520,6 +520,57 @@ class StreamingSpec extends SparkSpec {
     assert(after.exceptAll(want).count() === 0)
   }
 
+  test("replayed batch after vacuum treats its landed version as authoritative") {
+    // the round-16 ADVICE medium: vacuum(keepLast=1) can run between a
+    // batch landing v<N> and its checkpoint commit becoming durable;
+    // the replayed batch then finds NO version below N, and the old
+    // None branch full-built v<N> from the delta alone — the prior
+    // corpus silently vanished from the index. The guard: a batch
+    // whose own version is committed no-ops.
+    import graft.streaming.AnnStreams
+    import graft.pipelines.AnnIndex
+    import spark.implicits._
+    def dfL(ids: Range, lab: Long => Long) = ids
+      .map(i => (i.toLong, Array.tabulate(64)(j => 0.1 + 0.001 * ((i * 7 + j) % 5)),
+        lab(i.toLong)))
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_replayvac").toString
+    // 3 prior labels so the 1-label delta stays under the ann chain's
+    // 0.5 rebuild-routing fraction, and a SIGN-SEPARATED delta region
+    // so the nav chain's frontier estimate stays under its 0.5 too
+    // (this test is about replay, not routing)
+    val b0 = dfL(0 until 50, i => 1L + i % 3)
+    val b1 = (100 until 120).map(i => (i.toLong,
+        Array.tabulate(64)(j => if (j % 2 == 0) 1.0 + 0.001 * ((i * 11 + j) % 5)
+          else -1.0 - 0.001 * ((i * 3 + j) % 5)), 4L))
+      .toDF("vec_id", "embedding", "label")
+    assert(AnnStreams.maintainBatch(spark, b0, root, 0L) === "build")
+    assert(AnnStreams.maintainBatch(spark, b1, root, 1L) === "increment")
+    val want = AnnStreams.currentGraph(spark, root).collect().toSeq
+    // scheduled maintenance fires before batch 1's commit is durable
+    AnnStreams.compact(spark, root)
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try AnnStreams.vacuum(spark, root, 1)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    assert(AnnIndex.committedVersions(spark, root) === Seq(1L))
+    // the checkpoint replays batch 1: its version is committed → no-op,
+    // and the whole corpus (b0 ∪ b1) stays in the index
+    assert(AnnStreams.maintainBatch(spark, b1, root, 1L) === "replay(noop)")
+    assert(AnnStreams.currentGraph(spark, root).collect().toSeq === want)
+    // the nav chain shares the guard
+    import graft.streaming.IndexStreams
+    val nroot = java.nio.file.Files.createTempDirectory("graft_replayvac_nav").toString
+    assert(IndexStreams.maintainBatch(spark, b0, nroot, 0L) === "build")
+    assert(IndexStreams.maintainBatch(spark, b1, nroot, 1L) === "increment")
+    val wantNav = IndexStreams.currentGraph(spark, nroot).collect().toSeq
+    IndexStreams.compact(spark, nroot)
+    spark.conf.set("graft.vacuum.orphanMinAgeMs", "0")
+    try IndexStreams.vacuum(spark, nroot, 1)
+    finally spark.conf.unset("graft.vacuum.orphanMinAgeMs")
+    assert(IndexStreams.maintainBatch(spark, b1, nroot, 1L) === "replay(noop)")
+    assert(IndexStreams.currentGraph(spark, nroot).collect().toSeq === wantNav)
+  }
+
   test("index vacuum reclaims only below the newest retained chain anchor") {
     import graft.streaming.IndexStreams
     import graft.pipelines.NavIndex
