@@ -4101,14 +4101,48 @@ object OracleSql {
        |inw AS (
        |  SELECT 'inwalk' AS strategy, qid, node, cos, rn AS rank
        |  FROM s3i WHERE rn <= 3
+       |),
+       |hv AS (
+       |  SELECT 'harvest' AS strategy, qid, node, cos, rh AS rank FROM (
+       |    SELECT h.qid, h.node, h.cos,
+       |           ROW_NUMBER() OVER (PARTITION BY h.qid
+       |             ORDER BY h.cos DESC, h.node) AS rh
+       |    FROM (SELECT DISTINCT qid, node, cos FROM (
+       |            SELECT qid, node, cos FROM s0o JOIN elig USING (node)
+       |            UNION ALL SELECT qid, node, cos FROM s1o JOIN elig USING (node)
+       |            UNION ALL SELECT qid, node, cos FROM s2o JOIN elig USING (node)
+       |            UNION ALL SELECT qid, node, cos FROM s3o JOIN elig USING (node))) h)
+       |  WHERE rh <= 3
        |)
        |SELECT strategy, qid AS vec_id, node AS nbr_id, cos,
        |       CAST(rank AS BIGINT) AS rank
-       |FROM (SELECT * FROM ovf UNION ALL SELECT * FROM inw)
+       |FROM (SELECT * FROM ovf UNION ALL SELECT * FROM inw
+       |      UNION ALL SELECT * FROM hv)
        |ORDER BY strategy, vec_id, rank""".stripMargin
   }
 
-  /** Filtered-recall audit: both strategies LEFT-joined against the
+  /** Mirrors `Similarity.filteredSearchAuto`: the default filtered
+    * search — the strategy picked by the measurable rule
+    * (overfetchWidth · |elig| ≥ 3 · n → harvest, else inwalk; the
+    * width is the driver-scale constant 48 here, like every other
+    * walk constant the oracle pins). */
+  val simFilteredAuto: String = {
+    val W = graft.ops.Similarity.FilteredOverfetch
+    s"""WITH f AS ($simFilteredSearch),
+       |pick AS (
+       |  SELECT CASE WHEN $W * (SELECT COUNT(*) FROM (
+       |             SELECT e.vec_id FROM embeddings e
+       |             JOIN documents d ON d.doc_id = e.vec_id
+       |             WHERE d.lang = '${graft.ops.Similarity.FilteredLang}'))
+       |           >= 3 * (SELECT COUNT(*) FROM embeddings)
+       |         THEN 'harvest' ELSE 'inwalk' END AS s
+       |)
+       |SELECT vec_id, nbr_id, cos, rank
+       |FROM f JOIN pick ON f.strategy = pick.s
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** Filtered-recall audit: every strategy LEFT-joined against the
     * exact filtered brute-force top-3 — mirrors
     * `Similarity.filteredRecall`. */
   val simFilteredRecall: String = {

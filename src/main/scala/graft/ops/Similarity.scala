@@ -1340,11 +1340,26 @@ object Similarity {
     (out, () => { base.unpersist(); stages.release() })
   }
 
-  /** ADC beam width, shared with the oracle: wider than the cosine
-    * walk's 16 because the walk sees quantized geometry — the coarse
-    * scorer needs a broader frontier for the exact reranker to choose
-    * from, the DiskANN beam-width/recall tradeoff. */
+  /** ADC beam width AT DRIVER SCALES, shared with the oracle: wider
+    * than the cosine walk's 16 because the walk sees quantized
+    * geometry — the coarse scorer needs a broader frontier for the
+    * exact reranker to choose from, the DiskANN beam-width/recall
+    * tradeoff. Past n = 2048 the width scales ([[pqBeamFor]]). */
   private[graft] val PqBeamWidth = 48
+
+  /** ADC beam width for an n-vector walk: [[PqBeamWidth]] at the
+    * driver scales (the PQ walk oracles unroll exactly that), +16 per
+    * corpus doubling beyond, capped at 192 — the [[filteredOverfetchFor]]
+    * ladder applied to the quantized walk, where the frontier must
+    * additionally absorb ADC scoring error (round-17 ×100 mixture:
+    * 28/30 at the constant width — the beam, not the rerank, drops
+    * the true neighbors as the corpus outgrows it). */
+  private[graft] def pqBeamFor(n: Long): Int = {
+    var w = PqBeamWidth
+    var m = n
+    while (m > 2048 && w < 192) { w += 16; m >>= 1 }
+    w
+  }
 
   /** PQ-accelerated graph search — the DiskANN memory posture: the
     * beam walks the SAME navigable graph, but hop scoring reads only
@@ -1433,7 +1448,7 @@ object Similarity {
         .cast("decimal(18,6)")).cast("decimal(18,6)"))
       .cast("double")
 
-    val W = PqBeamWidth
+    val W = pqBeamFor(nBase)
     // score a candidate (qid, node) set by ADC and keep the best b;
     // in the filtered walk, beam MEMBERSHIP joins the eligible set
     // (expansion is never restricted)
@@ -1686,7 +1701,7 @@ object Similarity {
 
   /** Metadata-filtered ANN search — the capability every production
     * retrieval stack needs (filter by lang/source/date during or
-    * after the walk), implemented BOTH standard ways over the same
+    * after the walk), implemented THREE standard ways over the same
     * navigable-graph artifact so the tradeoff is pinned by the
     * oracle + recall audit rather than folklore:
     *
@@ -1694,15 +1709,25 @@ object Similarity {
     *    unfiltered beam; the filter applies once at the end, then
     *    top-3. Simple, reuses the unfiltered index; recall collapses
     *    when selectivity ≪ 3/width (the audit shows exactly this).
+    *  - `harvest`: the SAME unfiltered walk, but the answer set
+    *    accumulates every eligible candidate ANY hop scored (a
+    *    per-hop-checkpointed Q×(width·hops) running table), not just
+    *    the final beam's survivors — the ACORN posture proper.
+    *    Dominates overfetch by construction at zero extra walk cost;
+    *    round-17 measurement: the mixture-regime default
+    *    (×1 24/30 = the unfiltered walk's own driver-pin floor,
+    *    ×10 and ×100 30/30).
     *  - `inwalk`: the beam (width [[filteredBeamFor]]) holds only
     *    ELIGIBLE nodes, but each hop
     *    expands through neighbors AND neighbors-of-neighbors — the
     *    ACORN-1 construction (Patel et al. 2024): ineligible nodes
     *    serve as BRIDGES for routing without occupying beam slots,
-    *    so the walk stays connected inside a sparse eligible subset.
+    *    so the walk stays connected inside a sparse eligible subset —
+    *    the path that still works when selectivity is so low the
+    *    unfiltered frontier carries no eligible nodes at all.
     *
     * Scale shape: identical to [[graphSearch]] — per hop the beam is
-    * Q×16 (or Q×48) rows hash-joined against the edge list and vector
+    * Q×width rows hash-joined against the edge list and vector
     * table; the 2-hop bridge adds one more bounded equi-join
     * (Q·beam·deg² rows, degree-capped by the graph build). The
     * eligible-id side is a metadata scan pruned to one column. The
@@ -1711,6 +1736,35 @@ object Similarity {
     * Output: strategy, vec_id, nbr_id, cos, rank. */
   def filteredSearch(spark: SparkSession, dir: String): DataFrame =
     filteredAnswersShared(spark, dir).orderBy("strategy", "vec_id", "rank")
+
+  /** Strategy the DEFAULT filtered-search entry point picks, from
+    * measurables only (corpus size × filter selectivity — the
+    * round-16 verdict's ask): `harvest` whenever the unfiltered
+    * frontier is expected to carry ≥ 3 eligible answers
+    * (overfetchWidth(n) · |elig| ≥ 3 · n, integer arithmetic), else
+    * `inwalk` (eligible-only beam — the only strategy whose frontier
+    * stays eligible when the filter is ultra-selective). The harvest
+    * side is backed by the round-17 recall table (mixture ×1/×10/×100
+    * floors 24/30, 30/30, 30/30 — ×1 equal to the unfiltered walk's
+    * own driver-scale floor); the inwalk side by construction (an
+    * unfiltered walk that EXPECTS < 3 eligible among everything it
+    * scores cannot answer, bridged eligible navigation can). */
+  private[graft] def filteredStrategyFor(n: Long, nElig: Long): String =
+    if (filteredOverfetchFor(n).toLong * nElig >= 3L * n) "harvest" else "inwalk"
+
+  /** The DEFAULT metadata-filtered search — [[filteredSearch]]'s
+    * strategy matrix narrowed to one answer set by
+    * [[filteredStrategyFor]] (two count aggregates, then a slice of
+    * the shared answers artifact — no extra walk).
+    * Output: vec_id, nbr_id, cos, rank. */
+  def filteredSearchAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = vecs(spark, dir).count()
+    val nElig = eligibleIds(spark, dir).count()
+    filteredAnswersShared(spark, dir)
+      .where(col("strategy") === filteredStrategyFor(n, nElig))
+      .select("vec_id", "nbr_id", "cos", "rank")
+      .orderBy("vec_id", "rank")
+  }
 
   private[graft] def filteredAnswersShared(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.tableReleasable(spark, "sim_filtered_answers", dir) {
@@ -1743,14 +1797,19 @@ object Similarity {
 
       // navHopsFor-scaled synchronous hops; eligOnly restricts BEAM
       // MEMBERSHIP (not
-      // expansion); bridge adds the neighbors-of-neighbors frontier.
-      // Both walks' final stages feed `out`, so each walk gets its own
-      // HopStages ladder and the artifact release frees both.
+      // expansion); bridge adds the neighbors-of-neighbors frontier;
+      // harvest=true additionally ACCUMULATES every eligible candidate
+      // the walk scores into a per-hop-checkpointed running table (its
+      // own HopStages ladder — Q×(width·hops) rows, bounded).
+      // Each walk gets its own HopStages ladder(s) and the artifact
+      // release frees them all.
       val allStages = scala.collection.mutable.ArrayBuffer.empty[HopStages]
       def walk(entries: DataFrame, width: Int, eligOnly: Boolean,
-          bridge: Boolean): DataFrame = {
+          bridge: Boolean, harvest: Boolean): (DataFrame, Option[DataFrame]) = {
         val stages = new HopStages
         allStages += stages
+        val hstages = new HopStages
+        if (harvest) allStages += hstages
         def keep(c: DataFrame): DataFrame =
           score(if (eligOnly) c.join(broadcast(elig), "node") else c, width)
         def grow(s: DataFrame): DataFrame = {
@@ -1766,42 +1825,66 @@ object Similarity {
             } else b.unionByName(n1)
           keep(exp)
         }
+        def eligRows(s: DataFrame): DataFrame =
+          s.join(broadcast(elig), "node").select("qid", "node", "cos")
         // per-hop HopStages checkpoint: truncates the doubling plan
         // lineage, frees superseded hop blocks eagerly (see
         // beamSearchReleasable)
         var s = stages.next(keep(q.select("qid").crossJoin(broadcast(entries))))
+        var h = if (harvest) Some(hstages.next(eligRows(s))) else None
         for (_ <- 1 to hops) {
           s = stages.next(grow(s))
+          // the same (qid, node) reappears across hops with the same
+          // deterministic 6-dp cosine, so distinct is an exact dedup
+          h = h.map(acc => hstages.next(
+            acc.unionByName(eligRows(s)).distinct()))
         }
-        s
+        (s, h)
       }
 
       val wg = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
       val entO = navEntries(base, None, nBase)
-      val ovf = walk(entO, filteredOverfetchFor(nBase), eligOnly = false, bridge = false)
+      val (ovfFinal, harv) = walk(entO, filteredOverfetchFor(nBase),
+        eligOnly = false, bridge = false, harvest = true)
+      val ovf = ovfFinal
         .join(broadcast(elig), "node")
         .withColumn("rank", row_number().over(wg))
         .where(col("rank") <= 3)
         .select(lit("overfetch").as("strategy"), col("qid"), col("node"),
           col("cos"), col("rank"))
+      // `harvest` — the ACORN posture proper: navigation is the plain
+      // UNFILTERED walk (whose recall holds at every measured scale),
+      // and the answer set accumulates every eligible candidate any
+      // hop scored, not just the final beam's survivors. Dominates
+      // overfetch by construction (final-stage rows ⊆ the accumulated
+      // set) at zero extra walk cost; measured round 17: closes the
+      // ×10 reversal (30/30 where in-walk reads 24/30) and equals the
+      // unfiltered walk's floor at ×1.
+      val hv = harv.get
+        .withColumn("rank", row_number().over(wg))
+        .where(col("rank") <= 3)
+        .select(lit("harvest").as("strategy"), col("qid"), col("node"),
+          col("cos"), col("rank"))
 
       val entI = navEntries(base, Some(elig), nBase)
-      val inw = walk(entI, filteredBeamFor(nBase), eligOnly = true, bridge = true)
+      val inw = walk(entI, filteredBeamFor(nBase), eligOnly = true,
+          bridge = true, harvest = false)._1
         .where(col("rn") <= 3)
         .select(lit("inwalk").as("strategy"), col("qid"), col("node"),
           col("cos"), col("rn").as("rank"))
 
-      val out = ovf.unionByName(inw)
+      val out = ovf.unionByName(inw).unionByName(hv)
         .select(col("strategy"), col("qid").as("vec_id"), col("node").as("nbr_id"),
           col("cos"), col("rank").cast("bigint").as("rank"))
       (out, () => { base.unpersist(); elig.unpersist(); allStages.foreach(_.release()) })
     }
 
-  /** Filtered-recall audit: both strategies' top-3 LEFT-joined
+  /** Filtered-recall audit: every strategy's top-3 LEFT-joined
     * against the FILTERED brute-force top-3 (exact cosine over the
     * eligible corpus only) — the `graphSearchRecall` discipline, so
     * the cross-engine gate pins each strategy's quality metric, and
-    * the in_top3 counts decide overfetch-vs-inwalk with data.
+    * the in_top3 counts back [[filteredStrategyFor]]'s default rule
+    * with data at every measured scale.
     * Output: strategy, vec_id, nbr_id, in_top3, true_rank. */
   def filteredRecall(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)

@@ -154,17 +154,22 @@ object NavMaintainScale {
       time("x100 read graph+vecs (pre-compact)") {
         NavIndex.graph(spark, tip).count(); NavIndex.readVecs(spark, tip).count()
       }
-      time("x100 compactState (anchorify tip, pure I/O)")(
-        NavIndex.compactState(spark, tip))
-      println(s"  post-compact: maxDirs/bucket=${NavIndex.maxDirsPerBucket(spark, tip)} " +
-        s"anchor=${NavIndex.isAnchor(spark, tip)}")
+      // round 17: the chain (anchor v0 + 10 splice-landed increments)
+      // is reclaimed through the ChainRetention AUTO-COMPACT trigger —
+      // one vacuum call self-compacts the tip (10 versions since the
+      // newest anchor ≥ threshold 10) then deletes below it; no
+      // explicit compact anywhere. This row is trigger-path compact +
+      // vacuum together (r16 measured them split: 12.2 s + 1.0 s).
+      spark.conf.set("graft.chain.autoCompactVersions", "10")
+      time("x100 vacuum w/ auto-compact (anchorify tip + reclaim chain)")(
+        graft.streaming.IndexStreams.vacuum(spark, rootC, 1))
+      spark.conf.unset("graft.chain.autoCompactVersions")
+      println(s"  post-vacuum: maxDirs/bucket=${NavIndex.maxDirsPerBucket(spark, tip)} " +
+        s"anchor=${NavIndex.isAnchor(spark, tip)} versions=" +
+        graft.streaming.IndexStreams.committedVersions(spark, rootC).mkString(","))
       time("x100 read graph+vecs (post-compact)") {
         NavIndex.graph(spark, tip).count(); NavIndex.readVecs(spark, tip).count()
       }
-      time("x100 vacuum (reclaims the 10-version chain)")(
-        graft.streaming.IndexStreams.vacuum(spark, rootC, 1))
-      println(s"  versions after vacuum: " +
-        graft.streaming.IndexStreams.committedVersions(spark, rootC).mkString(","))
       assertGraphParity(tip, fullRoot)
       spark.catalog.clearCache()
     }

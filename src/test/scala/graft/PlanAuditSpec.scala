@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     // search readout and its recall audit) build at construction
     "sim_graph_search", "sim_graph_recall",
     "sim_filtered_search", "sim_filtered_recall", "sim_filtered_pq",
+    "sim_filtered_auto",
     "sim_sharded_search", "sim_pq_search",
     // BM25 rank artifact (lexical index answers, shared by the top-5
     // readout and the RRF fusion) builds at construction

@@ -110,6 +110,31 @@ class SimilaritySearchSpec extends SparkSpec {
     // query exists to make that gap visible (25/30 vs 30/30 at sf0.1)
     assert(rec("inwalk") >= 0.9, s"in-walk filtered recall ${rec("inwalk")} below 0.9")
     assert(rec("overfetch") >= 0.5, s"overfetch filtered recall ${rec("overfetch")} below 0.5")
+    // harvest (the default-rule strategy) dominates overfetch by
+    // construction — final-beam rows are a subset of the accumulated
+    // candidate set — and must hold the in-walk-grade floor here
+    assert(rec("harvest") >= rec("overfetch"),
+      s"harvest ${rec("harvest")} under overfetch ${rec("overfetch")}")
+    assert(rec("harvest") >= 0.9, s"harvest filtered recall ${rec("harvest")} below 0.9")
+    spark.catalog.clearCache()
+  }
+
+  test("filtered default: measurable selection rule, rows equal the chosen slice") {
+    import ops.Similarity.{filteredStrategyFor, filteredSearchAuto, filteredSearch}
+    // the rule's arithmetic at the boundary (width 48 at driver
+    // scales): expected eligible in the unfiltered frontier ≥ 3
+    assert(filteredStrategyFor(1000L, 63L) === "harvest") // 48·63 ≥ 3000
+    assert(filteredStrategyFor(1000L, 62L) === "inwalk")  // 48·62 < 3000
+    // ultra-selective filters route to the eligible-only beam at any n
+    assert(filteredStrategyFor(1000000L, 1000L) === "inwalk")
+    // the default entry point IS the chosen slice of the shared
+    // artifact ('de' ≈ 13-20% at every SF → harvest side)
+    val auto = filteredSearchAuto(spark, sf).collect().toSeq
+    val want = filteredSearch(spark, sf)
+      .where(col("strategy") === "harvest")
+      .select("vec_id", "nbr_id", "cos", "rank")
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(auto === want)
     spark.catalog.clearCache()
   }
 
@@ -134,6 +159,14 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pts.map(filteredBeamFor(_)) === pts.map(filteredBeamFor(_)).sorted)
     assert(filteredBeamFor(Long.MaxValue / 2) === 128)
     assert(filteredOverfetchFor(Long.MaxValue / 2) === 192)
+    // the ADC walk's ladder shares the shape (oracle-pinned 48 at
+    // driver scales)
+    import ops.Similarity.{pqBeamFor, PqBeamWidth}
+    for (n <- Seq(1L, 500L, 2000L, 2048L))
+      assert(pqBeamFor(n) === PqBeamWidth, s"pq beam at n=$n")
+    assert(pqBeamFor(20000L) === 112)
+    assert(pqBeamFor(200000L) === 160)
+    assert(pqBeamFor(Long.MaxValue / 2) === 192)
   }
 
   test("incremental nav maintenance refuses a seed-band width boundary crossing") {
