@@ -1962,6 +1962,15 @@ object Similarity {
       q: DataFrame, edges: DataFrame, elig: DataFrame): (DataFrame, () => Unit) =
     beamSearchReleasable(spark, corpus, q, edges, Some(elig))
 
+  /** The `harvest` strategy over explicit state — unfiltered
+    * navigation at [[filteredOverfetchFor]] width, answer set
+    * accumulated from every eligible candidate any hop scored (the
+    * [[filteredAnswersShared]] construction for the streaming gate's
+    * index-probe posture). */
+  private[graft] def filteredHarvestReleasable(spark: SparkSession, corpus: DataFrame,
+      q: DataFrame, edges: DataFrame, elig: DataFrame): (DataFrame, () => Unit) =
+    beamSearchReleasable(spark, corpus, q, edges, Some(elig), harvest = true)
+
   /** `beamSearchFrom` with the final beam-stage cache handle — the
     * streaming gate releases per micro-batch after its sink write
     * (`CachePolicy` exception: a stream has no between-queries runner
@@ -1969,14 +1978,26 @@ object Similarity {
     * batch callers ignore it and lean on the runner contract. */
   private[graft] def beamSearchReleasable(spark: SparkSession, corpus: DataFrame,
       q: DataFrame, edges: DataFrame,
-      elig0: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      elig0: Option[DataFrame] = None,
+      harvest: Boolean = false): (DataFrame, () => Unit) = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val nCorpus = corpus.count()
     // persist + materialize: the eligible set is broadcast into every
     // hop stage — without this each broadcast re-plans its source
     val elig = elig0.map(_.persist())
     elig.foreach(_.count())
-    val entries = navEntries(corpus, elig, nCorpus)
+    // harvest navigates UNFILTERED (the eligible set restricts only
+    // the accumulated answer rows); in-walk restricts beam membership
+    val memberElig = if (harvest) None else elig
+    val entries = navEntries(corpus, memberElig, nCorpus)
+    // width ladder per mode: the unfiltered serving walk keeps the
+    // oracle-pinned 16 (entry spreading + hop scaling carry recall —
+    // 30/30 at ×100 mixture); the filtered modes scale like the
+    // artifact path's strategies
+    val width =
+      if (harvest) filteredOverfetchFor(nCorpus)
+      else if (elig.isDefined) filteredBeamFor(nCorpus)
+      else 16
 
     // score a candidate (qid, node) set and keep the best b per query;
     // under a filter, beam MEMBERSHIP joins the eligible set
@@ -1984,7 +2005,7 @@ object Similarity {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
       // eligibility before the distinct — map-side broadcast filter
       // shrinks the distinct exchange (same candidate SET)
-      val c = elig match {
+      val c = memberElig match {
         case Some(e) => c0.join(broadcast(e), "node").distinct()
         case None => c0.distinct()
       }
@@ -1997,11 +2018,12 @@ object Similarity {
         .where(col("rn") <= b)
         .select(col("qid"), col("node"), col("cos"), col("rn"))
     }
-    // filtered hops bridge through neighbors-of-neighbors (ACORN)
+    // filtered in-walk hops bridge through neighbors-of-neighbors
+    // (ACORN)
     def hop(s: DataFrame): DataFrame = {
       val b0 = s.select("qid", "node")
       val n1 = b0.join(edges, "node").select(col("qid"), col("nbr_id").as("node"))
-      val exp = elig match {
+      val exp = memberElig match {
         case Some(_) =>
           // dedup the 1-hop frontier before the deg² expansion join
           // (candidate SET unchanged)
@@ -2010,7 +2032,7 @@ object Similarity {
           b0.unionByName(n1d).unionByName(n2)
         case None => b0.unionByName(n1)
       }
-      beam(exp, 16)
+      beam(exp, width)
     }
 
     // each hop references its input twice (beam keep + expansion), so
@@ -2027,14 +2049,30 @@ object Similarity {
     // ContextCleaner noticing a driver GC.
     val hops = navHopsFor(nCorpus)
     val stages = new HopStages
-    var s = stages.next(beam(q.select("qid").crossJoin(broadcast(entries)), 16))
+    val hstages = new HopStages
+    def eligRows(s: DataFrame): DataFrame =
+      s.join(broadcast(elig.get), "node").select("qid", "node", "cos")
+    var s = stages.next(beam(q.select("qid").crossJoin(broadcast(entries)), width))
+    var h = if (harvest) Some(hstages.next(eligRows(s))) else None
     for (_ <- 1 to hops) {
       s = stages.next(hop(s))
+      // the same (qid, node) reappears across hops with the same
+      // deterministic 6-dp cosine, so distinct is an exact dedup
+      h = h.map(acc => hstages.next(acc.unionByName(eligRows(s)).distinct()))
     }
-    (s.where(col("rn") <= 3)
-      .select(col("qid"), col("node").as("nbr_id"),
-        col("cos"), col("rn").cast("bigint").as("rank")),
-      () => { elig.foreach(_.unpersist()); stages.release() })
+    val out = h match {
+      case Some(acc) =>
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+        acc.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("node").as("nbr_id"),
+            col("cos"), col("rank").cast("bigint").as("rank"))
+      case None =>
+        s.where(col("rn") <= 3)
+          .select(col("qid"), col("node").as("nbr_id"),
+            col("cos"), col("rn").cast("bigint").as("rank"))
+    }
+    (out, () => { elig.foreach(_.unpersist()); stages.release(); hstages.release() })
   }
 
   /** Process-wide memo of the MATERIALIZED kNN index, keyed by corpus

@@ -57,11 +57,19 @@ object VecStreams {
     (out, release)
   }
 
-  /** Filtered twin of [[searchBatch]]: the in-walk (ACORN-bridged)
-    * metadata-filtered walk against the same release — `elig` is a
-    * one-column (node) table of eligible corpus ids (typically a
-    * documents-side predicate, e.g. lang), resolved once per release
-    * like the index itself. Output: qid, nbr_id, cos, rank. */
+  /** Filtered twin of [[searchBatch]]: metadata-filtered walk against
+    * the same release — `elig` is a one-column (node) table of
+    * eligible corpus ids (typically a documents-side predicate, e.g.
+    * lang), resolved once per release like the index itself. The
+    * STRATEGY follows the batch default's measurable rule
+    * (`Similarity.filteredStrategyFor`, round 17): `harvest`
+    * (unfiltered navigation, eligible answers accumulated across
+    * hops) when the frontier expects ≥ 3 eligible answers, else the
+    * in-walk (ACORN-bridged eligible-only beam) — the gate serves the
+    * same answers a user gets from the batch entry point instead of
+    * being pinned to one strategy. Two count aggregates per
+    * micro-batch decide it, deterministic in (release, elig).
+    * Output: qid, nbr_id, cos, rank. */
   def filteredSearchBatch(spark: SparkSession, batch: DataFrame, root: String,
       elig: DataFrame): DataFrame =
     filteredSearchBatchReleasable(spark, batch, root, elig)._1
@@ -69,11 +77,15 @@ object VecStreams {
   private def filteredSearchBatchReleasable(spark: SparkSession, batch: DataFrame,
       root: String, elig: DataFrame): (DataFrame, () => Unit) = {
     val corpus = NavIndex.readVecs(spark, root).persist()
-    corpus.count() // materialize before the beam fans out over it
+    val n = corpus.count() // materialize before the beam fans out over it
     val q = Similarity.vecsOf(spark, batch)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val (out, release) = Similarity.filteredBeamReleasable(spark, corpus, q,
-      NavIndex.graph(spark, root), elig)
+    val edges = NavIndex.graph(spark, root)
+    val (out, release) =
+      if (Similarity.filteredStrategyFor(n, elig.count()) == "harvest")
+        Similarity.filteredHarvestReleasable(spark, corpus, q, edges, elig)
+      else
+        Similarity.filteredBeamReleasable(spark, corpus, q, edges, elig)
     corpus.unpersist() // out's final stage is cached; safe to drop
     (out, release)
   }

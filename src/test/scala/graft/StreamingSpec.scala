@@ -325,6 +325,27 @@ class StreamingSpec extends SparkSpec {
     // every streamed answer respects the metadata filter
     val eligSet = elig.collect().map(_.getLong(0)).toSet
     assert(streamed.select("nbr_id").collect().forall(r => eligSet.contains(r.getLong(0))))
+    // routing pin: at corpus scale the lang filter routes to harvest …
+    val n = emb.count()
+    assert(Similarity.filteredStrategyFor(n, elig.count()) === "harvest")
+    // … and an ultra-selective filter routes to the in-walk; the gate
+    // must match its batch twin on THAT branch too (both arms of the
+    // measurable default rule are exercised end-to-end)
+    val tiny = elig.orderBy("node").limit(5).persist()
+    assert(Similarity.filteredStrategyFor(n, tiny.count()) === "inwalk")
+    val outPath2 = java.nio.file.Files.createTempDirectory("graft_fvecsearch_out2").toString + "/ans"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_fvecsearch_ck2").toString
+    val stream2 = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
+    val q2 = VecStreams.filteredSearchGate(spark, stream2, root, tiny, outPath2, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed2 = spark.read.parquet(outPath2).drop("batch")
+    val batch2 = VecStreams.filteredSearchBatch(spark, queries, root, tiny)
+    assert(streamed2.count() === queries.count() * 3)
+    assert(streamed2.exceptAll(batch2).count() === 0)
+    assert(batch2.exceptAll(streamed2).count() === 0)
+    val tinySet = tiny.collect().map(_.getLong(0)).toSet
+    assert(streamed2.select("nbr_id").collect().forall(r => tinySet.contains(r.getLong(0))))
+    tiny.unpersist()
   }
 
   test("streaming vector search matches the batch walk on the same queries") {
