@@ -3699,7 +3699,7 @@ object OracleSql {
     * buckets ≤ 64 members, member×anchor pairs in wider ones, the
     * same LCG anchor draw as `Similarity.navSeedPairs` → two
     * NN-descent rounds → symmetrize, degree 16) and
-    * the 3-hop beam-16 walk from the 16 lowest vec_ids — identical
+    * the [[NavH]]-hop beam-[[NavW]] walk from the 16 lowest vec_ids — identical
     * 6-dp cosines and (cos DESC, id) tie order throughout, so both
     * engines produce the same graph and the same walk. Norms are
     * precomputed once in `vn` (the oracle-side analogue of Spark's
@@ -3816,9 +3816,18 @@ object OracleSql {
        |  SELECT $s.qid, g.nbr_id AS node FROM $s JOIN g USING (node)
        |)""".stripMargin
 
+  /** Driver-scale hop count / flat beam width — the ladder values at
+    * every gated SF (n ≤ 2048), so the unrolled walk oracles stay
+    * bit-aligned with the Spark ladders (round 17: hops 3 → 5 and
+    * flat width 16 → 48 close the 24/30 driver-scale recall floor). */
+  private val NavH = graft.ops.Similarity.navHopsFor(1)
+  private val NavW = graft.ops.Similarity.navBeamFor(1)
+
   private def navSearchSql(sharded: Boolean): String = {
-    // beam ranking: per query globally, or per (query, shard)
+    // beam ranking: per query globally, or per (query, shard); the
+    // sharded beam keeps per-shard width 16 (4 shards ≈ 64 global)
     val beamPart = if (sharded) "c.qid, c.node % 4" else "c.qid"
+    val width = if (sharded) 16 else NavW
     def stage(in: String, out: String): String =
       s"""$out AS MATERIALIZED (
          |  SELECT qid, node, cos, rn FROM (
@@ -3830,7 +3839,7 @@ object OracleSql {
          |    JOIN vn e ON c.node = e.vec_id
          |    JOIN q ON c.qid = q.qid
          |    WHERE c.node <> c.qid)
-         |  WHERE rn <= 16
+         |  WHERE rn <= $width
          |)""".stripMargin
     val ent =
       if (sharded)
@@ -3840,15 +3849,19 @@ object OracleSql {
       else
         "ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16)"
     // gather: sharded merges the per-shard beams by a global re-rank
+    val sN = s"s$NavH"
     val finalSel =
       if (sharded)
-        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+        s"""SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
           |  SELECT qid, node, cos,
           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rg
-          |  FROM s3) WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
+          |  FROM $sN) WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
       else
-        """SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
-          |FROM s3 WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+        s"""SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rn AS BIGINT) AS rank
+          |FROM $sN WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+    val hopCtes = (1 to NavH).map(h =>
+      s"""${navGrow(s"s${h - 1}", s"b$h")},
+         |${stage(s"b$h", s"s$h")}""".stripMargin).mkString(",\n")
     s"""WITH ${navBuildCtes(sharded)},
        |q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM vn WHERE vec_id < 10
@@ -3856,12 +3869,7 @@ object OracleSql {
        |$ent,
        |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
        |${stage("b0", "s0")},
-       |${navGrow("s0", "b1")},
-       |${stage("b1", "s1")},
-       |${navGrow("s1", "b2")},
-       |${stage("b2", "s2")},
-       |${navGrow("s2", "b3")},
-       |${stage("b3", "s3")}
+       |$hopCtes
        |$finalSel""".stripMargin
   }
 
@@ -3911,16 +3919,13 @@ object OracleSql {
        |ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
        |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
        |${stageAdc("b0", "s0")},
-       |${navGrow("s0", "b1")},
-       |${stageAdc("b1", "s1")},
-       |${navGrow("s1", "b2")},
-       |${stageAdc("b2", "s2")},
-       |${navGrow("s2", "b3")},
-       |${stageAdc("b3", "s3")}
+       |${(1 to NavH).map(h =>
+            s"${navGrow(s"s${h - 1}", s"b$h")},\n${stageAdc(s"b$h", s"s$h")}")
+          .mkString(",\n")}
        |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
-       |  SELECT s3.qid, s3.node, $cosSel AS cos,
-       |         ROW_NUMBER() OVER (PARTITION BY s3.qid ORDER BY $cosSel DESC, s3.node) AS rg
-       |  FROM s3 JOIN vn e ON s3.node = e.vec_id JOIN q ON s3.qid = q.qid)
+       |  SELECT s$NavH.qid, s$NavH.node, $cosSel AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY s$NavH.qid ORDER BY $cosSel DESC, s$NavH.node) AS rg
+       |  FROM s$NavH JOIN vn e ON s$NavH.node = e.vec_id JOIN q ON s$NavH.qid = q.qid)
        |WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
@@ -3972,16 +3977,13 @@ object OracleSql {
        |ent AS (SELECT node FROM elig ORDER BY node LIMIT 16),
        |b0 AS (SELECT qid, node FROM q CROSS JOIN ent),
        |${stageAdc("b0", "s0")},
-       |${growB("s0", "b1")},
-       |${stageAdc("b1", "s1")},
-       |${growB("s1", "b2")},
-       |${stageAdc("b2", "s2")},
-       |${growB("s2", "b3")},
-       |${stageAdc("b3", "s3")}
+       |${(1 to NavH).map(h =>
+            s"${growB(s"s${h - 1}", s"b$h")},\n${stageAdc(s"b$h", s"s$h")}")
+          .mkString(",\n")}
        |SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
-       |  SELECT s3.qid, s3.node, $cosSel AS cos,
-       |         ROW_NUMBER() OVER (PARTITION BY s3.qid ORDER BY $cosSel DESC, s3.node) AS rg
-       |  FROM s3 JOIN vn e ON s3.node = e.vec_id JOIN q ON s3.qid = q.qid)
+       |  SELECT s$NavH.qid, s$NavH.node, $cosSel AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY s$NavH.qid ORDER BY $cosSel DESC, s$NavH.node) AS rg
+       |  FROM s$NavH JOIN vn e ON s$NavH.node = e.vec_id JOIN q ON s$NavH.qid = q.qid)
        |WHERE rg <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
@@ -4075,32 +4077,26 @@ object OracleSql {
        |ento AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT 16),
        |b0o AS (SELECT qid, node FROM q CROSS JOIN ento),
        |${stage("b0o", "s0o", W, eligOnly = false)},
-       |${grow("s0o", "b1o", bridge = false)},
-       |${stage("b1o", "s1o", W, eligOnly = false)},
-       |${grow("s1o", "b2o", bridge = false)},
-       |${stage("b2o", "s2o", W, eligOnly = false)},
-       |${grow("s2o", "b3o", bridge = false)},
-       |${stage("b3o", "s3o", W, eligOnly = false)},
+       |${(1 to NavH).map(h =>
+            s"${grow(s"s${h - 1}o", s"b${h}o", bridge = false)},\n" +
+              stage(s"b${h}o", s"s${h}o", W, eligOnly = false)).mkString(",\n")},
        |ovf AS (
        |  SELECT 'overfetch' AS strategy, qid, node, cos, rg AS rank FROM (
        |    SELECT s.qid, s.node, s.cos,
        |           ROW_NUMBER() OVER (PARTITION BY s.qid
        |             ORDER BY s.cos DESC, s.node) AS rg
-       |    FROM s3o s JOIN elig USING (node))
+       |    FROM s${NavH}o s JOIN elig USING (node))
        |  WHERE rg <= 3
        |),
        |enti AS (SELECT node FROM elig ORDER BY node LIMIT 16),
        |b0i AS (SELECT qid, node FROM q CROSS JOIN enti),
        |${stage("b0i", "s0i", 16, eligOnly = true)},
-       |${grow("s0i", "b1i", bridge = true)},
-       |${stage("b1i", "s1i", 16, eligOnly = true)},
-       |${grow("s1i", "b2i", bridge = true)},
-       |${stage("b2i", "s2i", 16, eligOnly = true)},
-       |${grow("s2i", "b3i", bridge = true)},
-       |${stage("b3i", "s3i", 16, eligOnly = true)},
+       |${(1 to NavH).map(h =>
+            s"${grow(s"s${h - 1}i", s"b${h}i", bridge = true)},\n" +
+              stage(s"b${h}i", s"s${h}i", 16, eligOnly = true)).mkString(",\n")},
        |inw AS (
        |  SELECT 'inwalk' AS strategy, qid, node, cos, rn AS rank
-       |  FROM s3i WHERE rn <= 3
+       |  FROM s${NavH}i WHERE rn <= 3
        |),
        |hv AS (
        |  SELECT 'harvest' AS strategy, qid, node, cos, rh AS rank FROM (
@@ -4108,10 +4104,9 @@ object OracleSql {
        |           ROW_NUMBER() OVER (PARTITION BY h.qid
        |             ORDER BY h.cos DESC, h.node) AS rh
        |    FROM (SELECT DISTINCT qid, node, cos FROM (
-       |            SELECT qid, node, cos FROM s0o JOIN elig USING (node)
-       |            UNION ALL SELECT qid, node, cos FROM s1o JOIN elig USING (node)
-       |            UNION ALL SELECT qid, node, cos FROM s2o JOIN elig USING (node)
-       |            UNION ALL SELECT qid, node, cos FROM s3o JOIN elig USING (node))) h)
+       |            ${(0 to NavH).map(h =>
+                       s"SELECT qid, node, cos FROM s${h}o JOIN elig USING (node)")
+                     .mkString("\n            UNION ALL ")})) h)
        |  WHERE rh <= 3
        |)
        |SELECT strategy, qid AS vec_id, node AS nbr_id, cos,

@@ -812,8 +812,20 @@ object Similarity {
     var hops = 3
     var m = n
     while (m > 2048) { hops += 1; m >>= 1 }
-    hops
+    // 5-hop reachability floor (round 17): at the driver scales the
+    // id-pinned 16 entries leave genuine top-3 neighbors 4+ hops out —
+    // measured at mixture ×1 (2k vectors): 24/30 recall at 3 hops
+    // regardless of width, 30/30 at 5 hops × beam 48 ([[navBeamFor]]).
+    // Past 2048 the doubling ladder already clears 5.
+    math.max(5, hops)
   }
+
+  /** Flat-walk beam width: 48 in the driver-scale regime where the
+    * oracle-pinned 16-lowest-id entries start the walk in arbitrary
+    * regions (width carries the recall the entries don't), 16 past
+    * 2048 where [[navEntryBitsFor]] sign-bucket entries seed every
+    * coarse region (measured 30/30 at mixture ×10/×100 — round 17). */
+  private[graft] def navBeamFor(n: Long): Int = if (n <= 2048) 48 else 16
 
   /** Entry-point sign-bit width for an n-vector walk — the
     * REACHABILITY twin of [[navHopsFor]]'s hop ladder. 0 means the
@@ -1280,9 +1292,10 @@ object Similarity {
     * executor group), each shard walk touches only its partition, and
     * the merge is a Q×(3·shards)-row top-k. Recall can only improve
     * on the single-graph walk (independent per-shard searches: 30/30
-    * measured at sf0.01 vs 27/30 unsharded — each shard's graph is
-    * smaller relative to the beam, so each walk is closer to
-    * exhaustive over its partition). Build cost is the same single
+    * measured at sf0.01, and each shard's graph is smaller relative
+    * to the beam, so each walk is closer to exhaustive over its
+    * partition — under the round-17 5-hop ladder the unsharded walk
+    * reads 30/30 too). Build cost is the same single
     * dataflow — the shard key rides the bucket join.
     * Output: vec_id, nbr_id, cos, rank. */
   def shardedSearch(spark: SparkSession, dir: String): DataFrame =
@@ -1341,11 +1354,13 @@ object Similarity {
   }
 
   /** ADC beam width AT DRIVER SCALES, shared with the oracle: wider
-    * than the cosine walk's 16 because the walk sees quantized
-    * geometry — the coarse scorer needs a broader frontier for the
-    * exact reranker to choose from, the DiskANN beam-width/recall
-    * tradeoff. Past n = 2048 the width scales ([[pqBeamFor]]). */
-  private[graft] val PqBeamWidth = 48
+    * than the cosine walk's [[navBeamFor]] 48 because the walk sees
+    * quantized geometry — the coarse scorer needs a broader frontier
+    * for the exact reranker to choose from, the DiskANN
+    * beam-width/recall tradeoff (round 17: 48 read 27/30 at mixture
+    * ×1 under the 5-hop ladder, 64 reads 30/30). Past n = 2048 the
+    * width scales ([[pqBeamFor]]). */
+  private[graft] val PqBeamWidth = 64
 
   /** ADC beam width for an n-vector walk: [[PqBeamWidth]] at the
     * driver scales (the PQ walk oracles unroll exactly that), +16 per
@@ -1510,8 +1525,9 @@ object Similarity {
   /** Graph-search recall audit: the beam walk's top-3 LEFT-joined
     * against the exact brute-force top-3 — `annRecall`'s discipline
     * applied to the navigable-graph index, as an ORACLE-CHECKED query
-    * so the cross-engine gate pins the quality metric itself (27/30
-    * at sf0.01), not just the walk's determinism.
+    * so the cross-engine gate pins the quality metric itself (30/30
+    * at sf0.01 under the round-17 5-hop × beam-48 driver ladder; the
+    * 3-hop × 16 walk read 27/30), not just the walk's determinism.
     * Output: vec_id, nbr_id, in_top3, true_rank. */
   def graphSearchRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = bruteForceTopK(spark, dir).select(col("vec_id"), col("nbr_id"), col("rank"))
@@ -1714,9 +1730,9 @@ object Similarity {
     *    per-hop-checkpointed Q×(width·hops) running table), not just
     *    the final beam's survivors — the ACORN posture proper.
     *    Dominates overfetch by construction at zero extra walk cost;
-    *    round-17 measurement: the mixture-regime default
-    *    (×1 24/30 = the unfiltered walk's own driver-pin floor,
-    *    ×10 and ×100 30/30).
+    *    round-17 measurement: the mixture-regime default reads 30/30
+    *    at ×1, ×10, AND ×100 (the ×1 floor closed with the 5-hop ×
+    *    beam-48 driver ladder — [[navHopsFor]]/[[navBeamFor]]).
     *  - `inwalk`: the beam (width [[filteredBeamFor]]) holds only
     *    ELIGIBLE nodes, but each hop
     *    expands through neighbors AND neighbors-of-neighbors — the
@@ -1745,8 +1761,8 @@ object Similarity {
     * `inwalk` (eligible-only beam — the only strategy whose frontier
     * stays eligible when the filter is ultra-selective). The harvest
     * side is backed by the round-17 recall table (mixture ×1/×10/×100
-    * floors 24/30, 30/30, 30/30 — ×1 equal to the unfiltered walk's
-    * own driver-scale floor); the inwalk side by construction (an
+    * floors 30/30, 30/30, 30/30 under the 5-hop driver ladder); the
+    * inwalk side by construction (an
     * unfiltered walk that EXPECTS < 3 eligible among everything it
     * scores cannot answer, bridged eligible navigation can). */
   private[graft] def filteredStrategyFor(n: Long, nElig: Long): String =
@@ -1990,14 +2006,15 @@ object Similarity {
     // the accumulated answer rows); in-walk restricts beam membership
     val memberElig = if (harvest) None else elig
     val entries = navEntries(corpus, memberElig, nCorpus)
-    // width ladder per mode: the unfiltered serving walk keeps the
-    // oracle-pinned 16 (entry spreading + hop scaling carry recall —
-    // 30/30 at ×100 mixture); the filtered modes scale like the
-    // artifact path's strategies
+    // width ladder per mode: the unfiltered serving walk rides
+    // [[navBeamFor]] (48 in the entry-pinned driver regime, 16 past
+    // 2048 where spread entries + the hop ladder carry recall — 30/30
+    // at ×100 mixture); the filtered modes scale like the artifact
+    // path's strategies
     val width =
       if (harvest) filteredOverfetchFor(nCorpus)
       else if (elig.isDefined) filteredBeamFor(nCorpus)
-      else 16
+      else navBeamFor(nCorpus)
 
     // score a candidate (qid, node) set and keep the best b per query;
     // under a filter, beam MEMBERSHIP joins the eligible set

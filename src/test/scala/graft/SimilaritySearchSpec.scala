@@ -159,14 +159,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pts.map(filteredBeamFor(_)) === pts.map(filteredBeamFor(_)).sorted)
     assert(filteredBeamFor(Long.MaxValue / 2) === 128)
     assert(filteredOverfetchFor(Long.MaxValue / 2) === 192)
-    // the ADC walk's ladder shares the shape (oracle-pinned 48 at
-    // driver scales)
+    // the ADC walk's ladder shares the shape (oracle-pinned 64 at
+    // driver scales — round 17: 48 left the ×1 mixture walk at 27/30,
+    // 64 reads 30/30; the ADC frontier absorbs quantization error)
     import ops.Similarity.{pqBeamFor, PqBeamWidth}
     for (n <- Seq(1L, 500L, 2000L, 2048L))
       assert(pqBeamFor(n) === PqBeamWidth, s"pq beam at n=$n")
-    assert(pqBeamFor(20000L) === 112)
-    assert(pqBeamFor(200000L) === 160)
+    assert(PqBeamWidth === 64)
+    assert(pqBeamFor(20000L) === 128)
+    assert(pqBeamFor(200000L) === 176)
     assert(pqBeamFor(Long.MaxValue / 2) === 192)
+    // the flat serving walk's driver-scale reachability pins
+    // (round 17: hops 3 → 5 and width 16 → 48 close the 24/30 floor —
+    // 30/30 at mixture ×1 for flat, harvest, and overfetch)
+    import ops.Similarity.{navHopsFor, navBeamFor}
+    for (n <- Seq(1L, 500L, 2000L, 2048L)) {
+      assert(navHopsFor(n) === 5, s"hops at n=$n")
+      assert(navBeamFor(n) === 48, s"flat beam at n=$n")
+    }
+    assert(navHopsFor(4096L) === 5)   // ladder floor, monotone
+    assert(navHopsFor(20000L) === 7)  // sf0.1 bench regime unchanged
+    assert(navHopsFor(200000L) === 10)
+    assert(navBeamFor(20000L) === 16) // spread-entry regime: measured
+    assert(navBeamFor(200000L) === 16) // 30/30 at ×10/×100 at width 16
   }
 
   test("incremental nav maintenance refuses a seed-band width boundary crossing") {
