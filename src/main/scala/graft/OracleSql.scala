@@ -4123,17 +4123,44 @@ object OracleSql {
     * walk constant the oracle pins). */
   val simFilteredAuto: String = {
     val W = graft.ops.Similarity.FilteredOverfetch
+    // driver-scale exact-tier budget: overfetch width × hop count
+    // (Similarity.exactFilterMaxFor at n ≤ 2048)
+    val X = graft.ops.Similarity.exactFilterMaxFor(1)
+    val dotSelf =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> embedding[CAST(i AS INT)]::DOUBLE * embedding[CAST(i AS INT)]::DOUBLE))"
     s"""WITH f AS ($simFilteredSearch),
+       |xvn AS (SELECT vec_id, embedding, SQRT($dotSelf) AS nrm FROM embeddings),
+       |xelig AS (
+       |  SELECT e.vec_id AS node FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.lang = '${graft.ops.Similarity.FilteredLang}'
+       |),
+       |x AS (
+       |  SELECT qid AS vec_id, node AS nbr_id, cos, CAST(rg AS BIGINT) AS rank FROM (
+       |    SELECT q.qid, e.vec_id AS node,
+       |           ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ROUND(${navDotAb("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) DESC,
+       |                      e.vec_id) AS rg
+       |    FROM (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |          FROM xvn WHERE vec_id < 10) q
+       |    JOIN xvn e ON e.vec_id <> q.qid
+       |    JOIN xelig ON xelig.node = e.vec_id)
+       |  WHERE rg <= 3
+       |),
        |pick AS (
-       |  SELECT CASE WHEN $W * (SELECT COUNT(*) FROM (
-       |             SELECT e.vec_id FROM embeddings e
-       |             JOIN documents d ON d.doc_id = e.vec_id
-       |             WHERE d.lang = '${graft.ops.Similarity.FilteredLang}'))
-       |           >= 3 * (SELECT COUNT(*) FROM embeddings)
-       |         THEN 'harvest' ELSE 'inwalk' END AS s
+       |  SELECT CASE
+       |    WHEN (SELECT COUNT(*) FROM xelig) <= $X THEN 'exact'
+       |    WHEN $W * (SELECT COUNT(*) FROM xelig)
+       |           >= 3 * (SELECT COUNT(*) FROM embeddings) THEN 'harvest'
+       |    ELSE 'inwalk' END AS s
        |)
        |SELECT vec_id, nbr_id, cos, rank
        |FROM f JOIN pick ON f.strategy = pick.s
+       |UNION ALL
+       |SELECT x.vec_id, x.nbr_id, x.cos, x.rank
+       |FROM x JOIN pick ON pick.s = 'exact'
        |ORDER BY vec_id, rank""".stripMargin
   }
 

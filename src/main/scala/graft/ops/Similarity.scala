@@ -1707,6 +1707,18 @@ object Similarity {
     w
   }
 
+  /** Eligible-set size at or below which the default filtered search
+    * routes to the EXACT tier: the frontier budget the unfiltered
+    * walk would score anyway (overfetch width × hop count). When the
+    * whole eligible subset fits that budget, scoring it exactly is
+    * no more work than navigating toward it — Q × |elig| broadcast
+    * dot products, zero graph I/O, recall 1.0 by construction (the
+    * pre-filter-then-scan posture every production retrieval stack
+    * uses for tiny filters). Deterministic in n, so the oracle and
+    * any engine derive the same routing. */
+  private[graft] def exactFilterMaxFor(n: Long): Long =
+    filteredOverfetchFor(n).toLong * navHopsFor(n)
+
   /** Eligible vec_ids: embeddings row-aligned to `documents`
     * (vec_id = doc_id), filter on document metadata — P2/P4's
     * predicate discipline applied to the vector path. */
@@ -1755,31 +1767,73 @@ object Similarity {
 
   /** Strategy the DEFAULT filtered-search entry point picks, from
     * measurables only (corpus size × filter selectivity — the
-    * round-16 verdict's ask): `harvest` whenever the unfiltered
-    * frontier is expected to carry ≥ 3 eligible answers
-    * (overfetchWidth(n) · |elig| ≥ 3 · n, integer arithmetic), else
-    * `inwalk` (eligible-only beam — the only strategy whose frontier
-    * stays eligible when the filter is ultra-selective). The harvest
-    * side is backed by the round-17 recall table (mixture ×1/×10/×100
-    * floors 30/30, 30/30, 30/30 under the 5-hop driver ladder); the
-    * inwalk side by construction (an
-    * unfiltered walk that EXPECTS < 3 eligible among everything it
-    * scores cannot answer, bridged eligible navigation can). */
+    * round-16 verdict's ask), three tiers:
+    *
+    *  - `exact` when |elig| ≤ [[exactFilterMaxFor]] (the eligible set
+    *    fits the frontier budget a walk would score anyway): exact
+    *    brute force over the eligible subset, recall 1.0 by
+    *    construction;
+    *  - `harvest` whenever the unfiltered frontier is expected to
+    *    carry ≥ 3 eligible answers (overfetchWidth(n) · |elig| ≥
+    *    3 · n, integer arithmetic) — backed by the round-17 recall
+    *    table (mixture ×1/×10/×100 floors 30/30 under the 5-hop
+    *    driver ladder);
+    *  - `inwalk` for the mid-selectivity band between them
+    *    (eligible-only beam with ACORN bridging — the only WALK whose
+    *    frontier stays eligible when the filter is too selective for
+    *    harvest but the eligible set is too large to scan). */
   private[graft] def filteredStrategyFor(n: Long, nElig: Long): String =
-    if (filteredOverfetchFor(n).toLong * nElig >= 3L * n) "harvest" else "inwalk"
+    if (nElig <= exactFilterMaxFor(n)) "exact"
+    else if (filteredOverfetchFor(n).toLong * nElig >= 3L * n) "harvest"
+    else "inwalk"
 
-  /** The DEFAULT metadata-filtered search — [[filteredSearch]]'s
-    * strategy matrix narrowed to one answer set by
-    * [[filteredStrategyFor]] (two count aggregates, then a slice of
-    * the shared answers artifact — no extra walk).
+  /** Exact tier of the default filtered search: score EVERY eligible
+    * vector against every query — used when |elig| ≤
+    * [[exactFilterMaxFor]], where the whole eligible subset fits the
+    * frontier budget a walk would score anyway. The eligible vectors
+    * broadcast (bounded by the routing rule); the query side streams,
+    * so a micro-batch of any size runs map-side. Same 6-dp cosine and
+    * (cos DESC, id) tie order as every walk.
+    * Output: qid, nbr_id, cos, rank. */
+  private[graft] def filteredExactFrom(spark: SparkSession, corpus: DataFrame,
+      q: DataFrame, elig: DataFrame): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val cand = corpus
+      .join(elig.withColumnRenamed("node", "vec_id"), "vec_id")
+      .select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))
+    q.crossJoin(broadcast(cand))
+      .where(col("node") =!= col("qid"))
+      .withColumn("cos", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("node").as("nbr_id"),
+        col("cos"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** The DEFAULT metadata-filtered search — [[filteredStrategyFor]]'s
+    * three-tier routing from two count aggregates: the `exact` tier
+    * derives directly ([[filteredExactFrom]] — tiny eligible set,
+    * recall 1.0 by construction); the walk tiers are a slice of the
+    * shared answers artifact (no extra walk).
     * Output: vec_id, nbr_id, cos, rank. */
   def filteredSearchAuto(spark: SparkSession, dir: String): DataFrame = {
-    val n = vecs(spark, dir).count()
-    val nElig = eligibleIds(spark, dir).count()
-    filteredAnswersShared(spark, dir)
-      .where(col("strategy") === filteredStrategyFor(n, nElig))
-      .select("vec_id", "nbr_id", "cos", "rank")
-      .orderBy("vec_id", "rank")
+    val base = vecs(spark, dir)
+    val n = base.count()
+    val elig = eligibleIds(spark, dir)
+    filteredStrategyFor(n, elig.count()) match {
+      case "exact" =>
+        val q = base.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+        filteredExactFrom(spark, base, q, elig)
+          .withColumnRenamed("qid", "vec_id")
+          .orderBy("vec_id", "rank")
+      case s =>
+        filteredAnswersShared(spark, dir)
+          .where(col("strategy") === s)
+          .select("vec_id", "nbr_id", "cos", "rank")
+          .orderBy("vec_id", "rank")
+    }
   }
 
   private[graft] def filteredAnswersShared(spark: SparkSession, dir: String): DataFrame =

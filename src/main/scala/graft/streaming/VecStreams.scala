@@ -57,18 +57,22 @@ object VecStreams {
     (out, release)
   }
 
-  /** Filtered twin of [[searchBatch]]: metadata-filtered walk against
-    * the same release — `elig` is a one-column (node) table of
-    * eligible corpus ids (typically a documents-side predicate, e.g.
-    * lang), resolved once per release like the index itself. The
-    * STRATEGY follows the batch default's measurable rule
-    * (`Similarity.filteredStrategyFor`, round 17): `harvest`
+  /** Filtered twin of [[searchBatch]]: metadata-filtered answers
+    * against the same release — `elig` is a one-column (node) table
+    * of eligible corpus ids (typically a documents-side predicate,
+    * e.g. lang), resolved once per release like the index itself. The
+    * STRATEGY follows the batch default's measurable three-tier rule
+    * (`Similarity.filteredStrategyFor`, round 17): `exact` (broadcast
+    * brute force over the eligible subset, recall 1.0) when the
+    * eligible set fits the walk's frontier budget, `harvest`
     * (unfiltered navigation, eligible answers accumulated across
     * hops) when the frontier expects ≥ 3 eligible answers, else the
     * in-walk (ACORN-bridged eligible-only beam) — the gate serves the
     * same answers a user gets from the batch entry point instead of
     * being pinned to one strategy. Two count aggregates per
-    * micro-batch decide it, deterministic in (release, elig).
+    * micro-batch decide it, deterministic in (release, elig); the
+    * `graft.filtered.strategy` conf overrides the rule (operator
+    * escape hatch, and how the spec pins the non-routed branches).
     * Output: qid, nbr_id, cos, rank. */
   def filteredSearchBatch(spark: SparkSession, batch: DataFrame, root: String,
       elig: DataFrame): DataFrame =
@@ -80,12 +84,20 @@ object VecStreams {
     val n = corpus.count() // materialize before the beam fans out over it
     val q = Similarity.vecsOf(spark, batch)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-    val edges = NavIndex.graph(spark, root)
-    val (out, release) =
-      if (Similarity.filteredStrategyFor(n, elig.count()) == "harvest")
-        Similarity.filteredHarvestReleasable(spark, corpus, q, edges, elig)
-      else
-        Similarity.filteredBeamReleasable(spark, corpus, q, edges, elig)
+    val strategy = spark.conf.getOption("graft.filtered.strategy")
+      .getOrElse(Similarity.filteredStrategyFor(n, elig.count()))
+    require(Set("exact", "harvest", "inwalk")(strategy),
+      s"graft.filtered.strategy must be exact|harvest|inwalk, got '$strategy'")
+    val (out, release) = strategy match {
+      case "exact" =>
+        (Similarity.filteredExactFrom(spark, corpus, q, elig), () => ())
+      case "harvest" =>
+        Similarity.filteredHarvestReleasable(spark, corpus, q,
+          NavIndex.graph(spark, root), elig)
+      case _ =>
+        Similarity.filteredBeamReleasable(spark, corpus, q,
+          NavIndex.graph(spark, root), elig)
+    }
     corpus.unpersist() // out's final stage is cached; safe to drop
     (out, release)
   }

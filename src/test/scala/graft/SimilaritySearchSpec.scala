@@ -119,21 +119,42 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("filtered default: measurable selection rule, rows equal the chosen slice") {
-    import ops.Similarity.{filteredStrategyFor, filteredSearchAuto, filteredSearch}
-    // the rule's arithmetic at the boundary (width 48 at driver
-    // scales): expected eligible in the unfiltered frontier ≥ 3
-    assert(filteredStrategyFor(1000L, 63L) === "harvest") // 48·63 ≥ 3000
-    assert(filteredStrategyFor(1000L, 62L) === "inwalk")  // 48·62 < 3000
-    // ultra-selective filters route to the eligible-only beam at any n
-    assert(filteredStrategyFor(1000000L, 1000L) === "inwalk")
-    // the default entry point IS the chosen slice of the shared
-    // artifact ('de' ≈ 13-20% at every SF → harvest side)
-    val auto = filteredSearchAuto(spark, sf).collect().toSeq
-    val want = filteredSearch(spark, sf)
-      .where(col("strategy") === "harvest")
-      .select("vec_id", "nbr_id", "cos", "rank")
-      .orderBy("vec_id", "rank").collect().toSeq
+  test("filtered default: three-tier selection rule, exact tier is truly exact") {
+    import ops.Similarity.{filteredStrategyFor, exactFilterMaxFor, filteredSearchAuto}
+    // exact tier: the eligible set fits the walk's frontier budget
+    // (overfetch width × hops = 48 · 5 = 240 at driver scales)
+    assert(exactFilterMaxFor(1000L) === 240L)
+    assert(filteredStrategyFor(1000L, 240L) === "exact")
+    assert(filteredStrategyFor(1000L, 241L) === "harvest") // 48·241 ≥ 3000
+    // at scale the three tiers separate: exact ≤ 1600 (160·10) <
+    // inwalk band < 3·n/width = 3750 ≤ harvest
+    assert(exactFilterMaxFor(200000L) === 1600L)
+    assert(filteredStrategyFor(200000L, 1600L) === "exact")
+    assert(filteredStrategyFor(200000L, 1601L) === "inwalk")
+    assert(filteredStrategyFor(200000L, 3749L) === "inwalk") // 160·3749 < 600000
+    assert(filteredStrategyFor(200000L, 3750L) === "harvest")
+    // at sf0.001 the 'de' filter (~71 of 500) routes to the exact
+    // tier; verify the answers against an independently computed
+    // exact filtered top-3 (plain Scala doubles, same 6-dp rounding)
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val eligSet = Tables.documents(spark, sf)
+      .where(col("lang") === Similarity.FilteredLang)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = emb.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val qv = emb(qid); val qn = math.sqrt(dot(qv, qv))
+      eligSet.toSeq.filter(_ != qid).map { node =>
+        val nv = emb(node)
+        (qid, node, r6(dot(qv, nv) / (qn * math.sqrt(dot(nv, nv)))))
+      }.sortBy { case (_, node, cos) => (-cos, node) }
+        .take(3).zipWithIndex
+        .map { case ((q, node, cos), i) => (q, node, cos, (i + 1).toLong) }
+    }
+    val auto = filteredSearchAuto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(auto === want)
     spark.catalog.clearCache()
   }

@@ -325,27 +325,31 @@ class StreamingSpec extends SparkSpec {
     // every streamed answer respects the metadata filter
     val eligSet = elig.collect().map(_.getLong(0)).toSet
     assert(streamed.select("nbr_id").collect().forall(r => eligSet.contains(r.getLong(0))))
-    // routing pin: at corpus scale the lang filter routes to harvest …
+    // routing pin: at this scale (n = 500, |elig| ≈ 71 ≤ 240) the
+    // default routes to the EXACT tier — so the run above exercised
+    // the broadcast brute-force branch end-to-end
     val n = emb.count()
-    assert(Similarity.filteredStrategyFor(n, elig.count()) === "harvest")
-    // … and an ultra-selective filter routes to the in-walk; the gate
-    // must match its batch twin on THAT branch too (both arms of the
-    // measurable default rule are exercised end-to-end)
-    val tiny = elig.orderBy("node").limit(5).persist()
-    assert(Similarity.filteredStrategyFor(n, tiny.count()) === "inwalk")
-    val outPath2 = java.nio.file.Files.createTempDirectory("graft_fvecsearch_out2").toString + "/ans"
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_fvecsearch_ck2").toString
-    val stream2 = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
-    val q2 = VecStreams.filteredSearchGate(spark, stream2, root, tiny, outPath2, ckpt2)
-    try q2.processAllAvailable() finally q2.stop()
-    val streamed2 = spark.read.parquet(outPath2).drop("batch")
-    val batch2 = VecStreams.filteredSearchBatch(spark, queries, root, tiny)
-    assert(streamed2.count() === queries.count() * 3)
-    assert(streamed2.exceptAll(batch2).count() === 0)
-    assert(batch2.exceptAll(streamed2).count() === 0)
-    val tinySet = tiny.collect().map(_.getLong(0)).toSet
-    assert(streamed2.select("nbr_id").collect().forall(r => tinySet.contains(r.getLong(0))))
-    tiny.unpersist()
+    assert(Similarity.filteredStrategyFor(n, elig.count()) === "exact")
+    // the walk tiers don't route by rule at a 500-vector corpus
+    // (exact subsumes them); pin each end-to-end through the operator
+    // override conf, gate vs batch twin under the same conf
+    for (s <- Seq("harvest", "inwalk")) {
+      spark.conf.set("graft.filtered.strategy", s)
+      try {
+        val outPath2 = java.nio.file.Files.createTempDirectory(s"graft_fvs_${s}_out").toString + "/ans"
+        val ckpt2 = java.nio.file.Files.createTempDirectory(s"graft_fvs_${s}_ck").toString
+        val stream2 = VecStreams.readQueries(spark, s"$d/*", s"$sf/embeddings.parquet")
+        val q2 = VecStreams.filteredSearchGate(spark, stream2, root, elig, outPath2, ckpt2)
+        try q2.processAllAvailable() finally q2.stop()
+        val streamed2 = spark.read.parquet(outPath2).drop("batch")
+        val batch2 = VecStreams.filteredSearchBatch(spark, queries, root, elig)
+        assert(streamed2.count() === queries.count() * 3, s"strategy $s")
+        assert(streamed2.exceptAll(batch2).count() === 0, s"strategy $s")
+        assert(batch2.exceptAll(streamed2).count() === 0, s"strategy $s")
+        assert(streamed2.select("nbr_id").collect()
+          .forall(r => eligSet.contains(r.getLong(0))), s"strategy $s")
+      } finally spark.conf.unset("graft.filtered.strategy")
+    }
   }
 
   test("streaming vector search matches the batch walk on the same queries") {
