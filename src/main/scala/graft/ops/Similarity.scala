@@ -262,14 +262,20 @@ object Similarity {
     pqExplodeAt(spark, dir, 16)
 
   private def pqExplodeAt(spark: SparkSession, dir: String, subDim: Int): DataFrame =
-    Tables.embeddings(spark, dir)
+    pqExplodeOf(Tables.embeddings(spark, dir), subDim)
+
+  /** The exploded PQ view over an EXPLICIT embeddings-format table —
+    * the seam the incrementally-maintained PQ chain
+    * (`pipelines.PqIndex`) feeds corpus slices through. */
+  private[graft] def pqExplodeOf(emb: DataFrame, subDim: Int): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
       .select(col("vec_id"), expr(s"p div $subDim").as("sub"), expr(s"p % $subDim").as("pos"), col("x"))
 
   /** One PQ assignment pass: 6-dp squared-L2 argmin with cid
     * tiebreak, as a min(struct(dist, cid)) aggregate (one aggregate
     * instead of a row_number sort-exchange). */
-  private def pqAssign(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def pqAssign(e: DataFrame, cent: DataFrame): DataFrame =
     e.join(cent, Seq("sub", "pos"))
       .groupBy("vec_id", "sub", "cid")
       .agg(round(sum(col("x") * col("x")) - lit(2) * sum(col("x") * col("cx"))
@@ -290,16 +296,33 @@ object Similarity {
 
   private def pqCodebookArtAt(spark: SparkSession, dir: String,
       kind: String, subDim: Int, k: Int): DataFrame =
-    graft.ArtifactCache.tableReleasable(spark, kind, dir) {
-      val e = pqExplodeAt(spark, dir, subDim).persist()
-      e.count()
-      var cent = e.where(col("vec_id") < k)
-        .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("x").as("cx"))
-      for (_ <- 1 to 2)
-        cent = pqAssign(e, cent).join(e, Seq("vec_id", "sub"))
-          .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("cx"))
-      (cent, () => { e.unpersist(); () })
-    }
+    graft.ArtifactCache.tableReleasable(spark, kind, dir)(
+      pqTrainOf(Tables.embeddings(spark, dir), subDim, k))
+
+  /** The deterministic 2-update Lloyd's codebook chain over an
+    * EXPLICIT embeddings-format table (seeds = the k lowest vec_ids
+    * per subspace — engine-reproducible). Returns the (sub, cid, pos,
+    * cx) codebook plus the release for the cached exploded view the
+    * iteration tree references ~5×. */
+  private[graft] def pqTrainOf(emb: DataFrame, subDim: Int,
+      k: Int): (DataFrame, () => Unit) = {
+    val e = pqExplodeOf(emb, subDim).persist()
+    e.count()
+    // seed rows are the k LOWEST ids (not `< k`: explicit corpus
+    // slices — the PQ chain's rebuild path — renumber nothing), with
+    // cid REMAPPED dense 0..k−1 so every downstream (sub·k + cid)
+    // packing is collision-free on any id space; on 0-based corpora
+    // this is bit-identical to the historical cid = vec_id seeding
+    val seedIds = e.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cid", row_number().over(
+        Window.orderBy("vec_id")).cast("bigint") - 1)
+    var cent = e.join(seedIds, "vec_id")
+      .select(col("sub"), col("cid"), col("pos"), col("x").as("cx"))
+    for (_ <- 1 to 2)
+      cent = pqAssign(e, cent).join(e, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("cx"))
+    (cent, () => { e.unpersist(); () })
+  }
 
   /** The code words (vec_id, sub, cid) as a landed artifact: one
     * assignment pass of the corpus against the codebook artifact. */
@@ -325,10 +348,18 @@ object Similarity {
     * join ships each candidate row once, not once per subspace. */
   private[graft] def pqSearchCodesArt(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.table(spark, "pq_codes_s2k16", dir)(
-      pqAssign(pqExplodeAt(spark, dir, PqSearchSubDim), pqSearchCodebookArt(spark, dir))
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
-          s => s.getField("cid")).as("cids")))
+      pqEncodePacked(pqExplodeOf(Tables.embeddings(spark, dir), PqSearchSubDim),
+        pqSearchCodebookArt(spark, dir)))
+
+  /** One assignment pass + sub-ordered packing: (vec_id, cids) — the
+    * contiguous per-vector code layout. Shared by the artifact path
+    * and the incrementally-maintained PQ chain (`pipelines.PqIndex`),
+    * so both produce bit-identical codes for the same codebook. */
+  private[graft] def pqEncodePacked(e: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(e, codebook)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("cids"))
 
   /** ADC top-k over the PQ codes (the search side of `pq`, Jégou et
     * al.'s asymmetric distance computation): each query precomputes a
