@@ -3187,6 +3187,70 @@ object OracleSql {
        |SELECT vec_id, nbr_id, cos, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  /** Mirrors `Similarity.mmrSearch`: exact top-10 candidates, then
+    * the 3-step greedy MMR unroll (λ = 0.5, max-sim to the picked
+    * set, 6-dp scores, node-id tie order at every argmax). */
+  val simMmr: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, node, rel FROM (
+       |    SELECT q.qid, e.vec_id AS node,
+       |           ROUND(${cosSql("q.qe", "e.embedding")}, 6) AS rel,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ROUND(${cosSql("q.qe", "e.embedding")}, 6) DESC, e.vec_id) AS rn
+       |    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+       |  WHERE rn <= 10
+       |),
+       |sims AS MATERIALIZED (
+       |  SELECT a.qid, a.node AS na, b.node AS nb,
+       |         ROUND(${cosSql("va.embedding", "vb.embedding")}, 6) AS sim
+       |  FROM cand a
+       |  JOIN cand b ON a.qid = b.qid AND a.node <> b.node
+       |  JOIN embeddings va ON va.vec_id = a.node
+       |  JOIN embeddings vb ON vb.vec_id = b.node
+       |),
+       |p1 AS MATERIALIZED (
+       |  SELECT qid, node, rel, mmr FROM (
+       |    SELECT qid, node, rel, ROUND(0.5 * rel, 6) AS mmr,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(0.5 * rel, 6) DESC, node) AS rk
+       |    FROM cand) WHERE rk = 1
+       |),
+       |p2 AS MATERIALIZED (
+       |  SELECT qid, node, rel, mmr FROM (
+       |    SELECT s.qid, s.node, s.rel,
+       |           ROUND(0.5 * s.rel - 0.5 * s.msim, 6) AS mmr,
+       |           ROW_NUMBER() OVER (PARTITION BY s.qid
+       |             ORDER BY ROUND(0.5 * s.rel - 0.5 * s.msim, 6) DESC, s.node) AS rk
+       |    FROM (
+       |      SELECT c.qid, c.node, c.rel, MAX(sims.sim) AS msim
+       |      FROM cand c
+       |      JOIN p1 ON p1.qid = c.qid AND c.node <> p1.node
+       |      JOIN sims ON sims.qid = c.qid AND sims.na = c.node AND sims.nb = p1.node
+       |      GROUP BY 1, 2, 3) s) WHERE rk = 1
+       |),
+       |pp AS (SELECT qid, node FROM p1 UNION ALL SELECT qid, node FROM p2),
+       |p3 AS (
+       |  SELECT qid, node, rel, mmr FROM (
+       |    SELECT s.qid, s.node, s.rel,
+       |           ROUND(0.5 * s.rel - 0.5 * s.msim, 6) AS mmr,
+       |           ROW_NUMBER() OVER (PARTITION BY s.qid
+       |             ORDER BY ROUND(0.5 * s.rel - 0.5 * s.msim, 6) DESC, s.node) AS rk
+       |    FROM (
+       |      SELECT c.qid, c.node, c.rel, MAX(sims.sim) AS msim
+       |      FROM cand c
+       |      JOIN pp ON pp.qid = c.qid
+       |      JOIN sims ON sims.qid = c.qid AND sims.na = c.node AND sims.nb = pp.node
+       |      WHERE NOT EXISTS (SELECT 1 FROM pp x
+       |                        WHERE x.qid = c.qid AND x.node = c.node)
+       |      GROUP BY 1, 2, 3) s) WHERE rk = 1
+       |)
+       |SELECT qid AS vec_id, node AS nbr_id, rel, mmr, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT p1.*, 1 AS rank FROM p1
+       |      UNION ALL SELECT p2.*, 2 AS rank FROM p2
+       |      UNION ALL SELECT p3.*, 3 AS rank FROM p3)
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** Mirrors `Similarity.sq8Search`: L2-normalize (the shared
     * dot/sqrt discipline), one global symmetric scale over the
     * normalized elements, floor(127·x/s + 0.5) clamped to

@@ -69,6 +69,74 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Maximal-marginal-relevance diversified top-3 (Carbonell &
+    * Goldstein, SIGIR'98): per query, candidates are the exact
+    * cosine top-10; the answer set is grown GREEDILY, each step
+    * taking argmax of  λ·rel − (1−λ)·max sim(candidate, picked)
+    * with λ = 0.5 (max over the empty picked set = 0, so step 1 is
+    * the plain relevance argmax) — redundancy among near-duplicate
+    * candidates is charged against relevance, the standard
+    * diversified-retrieval posture for RAG context assembly. All
+    * relevances and candidate-pair similarities are 6-dp cosines
+    * with node-id tie order, so the greedy trace is
+    * engine-deterministic; the 3 steps unroll (the fixed-iteration
+    * discipline every other iterative query here uses).
+    *
+    * Scale shape: candidates and their 10×10 pair sims are
+    * Q-bounded (Q×10 / Q×90 rows); the only corpus-sized work is
+    * the candidate scan itself — the same cost envelope as
+    * [[bruteForceTopK]], and a production deployment swaps that
+    * stage for any index path (the greedy tail is index-agnostic).
+    * Output: vec_id, nbr_id, rel, mmr, rank. */
+  def mmrSearch(spark: SparkSession, dir: String): DataFrame = {
+    def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
+    val base = vecs(spark, dir).persist()
+    base.count() // materialize before the candidate + pair-sim scans
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wr = Window.partitionBy("qid").orderBy(col("rel").desc, col("node"))
+    val cand = base
+      .select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nnorm"))
+      .join(broadcast(q), col("node") =!= col("qid"))
+      .withColumn("rel", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") <= 10)
+      .select("qid", "node", "rel").persist()
+    cand.count() // Q×10 rows — the greedy unroll references it 3×
+    val cv = cand.join(
+      base.select(col("vec_id").as("node"), col("v").as("cw"), col("norm").as("cn")), "node")
+    val sims = cv.select(col("qid"), col("node").as("na"), col("cw").as("wa"), col("cn").as("ca"))
+      .join(cv.select(col("qid"), col("node").as("nb"), col("cw").as("wb"), col("cn").as("cb")), "qid")
+      .where(col("na") =!= col("nb"))
+      .withColumn("sim", round(d(col("wa"), col("wb")) / (col("ca") * col("cb")), 6))
+      .select("qid", "na", "nb", "sim").persist()
+    sims.count() // Q×90 rows
+
+    val wm = Window.partitionBy("qid").orderBy(col("mmr").desc, col("node"))
+    def top1(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(wm)).where(col("rk") === 1)
+        .select("qid", "node", "rel", "mmr")
+    // step 1: empty picked set → mmr = λ·rel
+    var picked = top1(cand.withColumn("mmr", round(lit(0.5) * col("rel"), 6)))
+      .withColumn("rank", lit(1L))
+    for (step <- 2 to 3) {
+      val rem = cand.join(picked.select("qid", "node"), Seq("qid", "node"), "left_anti")
+      val scored = rem.select(col("qid"), col("node").as("na"), col("rel"))
+        .join(picked.select(col("qid"), col("node").as("nb")), "qid")
+        .join(sims, Seq("qid", "na", "nb"))
+        .groupBy("qid", "na", "rel")
+        .agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("na", "node")
+        .withColumn("mmr", round(lit(0.5) * col("rel") - lit(0.5) * col("msim"), 6))
+        .select("qid", "node", "rel", "mmr")
+      picked = picked.unionByName(top1(scored).withColumn("rank", lit(step.toLong)))
+    }
+    picked
+      .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
+        col("rel"), col("mmr"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** LSH-bucketed ANN: bucket = sign signature of the first 8
     * dimensions (8 fixed hyperplanes); nearest neighbor searched only
     * within the bucket. Output: vec_id, bucket, nbr_id, cos. */

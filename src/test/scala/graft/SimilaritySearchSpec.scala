@@ -159,6 +159,37 @@ class SimilaritySearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("MMR reorders a redundant candidate set; chosen scores weakly decrease") {
+    import ops.Similarity.mmrSearch
+    // constructed corpus: query q ≈ e1; a1 and a2 near-duplicates of
+    // each other at rel ≈ 0.995; b orthogonal-ish at rel = 0.8.
+    // Relevance order is (a1, a2, b); MMR must demote a2 behind b
+    // (its sim-to-a1 penalty ≈ its relevance edge at λ = 0.5).
+    def vec(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val rows = Seq(
+      (0L, vec(0 -> 1.0), 0L),                          // the query
+      (10L, vec(0 -> 0.995, 1 -> 0.0995), 0L),          // a1
+      (11L, vec(0 -> 0.995, 1 -> 0.0995, 2 -> 0.001), 0L), // a2 ≈ a1
+      (12L, vec(0 -> 0.8, 3 -> 0.6), 0L))               // b, diverse
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = mmrSearch(spark, dir).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(10L, 12L, 11L))
+    // the greedy trace's chosen scores weakly decrease
+    val ms = got.map(_.getDouble(3)).toSeq
+    assert(ms === ms.sorted.reverse)
+    // rank 1 is the plain relevance argmax (empty picked set)
+    val top = ops.Similarity.bruteForceTopK(spark, dir).collect()
+    assert(got.head.getLong(1) === top.head.getLong(1))
+    spark.catalog.clearCache()
+  }
+
   test("filtered walk widths: oracle-pinned at driver scales, ef ladder beyond") {
     import ops.Similarity.{filteredBeamFor, filteredOverfetchFor, FilteredOverfetch}
     // driver scales (every SF's corpus, hence both walk oracles):
