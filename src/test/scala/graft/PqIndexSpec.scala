@@ -110,6 +110,48 @@ class PqIndexSpec extends SparkSpec {
     assert(PqIndex.codes(spark, s"$chain/v2").count() === want)
   }
 
+  test("PQ maintenance gate: stream lands one version per batch, replays idempotently") {
+    val d = Files.createTempDirectory("graft_pqm_drops").toString
+    emb.where(col("vec_id") < 400).coalesce(1).write.parquet(s"$d/h1")
+    emb.where(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1).write.parquet(s"$d/h2")
+    emb.where(col("vec_id") >= 450).coalesce(1).write.parquet(s"$d/h3")
+    val root = Files.createTempDirectory("graft_pqm_root").toString
+    val ckpt = Files.createTempDirectory("graft_pqm_ck").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$sf/embeddings.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$d/*")
+      val q = PqStreams.pqMaintainGate(spark, stream, root, ckpt)
+      try q.processAllAvailable()
+      finally {
+        q.stop(); q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id)) Thread.sleep(50)
+      }
+    }
+    run()
+    assert(PqIndex.committedVersions(spark, root).size === 3)
+    // parity: the maintained tip's codes ARE the whole corpus encoded
+    // under the chain's own v0 codebook (increments froze it)
+    val cb0 = PqIndex.codebook(spark, s"$root/v0")
+    val want = graft.ops.Similarity.pqEncodePacked(
+        graft.ops.Similarity.pqExplodeOf(emb, PqIndex.SubDim), cb0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def tipCodes() = PqStreams.currentCodes(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tipCodes() === want)
+    // crash-replay: lose the last batch's checkpoint commit; the
+    // replayed batch must re-land ITS OWN version from the same prior
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(last.delete())
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    run()
+    assert(PqIndex.committedVersions(spark, root).size === 3)
+    assert(tipCodes() === want)
+  }
+
   test("ADC serving read: recall floor vs exact, invariant under compaction") {
     val chain = Files.createTempDirectory("graft_pqserve").toString
     PqIndex.buildState(spark, emb.where(col("vec_id") < 400), s"$chain/v0")
