@@ -27,6 +27,17 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** The session's configured shuffle parallelism — the explicit
+    * partition count for keyed repartitions ahead of heavy map-side
+    * derivations (explodes, per-token hashing, HOF loops) over the
+    * single-row-group driver tables. Explicit-N is deliberate: AQE
+    * sizes its coalesce from the PRE-derivation map bytes (a few MB of
+    * text) and folds the fan-out back into 1-2 tasks, serializing the
+    * expensive stage. Conf-driven, so a production deployment scales
+    * it with the cluster instead of inheriting a local constant. */
+  private[graft] def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val p = new org.apache.hadoop.fs.Path(path)

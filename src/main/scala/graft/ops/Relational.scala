@@ -781,6 +781,12 @@ object Relational {
     * Output: layout, n_files, scan_cust_probe, scan_date_probe. */
   def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
+      // single-row-group parquet → one scan task: spread the 16-step
+      // bit-interleave HOF (the expensive map work, measured ~750 ms
+      // serial) before computing it; the persisted base then also
+      // serves the three layout projections in parallel (explicit N:
+      // AQE would size the coalesce by the tiny pre-HOF map bytes)
+      .repartition(Tables.shufflePartitions(spark), col("o_orderkey"))
       .select(col("o_orderkey"),
         col("o_custkey").as("cust"),
         datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("day"))
@@ -819,32 +825,51 @@ object Relational {
   /** Market-basket affinity: top-20 brand pairs by lift =
     * n·c(ab) / (c(a)·c(b)) over orders, min support 3 co-orders — the
     * association-mining readout behind "bought together" views. The
-    * pair enumeration is a self-join ON THE ORDER KEY, so fanout per
-    * order is C(k,2) with k = distinct brands in that order — bounded
-    * by basket size, never O(#brands²) globally; brand totals join
-    * back on the small brand dim and the order count rides a 1-row
-    * broadcast carrier. All lift inputs are exact longs < 2^53, so
-    * the rounded double is bit-identical across engines.
+    * pair enumeration is MAP-SIDE: one groupBy on the order key lands
+    * each order's distinct brands as a SORTED array (collect_set +
+    * sort_array — the basket, bounded by basket size), and the C(k,2)
+    * a<b pairs unroll from that array with a flatten/transform HOF —
+    * no pair self-join, no second fact shuffle (was: distinct + a
+    * shuffle self-join on the order key; provably the same pair
+    * multiset, since a sorted distinct set enumerates exactly the
+    * a<b pairs the join's a<b filter kept, once each). Brand totals
+    * explode off the same persisted baskets and broadcast back; the
+    * order count is the basket table's materialize count (the exact
+    * O(1) driver scalar, same discipline as zorderAudit's n). All
+    * lift inputs are exact longs < 2^53, so the rounded double is
+    * bit-identical across engines.
     * Output: brand_a, brand_b, n_ab, lift. */
   def basket(spark: SparkSession, dir: String): DataFrame = {
     val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, dir)
         .select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-      .persist() // three consumers: order count, brand totals, pair join
-    val nOrders = ob.agg(count_distinct(col("o")).as("n"))
-    val brandC = ob.groupBy("b").agg(count(lit(1)).as("cb"))
-    ob.select(col("o"), col("b").as("brand_a"))
-      .join(ob.select(col("o"), col("b").as("brand_b")), "o")
-      .where(col("brand_a") < col("brand_b"))
+      // spread the basket-building: the lineitem parquet's one big row
+      // group otherwise runs scan+probe+partial-collect_set as a single
+      // ~700 ms straggler task; after the explicit exchange the set
+      // aggregation is cluster-wide and the scan task only projects,
+      // probes the broadcast and writes shuffle rows
+      .repartition(Tables.shufflePartitions(spark), col("l_orderkey"))
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .persist() // two consumers: brand totals, pair explode
+    // materialize BEFORE the fan-out (the brand-total broadcast build
+    // and the pair pass otherwise race to recompute the baskets), and
+    // the materialize count IS the order count — the same exact O(1)
+    // driver scalar zorderAudit stamps into its bucket arithmetic
+    val nOrders = ob.count()
+    val brandC = ob.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+    ob.select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs) - i - 1), y -> named_struct('x', x, 'y', y))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.x").as("brand_a"), col("p.y").as("brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 3)
       .join(broadcast(brandC.select(col("b").as("brand_a"), col("cb").as("ca"))), "brand_a")
       .join(broadcast(brandC.select(col("b").as("brand_b"), col("cb").as("cb"))), "brand_b")
-      .crossJoin(broadcast(nOrders))
       .withColumn("lift",
-        round(col("n_ab").cast("double") * col("n") / (col("ca") * col("cb")), 6))
+        round(col("n_ab").cast("double") * lit(nOrders) / (col("ca") * col("cb")), 6))
       .select("brand_a", "brand_b", "n_ab", "lift")
       .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
       .limit(20)

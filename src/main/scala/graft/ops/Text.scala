@@ -533,6 +533,12 @@ object Text {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs
+      // spread the one-row-group scan before the explode; doc_id
+      // partitioning then satisfies the (doc_id, tok) groupBy, the
+      // nTok rollup, the score join and the top-k window — the tok-df
+      // aggregation is the only remaining exchange (explicit N: AQE
+      // would size the coalesce by the pre-explode bytes)
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .persist()
@@ -677,6 +683,15 @@ object Text {
       // empty-text guard: sequence(1, 0) runs DESCENDING (same pitfall
       // as fingerprint), fabricating positions the oracle never visits
       .where(length(col("text")) >= 1)
+      // small input, heavy derivation (the bigramArtifact pattern): the
+      // corpus parquet is one row group → one scan task, so the char
+      // explode below otherwise runs serially; doc_id partitioning also
+      // satisfies both downstream groupBys (subset rule), so this is
+      // the ONLY exchange in the query. Partition count pinned from the
+      // conf (the withGlobalRank idiom): AQE sizes the coalesce by the
+      // tiny pre-explode map bytes and would fold the ×len char
+      // fan-out back into one task
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       // the normalizer is just length(text) — carrying it through the
       // aggregate instead of re-deriving it with a doc_id window
       // removes the window's repartition from (doc_id, ch) back to
@@ -801,6 +816,11 @@ object Text {
     * Output: doc_id, n_windows, n_shared, shared_frac. */
   def spans(spark: SparkSession, dir: String): DataFrame = {
     val w = Tables.documents(spark, dir)
+      // single-row-group corpus → one scan task; spread the 8-token
+      // window explode + md5 (the heavy map work) across the cluster,
+      // and let doc_id partitioning carry the final per-doc groupBy
+      // (explicit N: AQE would size the coalesce by pre-explode bytes)
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
@@ -2337,6 +2357,12 @@ object Text {
     * token bucket in [0, QclfDim), x the 6dp-rounded term frequency. */
   private def qclfFeats(docs: DataFrame): DataFrame =
     docs
+      // spread the one-row-group corpus scan before the token explode
+      // + per-token md5 (the heavy map work of every scoring pass);
+      // doc_id partitioning also carries the (doc_id, f) groupBy and
+      // the per-doc margin aggregation downstream exchange-free
+      // (explicit N: AQE would size the coalesce by pre-explode bytes)
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .withColumn("n", size(split(col("text"), " ")))
       .select(col("doc_id"), col("n"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"),
@@ -2415,8 +2441,18 @@ object Text {
       .join(qclfLabels(docs), "doc_id") // every doc has ≥1 token → a margin row
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6))
 
+  /** The scored corpus as a landed artifact: score-once-audit-many is
+    * the release posture (the PR sweep, operating point, calibration,
+    * isotonic map, out-of-sample eval, PSI and AUC all read the SAME
+    * scores of the SAME model — re-running the feature explode + md5
+    * hashing + margin join per audit is what no pipeline does; same
+    * argument as `text_bm25_ranks`). Build cost is visible in the
+    * bench's artifact ledger; columns are exact (6-dp score, ±1
+    * labels, double margin round-trips parquet bit-exact). */
   private def qclfScored(spark: SparkSession, dir: String): DataFrame =
-    qclfScoreDocs(Tables.documents(spark, dir), qclfWeightsArtifact(spark, dir))
+    graft.ArtifactCache.table(spark, "text_qclf_scores", dir) {
+      qclfScoreDocs(Tables.documents(spark, dir), qclfWeightsArtifact(spark, dir))
+    }
 
   /** Score every document with the trained model.
     * Output: doc_id, y, score, pred. */
