@@ -91,49 +91,65 @@ object Similarity {
   def mmrSearch(spark: SparkSession, dir: String): DataFrame = {
     def d(a: Column, b: Column) = VectorFunctions.dot(spark, a, b)
     val base = vecs(spark, dir).persist()
-    base.count() // materialize before the candidate + pair-sim scans
+    base.count() // materialize before the candidate + vector-fetch scans
     val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val wr = Window.partitionBy("qid").orderBy(col("rel").desc, col("node"))
+    // candidate stage (the only corpus-sized work): THIN columns through
+    // the ranking window, vectors re-attached to the Q×10 winners after
     val cand = base
       .select(col("vec_id").as("node"), col("v").as("nv"), col("norm").as("nnorm"))
       .join(broadcast(q), col("node") =!= col("qid"))
-      .withColumn("rel", round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .select(col("qid"), col("node"),
+        round(d(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6).as("rel"))
       .withColumn("rn", row_number().over(wr))
       .where(col("rn") <= 10)
-      .select("qid", "node", "rel").persist()
-    cand.count() // Q×10 rows — the greedy unroll references it 3×
-    val cv = cand.join(
-      base.select(col("vec_id").as("node"), col("v").as("cw"), col("norm").as("cn")), "node")
-    val sims = cv.select(col("qid"), col("node").as("na"), col("cw").as("wa"), col("cn").as("ca"))
-      .join(cv.select(col("qid"), col("node").as("nb"), col("cw").as("wb"), col("cn").as("cb")), "qid")
-      .where(col("na") =!= col("nb"))
-      .withColumn("sim", round(d(col("wa"), col("wb")) / (col("ca") * col("cb")), 6))
-      .select("qid", "na", "nb", "sim").persist()
-    sims.count() // Q×90 rows
-
-    val wm = Window.partitionBy("qid").orderBy(col("mmr").desc, col("node"))
-    def top1(scored: DataFrame): DataFrame =
-      scored.withColumn("rk", row_number().over(wm)).where(col("rk") === 1)
-        .select("qid", "node", "rel", "mmr")
-    // step 1: empty picked set → mmr = λ·rel
-    var picked = top1(cand.withColumn("mmr", round(lit(0.5) * col("rel"), 6)))
-      .withColumn("rank", lit(1L))
-    for (step <- 2 to 3) {
-      val rem = cand.join(picked.select("qid", "node"), Seq("qid", "node"), "left_anti")
-      val scored = rem.select(col("qid"), col("node").as("na"), col("rel"))
-        .join(picked.select(col("qid"), col("node").as("nb")), "qid")
-        .join(sims, Seq("qid", "na", "nb"))
-        .groupBy("qid", "na", "rel")
-        .agg(max(col("sim")).as("msim"))
-        .withColumnRenamed("na", "node")
-        .withColumn("mmr", round(lit(0.5) * col("rel") - lit(0.5) * col("msim"), 6))
-        .select("qid", "node", "rel", "mmr")
-      picked = picked.unionByName(top1(scored).withColumn("rank", lit(step.toLong)))
-    }
-    picked
-      .select(col("qid").as("vec_id"), col("node").as("nbr_id"),
-        col("rel"), col("mmr"), col("rank"))
+      .select("qid", "node", "rel")
+    // Q-bounded greedy tail, all map-side: candidates (with vectors)
+    // grouped per query as a node-sorted array, then the 3 greedy steps
+    // run as ONE projection of nested HOF aggregates — argmax scans the
+    // array with strictly-greater replacement, so equal-mmr ties keep
+    // the LOWEST node exactly like the former (mmr DESC, node) window;
+    // pair similarities are computed inline against the picked set with
+    // the same round(dot/(norm·norm), 6) as the former sims table (the
+    // unrolled join/window cascade cost ~15 Q-bounded shuffle stages
+    // and a 330 KB logical plan — pure fixed overhead at any scale).
+    val grouped = cand
+      .join(base.select(col("vec_id").as("node"), col("v"), col("norm")), "node")
+      .groupBy("qid")
+      .agg(sort_array(collect_list(named_struct(
+        lit("node"), col("node"), lit("rel"), col("rel"),
+        lit("v"), col("v"), lit("nm"), col("norm")))).as("cs"))
+    VectorFunctions.register(spark) // graft_dot inside the HOF lambdas
+    // max picked-set similarity, as an order-free fold (≡ the former
+    // MAX(sim) aggregate); NULL over the empty picked set → step 1's
+    // 0.5·rel − 0.5·0 = 0.5·rel exactly (x − 0.0 is the IEEE identity)
+    val maxSim =
+      """aggregate(ps, CAST(NULL AS DOUBLE), (m, p) ->
+        |  IF(m IS NULL OR round(graft_dot(c.v, p.v) / (c.nm * p.nm), 6) > m,
+        |     round(graft_dot(c.v, p.v) / (c.nm * p.nm), 6), m))""".stripMargin
+    val score = s"round(0.5D * c.rel - 0.5D * coalesce($maxSim, 0.0D), 6)"
+    val picks =
+      s"""aggregate(sequence(1, 3),
+         |  CAST(array() AS ARRAY<STRUCT<node: BIGINT, rel: DOUBLE,
+         |                               v: ARRAY<DOUBLE>, nm: DOUBLE, mmr: DOUBLE>>),
+         |  (ps, step) -> array_append(ps,
+         |    aggregate(
+         |      filter(cs, c -> !array_contains(transform(ps, p -> p.node), c.node)),
+         |      named_struct('node', CAST(NULL AS BIGINT), 'rel', CAST(NULL AS DOUBLE),
+         |                   'v', CAST(NULL AS ARRAY<DOUBLE>), 'nm', CAST(NULL AS DOUBLE),
+         |                   'mmr', CAST(NULL AS DOUBLE)),
+         |      (b, c) -> IF(b.node IS NULL OR $score > b.mmr,
+         |        named_struct('node', c.node, 'rel', c.rel, 'v', c.v, 'nm', c.nm,
+         |                     'mmr', $score),
+         |        b))))""".stripMargin
+    grouped
+      .select(col("qid"), explode(expr(
+        s"""filter(transform($picks, (p, i) ->
+           |         named_struct('pk', p, 'rank', CAST(i + 1 AS BIGINT))),
+           |       x -> x.pk.node IS NOT NULL)""".stripMargin)).as("e"))
+      .select(col("qid").as("vec_id"), col("e.pk.node").as("nbr_id"),
+        col("e.pk.rel").as("rel"), col("e.pk.mmr").as("mmr"), col("e.rank").as("rank"))
       .orderBy("vec_id", "rank")
   }
 
