@@ -262,7 +262,7 @@ object Dedup {
       // text (start > stop defaults to step -1) and fabricates
       // shingles the oracle's ascending range() never produces.
       .where(length(col("text")) >= 12)
-      .repartition(col("doc_id"))
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))")).as("sh"))
 
@@ -354,7 +354,7 @@ object Dedup {
     ArtifactCache.table(spark, "dedup_sets", dir)(
       Tables.documents(spark, dir)
         .where(length(col("text")) >= 12) // same short-doc guard as shingleTable
-        .repartition(col("doc_id"))
+        .repartition(Tables.shufflePartitions(spark), col("doc_id"))
         .select(col("doc_id"),
           expr("array_distinct(transform(sequence(1, length(text) - 11), i -> substring(text, i, 12)))").as("arr"))
         .select(col("doc_id"),

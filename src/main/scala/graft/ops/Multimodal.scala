@@ -63,6 +63,11 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // spread the synth+codec work: the single-row-group corpus scan
+      // is one task, and every mm_* consumer inherits this map's
+      // partitioning (explicit N — AQE would size a keyed coalesce on
+      // the pre-encode text bytes, not the decoded pixel work)
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nc) =>
@@ -184,6 +189,8 @@ object Multimodal {
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // same spread as mediaTable: the frame consumers inherit this
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -252,6 +259,8 @@ object Multimodal {
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // same spread as mediaTable: the audio consumers inherit this
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, Wav.encodePcm16(audioSamples(text))) }

@@ -443,6 +443,10 @@ object Text {
     val wd = Window.partitionBy("doc_id").orderBy("pos")
     val prevAll = wd.rowsBetween(Window.unboundedPreceding, -1)
     val t = docs
+      // spread the posexplode; doc_id partitioning then feeds the
+      // rolling-window stage with no further exchange (explicit N, as
+      // elsewhere: AQE would coalesce on the pre-explode text bytes)
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .withColumn("win4", concat_ws(" ",
         coalesce(lag(col("tok"), 3).over(wd), lit("")),
@@ -724,7 +728,7 @@ object Text {
   private def bigramArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.table(spark, "text_bigrams", dir)(
       Tables.documents(spark, dir)
-        .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+        .repartition(Tables.shufflePartitions(spark), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> struct(x, y))"))
@@ -848,6 +852,8 @@ object Text {
     * identical boundary rows. Output: a, b, n_ab, pmi. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
+      // spread both explode consumers below (explicit N, as elsewhere)
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(split(col("text"), " ").as("toks"))
     val uni = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
@@ -887,6 +893,9 @@ object Text {
     * TakeOrdered, no global-sort window. Output: a, b, n. */
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // spread the double explode (explicit N: the AQE coalesce would
+      // fold the token+pair fan-out back into one task)
+      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) >= 2)
       .select(explode(expr(
@@ -991,7 +1000,7 @@ object Text {
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val st0 = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .repartition(Tables.shufflePartitions(spark), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) >= 1)
       .select(col("doc_id"), length(col("tok")).as("n0"), expr(
@@ -1032,6 +1041,9 @@ object Text {
       .select(col("doc_id"), col("start_pos"),
         (col("start_pos") + col("n_toks")).as("end_pos"))
     val toks = docs
+      // spread the posexplode + the range anti-join probe side; doc_id
+      // partitioning also feeds the per-doc rollups exchange-free
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_all"))
     toks.join(drops,
@@ -1540,7 +1552,7 @@ object Text {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
     val toks = docs
-      .repartition(col("doc_id"))
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) >= 1)
       .as[(Long, String)]
@@ -1618,7 +1630,7 @@ object Text {
     * Output: doc_id, n_segs, n_dup, kept_toks, dup_frac. */
   def segDedup(spark: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .repartition(Tables.shufflePartitions(spark), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),
         posexplode(expr(
@@ -1664,7 +1676,7 @@ object Text {
   private[graft] def substrDedupFrom(docs: DataFrame): DataFrame = {
     val k = 10
     val sh = docs
-      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),
         posexplode(expr(
@@ -1717,7 +1729,7 @@ object Text {
   private[graft] def substrDedupApplyFrom(docs: DataFrame): DataFrame = {
     val k = 10
     val base = docs
-      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
     val sh = base.select(col("doc_id"), col("nw"),
@@ -1781,7 +1793,7 @@ object Text {
   def dsirResample(spark: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val toks = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // small input, heavy derivation: spread the explode
+      .repartition(Tables.shufflePartitions(spark), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
         pmod(expr("cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"), lit(B)))
