@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     * like the cluster family, but the final plan is still auditable
     * and its nested loops are all 1-row scalar carriers). */
   private val boundedNestedLoop = Set(
+    // Q-bounded query-side broadcast (vec_id < 10) against the corpus
+    // scan, the bruteForceTopK shape — inherited from the sim_mmr
+    // mid-build commit, which added the query but never ran this audit
+    "sim_mmr",
     "ev_range_join", "rel_ntile", "risk", "ts_trailing_return",
     "text_tfidf", "sim_topk", "sim_ivf", "sim_kmeans", "ev_funnel",
     "ev_funnel_window", "text_lm_score", "sim_rp_audit", "ts_seasonality",
