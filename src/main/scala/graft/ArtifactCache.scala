@@ -107,7 +107,24 @@ object ArtifactCache {
   private def build(spark: SparkSession, kind: String, df: => DataFrame): String = {
     val p = s"${IterState.rootFor(spark)}/art_${kind}_${java.util.UUID.randomUUID().toString.take(8)}"
     IterState.register(spark, p)
-    df.write.mode("overwrite").parquet(p)
+    // REBALANCE at the write boundary: file count follows the DATA
+    // (AQE advisory size), not the builder's execution parallelism — a
+    // derivation spread across N tasks otherwise lands N tiny files,
+    // and `files.minPartitionNum` then forces every consumer scan into
+    // one-task-per-file (measured: the 32-file bigram artifact tripled
+    // its consumers' scan stages). Guide §6's coalesce-on-write rule.
+    // parallelismFirst=false FOR THE WRITE ONLY: the default coalesces
+    // rebalance output by the 1 MB floor (bigrams still landed 4 tiny
+    // files), not the advisory size; flipping it globally would also
+    // fold CPU-heavy query shuffles to one task, so scope it here.
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prevPf = spark.conf.getOption(pfKey)
+    spark.conf.set(pfKey, "false")
+    try df.hint("rebalance").write.mode("overwrite").parquet(p)
+    finally prevPf match {
+      case Some(v) => spark.conf.set(pfKey, v)
+      case None    => spark.conf.unset(pfKey)
+    }
     p
   }
 

