@@ -131,18 +131,31 @@ object Dedup {
     * dedup on (full-content dups in the corpus happen to never
     * straddle the release split, which would leave the truth column
     * degenerate). Output: doc_id, maybe, truly_dup. */
-  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame =
+    bloomParts(spark, dir)._4.orderBy("doc_id")
+
+  /** Shared pieces of the Bloom audit pair: the state fingerprint
+    * distinct and the packed bitmap are each PERSISTED and computed
+    * once — the filter body referenced the state three times (sizing
+    * count, bitmap fold, exact join) and the stats rollup re-derived
+    * all of it a second time for its geometry columns (measured as
+    * 4 duplicate distinct jobs per stats run).
+    * Returns (state fps, m bits, bitmap, verdicts). */
+  private def bloomParts(spark: SparkSession, dir: String)
+      : (DataFrame, Long, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val state = docs.where(col("doc_id") % 4 =!= 0)
       .select(md5(substring(col("text"), 1, 40)).as("fp")).distinct()
-    val m = 1L << bloomBits(state.count())
+      .persist()
+    val m = 1L << bloomBits(state.count()) // also materializes the cache
+    val bitmap = bloomBitmap(state, m).persist()
     val delta = docs.where(col("doc_id") % 4 === 0)
       .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
-    bloomProbe(delta, bloomBitmap(state, m), m)
+    val verdicts = bloomProbe(delta, bitmap, m)
       .join(state.withColumn("dup", lit(true)), Seq("fp"), "left")
       .select(col("doc_id"), col("maybe"),
         coalesce(col("dup"), lit(false)).as("truly_dup"))
-      .orderBy("doc_id")
+    (state, m, bitmap, verdicts)
   }
 
   /** Rollup of [[bloomFilter]] plus the filter-geometry facts a
@@ -151,12 +164,8 @@ object Dedup {
     * cleared map-side vs sent to the exact join, and the realized
     * false-positive rate over the truly-new population. One row. */
   def bloomStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val state = docs.where(col("doc_id") % 4 =!= 0)
-      .select(md5(substring(col("text"), 1, 40)).as("fp")).distinct()
-    val m = 1L << bloomBits(state.count())
-    val verdicts = bloomFilter(spark, dir)
-    val nWords = bloomBitmap(state, m).count()
+    val (_, m, bitmap, verdicts) = bloomParts(spark, dir)
+    val nWords = bitmap.count()
     verdicts.agg(
       count(lit(1)).as("n_delta"),
       sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
