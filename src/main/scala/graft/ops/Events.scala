@@ -905,6 +905,11 @@ object Events {
       pmod(expr(s"cast(conv(substring(md5(concat('cms$r|', cast(user_id as string))), 1, 14), 16, 10) as bigint)"),
         lit(w))
     val ev = Tables.events(spark, dir).select(col("user_id"))
+      // spread the 4-per-row salted md5 hashing (the single-row-group
+      // scan otherwise runs it serially, twice — counters + probes);
+      // user_id partitioning also feeds the exact top-10 rollup
+      // exchange-free (explicit N, as elsewhere)
+      .repartition(Tables.shufflePartitions(spark), col("user_id"))
     val counters = ev
       .select(col("user_id"), posexplode(array(rows.map(bkt): _*)).as(Seq("r", "bkt")))
       .groupBy("r", "bkt").agg(count(lit(1)).as("c"))
