@@ -841,14 +841,16 @@ object Relational {
     * Output: brand_a, brand_b, n_ab, lift. */
   def basket(spark: SparkSession, dir: String): DataFrame = {
     val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      .join(Tables.part(spark, dir)
-        .select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
-      // spread the basket-building: the lineitem parquet's one big row
-      // group otherwise runs scan+probe+partial-collect_set as a single
-      // ~700 ms straggler task; after the explicit exchange the set
-      // aggregation is cluster-wide and the scan task only projects,
-      // probes the broadcast and writes shuffle rows
+      // spread the basket-building BEFORE the brand probe: the lineitem
+      // parquet's one big row group otherwise runs scan + broadcast
+      // probe + partial-collect_set as a single ~700 ms straggler task.
+      // With the exchange directly over the two projected key columns,
+      // the scan task only reads and ships 16 B/row; the probe and the
+      // set aggregation run cluster-wide (the broadcast join preserves
+      // the orderkey partitioning, so the groupBy needs no exchange)
       .repartition(Tables.shufflePartitions(spark), col("l_orderkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .persist() // two consumers: brand totals, pair explode
